@@ -1,0 +1,201 @@
+"""Posting-list codec: delta + varint compression, skip blocks, block-max.
+
+The index's core artifact (replacing the reference's tantivy posting files,
+reference ``ck-engine/src/lib.rs:847-890``) is a per-term blob:
+
+- ``postings``: LEB128 varints, interleaved per posting as
+  ``(doc_delta, tf, dl)`` — ``doc_delta`` is the gap from the previous
+  doc_id (first posting stores the absolute doc_id), ``tf`` the term
+  frequency, ``dl`` the document's field length (stored inline so query
+  actors never need a global doc_id -> length map; cf. tantivy's per-doc
+  fieldnorms, which we keep *exact* rather than 1-byte-quantized — a
+  documented spec decision, see oracle.py).
+- ``skips``: one fixed-width record per block of ``BLOCK_SIZE`` postings:
+  ``(last_doc u64, end_byte u32, max_tf u32, min_dl u32)`` little-endian.
+  ``tf_factor(max_tf, min_dl)`` upper-bounds every tf factor in the block
+  (monotone increasing in tf, decreasing in dl), which is the block-max
+  metadata the MaxScore/WAND pruning uses.
+- ``positions`` (optional): per posting, ``tf`` delta-encoded token
+  positions (first absolute), concatenated; posting boundaries are implied
+  by the tf sequence. Needed for tantivy-compatible phrase queries
+  ("snake_case" parses to a phrase — reference ``ck-engine/src/lib.rs:765-769``).
+
+Both encode and decode are numpy-vectorized (no per-value Python).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+SKIP_DTYPE = np.dtype(
+    [("last_doc", "<u8"), ("end_byte", "<u4"), ("max_tf", "<u4"), ("min_dl", "<u4")]
+)
+
+
+def varint_lengths(values: np.ndarray) -> np.ndarray:
+    """Number of LEB128 bytes for each uint64 value (vectorized)."""
+    v = values.astype(np.uint64, copy=False)
+    nbits = np.zeros(len(v), dtype=np.int64)
+    x = v.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = x >= (np.uint64(1) << np.uint64(shift))
+        nbits[big] += shift
+        x[big] >>= np.uint64(shift)
+    # nbits = floor(log2(v)) for v>0; bytes = ceil((nbits+1)/7)
+    return np.where(v == 0, 1, (nbits + 7) // 7).astype(np.int64)
+
+
+def encode_varints(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array into one contiguous byte stream."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if len(v) == 0:
+        return b""
+    lens = varint_lengths(v)
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    out = np.zeros(offsets[-1], dtype=np.uint8)
+    max_len = int(lens.max())
+    for j in range(max_len):
+        mask = lens > j
+        idx = offsets[:-1][mask] + j
+        byte = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = (lens[mask] - 1 > j).astype(np.uint8) << 7
+        out[idx] = byte.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def decode_varints(buf: bytes | memoryview | np.ndarray) -> np.ndarray:
+    """Decode a LEB128 stream back to a uint64 array (vectorized)."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if len(b) == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = (b & 0x80) == 0
+    # token start = previous byte was an end (or stream start)
+    starts = np.nonzero(np.concatenate(([True], is_end[:-1])))[0]
+    idx_in_tok = np.arange(len(b)) - np.repeat(starts, np.diff(np.concatenate((starts, [len(b)]))))
+    contrib = (b & np.uint8(0x7F)).astype(np.uint64) << (np.uint64(7) * idx_in_tok.astype(np.uint64))
+    return np.add.reduceat(contrib, starts)
+
+
+def encode_posting_list(
+    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray
+) -> tuple[bytes, bytes]:
+    """Encode one term's postings (sorted by doc_id asc) -> (postings, skips)."""
+    n = len(doc_ids)
+    docs = np.ascontiguousarray(doc_ids, dtype=np.uint64)
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = docs[0]
+    np.subtract(docs[1:], docs[:-1], out=deltas[1:])
+    interleaved = np.empty(3 * n, dtype=np.uint64)
+    interleaved[0::3] = deltas
+    interleaved[1::3] = tfs
+    interleaved[2::3] = dls
+    blob = encode_varints(interleaved)
+    # skip blocks
+    lens = varint_lengths(interleaved)
+    byte_end = np.cumsum(lens)  # end byte after each value
+    block_ends = np.arange(BLOCK_SIZE, n + 1, BLOCK_SIZE)
+    if len(block_ends) == 0 or block_ends[-1] != n:
+        block_ends = np.concatenate((block_ends, [n]))
+    block_starts = np.concatenate(([0], block_ends[:-1]))
+    skips = np.empty(len(block_ends), dtype=SKIP_DTYPE)
+    skips["last_doc"] = docs[block_ends - 1]
+    skips["end_byte"] = byte_end[block_ends * 3 - 1]
+    skips["max_tf"] = np.maximum.reduceat(np.asarray(tfs, dtype=np.uint32), block_starts)
+    skips["min_dl"] = np.minimum.reduceat(np.asarray(dls, dtype=np.uint32), block_starts)
+    return blob, skips.tobytes()
+
+
+def decode_posting_list(blob: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a full posting blob -> (doc_ids u64 asc, tfs u32, dls u32)."""
+    vals = decode_varints(blob)
+    deltas = vals[0::3]
+    docs = np.cumsum(deltas, dtype=np.uint64)
+    return docs, vals[1::3].astype(np.uint32), vals[2::3].astype(np.uint32)
+
+
+def decode_skips(skip_blob: bytes) -> np.ndarray:
+    return np.frombuffer(skip_blob, dtype=SKIP_DTYPE)
+
+
+def decode_posting_blocks(
+    blob: bytes, skip_blob: bytes, block_mask: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode only the blocks selected by ``block_mask`` (bool per block).
+
+    Because each posting stores a *delta*, a skipped-into block's first
+    posting is reconstructed from the previous block's ``last_doc`` skip
+    entry; runs of selected blocks are decoded contiguously.
+    """
+    skips = decode_skips(skip_blob)
+    if block_mask.all():
+        return decode_posting_list(blob)
+    sel = np.nonzero(block_mask)[0]
+    if len(sel) == 0:
+        e = np.empty(0, dtype=np.uint64)
+        return e, e.astype(np.uint32), e.astype(np.uint32)
+    b = np.frombuffer(blob, dtype=np.uint8)
+    starts_byte = np.concatenate(([0], skips["end_byte"][:-1].astype(np.int64)))
+    docs_out, tfs_out, dls_out = [], [], []
+    # merge adjacent selected blocks into runs to minimize decode calls
+    run_start = sel[0]
+    prev = sel[0]
+    runs = []
+    for s in sel[1:]:
+        if s == prev + 1:
+            prev = s
+            continue
+        runs.append((run_start, prev))
+        run_start = prev = s
+    runs.append((run_start, prev))
+    for r0, r1 in runs:
+        chunk = b[starts_byte[r0] : skips["end_byte"][r1]]
+        vals = decode_varints(chunk)
+        docs = np.cumsum(vals[0::3], dtype=np.uint64)
+        if r0 > 0:
+            docs += skips["last_doc"][r0 - 1]
+        docs_out.append(docs)
+        tfs_out.append(vals[1::3].astype(np.uint32))
+        dls_out.append(vals[2::3].astype(np.uint32))
+    return (
+        np.concatenate(docs_out),
+        np.concatenate(tfs_out),
+        np.concatenate(dls_out),
+    )
+
+
+def encode_positions(flat: np.ndarray, lens: np.ndarray) -> bytes:
+    """Delta-encode per-posting position lists into one varint stream.
+
+    ``flat`` is the concatenation of each posting's ascending positions,
+    ``lens`` the per-posting counts (== tfs). Fully vectorized.
+    """
+    if len(flat) == 0:
+        return b""
+    flat = np.asarray(flat, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(np.asarray(lens, dtype=np.int64))[:-1]))
+    deltas = flat.copy()
+    deltas[1:] -= flat[:-1]
+    deltas[starts] = flat[starts]  # first position of each posting absolute
+    return encode_varints(deltas.astype(np.uint64))
+
+
+def decode_positions(blob: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Decode positions stream -> (flat positions, start offsets per posting).
+
+    ``tfs`` gives the per-posting position counts (tf == #positions).
+    """
+    deltas = decode_varints(blob).astype(np.int64)
+    lens = np.asarray(tfs, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    # global cumsum, then subtract the running sum carried in from previous
+    # postings: correct[i] = S[i] - S[start(i)-1]. S is nondecreasing
+    # (deltas >= 0), so a forward maximum-scan of the per-posting bases
+    # broadcasts each base to its posting's indices.
+    flat = np.cumsum(deltas)
+    if len(starts) > 1:
+        base = np.zeros(len(flat), dtype=np.int64)
+        base[starts[1:]] = flat[starts[1:] - 1]
+        np.maximum.accumulate(base, out=base)
+        flat = flat - base
+    return flat, starts

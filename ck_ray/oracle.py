@@ -1,0 +1,111 @@
+"""Pure-Python brute-force BM25 oracle (conformance reference).
+
+Independent of the engine's codec / shuffle / actor machinery: builds
+plain dicts from the corpus table by tokenizing row-by-row and scores
+candidates doc-at-a-time. Shares ONLY the spec-level definitions with the
+engine — the tokenizer kernel (one definition of tantivy-default
+analysis), the BM25 scalar math (``scoring.py``) and the query parser
+(one definition of tantivy QueryParser-subset semantics). Rank identity
+between this oracle and the Ray engine is the correctness gate from
+BASELINE.md (single-segment tantivy-0.24 semantics, exact norms, f32,
+ties doc_id-asc; see FIXTURES.md §3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from . import scoring
+from .ids import doc_id_for
+from .query import FIELD_IDS, parse_query
+from .tokenizer import tokenize_text_with_positions
+
+
+class BM25Oracle:
+    def __init__(self, corpus: pa.Table, dtype=np.float32):
+        self.dtype = dtype
+        self.n_docs = corpus.num_rows
+        # per field: term -> {doc_id: (tf, positions)}; doc_id -> dl
+        self.postings: list[dict[str, dict[int, tuple[int, list[int]]]]] = [{}, {}]
+        self.dl: list[dict[int, int]] = [{}, {}]
+        total = [0, 0]
+        for row in corpus.to_pylist():
+            did = doc_id_for(row["repo"], row["path"], row["commit"])
+            for fid, col in ((0, "content"), (1, "path")):
+                toks = tokenize_text_with_positions(row[col])
+                self.dl[fid][did] = len(toks)
+                total[fid] += len(toks)
+                per_term: dict[str, list[int]] = {}
+                for t, p in toks:
+                    per_term.setdefault(t, []).append(p)
+                for t, ps in per_term.items():
+                    self.postings[fid].setdefault(t, {})[did] = (len(ps), ps)
+        self.avgdl = [
+            (total[f] / self.n_docs) if self.n_docs else 0.0 for f in (0, 1)
+        ]
+
+    # ------------------------------------------------------------- scoring
+
+    def _clause_scores(self, clause) -> dict[int, np.floating]:
+        fid = FIELD_IDS[clause.field]
+        dtype = self.dtype
+        avgdl = self.avgdl[fid]
+        plists = [self.postings[fid].get(t) for t in clause.terms]
+        if any(p is None for p in plists):
+            return {}
+        if len(clause.terms) == 1:
+            p = plists[0]
+            df = len(p)
+            return {
+                d: scoring.term_scores(
+                    tf, self.dl[fid][d], df, self.n_docs, avgdl, dtype=dtype
+                )
+                for d, (tf, _) in p.items()
+            }
+        # phrase
+        common = set(plists[0])
+        for p in plists[1:]:
+            common &= set(p)
+        w = scoring.phrase_weight(
+            [len(p) for p in plists], self.n_docs, dtype=dtype
+        )
+        out: dict[int, np.floating] = {}
+        for d in common:
+            cand = plists[0][d][1]
+            for j in range(1, len(clause.terms)):
+                nxt = set(plists[j][d][1])
+                cand = [p for p in cand if p + j in nxt]
+                if not cand:
+                    break
+            if cand:
+                out[d] = w * scoring.tf_factor(
+                    len(cand), self.dl[fid][d], avgdl, dtype=dtype
+                )
+        return out
+
+    def search_raw(self, query: str, top_k: int | None = None):
+        k = top_k if top_k is not None else 100
+        acc: dict[int, np.floating] = {}
+        order_seen: dict[int, None] = {}
+        for clause in parse_query(query):
+            for d, s in self._clause_scores(clause).items():
+                acc[d] = self.dtype(acc.get(d, self.dtype(0.0)) + s)
+                order_seen.setdefault(d)
+        if not acc:
+            return np.empty(0, np.uint64), np.empty(0, self.dtype)
+        docs = np.array(sorted(acc), dtype=np.uint64)
+        scores = np.array([acc[int(d)] for d in docs], dtype=self.dtype)
+        order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
+        return docs[order], scores[order]
+
+    def search(self, query: str, top_k: int | None = None, threshold: float | None = None):
+        docs, scores = self.search_raw(query, top_k)
+        if len(docs) == 0:
+            return docs, scores, scores
+        max_s = scores[0] if scores[0] > 0 else self.dtype(1.0)
+        norm = scores / max_s
+        if threshold is not None:
+            keep = norm >= threshold
+            docs, scores, norm = docs[keep], scores[keep], norm[keep]
+        return docs, scores, norm

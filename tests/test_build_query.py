@@ -1,0 +1,142 @@
+"""End-to-end: SPIMI build -> BM25 engine, rank-identical to the oracle."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ck_ray.build as ckb
+from ck_ray.oracle import BM25Oracle
+from ck_ray.query import BM25Engine, parse_query
+
+# Reference query suite (FIXTURES.md §2): rare / hot / multi-OR / phrase /
+# camelCase / path-only / absent / case variance / long token / unicode.
+QUERY_SUITE = [
+    ("uq0000042marker", 5),  # unique rare term -> top-1
+    ("def", 100),  # hot term
+    ("merge", 10),
+    ("merge window query", 100),  # multi-term OR
+    ("snake_case", 10),  # multi-token word -> phrase semantics
+    ("parse_request_body", 10),  # snake ident -> phrase
+    ("getUserById", 10),  # camelCase -> single token
+    ("GETUSERBYID", 10),  # case variance (lowercased)
+    ("zqpathonly", 10),  # path-segment-only term: content default -> no hits
+    ("path:zqpathonly", 10),  # explicit path field -> hits
+    ("qzx_never_appears_anywhere", 10),  # absent
+    ("x" * 41, 10),  # long token -> dropped -> no clause
+    ("naïve café", 10),  # unicode
+    ("the merge", None),  # default top_k=100
+    ('"posting_list"', 5),  # quoted phrase
+    ("def return self if", 50),
+]
+
+
+@pytest.fixture(scope="module")
+def oracle(tiny_corpus):
+    return BM25Oracle(tiny_corpus)
+
+
+@pytest.fixture(scope="module")
+def engine(tiny_index):
+    eng = BM25Engine(tiny_index, num_shards=2)
+    yield eng
+    eng.close()
+
+
+def _assert_rank_identical(docs_e, scores_e, docs_o, scores_o):
+    assert len(docs_e) == len(docs_o)
+    # identical scores bitwise; equal-score ranks compared as sets
+    assert np.array_equal(
+        np.sort(scores_e)[::-1], np.sort(scores_o)[::-1]
+    ), "score multiset differs"
+    i = 0
+    n = len(docs_e)
+    while i < n:
+        j = i
+        while j < n and scores_e[j] == scores_e[i]:
+            j += 1
+        assert set(docs_e[i:j].tolist()) == set(docs_o[i:j].tolist())
+        i = j
+    # deterministic tiebreak means full sequences match exactly too
+    assert docs_e.tolist() == docs_o.tolist()
+
+
+@pytest.mark.parametrize("query,k", QUERY_SUITE, ids=[q[:20] for q, _ in QUERY_SUITE])
+def test_rank_identity(engine, oracle, query, k):
+    de, se = engine.search_raw(query, k)
+    do, so = oracle.search_raw(query, k)
+    _assert_rank_identical(de, se, do, so)
+
+
+def test_unique_term_is_top1(engine, tiny_corpus):
+    df = engine.search("uq0000042marker", 5)
+    assert len(df) >= 1
+
+
+def test_threshold_post_normalization(engine, oracle):
+    df = engine.search("merge window", top_k=50, threshold=0.5)
+    assert (df["normalized_score"] >= 0.5).all()
+    assert df["normalized_score"].iloc[0] == 1.0
+
+
+def test_default_topk_100(engine):
+    de, _ = engine.search_raw("def")  # hot term hits >100 docs
+    assert len(de) == 100
+
+
+def test_manifest_stats(tiny_index, tiny_corpus, oracle):
+    man = ckb.load_manifest(tiny_index)
+    assert man["num_docs"] == tiny_corpus.num_rows
+    # avgdl must equal the oracle's exact token accounting
+    assert man["fields"]["content"]["avgdl"] == pytest.approx(oracle.avgdl[0], rel=0)
+    assert man["fields"]["path"]["avgdl"] == pytest.approx(oracle.avgdl[1], rel=0)
+
+
+def test_sha256_invariant(tiny_index, tiny_corpus):
+    """Per-row sha256(content) equality against the source table."""
+    import hashlib
+
+    import pyarrow.dataset as pads
+
+    man = ckb.load_manifest(tiny_index)
+    docs = pads.dataset(
+        os.path.join(tiny_index, man["epoch_dir"], "docs")
+    ).to_table(columns=["repo", "path", "content_sha256"]).to_pandas()
+    got = dict(zip(zip(docs["repo"], docs["path"]), docs["content_sha256"]))
+    for row in tiny_corpus.to_pylist():
+        expect = hashlib.sha256(row["content"].encode()).hexdigest()
+        assert got[(row["repo"], row["path"])] == expect
+
+
+def test_parser_semantics():
+    cs = parse_query('snake_case "a b" path:foo camelCase')
+    assert [(c.field, c.terms) for c in cs] == [
+        ("content", ["snake", "case"]),
+        ("content", ["a", "b"]),
+        ("path", ["foo"]),
+        ("content", ["camelcase"]),
+    ]
+
+
+def test_parallelism_invariance(ray_session, tiny_corpus, tmp_path):
+    """Identical segment bytes regardless of batch size / partition layout."""
+    import ray.data
+
+    import pyarrow.dataset as pads
+
+    outs = []
+    for i, bs in enumerate([32, 200]):
+        d = str(tmp_path / f"idx{i}")
+        ckb.build_index(
+            ray.data.from_arrow(tiny_corpus).repartition(4 if i else 1),
+            d,
+            ckb.IndexConfig(num_parts=4, batch_size=bs),
+        )
+        man = ckb.load_manifest(d)
+        seg = pads.dataset(
+            os.path.join(d, man["epoch_dir"], "segments"), partitioning="hive"
+        ).to_table().sort_by([("field", "ascending"), ("term", "ascending")])
+        outs.append(seg)
+    assert outs[0].equals(outs[1])
