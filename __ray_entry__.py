@@ -1,16 +1,13 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the ck_ray Ray-Data engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()``    flagship: BM25 index build + top-k query over sf0.001 docs.
+``queries()``  one callable per implemented operator/pipeline (SURVEY.md §2
+               + the training-data operator set); each takes ``sf_dir``.
+``oracle_sql()`` matching DuckDB SQL per query where SQL-expressible
+               (tokenizer-dependent queries inline the same analyzer as a
+               regex split; BM25 is scored in-SQL with the same formula).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+No ray.init()/shutdown() here — the driver owns the session.
 """
 
 from __future__ import annotations
@@ -18,27 +15,283 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# --- shared SQL fragments -------------------------------------------------
+# tantivy-default analyzer over ASCII text as SQL: split on non-alnum,
+# drop empties and >=40-byte tokens, lowercase. (The engine's tokenizer is
+# unicode-aware; the driver corpus is ASCII so the two agree there.)
+_TOKS = """
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+),
+toks2 AS (
+  SELECT doc_id, term FROM toks WHERE term <> '' AND length(term) < 40
+)
+"""
+
+_BM25_QUERY_TERMS = ("merge", "window", "batch")
+_BM25_K = 20
+_REGEX_PATTERN = "merge.*window.*batch"
+_STOPWORDS_SQL = "('the','a','of','and','to','in','is','it')"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from ck_ray.pipelines.docsearch import bm25_topk
+
+    return bm25_topk("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ck_ray.ops import ann, dedup, text
+    from ck_ray.pipelines import docsearch, relational
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def ann_cosine_topk(sf_dir: str):
+        q = ann.query_vector_from(sf_dir, vec_id=0)
+        out = ann.cosine_topk(sf_dir, q, k=10)
+        return out[["vec_id", "score"]]
+
+    def ann_ivf_topk(sf_dir: str):
+        q = ann.query_vector_from(sf_dir, vec_id=0)
+        out = ann.ivf_topk(sf_dir, q, k=10)
+        return out[["vec_id", "score"]]
+
+    return {
+        # --- relational core (map/filter/agg/join/sort/limit/distinct)
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_top_revenue_orders": relational.q3_top_revenue_orders,
+        "q5_revenue_by_nation": relational.q5_revenue_by_nation,
+        "top_customers": relational.top_customers,
+        "orders_by_status": relational.orders_by_status,
+        "distinct_flag_status": relational.distinct_flag_status,
+        "expensive_items": relational.expensive_items,
+        "part_type_stats": relational.part_type_stats,
+        "supplier_balance_by_nation": relational.supplier_balance_by_nation,
+        "events_hourly": relational.events_hourly,
+        "user_sessions": relational.user_sessions,
+        # --- tokenizer / index stats over documents
+        "term_df_top": text.term_df_top,
+        "corpus_stats": text.corpus_stats,
+        "token_counts": text.token_counts,
+        "quality_metrics": text.quality_metrics,
+        "lang_source_counts": text.lang_source_counts,
+        # --- search modes (reference parity)
+        "bm25_topk": docsearch.bm25_topk,
+        "regex_match_docs": docsearch.regex_match_docs,
+        "hybrid_rrf": docsearch.hybrid_rrf,  # rows-only (RRF not in SQL)
+        # --- dedup family
+        "exact_dedup": dedup.exact_dedup,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # rows-only
+        "simhash_pairs": dedup.simhash_pairs,  # rows-only
+        "embedding_near_dups": dedup.embedding_near_dups,  # rows-only
+        # --- similarity search
+        "ann_cosine_topk": ann_cosine_topk,
+        "ann_ivf_topk": ann_ivf_topk,  # rows-only (approximate by design)
+        # --- text analysis extras
+        "langid": text.langid,  # rows-only (heuristic)
+        "fingerprints": text.fingerprints,  # rows-only
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qterms = ", ".join(f"('{t}')" for t in _BM25_QUERY_TERMS)
+    return {
+        "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_price_e4,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS sum_charge_e6,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+        "q3_top_revenue_orders": """
+SELECT l_orderkey,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey
+ORDER BY revenue_e4 DESC, l_orderkey
+LIMIT 10
+""",
+        "q5_revenue_by_nation": """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN supplier ON l_suppkey  = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name
+ORDER BY n_name
+""",
+        "top_customers": """
+SELECT o_custkey, c_name,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_spent_c,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY o_custkey, c_name
+ORDER BY total_spent_c DESC, o_custkey
+LIMIT 20
+""",
+        "orders_by_status": """
+SELECT o_orderstatus, count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+        "distinct_flag_status": """
+SELECT l_returnflag, l_linestatus, count(*) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+        "expensive_items": """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+FROM lineitem WHERE l_discount > 0.05
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 15
+""",
+        "part_type_stats": """
+SELECT p_type, count(*) AS n,
+       CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+FROM part GROUP BY p_type ORDER BY p_type
+""",
+        "supplier_balance_by_nation": """
+SELECT n_name,
+       CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_balance_c,
+       count(*) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+""",
+        "events_hourly": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+       event_type, count(*) AS n,
+       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS total_value_e6
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "user_sessions": """
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap
+  FROM events
+)
+SELECT e.user_id, count(*) AS n_events,
+       CAST(max(epoch_us(e.ts)) - min(epoch_us(e.ts)) AS BIGINT) AS span_us,
+       CAST(coalesce((SELECT max(gap) FROM gaps g WHERE g.user_id = e.user_id), 0) AS BIGINT) AS max_gap_us
+FROM events e GROUP BY e.user_id ORDER BY e.user_id
+""",
+        "term_df_top": f"""
+WITH {_TOKS}
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+FROM toks2 GROUP BY term
+ORDER BY df DESC, term
+LIMIT 100
+""",
+        "corpus_stats": f"""
+WITH {_TOKS},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+perdoc AS (
+  SELECT d.doc_id, coalesce(dl.dl, 0) AS dl, length(d.text) AS nchars
+  FROM documents d LEFT JOIN dl USING (doc_id)
+)
+SELECT count(*)                     AS n_docs,
+       CAST(sum(dl) AS BIGINT)      AS total_tokens,
+       round(avg(dl), 4)            AS avg_tokens,
+       round(avg(nchars), 4)        AS avg_chars
+FROM perdoc
+""",
+        "token_counts": f"""
+WITH {_TOKS},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(dl.dl, 0) AS BIGINT) AS n_tokens
+FROM documents d LEFT JOIN dl USING (doc_id)
+ORDER BY d.doc_id
+""",
+        "quality_metrics": f"""
+WITH {_TOKS},
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN term IN {_STOPWORDS_SQL} THEN 1 ELSE 0 END) AS n_stop,
+         sum(length(term)) AS tok_bytes
+  FROM toks2 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       length(d.text)                         AS n_chars,
+       CAST(coalesce(a.n_tokens, 0) AS BIGINT)  AS n_tokens,
+       CAST(coalesce(a.n_stop, 0) AS BIGINT)    AS n_stopwords,
+       CAST(coalesce(a.tok_bytes, 0) AS BIGINT) AS token_bytes
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+""",
+        "lang_source_counts": """
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY lang, source ORDER BY lang, source
+""",
+        "bm25_topk": f"""
+WITH {_TOKS},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+qterms AS (SELECT * FROM (VALUES {qterms}) AS q(term)),
+df AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * ((tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) ) AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+topk AS (
+  SELECT doc_id, score FROM scores
+  ORDER BY score DESC, doc_id LIMIT {_BM25_K}
+)
+SELECT doc_id, round(score, 4) AS score FROM topk
+ORDER BY score DESC, doc_id
+""",
+        "regex_match_docs": f"""
+SELECT doc_id FROM documents
+WHERE regexp_matches(text, '{_REGEX_PATTERN}')
+ORDER BY doc_id
+""",
+        "exact_dedup": """
+SELECT CAST(min(doc_id) AS BIGINT) AS keeper_doc_id, count(*) AS n_copies
+FROM documents GROUP BY text ORDER BY keeper_doc_id
+""",
+        "ann_cosine_topk": """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS score
+  FROM embeddings e, q
+),
+topk AS (SELECT * FROM sims ORDER BY score DESC, vec_id LIMIT 10)
+SELECT vec_id, round(score, 4) AS score FROM topk ORDER BY score DESC, vec_id
+""",
+    }

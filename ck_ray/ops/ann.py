@@ -1,0 +1,156 @@
+"""Similarity search over an embedding column.
+
+- ``cosine_topk``: exact brute-force baseline — the query matrix is
+  ``ray.put`` once and every ``map_batches`` task computes a partial
+  top-k against its batch (numpy matmul); partials k-way merge on the
+  driver. No shuffle, single streaming pass.
+- ``ivf_topk``: the scale path — vectors are bucketed once by nearest of
+  ``n_cells`` seeded centroids (mini k-means on a sample); queries probe
+  only the ``n_probe`` nearest cells. Recall<1 by design; the baseline
+  is the oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1), 1e-12)[:, None]
+
+
+def _emb_matrix(t: pa.Table) -> np.ndarray:
+    col = t["embedding"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(len(col), -1).astype(np.float64)
+
+
+def cosine_topk(
+    sf_dir: str, queries: np.ndarray, k: int = 10
+) -> pd.DataFrame:
+    """Exact top-k by cosine for each query row. Returns
+    (query_id, vec_id, score) with score rounded to 4dp, ranked by
+    (score desc, vec_id asc)."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    Q = _unit(np.atleast_2d(np.asarray(queries, np.float64)))
+    qref = ray.put(Q)
+
+    def partial(t: pa.Table) -> pa.Table:
+        Qm = ray.get(qref)
+        emb = _unit(_emb_matrix(t))
+        sims = Qm @ emb.T  # (nq, nb)
+        ids = t["vec_id"].to_numpy()
+        nq, nb = sims.shape
+        kk = min(k, nb)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(nq):
+            # partial top-k within the batch (vectorized argpartition)
+            idx = np.argpartition(-sims[qi], kk - 1)[:kk]
+            out_q.append(np.full(kk, qi, np.int64))
+            out_v.append(ids[idx])
+            out_s.append(sims[qi][idx])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "score": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.sort_values(["query_id", "score", "vec_id"],
+                          ascending=[True, False, True])
+        .groupby("query_id", as_index=False)
+        .head(k)
+    )
+    out["score"] = out["score"].round(4)
+    return out.reset_index(drop=True)
+
+
+def ivf_topk(
+    sf_dir: str,
+    queries: np.ndarray,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """IVF-style ANN: coarse-quantize once, probe nearest cells only."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = ray.data.read_parquet(path)
+    refs = ds.limit(2048).to_arrow_refs()
+    sample = _emb_matrix(pa.concat_tables([ray.get(r) for r in refs]))
+    rng = np.random.RandomState(seed)
+    cent = _unit(sample[rng.choice(len(sample), n_cells, replace=False)])
+    for _ in range(5):  # few Lloyd iterations on the sample
+        assign = np.argmax(_unit(sample) @ cent.T, axis=1)
+        for c in range(n_cells):
+            m = sample[assign == c]
+            if len(m):
+                cent[c] = _unit(m.mean(axis=0, keepdims=True))[0]
+    cref = ray.put(cent)
+    Q = _unit(np.atleast_2d(np.asarray(queries, np.float64)))
+    probe_cells = np.argsort(-(Q @ cent.T), axis=1)[:, :n_probe]
+    qref = ray.put((Q, probe_cells))
+
+    def partial(t: pa.Table) -> pa.Table:
+        cen = ray.get(cref)
+        Qm, probes = ray.get(qref)
+        emb = _unit(_emb_matrix(t))
+        ids = t["vec_id"].to_numpy()
+        cell = np.argmax(emb @ cen.T, axis=1)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(Qm)):
+            mask = np.isin(cell, probes[qi])
+            if not mask.any():
+                continue
+            sims = emb[mask] @ Qm[qi]
+            sub_ids = ids[mask]
+            kk = min(k, len(sims))
+            idx = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.append(np.full(kk, qi, np.int64))
+            out_v.append(sub_ids[idx])
+            out_s.append(sims[idx])
+        if not out_q:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "score": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.sort_values(["query_id", "score", "vec_id"],
+                          ascending=[True, False, True])
+        .groupby("query_id", as_index=False)
+        .head(k)
+    )
+    out["score"] = out["score"].round(4)
+    return out.reset_index(drop=True)
+
+
+def query_vector_from(sf_dir: str, vec_id: int = 0) -> np.ndarray:
+    """Deterministic query vector: the embedding of a fixed vec_id."""
+    import pyarrow.dataset as pads
+    import pyarrow.compute as pc
+
+    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table(
+        filter=pc.field("vec_id") == vec_id
+    )
+    return np.asarray(t["embedding"][0].as_py(), np.float64)

@@ -1,0 +1,254 @@
+"""Text-analysis operators over a documents table (training-data pipeline).
+
+All are vectorized ``map_batches`` stages over Arrow batches using the
+same tokenizer kernel as the index (``ck_ray.tokenizer``), with batch-level
+partial aggregation ahead of any groupby so the shuffle moves term partials,
+not raw tokens.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..tokenizer import term_frequencies, tokenize_array
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def _docs(sf_dir: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns
+    )
+
+
+def term_df_top(sf_dir: str, top_n: int = 100) -> pd.DataFrame:
+    """(term, df, cf) over documents.text — the index's stats table.
+
+    Partial (term, df, cf) per batch -> small groupby(term) -> top_n by
+    (df desc, term asc)."""
+    ds = _docs(sf_dir, ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tf_t, _ = term_frequencies(t["text"], with_positions=False)
+        g = pa.TableGroupBy(tf_t, ["term"], use_threads=False).aggregate(
+            [("row", "count_distinct"), ("tf", "sum")]
+        )
+        return pa.table(
+            {"term": g["term"], "df": g["row_count_distinct"], "cf": g["tf_sum"]}
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
+        .to_pandas()
+    )
+    out["df"] = out["df"].astype("int64")
+    out["cf"] = out["cf"].astype("int64")
+    out = out.sort_values(["df", "term"], ascending=[False, True]).head(top_n)
+    return out.reset_index(drop=True)
+
+
+def corpus_stats(sf_dir: str) -> pd.DataFrame:
+    """Global aggregate: n_docs, total_tokens, avg_tokens, avg_chars."""
+    ds = _docs(sf_dir, ["text"])
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        tb = tokenize_array(t["text"])
+        return pa.table(
+            {
+                "n_tokens": pa.array(tb.doc_len.astype(np.int64)),
+                "n_chars": pc.utf8_length(t["text"]).cast(pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(per_doc, batch_format="pyarrow").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_tokens", alias_name="total_tokens"),
+        Mean("n_tokens", alias_name="avg_tokens"),
+        Mean("n_chars", alias_name="avg_chars"),
+    )
+    return pd.DataFrame(
+        {
+            "n_docs": [int(agg["n_docs"])],
+            "total_tokens": [int(agg["total_tokens"])],
+            "avg_tokens": [round(float(agg["avg_tokens"]), 4)],
+            "avg_chars": [round(float(agg["avg_chars"]), 4)],
+        }
+    )
+
+
+def token_counts(sf_dir: str) -> pd.DataFrame:
+    """Per-doc token count (whitespace/punct tokenizer) — full table."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        tb = tokenize_array(t["text"])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(tb.doc_len.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(per_doc, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def quality_metrics(sf_dir: str) -> pd.DataFrame:
+    """Per-doc quality signals: chars, tokens, stopword ratio, mean token
+    length — the length/punct/stopword scoring family."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    stop = pa.array(sorted(STOPWORDS))
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        tb = tokenize_array(t["text"])
+        n = t.num_rows
+        n_tok = tb.doc_len.astype(np.int64)
+        is_stop = pc.is_in(tb.term, value_set=stop).to_numpy(zero_copy_only=False)
+        stop_per_doc = np.bincount(
+            tb.row_index, weights=is_stop.astype(np.float64), minlength=n
+        )
+        tok_bytes = pc.binary_length(tb.term).to_numpy(zero_copy_only=False)
+        bytes_per_doc = np.bincount(
+            tb.row_index, weights=tok_bytes.astype(np.float64), minlength=n
+        )
+        # exact integer signals (ratios are derivable; integers survive the
+        # driver's value-hash compare with no rounding hazards)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": pc.utf8_length(t["text"]).cast(pa.int64()),
+                "n_tokens": pa.array(n_tok),
+                "n_stopwords": pa.array(stop_per_doc.astype(np.int64)),
+                "token_bytes": pa.array(bytes_per_doc.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(per_doc, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+# deterministic per-language marker profiles for the n-gram heuristic
+_LANG_MARKERS = {
+    "en": STOPWORDS,
+    "fr": ("le", "la", "et", "de", "un"),
+    "de": ("der", "die", "und", "das", "ein"),
+    "es": ("el", "la", "y", "de", "que"),
+    "zh": ("de", "le", "shi"),
+}
+
+
+class LangIdHeuristic:
+    """Actor-pool language-ID stage: marker tables built once per actor.
+
+    (The corpus's ``lang`` column is ground truth; this scores a simple
+    stopword-profile guess against it — the shape of a fasttext-style
+    stage with the model swapped for a deterministic heuristic.)"""
+
+    def __init__(self):
+        self.profiles = {
+            lang: frozenset(words) for lang, words in _LANG_MARKERS.items()
+        }
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        tb = tokenize_array(t["text"])
+        n = t.num_rows
+        scores = np.zeros((len(self.profiles), n))
+        terms = tb.term.to_numpy(zero_copy_only=False)
+        for i, (lang, prof) in enumerate(sorted(self.profiles.items())):
+            hit = np.isin(terms, list(prof))
+            scores[i] = np.bincount(tb.row_index, weights=hit, minlength=n)
+        langs = np.array(sorted(self.profiles))
+        guess = langs[np.argmax(scores, axis=0)]
+        guess[scores.max(axis=0) == 0] = "und"
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang_true": t["lang"],
+                "lang_guess": pa.array(guess.tolist(), pa.string()),
+            }
+        )
+
+
+def langid(sf_dir: str) -> pd.DataFrame:
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+    return (
+        ds.map_batches(LangIdHeuristic, batch_format="pyarrow", concurrency=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def fingerprints(sf_dir: str, window: int = 8) -> pd.DataFrame:
+    """Rolling-hash document fingerprint (winnowing-lite): min FNV hash of
+    each doc's token n-gram windows, as an int64 — vectorized per batch."""
+    from ..ids import term_hash
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        tb = tokenize_array(t["text"])
+        th = term_hash(tb.term, np.zeros(len(tb.row_index), dtype=np.int64))
+        n = t.num_rows
+        fp = np.zeros(n, dtype=np.uint64)
+        # rolling window combine: h[i] = xor of window token hashes rotated
+        starts = np.concatenate(([0], np.cumsum(np.bincount(tb.row_index, minlength=n))))
+        for d in range(n):
+            hs = th[starts[d] : starts[d + 1]]
+            if len(hs) == 0:
+                fp[d] = 0
+                continue
+            w = min(window, len(hs))
+            acc = np.zeros(len(hs) - w + 1, dtype=np.uint64)
+            for j in range(w):
+                acc ^= (hs[j : len(hs) - w + 1 + j] << np.uint64(j % 8))
+            fp[d] = acc.min()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "fingerprint": pa.array(
+                    (fp & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64)
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(per_doc, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def lang_source_counts(sf_dir: str) -> pd.DataFrame:
+    out = (
+        _docs(sf_dir, ["lang", "source", "n_chars"])
+        .groupby(["lang", "source"])
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="sum_chars"),
+            Min("n_chars", alias_name="min_chars"),
+            Max("n_chars", alias_name="max_chars"),
+        )
+        .to_pandas()
+    )
+    for c in ("n_docs", "sum_chars", "min_chars", "max_chars"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["lang", "source"]).reset_index(drop=True)

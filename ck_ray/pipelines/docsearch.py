@@ -1,0 +1,140 @@
+"""Search pipelines over the driver's ``documents`` table.
+
+Maps ``documents(doc_id, text, lang, ...)`` onto the engine's corpus shape
+``(repo, path, commit, lang, content)`` (path = the doc_id, so engine hits
+map back to original ids), builds the SPIMI index once per sf_dir into a
+/tmp cache, and exposes:
+
+- ``bm25_topk``       full engine path; float64 scoring so the DuckDB SQL
+                      oracle (same formula, double precision) matches to 4dp
+- ``regex_match_docs``vectorized RE2 scan (the reference's regex mode)
+- ``hybrid_rrf``      Reciprocal Rank Fusion of the regex and BM25 legs
+                      (k=60, reference ``ck-engine/src/lib.rs:1024-1035``)
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..build import IndexConfig, build_index
+from ..query import BM25Engine
+
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def _doc_corpus(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+
+    def to_corpus(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "repo": pa.array(["corpus"] * n, pa.string()),
+                "path": pc.cast(t["doc_id"], pa.string()),
+                "commit": pa.array(["0"] * n, pa.string()),
+                "lang": t["lang"],
+                "content": t["text"],
+            }
+        )
+
+    return ds.map_batches(to_corpus, batch_format="pyarrow")
+
+
+def documents_index(sf_dir: str) -> str:
+    """Build (once, cached per sf_dir) the BM25 index over documents."""
+    key = os.path.abspath(sf_dir)
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    idx_dir = os.path.join(
+        "/tmp/ck_ray_doc_index", key.strip("/").replace("/", "_")
+    )
+    if not os.path.exists(os.path.join(idx_dir, "manifest.json")):
+        if os.path.exists(idx_dir):
+            import shutil
+
+            shutil.rmtree(idx_dir)
+        build_index(
+            _doc_corpus(sf_dir), idx_dir, IndexConfig(num_parts=8, batch_size=512)
+        )
+    _INDEX_CACHE[key] = idx_dir
+    return idx_dir
+
+
+def bm25_topk(
+    sf_dir: str, query: str = "merge window batch", k: int = 20
+) -> pd.DataFrame:
+    """Top-k BM25 over documents.text; float64 scores rounded to 4dp.
+
+    (The f32 tantivy-faithful path is exercised against the pure-Python
+    oracle in pytest; this float64 variant exists so the DuckDB SQL oracle
+    — which computes in double — agrees bit-for-bit to 4dp.)"""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2, dtype=np.float64)
+    try:
+        # path column holds the original doc_id
+        df = eng.search(query, top_k=k, with_metadata=True)
+    finally:
+        eng.close()
+    if len(df) == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+    out = pd.DataFrame(
+        {
+            "doc_id": df["path"].astype("int64"),
+            "score": df["score"].astype("float64").round(4),
+        }
+    )
+    return out.sort_values(["score", "doc_id"], ascending=[False, True]).reset_index(
+        drop=True
+    )
+
+
+def regex_match_docs(sf_dir: str, pattern: str = "merge.*window.*batch") -> pd.DataFrame:
+    """doc_ids whose text matches an RE2 pattern — vectorized scan."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def scan(t: pa.Table) -> pa.Table:
+        m = pc.match_substring_regex(t["text"], pattern)
+        return pa.table({"doc_id": t.filter(m)["doc_id"]})
+
+    out = ds.map_batches(scan, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def hybrid_rrf(
+    sf_dir: str,
+    query: str = "merge window batch",
+    pattern: str | None = None,
+    k: int = 20,
+    rrf_k: int = 60,
+) -> pd.DataFrame:
+    """Reciprocal Rank Fusion of the regex leg and the BM25 leg
+    (reference hybrid mode: score = sum 1/(60+rank), rank 1-based per
+    list, sort desc, truncate)."""
+    pattern = pattern or ".*".join(query.split())
+    lex = bm25_topk(sf_dir, query, k=max(k, 100))
+    rex = regex_match_docs(sf_dir, pattern)
+    ranks: dict[int, float] = {}
+    for lst in (
+        lex["doc_id"].tolist(),
+        rex["doc_id"].tolist(),
+    ):
+        for r, d in enumerate(lst, start=1):
+            ranks[d] = ranks.get(d, 0.0) + 1.0 / (rrf_k + r)
+    out = pd.DataFrame(
+        {"doc_id": list(ranks), "rrf_score": np.round(list(ranks.values()), 6)}
+    )
+    out = out.sort_values(["rrf_score", "doc_id"], ascending=[False, True]).head(k)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.reset_index(drop=True)

@@ -1,0 +1,393 @@
+"""Relational pipelines over the driver's TPC-H-ish tables.
+
+Idiomatic Ray Data shapes, written for scale:
+
+- column pruning at ``read_parquet`` (only the columns each query needs);
+- vectorized per-batch compute (`pyarrow.compute` / numpy), no row loops;
+- **broadcast joins**: dimension tables (customer, orders at these scales,
+  nation, region, supplier) are read once on the driver, `ray.put` into
+  the object store, and probed inside ``map_batches`` with sorted-array
+  ``np.searchsorted`` lookups — the fact table (lineitem) never shuffles;
+- groupbys run over batch-level partial aggregates where the key space is
+  big; the small final groupby is the only exchange.
+
+Every function takes ``sf_dir`` and returns a small pandas DataFrame with
+column names that match the DuckDB oracle SQL in ``__ray_entry__.py``.
+Floats are rounded (2 or 4 dp) on BOTH sides so order-of-summation noise
+can't break the driver's value-hash compare.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+
+def _p(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _lookup(keys: np.ndarray, sorted_keys: np.ndarray, values: np.ndarray,
+            default=None):
+    """Vectorized dict-probe: keys -> values via searchsorted; mask misses."""
+    idx = np.searchsorted(sorted_keys, keys)
+    idx_c = np.clip(idx, 0, len(sorted_keys) - 1)
+    hit = sorted_keys[idx_c] == keys
+    out = values[idx_c]
+    return out, hit
+
+
+# ------------------------------------------------------------------ queries
+
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1 shape: grouped aggregate over lineitem with computed cols."""
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_shipdate",
+        ],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        # money in exact integer units (prices are 2dp, discount/tax 2dp,
+        # quantity integral) so grouped sums are order-independent and the
+        # DuckDB oracle matches bit-for-bit
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"))))
+        price_c = np.round(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_c = np.round(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        tax_c = np.round(t["l_tax"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": pa.array(np.round(t["l_quantity"].to_numpy()).astype(np.int64)),
+                "price_c": pa.array(price_c),
+                "disc_e4": pa.array(price_c * (100 - disc_c)),
+                "charge_e6": pa.array(price_c * (100 - disc_c) * (100 + tax_c)),
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("price_c", alias_name="sum_base_price_c"),
+            Sum("disc_e4", alias_name="sum_disc_price_e4"),
+            Sum("charge_e6", alias_name="sum_charge_e6"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    for c in ("sum_qty", "sum_base_price_c", "sum_disc_price_e4", "sum_charge_e6", "count_order"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def q3_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
+    """Join lineitem x orders x customer (broadcast small sides), top 10."""
+    cust = pq.read_table(
+        _p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    )
+    building = set(
+        cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].to_pylist()
+    )
+    orders = pq.read_table(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    cutoff = pd.Timestamp("1995-03-15")
+    mask = pc.and_(
+        pc.less(orders["o_orderdate"], pa.scalar(cutoff)),
+        pc.is_in(orders["o_custkey"], value_set=pa.array(sorted(building))),
+    )
+    orders = orders.filter(mask)
+    okeys = np.sort(orders["o_orderkey"].to_numpy())
+    ok_ref = ray.put(okeys)
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff)))
+        keys = t["l_orderkey"].to_numpy()
+        ok = ray.get(ok_ref)
+        _, hit = _lookup(keys, ok, ok)
+        price_c = np.round(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_c = np.round(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        rev = (price_c * (100 - disc_c))[hit]
+        keys = keys[hit]
+        gk, inv = np.unique(keys, return_inverse=True)
+        sums = np.zeros(len(gk), dtype=np.int64)
+        np.add.at(sums, inv, rev)
+        return pa.table({"l_orderkey": gk, "revenue_e4": sums})
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
+        .to_pandas()
+    )
+    out = out.sort_values(["revenue_e4", "l_orderkey"], ascending=[False, True]).head(10)
+    out["revenue_e4"] = out["revenue_e4"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def q5_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
+    """lineitem x orders x customer x supplier x nation (c_nationkey ==
+    s_nationkey), revenue per nation — all small sides broadcast."""
+    orders = pq.read_table(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    cust = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    supp = pq.read_table(_p(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    nation = pq.read_table(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+
+    ok = orders["o_orderkey"].to_numpy()
+    order_sort = np.argsort(ok)
+    o_keys = ok[order_sort]
+    o_cust = orders["o_custkey"].to_numpy()[order_sort]
+    ck = cust["c_custkey"].to_numpy()
+    cust_sort = np.argsort(ck)
+    c_keys = ck[cust_sort]
+    c_nat = cust["c_nationkey"].to_numpy()[cust_sort]
+    sk = supp["s_suppkey"].to_numpy()
+    supp_sort = np.argsort(sk)
+    s_keys = sk[supp_sort]
+    s_nat = supp["s_nationkey"].to_numpy()[supp_sort]
+    ref = ray.put((o_keys, o_cust, c_keys, c_nat, s_keys, s_nat))
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        o_keys, o_cust, c_keys, c_nat, s_keys, s_nat = ray.get(ref)
+        lok = t["l_orderkey"].to_numpy()
+        lsk = t["l_suppkey"].to_numpy()
+        custk, hit_o = _lookup(lok, o_keys, o_cust)
+        natc, hit_c = _lookup(custk, c_keys, c_nat)
+        nats, hit_s = _lookup(lsk, s_keys, s_nat)
+        keep = hit_o & hit_c & hit_s & (natc == nats)
+        price_c = np.round(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_c = np.round(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        rev = (price_c * (100 - disc_c))[keep]
+        gk, inv = np.unique(natc[keep], return_inverse=True)
+        sums = np.zeros(len(gk), dtype=np.int64)
+        np.add.at(sums, inv, rev)
+        return pa.table({"nationkey": gk.astype(np.int64), "revenue_e4": sums})
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("nationkey")
+        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
+        .to_pandas()
+    )
+    nm = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    out["n_name"] = out["nationkey"].map(nm)
+    out["revenue_e4"] = out["revenue_e4"].astype("int64")
+    return (
+        out[["n_name", "revenue_e4"]]
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+
+
+def top_customers(sf_dir: str) -> pd.DataFrame:
+    """orders groupby custkey -> join customer name -> top 20 by spend."""
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+    )
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "price_c": pa.array(
+                    np.round(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    agg = (
+        ds.groupby("o_custkey")
+        .aggregate(
+            Sum("price_c", alias_name="total_spent_c"),
+            Count(alias_name="n_orders"),
+        )
+        .to_pandas()
+    )
+    cust = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_name"]).to_pandas()
+    out = agg.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    out = out.sort_values(
+        ["total_spent_c", "o_custkey"], ascending=[False, True]
+    ).head(20)
+    out["total_spent_c"] = out["total_spent_c"].astype("int64")
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out[["o_custkey", "c_name", "total_spent_c", "n_orders"]].reset_index(drop=True)
+
+
+def orders_by_status(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_orderstatus", "o_totalprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderstatus": t["o_orderstatus"],
+                "price_c": pa.array(
+                    np.round(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = (
+        ds.groupby("o_orderstatus")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("price_c", alias_name="total_c"),
+        )
+        .to_pandas()
+    )
+    out["total_c"] = out["total_c"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
+def distinct_flag_status(sf_dir: str) -> pd.DataFrame:
+    """Distinct (returnflag, linestatus) pairs — set-op / unique shape."""
+    out = (
+        ray.data.read_parquet(
+            _p(sf_dir, "lineitem"), columns=["l_returnflag", "l_linestatus"]
+        )
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def expensive_items(sf_dir: str) -> pd.DataFrame:
+    """Filter + global sort + limit: top 15 discounted high-price items."""
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"],
+    )
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.greater(t["l_discount"], pa.scalar(0.05))),
+        batch_format="pyarrow",
+    )
+    out = ds.sort(["l_extendedprice", "l_orderkey", "l_linenumber"],
+                  descending=[True, False, False]).limit(15).to_pandas()
+    out["price_c"] = np.round(out["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+    out["l_linenumber"] = out["l_linenumber"].astype("int64")
+    return out[["l_orderkey", "l_linenumber", "price_c"]]
+
+
+def part_type_stats(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "part"), columns=["p_type", "p_retailprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "p_type": t["p_type"],
+                "price_c": pa.array(
+                    np.round(t["p_retailprice"].to_numpy() * 100).astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = (
+        ds.groupby("p_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("price_c", alias_name="sum_price_c"),
+        )
+        .to_pandas()
+    )
+    out["sum_price_c"] = out["sum_price_c"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("p_type").reset_index(drop=True)
+
+
+def supplier_balance_by_nation(sf_dir: str) -> pd.DataFrame:
+    supp = ray.data.read_parquet(
+        _p(sf_dir, "supplier"), columns=["s_nationkey", "s_acctbal"]
+    )
+    nation = pq.read_table(_p(sf_dir, "nation")).to_pandas()
+    nref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+
+    def add_name(df: pd.DataFrame) -> pd.DataFrame:
+        nm = ray.get(nref)
+        df["n_name"] = df["s_nationkey"].map(nm)
+        df["bal_c"] = np.round(df["s_acctbal"].to_numpy() * 100).astype(np.int64)
+        return df[["n_name", "bal_c"]]
+
+    out = (
+        supp.map_batches(add_name, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(Sum("bal_c", alias_name="total_balance_c"), Count(alias_name="n_suppliers"))
+        .to_pandas()
+    )
+    out["total_balance_c"] = out["total_balance_c"].astype("int64")
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+def events_hourly(sf_dir: str) -> pd.DataFrame:
+    """Tumbling-window shape: events bucketed to the hour per type."""
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["ts", "event_type", "value"]
+    )
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["hour"] = df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:00:00")
+        # value has <= 6 decimals: exact integer micro-units
+        df["value_e6"] = np.round(df["value"].to_numpy() * 1e6).astype(np.int64)
+        return df[["hour", "event_type", "value_e6"]]
+
+    out = (
+        ds.map_batches(bucket, batch_format="pandas")
+        .groupby(["hour", "event_type"])
+        .aggregate(Count(alias_name="n"), Sum("value_e6", alias_name="total_value_e6"))
+        .to_pandas()
+    )
+    out["total_value_e6"] = out["total_value_e6"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["hour", "event_type"]).reset_index(drop=True)
+
+
+def user_sessions(sf_dir: str) -> pd.DataFrame:
+    """Per-user ordered aggregate via groupby().map_groups: event count,
+    span seconds, max gap — a window-function shape."""
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        ts = g["ts"].astype("int64").to_numpy()  # microseconds (exact ints)
+        gap = int(np.diff(ts).max()) if len(ts) > 1 else 0
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": [len(g)],
+                "span_us": [int(ts[-1] - ts[0])],
+                "max_gap_us": [gap],
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    for c in ("n_events", "span_us", "max_gap_us"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
