@@ -1,0 +1,189 @@
+"""ck_ray benchmark harness (driver contract).
+
+``python bench.py``            one JSON line: headline = full suite seconds
+``python bench.py --scaling``  same suite at num_cpus=8 and =32 in fresh
+                               processes; reports both + scaling efficiency
+
+Headline pipelines:
+- ``index_build``: SPIMI inverted-index build (tokenize -> groupby(part)
+  -> posting segments) over a deterministic synthetic source-code corpus
+  (BENCH_FILES files; cached parquet in /tmp, so both scaling runs and
+  repeat runs read identical bytes with a warm page cache).
+- ``bm25_queries``: latency over the reference-style query suite against
+  the built index (actor-pool engine); reports p50/p99 ms.
+- sf-table pipelines at $GRAFT_SF_DIR: TPC-H-ish aggregate/join, tokenizer
+  stats, documents BM25, MinHash dedup, ANN.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+BENCH_FILES = int(os.environ.get("CK_BENCH_FILES", "100000"))
+SCALING_FILES = int(os.environ.get("CK_SCALING_FILES", "300000"))
+BENCH_SEED = 11
+
+
+def run_suite() -> dict:
+    import numpy as np
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data
+
+    from ck_ray.build import IndexConfig, build_index
+    from ck_ray.corpus import corpus_parquet
+    from ck_ray.query import BM25Engine
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # ---- warm the worker pool (spawn + library imports), as a long-lived
+    # cluster would be; measured phases then reflect steady-state throughput
+    def _warm(b):
+        import ck_ray.build  # noqa: F401
+        import ck_ray.tokenizer  # noqa: F401
+
+        time.sleep(0.2)
+        return b
+
+    ray.data.range(num_cpus * 2, override_num_blocks=num_cpus * 2).map_batches(
+        _warm, batch_size=1
+    ).count()
+
+    # ---- corpus (cached; untimed warm read to prime the page cache)
+    n_files = int(os.environ.get("CK_BENCH_FILES_OVERRIDE", BENCH_FILES))
+    corpus_dir = corpus_parquet(
+        n_files, seed=BENCH_SEED, out_dir="/tmp/ck_ray_bench_corpus",
+        rows_per_file=1024,
+    )
+    for f in os.listdir(corpus_dir):
+        if f.endswith(".parquet"):
+            with open(os.path.join(corpus_dir, f), "rb") as fh:
+                fh.read()
+
+    # ---- headline: index build
+    idx_dir = f"/tmp/ck_ray_bench_index/cpus{num_cpus}_{time.time_ns()}"
+    cfg = IndexConfig(num_parts=64,
+                      hot_df_threshold=max(200, n_files // 10))
+    timed("index_build", lambda: build_index(corpus_dir, idx_dir, cfg))
+    n_docs = json.load(open(os.path.join(idx_dir, "manifest.json")))["num_docs"]
+    extra["index_build_files_per_sec"] = round(n_docs / timings["index_build"], 1)
+
+    # ---- BM25 query latency suite
+    eng = BM25Engine(idx_dir, num_shards=min(8, num_cpus), dtype=np.float32)
+    suite = [
+        "def", "merge", "snake_case", "parse_request_body", "getUserById",
+        "merge window query", "def return self if", "path:core",
+        f"uq{n_files//2:07d}marker", "posting segment varint delta",
+        '"build_index_segment"', "the merge", "naïve café", "lexical hybrid",
+    ] * 3
+    cold = []
+    for q in dict.fromkeys(suite):  # first pass: cold posting fetch+decode
+        tq = time.perf_counter()
+        eng.search_raw(q, 100)
+        cold.append((time.perf_counter() - tq) * 1000)
+    lat = []
+    t0 = time.perf_counter()
+    for q in suite:  # warm-index latency (reference's 400-600ms metric)
+        tq = time.perf_counter()
+        eng.search_raw(q, 100)
+        lat.append((time.perf_counter() - tq) * 1000)
+    timings["bm25_queries"] = round(time.perf_counter() - t0, 3)
+    eng.close()
+    extra["bm25_p50_ms"] = round(float(np.percentile(lat, 50)), 2)
+    extra["bm25_p99_ms"] = round(float(np.percentile(lat, 99)), 2)
+    extra["bm25_cold_p99_ms"] = round(float(np.percentile(cold, 99)), 2)
+
+    # ---- sf-table pipelines
+    from ck_ray.ops import ann, dedup, text
+    from ck_ray.pipelines import docsearch, relational
+
+    timed("q1_pricing_summary", lambda: relational.q1_pricing_summary(sf_dir))
+    timed("q5_revenue_by_nation", lambda: relational.q5_revenue_by_nation(sf_dir))
+    timed("term_df_top", lambda: text.term_df_top(sf_dir))
+    timed("doc_bm25_topk", lambda: docsearch.bm25_topk(sf_dir))
+    timed("minhash_lsh_pairs", lambda: dedup.minhash_lsh_pairs(sf_dir))
+    timed(
+        "ann_cosine_topk",
+        lambda: ann.cosine_topk(sf_dir, ann.query_vector_from(sf_dir), k=10),
+    )
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "ck_ray bench suite (index build + BM25 queries + pipelines)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_corpus_files": n_docs,
+        **extra,
+    }
+    ray.shutdown()
+    import shutil
+
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            CK_BENCH_FILES_OVERRIDE=str(SCALING_FILES),
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    # throughput scaling on the headline build stage
+    thr_lo = lo["index_build_files_per_sec"]
+    thr_hi = hi["index_build_files_per_sec"]
+    eff = (thr_hi / thr_lo) / (32 / 8)
+    return {
+        "metric": "scaling efficiency (index build files/sec, 8 -> 32 cpus)",
+        "files_per_sec_8": thr_lo,
+        "files_per_sec_32": thr_hi,
+        "sec_8": lo["queries"]["index_build"],
+        "sec_32": hi["queries"]["index_build"],
+        "suite_sec_8": lo["value"],
+        "suite_sec_32": hi["value"],
+        "scaling_efficiency": round(eff, 3),
+        "n_corpus_files": lo["n_corpus_files"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_suite()))

@@ -57,7 +57,9 @@ MANIFEST_NAME = "manifest.json"
 class IndexConfig:
     num_parts: int = 8
     store_positions: bool = True
-    batch_size: int = 256  # docs per tokenize batch (code files are ~KBs)
+    # docs per tokenize batch; None = one batch per input block, which also
+    # means one spill file per (task, partition) — the right default
+    batch_size: int | None = None
     # Skew handling: terms with estimated df >= threshold get salted into
     # doc_id-range buckets. None disables salting (fine till ~10M docs/part).
     hot_df_threshold: int | None = None
@@ -69,42 +71,45 @@ class IndexConfig:
 # ---------------------------------------------------------------- doc stage
 
 
-def _docs_batch(batch: pa.Table) -> pa.Table:
-    return pa.table(
-        {
-            "doc_id": doc_id_column(batch["repo"], batch["path"], batch["commit"]),
-            "repo": batch["repo"],
-            "path": batch["path"],
-            "commit": batch["commit"],
-            "lang": batch["lang"],
-            "content_sha256": sha256_hex_column(batch["content"]),
-            "n_bytes": pc.binary_length(batch["content"]).cast(pa.int64()),
-        }
-    )
-
-
 # ------------------------------------------------------------ triples stage
 
 
 class _TriplesBatcher:
-    """Tokenize a corpus batch into posting triples (stateless function —
-    kept as a class only to close over config)."""
+    """Tokenize a corpus batch into posting triples and spill them as
+    per-partition SPIMI run files (stateless task; config via closure).
+
+    The physical exchange is run files in the staging dir rather than a
+    Ray ``sort``: Ray's sort-based groupby was measured serializing on
+    this shape (few rows, fat payloads), while run files keep the whole
+    tokenize->spill pass embarrassingly parallel. On a multi-node cluster
+    the staging dir is shared storage — the standard layout for index
+    builds, and it doubles as the resume checkpoint. The groupby(term)
+    SEMANTICS are unchanged: a term's postings all land in partition
+    ``fnv64(field, term) % P``."""
 
     def __init__(self, num_parts: int, store_positions: bool,
-                 hot_terms: frozenset[str] | None, salt_buckets: int):
+                 hot_terms: frozenset[str] | None, salt_buckets: int,
+                 exchange_dir: str | None = None,
+                 skip_parts: frozenset[int] = frozenset(),
+                 docs_dir: str | None = None):
         self.num_parts = num_parts
         self.store_positions = store_positions
         self.hot_terms = hot_terms
         self.salt_buckets = salt_buckets
+        self.exchange_dir = exchange_dir
+        self.skip_parts = skip_parts
+        self.docs_dir = docs_dir
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = doc_id_column(batch["repo"], batch["path"], batch["commit"])
         doc_ids_np = doc_ids.to_numpy()
         pieces = []
+        dl_per_field = {}
         for fid, fname in enumerate(FIELDS):
             tf_t, _dl = term_frequencies(
                 batch[fname], with_positions=self.store_positions
             )
+            dl_per_field[fname] = _dl
             rows = tf_t["row"].to_numpy()
             dl_of_row = _dl  # int32 per batch row
             n = len(rows)
@@ -141,7 +146,77 @@ class _TriplesBatcher:
                 )
             cols["part"] = pa.array(part)
             pieces.append(pa.table(cols))
-        return pa.concat_tables(pieces)
+        if self.docs_dir is not None:
+            # doc table rows fall out of the same pass (dl_* reuse the
+            # tokenize results; no second corpus read)
+            docs = pa.table(
+                {
+                    "doc_id": doc_ids,
+                    "repo": batch["repo"],
+                    "path": batch["path"],
+                    "commit": batch["commit"],
+                    "lang": batch["lang"],
+                    "content_sha256": sha256_hex_column(batch["content"]),
+                    "n_bytes": pc.binary_length(batch["content"]).cast(pa.int64()),
+                    "dl_content": pa.array(
+                        dl_per_field["content"].astype(np.int64)
+                    ),
+                    "dl_path": pa.array(dl_per_field["path"].astype(np.int64)),
+                }
+            )
+            os.makedirs(self.docs_dir, exist_ok=True)
+            name = f"docs-{uuid.uuid4().hex}.parquet"
+            tmp = os.path.join(self.docs_dir, f".{name}.tmp")
+            pq.write_table(docs, tmp)
+            os.replace(tmp, os.path.join(self.docs_dir, name))
+        return _write_runs(
+            pa.concat_tables(pieces), self.exchange_dir, self.skip_parts
+        )
+
+
+def _write_runs(
+    t: pa.Table, exchange_dir: str, skip_parts: frozenset[int]
+) -> pa.Table:
+    """Spill a task's triples as one Arrow-IPC run file per partition;
+    returns tiny (part, file, rows) manifest rows."""
+    order = pc.sort_indices(t["part"])
+    t = t.take(order)
+    parts = t["part"].to_numpy(zero_copy_only=False)
+    bounds = np.nonzero(np.concatenate(([True], parts[1:] != parts[:-1])))[0]
+    ends = np.concatenate((bounds[1:], [len(parts)]))
+    out_part, out_file, out_rows = [], [], []
+    for s, e in zip(bounds, ends):
+        part = int(parts[s])
+        if part in skip_parts:
+            continue
+        sub = t.slice(s, e - s).drop_columns(["part"])
+        pdir = os.path.join(exchange_dir, f"part={part}")
+        os.makedirs(pdir, exist_ok=True)
+        name = f"run-{uuid.uuid4().hex}.arrow"
+        tmp = os.path.join(pdir, f".{name}.tmp")
+        with pa.OSFile(tmp, "wb") as f, pa.ipc.new_file(f, sub.schema) as w:
+            w.write_table(sub)
+        os.replace(tmp, os.path.join(pdir, name))
+        out_part.append(part)
+        out_file.append(name)
+        out_rows.append(e - s)
+    return pa.table(
+        {
+            "part": pa.array(out_part, pa.int32()),
+            "file": pa.array(out_file, pa.string()),
+            "rows": pa.array(out_rows, pa.int64()),
+        }
+    )
+
+
+def _read_runs(part_dir: str) -> pa.Table:
+    """Memory-map and concat all run files of one partition."""
+    tables = []
+    for f in sorted(os.listdir(part_dir)):
+        if f.endswith(".arrow"):
+            with pa.memory_map(os.path.join(part_dir, f)) as m:
+                tables.append(pa.ipc.open_file(m).read_all())
+    return pa.concat_tables(tables)
 
 
 # ------------------------------------------------------------ segment stage
@@ -195,30 +270,21 @@ def _build_segment_table(
         pos_vals = plist.values.to_numpy(zero_copy_only=False)
         pos_offs = plist.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
 
-    out_field, out_term_idx, out_df, out_cf = [], [], [], []
-    postings_blobs, skips_blobs, pos_blobs = [], [], []
-    for s, e in zip(starts, ends):
-        d, f, l = docs[s:e], tfs[s:e], dls[s:e]
-        blob, skips = codec.encode_posting_list(d, f, l)
-        postings_blobs.append(blob)
-        skips_blobs.append(skips)
-        out_field.append(fields[s])
-        out_term_idx.append(s)
-        out_df.append(e - s)
-        out_cf.append(int(f.sum()))
-        if pos_vals is not None:
-            pos_blobs.append(
-                codec.encode_positions(pos_vals[pos_offs[s] : pos_offs[e]], f)
-            )
+    postings_blobs, skips_blobs, pos_blobs = codec.encode_partition(
+        docs, tfs, dls, starts, ends,
+        pos_flat=pos_vals, pos_offsets=pos_offs,
+    )
+    # cf per term: segmented sum of tf (vectorized)
+    cf = np.add.reduceat(tfs.astype(np.int64), starts)
     seg_cols = {
-        "field": pa.array(np.array(out_field, dtype=np.int8)),
-        "term": terms.take(pa.array(out_term_idx, type=pa.int64())),
-        "df": pa.array(np.array(out_df, dtype=np.int64)),
-        "cf": pa.array(out_cf, type=pa.int64()),
+        "field": pa.array(fields[starts].astype(np.int8)),
+        "term": terms.take(pa.array(starts, type=pa.int64())),
+        "df": pa.array((ends - starts).astype(np.int64)),
+        "cf": pa.array(cf, type=pa.int64()),
         "postings": pa.array(postings_blobs, type=pa.large_binary()),
         "skips": pa.array(skips_blobs, type=pa.large_binary()),
     }
-    if pos_vals is not None:
+    if pos_blobs is not None:
         seg_cols["positions"] = pa.array(pos_blobs, type=pa.large_binary())
     if keep_salt:
         seg_cols["first_doc"] = pa.array(
@@ -241,37 +307,163 @@ def _atomic_write_parquet(table: pa.Table, final_path: str) -> str:
     return sha
 
 
-class _SegmentWriter:
-    """map_groups callable: encode + atomically write one partition."""
+_LINEAGE_KEYS = (
+    "part", "file", "sha256", "kind", "n_terms", "n_postings",
+    "sum_tf_content", "sum_tf_path",
+)
 
-    def __init__(self, seg_dir: str, store_positions: bool, kind: str = "cold"):
+
+def _lineage_table(rows: list[dict]) -> pa.Table:
+    return pa.table(
+        {k: pa.array([r[k] for r in rows]) for k in _LINEAGE_KEYS}
+    )
+
+
+class _SegmentEncoder:
+    """Per-partition encode task: read the partition's run files, build
+    the segment, write it atomically.
+
+    Parts < num_parts are final ("cold") segments. Parts >= num_parts are
+    salted hot-term partitions: their per-(term, salt) posting runs are
+    re-spilled into ``hotruns/final=F`` dirs keyed by each term's FINAL
+    partition, so the merge stage reads only its own terms' runs."""
+
+    def __init__(self, exchange_dir: str, seg_dir: str, hotruns_dir: str,
+                 store_positions: bool, num_parts: int):
+        self.exchange_dir = exchange_dir
+        self.seg_dir = seg_dir
+        self.hotruns_dir = hotruns_dir
+        self.store_positions = store_positions
+        self.num_parts = num_parts
+
+    def __call__(self, items: pa.Table) -> pa.Table:
+        out = []
+        for part in items["part"].to_pylist():
+            part = int(part)
+            triples = _read_runs(os.path.join(self.exchange_dir, f"part={part}"))
+            is_run = part >= self.num_parts
+            table, stats = _build_segment_table(
+                triples, self.store_positions, keep_salt=is_run
+            )
+            if is_run:
+                # re-spill grouped by each term's FINAL partition so the
+                # merge stage reads exactly one dir per task
+                fid = table["field"].to_numpy(zero_copy_only=False)
+                th = term_hash(table["term"].combine_chunks(), fid)
+                finals = (th % np.uint64(self.num_parts)).astype(np.int64)
+                for f_ in np.unique(finals):
+                    sub = table.filter(pa.array(finals == f_))
+                    fdir = os.path.join(self.hotruns_dir, f"final={int(f_)}")
+                    os.makedirs(fdir, exist_ok=True)
+                    _atomic_write_parquet(
+                        sub, os.path.join(fdir, f"runs-{part}.parquet")
+                    )
+                out.append(
+                    {"part": part, "file": "", "sha256": "", "kind": "run", **stats}
+                )
+            else:
+                pdir = os.path.join(self.seg_dir, f"part={part}")
+                os.makedirs(pdir, exist_ok=True)
+                fname = "seg-cold.parquet"
+                sha = _atomic_write_parquet(table, os.path.join(pdir, fname))
+                lineage = {"part": part, "file": fname, "sha256": sha,
+                           "kind": "cold", **stats}
+                with open(os.path.join(pdir, "_lineage-cold.json"), "w") as fh:
+                    json.dump(lineage, fh)
+                out.append(lineage)
+        return _lineage_table(out)
+
+
+class _HotMerger:
+    """Per-final-partition merge task: concatenate each hot term's
+    doc-range-ordered runs back into one posting list (byte-identical to
+    the unsalted encoding) and write the partition's seg-hot file."""
+
+    def __init__(self, hotruns_dir: str, seg_dir: str, store_positions: bool):
+        self.hotruns_dir = hotruns_dir
         self.seg_dir = seg_dir
         self.store_positions = store_positions
-        self.kind = kind
-        self.__name__ = f"write_segment_{kind}"  # map_groups wants a name
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        part = int(group["part"][0].as_py())
-        table, stats = _build_segment_table(
-            group.drop_columns(["part"]), self.store_positions
-        )
-        pdir = os.path.join(self.seg_dir, f"part={part}")
-        os.makedirs(pdir, exist_ok=True)
-        fname = f"seg-{self.kind}.parquet"
-        sha = _atomic_write_parquet(table, os.path.join(pdir, fname))
-        lineage = {
-            "part": part,
-            "file": fname,
-            "sha256": sha,
-            "kind": self.kind,
-            **stats,
+    def _merge_term(self, g: pa.Table) -> dict:
+        g = g.sort_by([("first_doc", "ascending")])
+        docs_l, tfs_l, pos_l, dls_l = [], [], [], []
+        for i in range(g.num_rows):
+            d, f, l = codec.decode_posting_list(g["postings"][i].as_py())
+            docs_l.append(d)
+            tfs_l.append(f)
+            dls_l.append(l)
+            if self.store_positions:
+                flat, _ = codec.decode_positions(g["positions"][i].as_py(), f)
+                pos_l.append(flat)
+        docs = np.concatenate(docs_l)
+        tfs = np.concatenate(tfs_l)
+        dls = np.concatenate(dls_l)
+        blob, skips = codec.encode_posting_list(docs, tfs, dls)
+        row = {
+            "field": int(g["field"][0].as_py()),
+            "term": g["term"][0].as_py(),
+            "df": len(docs),
+            "cf": int(tfs.sum()),
+            "postings": blob,
+            "skips": skips,
         }
-        with open(os.path.join(pdir, f"_lineage-{self.kind}.json"), "w") as fh:
-            json.dump(lineage, fh)
-        return pa.table(
-            {k: pa.array([v]) for k, v in lineage.items() if k != "file"}
-            | {"file": pa.array([fname])}
-        )
+        if self.store_positions:
+            row["positions"] = codec.encode_positions(np.concatenate(pos_l), tfs)
+        return row
+
+    def __call__(self, items: pa.Table) -> pa.Table:
+        out = []
+        for final in items["final"].to_pylist():
+            final = int(final)
+            tdir = os.path.join(self.hotruns_dir, f"final={final}")
+            runs = pa.concat_tables(
+                [pq.read_table(os.path.join(tdir, f))
+                 for f in sorted(os.listdir(tdir)) if f.endswith(".parquet")]
+            )
+            runs = runs.sort_by([("field", "ascending"), ("term", "ascending")])
+            fields = runs["field"].to_numpy(zero_copy_only=False)
+            tidx = pc.dictionary_encode(
+                runs["term"].combine_chunks()
+            ).indices.to_numpy(zero_copy_only=False)
+            n = len(fields)
+            change = np.empty(n, dtype=bool)
+            change[0] = True
+            np.logical_or(fields[1:] != fields[:-1], tidx[1:] != tidx[:-1],
+                          out=change[1:])
+            starts = np.nonzero(change)[0]
+            ends = np.concatenate((starts[1:], [n]))
+            rows = [self._merge_term(runs.slice(s, e - s)) for s, e in zip(starts, ends)]
+            cols = {
+                "field": pa.array(np.array([r["field"] for r in rows], np.int8)),
+                "term": pa.array([r["term"] for r in rows], pa.string()),
+                "df": pa.array([r["df"] for r in rows], pa.int64()),
+                "cf": pa.array([r["cf"] for r in rows], pa.int64()),
+                "postings": pa.array([r["postings"] for r in rows], pa.large_binary()),
+                "skips": pa.array([r["skips"] for r in rows], pa.large_binary()),
+            }
+            if self.store_positions:
+                cols["positions"] = pa.array(
+                    [r["positions"] for r in rows], pa.large_binary()
+                )
+            table = pa.table(cols)
+            pdir = os.path.join(self.seg_dir, f"part={final}")
+            os.makedirs(pdir, exist_ok=True)
+            fname = "seg-hot.parquet"
+            sha = _atomic_write_parquet(table, os.path.join(pdir, fname))
+            out.append(
+                {
+                    "part": final, "file": fname, "sha256": sha,
+                    "kind": "hot", "n_terms": table.num_rows,
+                    "n_postings": int(pc.sum(table["df"]).as_py() or 0),
+                    "sum_tf_content": int(pc.sum(
+                        pc.if_else(pc.equal(table["field"], 0), table["cf"], 0)
+                    ).as_py() or 0),
+                    "sum_tf_path": int(pc.sum(
+                        pc.if_else(pc.equal(table["field"], 1), table["cf"], 0)
+                    ).as_py() or 0),
+                }
+            )
+        return _lineage_table(out)
 
 
 # ------------------------------------------------------------------- build
@@ -282,92 +474,41 @@ def estimate_hot_terms(
 ) -> frozenset[str]:
     """Estimate terms whose corpus df will exceed ``threshold`` from a doc
     sample (selection only steers salting; any set yields identical output)."""
-    sample = ds.limit(sample_docs)
-    dfs: dict[str, int] = {}
-    n_seen = 0
-    for batch in sample.iter_batches(batch_size=256, batch_format="pyarrow"):
-        n_seen += batch.num_rows
+    def sample_dfs(t: pa.Table) -> pa.Table:
+        pieces = []
         for fname in FIELDS:
-            tf_t, _ = term_frequencies(batch[fname], with_positions=False)
-            for term in tf_t["term"].to_pylist():
-                dfs[term] = dfs.get(term, 0) + 1
-    if n_seen == 0:
-        return frozenset()
-    total = ds.count()
-    scale = max(1.0, total / n_seen)
-    return frozenset(t for t, c in dfs.items() if c * scale >= threshold)
-
-
-def _merge_salted_runs(runs_ds: ray.data.Dataset, seg_dir: str,
-                       num_parts: int, store_positions: bool) -> list[dict]:
-    """Second (small) stage: concatenate each hot term's doc-range runs back
-    into one posting list, byte-identical to the unsalted encoding."""
-
-    def merge_group(g: pa.Table) -> pa.Table:
-        g = g.sort_by([("first_doc", "ascending")])
-        docs_l, tfs_l, dls_l, pos_l = [], [], [], []
-        for i in range(g.num_rows):
-            d, f, l = codec.decode_posting_list(g["postings"][i].as_py())
-            docs_l.append(d)
-            tfs_l.append(f)
-            dls_l.append(l)
-            if store_positions:
-                flat, _ = codec.decode_positions(g["positions"][i].as_py(), f)
-                pos_l.append(flat)
-        docs = np.concatenate(docs_l)
-        tfs = np.concatenate(tfs_l)
-        dls = np.concatenate(dls_l)
-        blob, skips = codec.encode_posting_list(docs, tfs, dls)
-        cols = {
-            "field": g["field"].slice(0, 1),
-            "term": g["term"].slice(0, 1),
-            "df": pa.array([len(docs)], pa.int64()),
-            "cf": pa.array([int(tfs.sum())], pa.int64()),
-            "postings": pa.array([blob], pa.large_binary()),
-            "skips": pa.array([skips], pa.large_binary()),
-        }
-        if store_positions:
-            cols["positions"] = pa.array(
-                [codec.encode_positions(np.concatenate(pos_l), tfs)],
-                pa.large_binary(),
+            tf_t, _ = term_frequencies(t[fname], with_positions=False)
+            g = pa.TableGroupBy(tf_t, ["term"], use_threads=False).aggregate(
+                [("row", "count")]
             )
-        fid = int(g["field"][0].as_py())
-        term = g["term"][0].as_py()
-        from .ids import term_hash_one
-
-        cols["part"] = pa.array(
-            [term_hash_one(term, fid) % num_parts], pa.int32()
+            pieces.append(
+                pa.table({"term": g["term"], "df": g["row_count"]})
+            )
+        out = pa.concat_tables(pieces)
+        out = out.append_column(
+            "n_docs", pa.array([t.num_rows] + [0] * (out.num_rows - 1), pa.int64())
+            if out.num_rows
+            else pa.array([], pa.int64()),
         )
-        return pa.table(cols)
+        return out
 
-    merged = runs_ds.groupby(["field", "term"]).map_groups(
-        merge_group, batch_format="pyarrow"
+    partials = (
+        ds.limit(sample_docs)
+        .map_batches(sample_dfs, batch_format="pyarrow")
+        .to_arrow_refs()
     )
+    import ray as _ray
 
-    def write_hot(group: pa.Table) -> pa.Table:
-        part = int(group["part"][0].as_py())
-        table = group.drop_columns(["part"])
-        pdir = os.path.join(seg_dir, f"part={part}")
-        os.makedirs(pdir, exist_ok=True)
-        fname = "seg-hot.parquet"
-        sha = _atomic_write_parquet(table, os.path.join(pdir, fname))
-        lineage = {
-            "part": part, "file": fname, "sha256": sha, "kind": "hot",
-            "n_terms": table.num_rows,
-            "n_postings": int(pc.sum(table["df"]).as_py() or 0),
-            "sum_tf_content": int(
-                pc.sum(pc.if_else(pc.equal(table["field"], 0), table["cf"], 0)).as_py() or 0
-            ),
-            "sum_tf_path": int(
-                pc.sum(pc.if_else(pc.equal(table["field"], 1), table["cf"], 0)).as_py() or 0
-            ),
-        }
-        with open(os.path.join(pdir, "_lineage-hot.json"), "w") as fh:
-            json.dump(lineage, fh)
-        return pa.table({k: pa.array([v]) for k, v in lineage.items()})
-
-    out = merged.groupby("part").map_groups(write_hot, batch_format="pyarrow")
-    return out.to_pandas().to_dict("records")
+    tbl = pa.concat_tables([_ray.get(r) for r in partials])
+    if tbl.num_rows == 0:
+        return frozenset()
+    n_seen = int(pc.sum(tbl["n_docs"]).as_py() or 0)
+    g = pa.TableGroupBy(tbl, ["term"]).aggregate([("df", "sum")])
+    total = ds.count()
+    scale = max(1.0, total / max(n_seen, 1))
+    dfs = g["df_sum"].to_numpy()
+    hot = g["term"].filter(pa.array(dfs * scale >= threshold))
+    return frozenset(hot.to_pylist())
 
 
 def build_index(
@@ -377,8 +518,19 @@ def build_index(
     *,
     resume: bool = False,
     epoch: str | None = None,
+    commit_root: bool = True,
 ) -> dict:
     """Build (or resume building) the index; returns the committed manifest."""
+    import time as _time
+
+    _t0 = _time.perf_counter()
+    _phase = {}
+
+    def _mark(name):
+        _phase[name] = round(_time.perf_counter() - _t0 - sum(_phase.values()), 2)
+        if os.environ.get("CK_BUILD_VERBOSE"):
+            print(f"[build] {name}: {_phase[name]}s", flush=True)
+
     cfg = config or IndexConfig()
     ds = (
         ray.data.read_parquet(corpus)
@@ -392,35 +544,14 @@ def build_index(
     if os.path.exists(final_dir) and not resume:
         raise FileExistsError(f"{final_dir} already committed")
     os.makedirs(staging, exist_ok=True)
-    docs_dir = os.path.join(staging, "docs")
     seg_dir = os.path.join(staging, "segments")
     os.makedirs(seg_dir, exist_ok=True)
-
-    # ---- doc table (stateless map; resumable as a unit)
-    docs_done = os.path.join(staging, "_docs_done.json")
-    if not (resume and os.path.exists(docs_done)):
-        ds.map_batches(
-            _docs_batch, batch_format="pyarrow", batch_size=cfg.batch_size
-        ).write_parquet(docs_dir)
-        n_docs = sum(
-            pq.read_metadata(os.path.join(docs_dir, f)).num_rows
-            for f in os.listdir(docs_dir)
-            if f.endswith(".parquet")
-        )
-        with open(docs_done, "w") as fh:
-            json.dump({"n_docs": n_docs}, fh)
-    n_docs = json.load(open(docs_done))["n_docs"]
-    if n_docs <= 2_000_000:  # content-addressed id uniqueness (cheap at test scale)
-        import pyarrow.dataset as pads
-
-        idcol = pads.dataset(docs_dir).to_table(columns=["doc_id"])["doc_id"]
-        if len(pc.unique(idcol)) != n_docs:
-            raise RuntimeError("doc_id collision — content-addressed ids not unique")
 
     # ---- hot-term estimate (optional)
     hot_terms: frozenset[str] | None = None
     if cfg.hot_df_threshold is not None:
         hot_terms = estimate_hot_terms(ds, cfg.hot_df_threshold, cfg.df_sample_docs)
+    _mark("hot_estimate")
 
     # ---- resume bookkeeping: parts already on disk are skipped pre-shuffle
     done_parts: set[int] = set()
@@ -436,56 +567,93 @@ def build_index(
                 ).hexdigest() == rec["sha256"]:
                     done_parts.add(rec["part"])
 
-    # ---- tokenize -> triples -> groupby(part) -> encoded segments
-    triples = ds.map_batches(
+    # ---- groupby(term-partition) via SPIMI run-file exchange:
+    # tokenize tasks spill per-partition run files (launch-unique dir so a
+    # crashed attempt's partial runs can never double-count), then one
+    # encode task per partition builds+writes its segment.
+    launch = uuid.uuid4().hex[:8]
+    exchange_dir = os.path.join(staging, f"exchange-{launch}")
+    hotruns_dir = os.path.join(staging, f"hotruns-{launch}")
+    docs_launch_dir = os.path.join(staging, f"docs-{launch}")
+    ds.map_batches(
         _TriplesBatcher(
-            cfg.num_parts, cfg.store_positions, hot_terms, cfg.salt_buckets
+            cfg.num_parts, cfg.store_positions, hot_terms, cfg.salt_buckets,
+            exchange_dir, frozenset(done_parts), docs_launch_dir,
         ),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-    )
-    if done_parts:
-        skip = pa.array(sorted(done_parts), pa.int32())
-        triples = triples.map_batches(
-            lambda t, s=skip: t.filter(
-                pc.invert(pc.is_in(t["part"], value_set=s))
-            ),
-            batch_format="pyarrow",
-        )
+    ).count()
+    # promote this launch's doc table (stale launches' dirs cleaned below)
+    docs_dir = os.path.join(staging, "docs")
+    import shutil as _sh
 
-    cold = triples
+    if os.path.exists(docs_dir):
+        _sh.rmtree(docs_dir)
+    os.replace(docs_launch_dir, docs_dir)
+    n_docs = sum(
+        pq.read_metadata(os.path.join(docs_dir, f)).num_rows
+        for f in os.listdir(docs_dir)
+        if f.endswith(".parquet")
+    )
+    _mark("tokenize_spill")
+    if n_docs <= 2_000_000:  # content-addressed id uniqueness (cheap at test scale)
+        import pyarrow.dataset as pads
+
+        idcol = pads.dataset(docs_dir).to_table(columns=["doc_id"])["doc_id"]
+        if len(pc.unique(idcol)) != n_docs:
+            raise RuntimeError("doc_id collision — content-addressed ids not unique")
+
+    parts_present = sorted(
+        int(d.split("=")[1])
+        for d in (os.listdir(exchange_dir) if os.path.isdir(exchange_dir) else [])
+    )
     lineage: list[dict] = []
-    if hot_terms:
-        cold = triples.map_batches(
-            lambda t, p=cfg.num_parts: t.filter(pc.less(t["part"], p)),
-            batch_format="pyarrow",
+    if parts_present:
+        items = ray.data.from_items(
+            [{"part": p} for p in parts_present],
+            override_num_blocks=len(parts_present),
         )
-        hot_triples = triples.map_batches(
-            lambda t, p=cfg.num_parts: t.filter(pc.greater_equal(t["part"], p)),
-            batch_format="pyarrow",
-        )
-        # salted runs: encode per (part=hash(term,salt)) group with first_doc
-        runs_dir = os.path.join(staging, "runs")
-        os.makedirs(runs_dir, exist_ok=True)
-
-        def build_run(group: pa.Table) -> pa.Table:
-            t, _ = _build_segment_table(
-                group.drop_columns(["part"]), cfg.store_positions, keep_salt=True
+        enc_rows = (
+            items.map_batches(
+                _SegmentEncoder(
+                    exchange_dir, seg_dir, hotruns_dir,
+                    cfg.store_positions, cfg.num_parts,
+                ),
+                batch_format="pyarrow", batch_size=1,
             )
-            return t
-
-        runs = hot_triples.groupby("part").map_groups(
-            build_run, batch_format="pyarrow"
+            .to_pandas()
+            .to_dict("records")
         )
-        lineage += _merge_salted_runs(
-            runs, seg_dir, cfg.num_parts, cfg.store_positions
-        )
+        lineage += [r for r in enc_rows if r["kind"] == "cold"]
+    _mark("encode_segments")
 
-    seg_lineage_ds = cold.groupby("part").map_groups(
-        _SegmentWriter(seg_dir, cfg.store_positions, kind="cold"),
-        batch_format="pyarrow",
-    )
-    lineage += seg_lineage_ds.to_pandas().to_dict("records")
+    hot_items = []
+    if os.path.isdir(hotruns_dir):
+        hot_items = [
+            {"final": int(d.split("=")[1])}
+            for d in sorted(os.listdir(hotruns_dir))
+        ]
+    if hot_items:
+        fitems = ray.data.from_items(
+            hot_items, override_num_blocks=len(hot_items)
+        )
+        lineage += (
+            fitems.map_batches(
+                _HotMerger(hotruns_dir, seg_dir, cfg.store_positions),
+                batch_format="pyarrow", batch_size=1,
+            )
+            .to_pandas()
+            .to_dict("records")
+        )
+    _mark("hot_merge")
+    import shutil
+
+    shutil.rmtree(exchange_dir, ignore_errors=True)
+    shutil.rmtree(hotruns_dir, ignore_errors=True)
+    # a previous crashed attempt's exchange dirs are dead weight: clean them
+    for d in os.listdir(staging):
+        if d.startswith(("exchange-", "hotruns-", "docs-")):
+            shutil.rmtree(os.path.join(staging, d), ignore_errors=True)
     # previously-done parts re-enter the manifest from their markers
     for p in sorted(done_parts):
         lineage.append(json.load(open(os.path.join(seg_dir, f"part={p}", "_lineage-cold.json"))))
@@ -512,16 +680,23 @@ def build_index(
         },
         "parts": sorted(lineage, key=lambda r: (r["part"], r.get("kind", "cold"))),
         "hot_terms": sorted(hot_terms) if hot_terms else [],
+        # epoch-versioned segment sets: incremental updates append epochs;
+        # a doc's live posting lives in the LAST epoch whose docs table
+        # contains it (earlier entries are superseded), deletions are
+        # recorded per update in <epoch>/deleted.parquet
+        "epochs": [epoch],
     }
+    _mark("tail")
     with open(os.path.join(staging, MANIFEST_NAME), "w") as fh:
         json.dump(manifest, fh, indent=1)
     # ---- atomic commit: staging dir -> epoch dir, then root manifest
     os.replace(staging, final_dir)
     root_manifest = dict(manifest, epoch_dir=epoch)
-    tmp = os.path.join(index_dir, f".{MANIFEST_NAME}.tmp-{uuid.uuid4().hex}")
-    with open(tmp, "w") as fh:
-        json.dump(root_manifest, fh, indent=1)
-    os.replace(tmp, os.path.join(index_dir, MANIFEST_NAME))
+    if commit_root:
+        tmp = os.path.join(index_dir, f".{MANIFEST_NAME}.tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(root_manifest, fh, indent=1)
+        os.replace(tmp, os.path.join(index_dir, MANIFEST_NAME))
     return root_manifest
 
 

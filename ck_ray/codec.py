@@ -106,6 +106,83 @@ def encode_posting_list(
     return blob, skips.tobytes()
 
 
+def encode_partition(
+    docs: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    pos_flat: np.ndarray | None = None,
+    pos_offsets: np.ndarray | None = None,
+) -> tuple[list[bytes], list[bytes], list[bytes] | None]:
+    """Encode ALL terms of a partition in one vectorized pass.
+
+    ``starts``/``ends`` delimit each term's postings (sorted by doc
+    within term). Byte-identical to calling ``encode_posting_list`` /
+    ``encode_positions`` per term (tested), but the varint encode, skip
+    metadata and delta resets are single numpy passes over the whole
+    partition — the per-term Python work is just slicing.
+    """
+    n = len(docs)
+    nterms = len(starts)
+    docs = np.ascontiguousarray(docs, dtype=np.uint64)
+    deltas = docs.copy()
+    deltas[1:] -= docs[:-1]
+    deltas[starts] = docs[starts]  # absolute first doc per term
+    inter = np.empty(3 * n, dtype=np.uint64)
+    inter[0::3] = deltas
+    inter[1::3] = tfs
+    inter[2::3] = dls
+    buf = np.frombuffer(encode_varints(inter), dtype=np.uint8)
+    lens = varint_lengths(inter)
+    cum = np.cumsum(lens)  # end byte of value i (global)
+    term_start_b = np.where(starts > 0, cum[3 * starts - 1], 0)
+    term_end_b = cum[3 * ends - 1]
+    postings_blobs = [
+        buf[term_start_b[t] : term_end_b[t]].tobytes() for t in range(nterms)
+    ]
+    # ---- skip blocks, all terms at once (blocks are contiguous globally)
+    counts = ends - starts
+    nblocks = (counts + BLOCK_SIZE - 1) // BLOCK_SIZE
+    total_blocks = int(nblocks.sum())
+    blk_term = np.repeat(np.arange(nterms), nblocks)
+    blk_first = np.concatenate(([0], np.cumsum(nblocks)[:-1]))
+    blk_ord = np.arange(total_blocks) - np.repeat(blk_first, nblocks)
+    blk_start = starts[blk_term] + blk_ord * BLOCK_SIZE
+    blk_end = np.minimum(blk_start + BLOCK_SIZE, ends[blk_term])
+    skips = np.empty(total_blocks, dtype=SKIP_DTYPE)
+    skips["last_doc"] = docs[blk_end - 1]
+    skips["end_byte"] = cum[3 * blk_end - 1] - term_start_b[blk_term]
+    skips["max_tf"] = np.maximum.reduceat(
+        np.asarray(tfs, dtype=np.uint32), blk_start
+    )
+    skips["min_dl"] = np.minimum.reduceat(
+        np.asarray(dls, dtype=np.uint32), blk_start
+    )
+    skips_blobs = [
+        skips[blk_first[t] : blk_first[t] + nblocks[t]].tobytes()
+        for t in range(nterms)
+    ]
+    if pos_flat is None:
+        return postings_blobs, skips_blobs, None
+    # ---- positions: delta-reset at every posting start, encode once
+    pos_flat = np.asarray(pos_flat, dtype=np.int64)
+    posting_pos_starts = pos_offsets[:-1]  # start offset of each posting
+    pdeltas = pos_flat.copy()
+    pdeltas[1:] -= pos_flat[:-1]
+    pdeltas[posting_pos_starts] = pos_flat[posting_pos_starts]
+    pbuf = np.frombuffer(encode_varints(pdeltas.astype(np.uint64)), dtype=np.uint8)
+    plens = varint_lengths(pdeltas.astype(np.uint64))
+    pcum = np.concatenate(([0], np.cumsum(plens)))
+    # term t's positions span [pos_offsets[starts[t]], pos_offsets[ends[t]])
+    tb0 = pcum[pos_offsets[starts]]
+    tb1 = pcum[pos_offsets[ends]]
+    positions_blobs = [
+        pbuf[tb0[t] : tb1[t]].tobytes() for t in range(nterms)
+    ]
+    return postings_blobs, skips_blobs, positions_blobs
+
+
 def decode_posting_list(blob: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode a full posting blob -> (doc_ids u64 asc, tfs u32, dls u32)."""
     vals = decode_varints(blob)

@@ -27,6 +27,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+GEN_VERSION = 2  # bump when generation logic changes (invalidates caches)
+
 HOT_TERMS = ["def", "return", "self", "if", "the", "fn", "let"]
 
 SNAKE_IDS = [
@@ -60,24 +62,36 @@ PATH_ONLY_SEGS = ["zqpathonly", "xvroutemod"]
 
 def _content(rng: np.random.RandomState, file_no: int, lang: str) -> str:
     n_lines = int(rng.randint(5, 80))
-    lines = []
     rare = f"uq{file_no:07d}marker"  # per-file unique term for top-1 tests
+    # draw all randomness as arrays up front (vectorized; ~5x faster than
+    # per-word rng calls — matters when generating 100k+ files)
+    hot_on = rng.rand(n_lines) < 0.85
+    hot_i = rng.randint(len(HOT_TERMS), size=n_lines)
+    mid_i = rng.randint(len(MID_TERMS), size=n_lines)
+    ident_r = rng.rand(n_lines)
+    snake_i = rng.randint(len(SNAKE_IDS), size=n_lines)
+    camel_i = rng.randint(len(CAMEL_IDS), size=n_lines)
+    uni_on = rng.rand(n_lines) < 0.05
+    uni_i = rng.randint(len(UNICODE_IDS), size=n_lines)
+    long_on = rng.rand(n_lines) < 0.03
+    mid2_on = rng.rand(n_lines) < 0.3
+    mid2_i = rng.randint(len(MID_TERMS), size=n_lines)
+    lines = []
     for i in range(n_lines):
         words = []
-        if rng.rand() < 0.85:
-            words.append(HOT_TERMS[rng.randint(len(HOT_TERMS))])
-        words.append(MID_TERMS[rng.randint(len(MID_TERMS))])
-        r = rng.rand()
-        if r < 0.35:
-            words.append(SNAKE_IDS[rng.randint(len(SNAKE_IDS))])
-        elif r < 0.6:
-            words.append(CAMEL_IDS[rng.randint(len(CAMEL_IDS))])
-        if rng.rand() < 0.05:
-            words.append(UNICODE_IDS[rng.randint(len(UNICODE_IDS))])
-        if rng.rand() < 0.03:
+        if hot_on[i]:
+            words.append(HOT_TERMS[hot_i[i]])
+        words.append(MID_TERMS[mid_i[i]])
+        if ident_r[i] < 0.35:
+            words.append(SNAKE_IDS[snake_i[i]])
+        elif ident_r[i] < 0.6:
+            words.append(CAMEL_IDS[camel_i[i]])
+        if uni_on[i]:
+            words.append(UNICODE_IDS[uni_i[i]])
+        if long_on[i]:
             words.append(LONG_TOKEN)
-        if rng.rand() < 0.3:
-            words.append(MID_TERMS[rng.randint(len(MID_TERMS))])
+        if mid2_on[i]:
+            words.append(MID_TERMS[mid2_i[i]])
         lines.append(f"{'    ' if i % 4 else ''}{' '.join(words)}(arg_{i % 7});")
     lines.insert(int(rng.randint(n_lines)), f"// {rare}")
     ending = "\n"
@@ -156,7 +170,7 @@ def corpus_parquet(
     Multiple part files so Ray's read parallelizes; cache key is
     (n_files, seed) so repeated test/bench runs don't regenerate.
     """
-    d = os.path.join(out_dir, f"n{n_files}_s{seed}")
+    d = os.path.join(out_dir, f"n{n_files}_s{seed}_g{GEN_VERSION}")
     done = os.path.join(d, "_DONE")
     if os.path.exists(done):
         return d

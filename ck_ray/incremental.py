@@ -1,0 +1,162 @@
+"""Incremental index updates: content-hash diff -> epoch append.
+
+Mirrors the reference's incremental protocol (manifest probe + hash
+compare, ``ck-index/src/lib.rs:851-906``) at index granularity:
+
+1. one streaming pass over the new corpus computes (doc_id, sha256);
+2. anti-join against the previous epochs' live doc set (broadcast of
+   (id, sha) pairs at this scale; a shuffle anti-join on sha at 10^12 —
+   the diff itself is the same);
+3. only changed/new docs are tokenized and built into a NEW epoch via the
+   normal ``build_index`` path; deletions are recorded in the new epoch's
+   ``deleted.parquet``;
+4. global stats (N, total tokens -> avgdl) are adjusted exactly using the
+   per-doc ``dl_*`` columns of the superseded entries, so an incremental
+   index is **query-identical to a full rebuild** (tested).
+
+Supersede rule at query time: a posting for doc d from epoch e is live
+iff no later epoch's docs table contains d and d is not deleted.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import ray.data
+
+from .build import MANIFEST_NAME, IndexConfig, build_index, load_manifest
+from .ids import doc_id_column, sha256_hex_column
+
+
+def _live_prev_docs(index_dir: str, man: dict) -> pd.DataFrame:
+    """(doc_id, content_sha256, dl_content, dl_path) of live prev docs."""
+    frames = []
+    for i, e in enumerate(man.get("epochs", [man["epoch_dir"]])):
+        ddir = os.path.join(index_dir, e, "docs")
+        if os.path.isdir(ddir):
+            t = pads.dataset(ddir).to_table(
+                columns=["doc_id", "content_sha256", "dl_content", "dl_path"]
+            )
+            df = t.to_pandas()
+            df["epoch_i"] = i
+            frames.append(df)
+    docs = pd.concat(frames, ignore_index=True)
+    # later epoch supersedes earlier
+    docs = docs.sort_values("epoch_i").drop_duplicates("doc_id", keep="last")
+    for i, e in enumerate(man.get("epochs", [man["epoch_dir"]])):
+        dfile = os.path.join(index_dir, e, "deleted.parquet")
+        if os.path.exists(dfile):
+            dead = set(pq.read_table(dfile)["doc_id"].to_pylist())
+            docs = docs[~docs["doc_id"].isin(dead)]
+    return docs.drop(columns=["epoch_i"])
+
+
+def incremental_update(
+    corpus: str | ray.data.Dataset,
+    index_dir: str,
+    config: IndexConfig | None = None,
+) -> dict:
+    man = load_manifest(index_dir)
+    epochs = man.get("epochs", [man["epoch_dir"]])
+    cfg = config or IndexConfig(
+        num_parts=man["num_parts"], store_positions=man["store_positions"]
+    )
+    assert cfg.num_parts == man["num_parts"], "partition count is fixed per index"
+    ds = ray.data.read_parquet(corpus) if isinstance(corpus, str) else corpus
+
+    # pass 1: (doc_id, sha) of the new corpus (ids+hashes only to driver)
+    def id_sha(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": doc_id_column(t["repo"], t["path"], t["commit"]),
+                "content_sha256": sha256_hex_column(t["content"]),
+            }
+        )
+
+    new_info = ds.map_batches(id_sha, batch_format="pyarrow").to_pandas()
+    prev = _live_prev_docs(index_dir, man)
+    prev_map = dict(zip(prev["doc_id"], prev["content_sha256"]))
+    new_ids = set(new_info["doc_id"])
+    changed = [
+        int(r.doc_id)
+        for r in new_info.itertuples()
+        if prev_map.get(r.doc_id) != r.content_sha256
+    ]
+    deleted = sorted(set(prev_map) - new_ids)
+    if not changed and not deleted:
+        return man
+
+    epoch = f"epoch-{len(epochs) + 1:04d}"
+    totals = {
+        f: man["fields"][f]["total_tokens"] for f in ("content", "path")
+    }
+    # retire superseded + deleted token counts
+    stale = prev[prev["doc_id"].isin(set(changed) | set(deleted))]
+    totals["content"] -= int(stale["dl_content"].sum())
+    totals["path"] -= int(stale["dl_path"].sum())
+
+    if changed:
+        changed_arr = np.sort(np.array(changed, dtype=np.int64))
+        import ray as _ray
+
+        cref = _ray.put(changed_arr)
+
+        def only_changed(t: pa.Table) -> pa.Table:
+            ids = doc_id_column(t["repo"], t["path"], t["commit"]).to_numpy()
+            carr = _ray.get(cref)
+            idx = np.searchsorted(carr, ids)
+            idx_c = np.clip(idx, 0, len(carr) - 1)
+            return t.filter(pa.array(carr[idx_c] == ids))
+
+        sub = ds.map_batches(only_changed, batch_format="pyarrow")
+        # commit_root=False: the old root manifest stays valid until the
+        # merged multi-epoch manifest lands atomically below
+        sub_man = build_index(sub, index_dir, cfg, epoch=epoch, commit_root=False)
+        for f in ("content", "path"):
+            totals[f] += sub_man["fields"][f]["total_tokens"]
+    else:
+        os.makedirs(os.path.join(index_dir, epoch), exist_ok=True)
+
+    if deleted:
+        pq.write_table(
+            pa.table({"doc_id": pa.array(deleted, pa.int64())}),
+            os.path.join(index_dir, epoch, "deleted.parquet"),
+        )
+
+    n_docs = len(new_info)
+    root = dict(man)
+    root.update(
+        {
+            "epoch": epoch,
+            "epoch_dir": man["epoch_dir"],  # first epoch stays the anchor
+            "epochs": [*epochs, epoch],
+            "num_docs": n_docs,
+            "fields": {
+                "content": {
+                    "field_id": 0,
+                    "total_tokens": totals["content"],
+                    "avgdl": totals["content"] / n_docs if n_docs else 0.0,
+                },
+                "path": {
+                    "field_id": 1,
+                    "total_tokens": totals["path"],
+                    "avgdl": totals["path"] / n_docs if n_docs else 0.0,
+                },
+            },
+            "n_changed": len(changed),
+            "n_deleted": len(deleted),
+        }
+    )
+    tmp = os.path.join(index_dir, f".{MANIFEST_NAME}.tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump(root, fh, indent=1)
+    os.replace(tmp, os.path.join(index_dir, MANIFEST_NAME))
+    return root

@@ -98,39 +98,112 @@ def parse_query(query: str) -> list[Clause]:
 
 @ray.remote
 class SegmentShard:
-    """Holds the posting blobs of a set of index partitions in memory."""
+    """Holds the posting blobs of a set of index partitions in memory,
+    across ALL epochs (incremental updates append epoch segment sets)."""
 
     def __init__(self, index_dir: str, parts: list[int]):
         man = load_manifest(index_dir)
-        seg_root = os.path.join(index_dir, man["epoch_dir"], "segments")
-        self._rows: dict[tuple[int, str], dict] = {}
-        for p in parts:
-            pdir = os.path.join(seg_root, f"part={p}")
-            if not os.path.isdir(pdir):
-                continue
-            for f in sorted(os.listdir(pdir)):
-                if not f.endswith(".parquet"):
+        epochs = man.get("epochs", [man["epoch_dir"]])
+        self._rows: dict[tuple[int, str], list[dict]] = {}
+        for ei, epoch in enumerate(epochs):
+            seg_root = os.path.join(index_dir, epoch, "segments")
+            for p in parts:
+                pdir = os.path.join(seg_root, f"part={p}")
+                if not os.path.isdir(pdir):
                     continue
-                t = pq.read_table(os.path.join(pdir, f))
-                fields = t["field"].to_pylist()
-                terms = t["term"].to_pylist()
-                for i in range(t.num_rows):
-                    self._rows[(fields[i], terms[i])] = {
-                        "df": t["df"][i].as_py(),
-                        "postings": t["postings"][i].as_py(),
-                        "skips": t["skips"][i].as_py(),
-                        "positions": (
-                            t["positions"][i].as_py()
-                            if "positions" in t.column_names
-                            else None
-                        ),
-                    }
+                for f in sorted(os.listdir(pdir)):
+                    if not f.endswith(".parquet"):
+                        continue
+                    t = pq.read_table(os.path.join(pdir, f))
+                    fields = t["field"].to_pylist()
+                    terms = t["term"].to_pylist()
+                    for i in range(t.num_rows):
+                        self._rows.setdefault((fields[i], terms[i]), []).append(
+                            {
+                                "epoch": ei,
+                                "df": t["df"][i].as_py(),
+                                "postings": t["postings"][i].as_py(),
+                                "skips": t["skips"][i].as_py(),
+                                "positions": (
+                                    t["positions"][i].as_py()
+                                    if "positions" in t.column_names
+                                    else None
+                                ),
+                            }
+                        )
 
-    def get_postings(self, keys: list[tuple[int, str]]) -> list[dict | None]:
+    def get_postings(self, keys: list[tuple[int, str]]) -> list[list[dict] | None]:
         return [self._rows.get(k) for k in keys]
 
     def ready(self) -> bool:
         return True
+
+
+class _PostingView:
+    """Live postings of one (field, term) merged across epochs: dead docs
+    (superseded by a later epoch, or deleted) filtered out, doc-sorted.
+    Positions decode lazily (phrase queries only)."""
+
+    __slots__ = ("docs", "tfs", "dls", "_entries", "_src_epoch", "_src_idx", "_pos_cache")
+
+    def __init__(self, entries: list[dict], dead_per_epoch: list[np.ndarray]):
+        import numpy as np
+
+        from . import codec
+
+        if len(entries) == 1 and len(dead_per_epoch[entries[0]["epoch"]]) == 0:
+            d, t, l = codec.decode_posting_list(entries[0]["postings"])
+            self.docs, self.tfs, self.dls = d, t, l
+            self._src_epoch = np.zeros(len(d), dtype=np.int32)
+            self._src_idx = np.arange(len(d), dtype=np.int64)
+            self._entries = entries
+            self._pos_cache = {}
+            return
+        docs_l, tfs_l, dls_l, se_l, si_l = [], [], [], [], []
+        for k, e in enumerate(entries):
+            d, t, l = codec.decode_posting_list(e["postings"])
+            dead = dead_per_epoch[e["epoch"]]
+            if len(dead):
+                idx = np.searchsorted(dead, d)
+                idx_c = np.clip(idx, 0, len(dead) - 1)
+                keep = dead[idx_c] != d
+            else:
+                keep = np.ones(len(d), dtype=bool)
+            kept_idx = np.nonzero(keep)[0]
+            docs_l.append(d[kept_idx])
+            tfs_l.append(t[kept_idx])
+            dls_l.append(l[kept_idx])
+            se_l.append(np.full(len(kept_idx), k, dtype=np.int32))
+            si_l.append(kept_idx)
+        docs = np.concatenate(docs_l)
+        order = np.argsort(docs, kind="stable")
+        self.docs = docs[order]
+        self.tfs = np.concatenate(tfs_l)[order]
+        self.dls = np.concatenate(dls_l)[order]
+        self._src_epoch = np.concatenate(se_l)[order]
+        self._src_idx = np.concatenate(si_l)[order]
+        self._entries = entries
+        self._pos_cache = {}
+
+    @property
+    def df(self) -> int:
+        return len(self.docs)
+
+    def positions_for(self, merged_idx: int) -> np.ndarray:
+        """Token positions of the posting at merged index i."""
+        from . import codec
+
+        k = int(self._src_epoch[merged_idx])
+        e = self._entries[k]
+        if e["positions"] is None:
+            raise RuntimeError("phrase query on an index built without positions")
+        if k not in self._pos_cache:
+            _, t, _ = codec.decode_posting_list(e["postings"])
+            flat, starts = codec.decode_positions(e["positions"], t)
+            self._pos_cache[k] = (flat, starts, t)
+        flat, starts, t = self._pos_cache[k]
+        i = int(self._src_idx[merged_idx])
+        return flat[starts[i] : starts[i] + t[i]]
 
 
 class BM25Engine:
@@ -155,14 +228,50 @@ class BM25Engine:
             for s in range(num_shards)
         ]
         ray.get([s.ready.remote() for s in self.shards])
-        self._cache: dict[tuple[int, str], dict | None] = {}
-        self._docs_dir = os.path.join(
-            index_dir, self.manifest["epoch_dir"], "docs"
+        self._cache: dict[tuple[int, str], _PostingView | None] = {}
+        self.epochs = self.manifest.get("epochs", [self.manifest["epoch_dir"]])
+        self._docs_dirs = [
+            os.path.join(index_dir, e, "docs") for e in self.epochs
+        ]
+        self._dead = self._load_dead_sets()
+
+    def _load_dead_sets(self) -> list[np.ndarray]:
+        """dead[i] = doc_ids whose epoch-i postings are superseded by a
+        later epoch's rebuild, or deleted. (Driver-resident at this scale;
+        the shard actors would hold their partitions' slices at web scale.)"""
+        n = len(self.epochs)
+        ids_per_epoch: list[np.ndarray] = []
+        deleted: list[np.ndarray] = []
+        for e in self.epochs:
+            ddir = os.path.join(self.index_dir, e, "docs")
+            if os.path.isdir(ddir):
+                ids_per_epoch.append(
+                    pads.dataset(ddir).to_table(columns=["doc_id"])["doc_id"]
+                    .to_numpy()
+                    .astype(np.uint64)
+                )
+            else:
+                ids_per_epoch.append(np.empty(0, np.uint64))
+            dfile = os.path.join(self.index_dir, e, "deleted.parquet")
+            if os.path.exists(dfile):
+                deleted.append(
+                    pq.read_table(dfile)["doc_id"].to_numpy().astype(np.uint64)
+                )
+        del_all = (
+            np.concatenate(deleted) if deleted else np.empty(0, np.uint64)
         )
+        dead = []
+        for i in range(n):
+            later = ids_per_epoch[i + 1 :]
+            dead.append(np.unique(np.concatenate([*later, del_all]))
+                        if (later or len(del_all)) else np.empty(0, np.uint64))
+        return dead
 
     # -------------------------------------------------------------- lookup
 
-    def _fetch(self, keys: list[tuple[int, str]]) -> dict[tuple[int, str], dict | None]:
+    def _fetch(
+        self, keys: list[tuple[int, str]]
+    ) -> dict[tuple[int, str], _PostingView | None]:
         missing = [k for k in keys if k not in self._cache]
         by_shard: dict[int, list[tuple[int, str]]] = {}
         for k in missing:
@@ -172,8 +281,10 @@ class BM25Engine:
             s: self.shards[s].get_postings.remote(ks) for s, ks in by_shard.items()
         }
         for s, ks in by_shard.items():
-            for k, row in zip(ks, ray.get(futs[s])):
-                self._cache[k] = row
+            for k, entries in zip(ks, ray.get(futs[s])):
+                self._cache[k] = (
+                    _PostingView(entries, self._dead) if entries else None
+                )
         return {k: self._cache.get(k) for k in keys}
 
     # ------------------------------------------------------------- scoring
@@ -186,43 +297,29 @@ class BM25Engine:
         fid = FIELD_IDS[clause.field]
         n_docs = man["num_docs"]
         avgdl = man["fields"][clause.field]["avgdl"]
-        entries = [rows.get((fid, t)) for t in clause.terms]
-        if any(e is None for e in entries):
+        views = [rows.get((fid, t)) for t in clause.terms]
+        if any(v is None or v.df == 0 for v in views):
             return None
         if not clause.is_phrase:
-            e = entries[0]
-            docs, tfs, dls = codec.decode_posting_list(e["postings"])
+            v = views[0]
             contrib = scoring.term_scores(
-                tfs, dls, e["df"], n_docs, avgdl, dtype=self.dtype
+                v.tfs, v.dls, v.df, n_docs, avgdl, dtype=self.dtype
             )
-            return docs, contrib
+            return v.docs, contrib
         # phrase: intersect docs, count adjacency runs via positions
-        decoded = [codec.decode_posting_list(e["postings"]) for e in entries]
-        common = decoded[0][0]
-        for d, _, _ in decoded[1:]:
-            common = common[np.isin(common, d, assume_unique=True)]
+        common = views[0].docs
+        for v in views[1:]:
+            common = common[np.isin(common, v.docs, assume_unique=True)]
         if len(common) == 0:
             return None
-        pos_per_term = []
-        for e, (docs_t, tfs_t, _) in zip(entries, decoded):
-            if e["positions"] is None:
-                raise RuntimeError("phrase query on an index built without positions")
-            flat, starts = codec.decode_positions(e["positions"], tfs_t)
-            idx = np.searchsorted(docs_t, common)
-            pos_per_term.append(
-                [
-                    flat[starts[i] : starts[i] + tfs_t[i]]
-                    for i in idx
-                ]
-            )
-        # dl comes from the first term's postings for the common docs
-        docs0, _, dls0 = decoded[0]
-        dl_common = dls0[np.searchsorted(docs0, common)]
+        idx_per_term = [np.searchsorted(v.docs, common) for v in views]
+        dl_common = views[0].dls[idx_per_term[0]]
         pfreqs = np.zeros(len(common), dtype=np.int64)
         for i in range(len(common)):
-            cand = pos_per_term[0][i]
+            cand = views[0].positions_for(int(idx_per_term[0][i]))
             for j in range(1, len(clause.terms)):
-                cand = cand[np.isin(cand + j, pos_per_term[j][i], assume_unique=True)]
+                nxt = views[j].positions_for(int(idx_per_term[j][i]))
+                cand = cand[np.isin(cand + j, nxt, assume_unique=True)]
                 if len(cand) == 0:
                     break
             pfreqs[i] = len(cand)
@@ -231,7 +328,7 @@ class BM25Engine:
             return None
         # phrase idf = sum of member-term idfs (tantivy Bm25Weight::for_terms)
         w = scoring.phrase_weight(
-            [e["df"] for e in entries], n_docs, dtype=self.dtype
+            [v.df for v in views], n_docs, dtype=self.dtype
         )
         contrib = w * scoring.tf_factor(
             pfreqs[match], dl_common[match], avgdl, dtype=self.dtype
@@ -294,13 +391,25 @@ class BM25Engine:
             }
         )
         if with_metadata and len(df):
-            meta = (
-                pads.dataset(self._docs_dir)
-                .to_table(
-                    columns=["doc_id", "repo", "path", "lang", "content_sha256"],
-                    filter=pc.field("doc_id").isin(df["doc_id"].tolist()),
+            metas = []
+            for i, ddir in enumerate(self._docs_dirs):
+                if not os.path.isdir(ddir):
+                    continue
+                m = (
+                    pads.dataset(ddir)
+                    .to_table(
+                        columns=["doc_id", "repo", "path", "lang", "content_sha256"],
+                        filter=pc.field("doc_id").isin(df["doc_id"].tolist()),
+                    )
+                    .to_pandas()
                 )
-                .to_pandas()
+                m["epoch_i"] = i
+                metas.append(m)
+            meta = (
+                pd.concat(metas, ignore_index=True)
+                .sort_values("epoch_i")
+                .drop_duplicates("doc_id", keep="last")  # latest epoch wins
+                .drop(columns=["epoch_i"])
             )
             df = df.merge(meta, on="doc_id", how="left")
         return df

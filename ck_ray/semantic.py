@@ -1,0 +1,190 @@
+"""Semantic search parity: chunk -> embed (actor pool) -> cosine top-k.
+
+Mirrors the reference's semantic path (``ck-engine/src/semantic_v3.rs``):
+chunks are embedded at index time, a query is embedded at search time, and
+candidates are ranked by cosine similarity with threshold + near-miss
+tracking. The ONNX embedder is replaced by a deterministic hash-projection
+embedder (FIXTURES.md §4 — this container has no ONNX models); the Ray
+plumbing (actor pool with per-actor state, batched embed, broadcast query)
+is the real production shape: swap ``PseudoEmbedder`` for a model-loading
+class and nothing else changes.
+
+Chunking is the reference's *generic* chunker shape (fixed line windows
+with overlap, ``ck-chunk/src/lib.rs:299-372``); tree-sitter chunking is a
+per-language parser swap inside the same flat-map stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from .ids import doc_id_column, term_hash
+from .tokenizer import tokenize_array
+
+EMBED_DIM = 64
+
+
+def chunk_batch(
+    t: pa.Table, *, target_lines: int = 20, overlap_lines: int = 4
+) -> pa.Table:
+    """Flat-map: one corpus row -> N chunk rows (line windows w/ overlap)."""
+    import pyarrow.compute as pc
+
+    doc_ids = doc_id_column(t["repo"], t["path"], t["commit"]).to_numpy()
+    out_doc, out_cid, out_ls, out_le, out_text = [], [], [], [], []
+    step = max(1, target_lines - overlap_lines)
+    for i, content in enumerate(t["content"].to_pylist()):
+        lines = content.splitlines()
+        if not lines:
+            continue
+        s = 0
+        cid = 0
+        while s < len(lines):
+            e = min(s + target_lines, len(lines))
+            out_doc.append(doc_ids[i])
+            out_cid.append(cid)
+            out_ls.append(s + 1)  # 1-indexed like the reference Span
+            out_le.append(e)
+            out_text.append("\n".join(lines[s:e]))
+            cid += 1
+            if e == len(lines):
+                break
+            s += step
+    return pa.table(
+        {
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "chunk_id": pa.array(out_cid, pa.int32()),
+            "line_start": pa.array(out_ls, pa.int32()),
+            "line_end": pa.array(out_le, pa.int32()),
+            "text": pa.array(out_text, pa.string()),
+        }
+    )
+
+
+def _embed_tokens(term_hashes: np.ndarray, row_index: np.ndarray, n_rows: int,
+                  dim: int = EMBED_DIM) -> np.ndarray:
+    """Deterministic embedding: token-hash scatter into a dim-sphere.
+
+    Each token hash seeds ``dim`` pseudo-random signs via splitmix-style
+    mixing; a document's embedding is the L2-normalized sum over tokens.
+    Pure numpy, no per-row Python."""
+    if len(term_hashes) == 0:
+        return np.zeros((n_rows, dim), dtype=np.float32)
+    h = term_hashes.astype(np.uint64)
+    cols = np.arange(dim, dtype=np.uint64)
+    # mix h with column index (vectorized outer)
+    x = h[:, None] ^ (cols[None, :] * np.uint64(0x9E3779B97F4A7C15))
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    vals = ((x & np.uint64(0xFFFF)).astype(np.float32) / 32768.0) - 1.0
+    emb = np.zeros((n_rows, dim), dtype=np.float32)
+    np.add.at(emb, row_index, vals)
+    norm = np.linalg.norm(emb, axis=1)
+    emb /= np.maximum(norm, 1e-12)[:, None]
+    return emb
+
+
+class PseudoEmbedder:
+    """Actor-pool embed stage: 'model' state built once per actor."""
+
+    def __init__(self, dim: int = EMBED_DIM, text_col: str = "text"):
+        self.dim = dim
+        self.text_col = text_col
+
+    def embed_texts(self, texts: list[str]) -> np.ndarray:
+        tb = tokenize_array(pa.array(texts, pa.string()))
+        th = term_hash(tb.term, np.zeros(len(tb.row_index), dtype=np.int64))
+        return _embed_tokens(th, tb.row_index, len(texts), self.dim)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        tb = tokenize_array(t[self.text_col])
+        th = term_hash(tb.term, np.zeros(len(tb.row_index), dtype=np.int64))
+        emb = _embed_tokens(th, tb.row_index, t.num_rows, self.dim)
+        return t.append_column(
+            "embedding", pa.array(list(emb), pa.list_(pa.float32(), self.dim))
+        )
+
+
+def build_chunk_embeddings(
+    corpus: str | ray.data.Dataset,
+    *,
+    target_lines: int = 20,
+    overlap_lines: int = 4,
+    concurrency: int = 4,
+) -> ray.data.Dataset:
+    """corpus -> chunk table with embeddings (the semantic index)."""
+    ds = ray.data.read_parquet(corpus) if isinstance(corpus, str) else corpus
+    chunks = ds.map_batches(
+        lambda t: chunk_batch(t, target_lines=target_lines, overlap_lines=overlap_lines),
+        batch_format="pyarrow",
+    )
+    return chunks.map_batches(
+        PseudoEmbedder, batch_format="pyarrow", batch_size=512,
+        concurrency=concurrency,
+    )
+
+
+def semantic_search(
+    chunk_emb: ray.data.Dataset,
+    query: str,
+    top_k: int = 10,
+    threshold: float | None = None,
+) -> pd.DataFrame:
+    """Cosine top-k over the chunk table; broadcast query vector, per-batch
+    partial top-k, driver merge; threshold keeps the best near-miss
+    (reference ``semantic_v3.rs:144-227`` closest_below_threshold)."""
+    q = PseudoEmbedder().embed_texts([query])[0]
+    qref = ray.put(q.astype(np.float32))
+
+    def partial(t: pa.Table) -> pa.Table:
+        qv = ray.get(qref)
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        emb = col.flatten().to_numpy(zero_copy_only=False).reshape(len(col), -1)
+        sims = emb @ qv
+        kk = min(top_k + 1, len(sims))
+        if kk == 0:
+            return t.slice(0, 0).append_column("score", pa.array([], pa.float32()))
+        idx = np.argpartition(-sims, kk - 1)[:kk]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].take(pa.array(idx)),
+                "chunk_id": t["chunk_id"].take(pa.array(idx)),
+                "line_start": t["line_start"].take(pa.array(idx)),
+                "line_end": t["line_end"].take(pa.array(idx)),
+                "score": pa.array(sims[idx].astype(np.float32)),
+            }
+        )
+
+    parts = chunk_emb.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(
+        ["score", "doc_id", "chunk_id"], ascending=[False, True, True]
+    )
+    if threshold is not None:
+        above = parts[parts["score"] >= threshold].head(top_k)
+        if len(above) == 0 and len(parts):
+            # closest_below_threshold: report the single best near-miss
+            return parts.head(1).assign(below_threshold=True).reset_index(drop=True)
+        return above.assign(below_threshold=False).reset_index(drop=True)
+    return parts.head(top_k).reset_index(drop=True)
+
+
+class PseudoReranker:
+    """Cross-encoder stand-in: deterministic token-overlap score. Shape of
+    the reference's rerank stage (``ck-embed/src/reranker.rs``): applied to
+    the top-N candidates only, re-sorts, truncates."""
+
+    def __init__(self):
+        self._emb = PseudoEmbedder()
+
+    def rerank(self, query: str, docs: list[str]) -> list[float]:
+        qv = self._emb.embed_texts([query])[0]
+        dv = self._emb.embed_texts(docs)
+        # overlap-weighted cosine, deterministic
+        return (dv @ qv).tolist()

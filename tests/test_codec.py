@@ -77,3 +77,32 @@ def test_positions_roundtrip():
 
 def test_positions_empty():
     assert codec.encode_positions(np.array([]), np.array([])) == b""
+
+
+def test_encode_partition_matches_per_term():
+    rng = np.random.RandomState(5)
+    # build 40 terms with varying posting counts incl. multi-block
+    starts, ends, docs_l, tfs_l, dls_l, pos_l, lens_l = [], [], [], [], [], [], []
+    cursor = 0
+    for t in range(40):
+        n = int(rng.randint(1, 400))
+        d = np.sort(rng.choice(np.arange(1, 10000, dtype=np.uint64), n, replace=False))
+        f = rng.randint(1, 9, n).astype(np.uint32)
+        l = rng.randint(1, 900, n).astype(np.uint32)
+        starts.append(cursor); ends.append(cursor + n); cursor += n
+        docs_l.append(d); tfs_l.append(f); dls_l.append(l)
+        for tf in f:
+            pos_l.append(np.sort(rng.choice(5000, tf, replace=False)))
+            lens_l.append(tf)
+    docs = np.concatenate(docs_l); tfs = np.concatenate(tfs_l); dls = np.concatenate(dls_l)
+    starts = np.array(starts); ends = np.array(ends)
+    flat = np.concatenate(pos_l)
+    offs = np.concatenate(([0], np.cumsum(lens_l))).astype(np.int64)
+    pb, sb, zb = codec.encode_partition(docs, tfs, dls, starts, ends, flat, offs)
+    for t in range(40):
+        s, e = starts[t], ends[t]
+        blob, skips = codec.encode_posting_list(docs[s:e], tfs[s:e], dls[s:e])
+        assert pb[t] == blob, f"term {t} postings differ"
+        assert sb[t] == skips, f"term {t} skips differ"
+        pz = codec.encode_positions(flat[offs[s]:offs[e]], tfs[s:e])
+        assert zb[t] == pz, f"term {t} positions differ"

@@ -1,0 +1,120 @@
+"""Incremental epoch updates: query-identical to a full rebuild."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ck_ray.build as ckb
+from ck_ray.incremental import incremental_update
+from ck_ray.oracle import BM25Oracle
+from ck_ray.query import BM25Engine
+
+
+def _mutate(corpus: pa.Table) -> pa.Table:
+    """~5% modified, ~2% added, ~2% deleted (FIXTURES.md §4)."""
+    rows = corpus.to_pylist()
+    rng = np.random.RandomState(7)
+    n = len(rows)
+    mod = set(rng.choice(n, n // 20, replace=False).tolist())
+    dele = set(rng.choice(sorted(set(range(n)) - mod), n // 50, replace=False).tolist())
+    out = []
+    for i, r in enumerate(rows):
+        if i in dele:
+            continue
+        if i in mod:
+            r = dict(r, content=r["content"] + "\nmodified_sentinel extra merge line\n")
+        out.append(r)
+    for j in range(n // 50):
+        out.append(
+            {
+                "repo": "org0/repo0",
+                "path": f"src/new/added{j:04d}.py",
+                "commit": "f" * 40,
+                "lang": "python",
+                "content": f"def added_fn_{j} the merge window\nreturn uqadded{j:05d}marker\n",
+            }
+        )
+    out.sort(key=lambda r: (r["repo"], r["path"]))
+    cols = list(zip(*[(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in out]))
+    return pa.table(
+        {
+            "repo": pa.array(cols[0]), "path": pa.array(cols[1]),
+            "commit": pa.array(cols[2]), "lang": pa.array(cols[3]),
+            "content": pa.array(cols[4]),
+        }
+    )
+
+
+QUERIES = [
+    "merge", "def", "modified_sentinel", "uqadded00003marker",
+    "snake_case", "the merge window", "uq0000042marker",
+]
+
+
+def test_incremental_equals_full_rebuild(ray_session, tiny_corpus, tmp_path):
+    import ray.data
+
+    cfg = ckb.IndexConfig(num_parts=4, batch_size=64)
+    v2 = _mutate(tiny_corpus)
+
+    d_inc = str(tmp_path / "inc")
+    ckb.build_index(ray.data.from_arrow(tiny_corpus), d_inc, cfg)
+    man = incremental_update(ray.data.from_arrow(v2), d_inc, cfg)
+    assert man["n_changed"] > 0 and man["n_deleted"] > 0
+    assert len(man["epochs"]) == 2
+    assert man["num_docs"] == v2.num_rows
+
+    d_full = str(tmp_path / "full")
+    ckb.build_index(ray.data.from_arrow(v2), d_full, cfg)
+    man_full = ckb.load_manifest(d_full)
+    # exact global stats equality
+    for f in ("content", "path"):
+        assert man["fields"][f]["total_tokens"] == man_full["fields"][f]["total_tokens"]
+
+    eng_inc = BM25Engine(d_inc, num_shards=2)
+    eng_full = BM25Engine(d_full, num_shards=2)
+    oracle = BM25Oracle(v2)
+    try:
+        for q in QUERIES:
+            di, si = eng_inc.search_raw(q, 50)
+            df_, sf = eng_full.search_raw(q, 50)
+            assert di.tolist() == df_.tolist(), f"{q}: docs differ"
+            assert np.array_equal(si, sf), f"{q}: scores differ"
+            do, so = oracle.search_raw(q, 50)
+            assert di.tolist() == do.tolist(), f"{q}: oracle docs differ"
+            assert np.array_equal(si, so), f"{q}: oracle scores differ"
+    finally:
+        eng_inc.close()
+        eng_full.close()
+
+
+def test_incremental_noop(ray_session, tiny_corpus, tmp_path):
+    import ray.data
+
+    cfg = ckb.IndexConfig(num_parts=4, batch_size=64)
+    d = str(tmp_path / "idx")
+    ckb.build_index(ray.data.from_arrow(tiny_corpus), d, cfg)
+    man1 = ckb.load_manifest(d)
+    man2 = incremental_update(ray.data.from_arrow(tiny_corpus), d, cfg)
+    assert man2.get("epochs") == man1.get("epochs")  # unchanged -> no new epoch
+
+
+def test_deletion_only_update(ray_session, tiny_corpus, tmp_path):
+    import ray.data
+
+    cfg = ckb.IndexConfig(num_parts=4, batch_size=64)
+    d = str(tmp_path / "idx")
+    ckb.build_index(ray.data.from_arrow(tiny_corpus), d, cfg)
+    v2 = tiny_corpus.slice(10)  # drop first 10 docs
+    man = incremental_update(ray.data.from_arrow(v2), d, cfg)
+    assert man["n_deleted"] == 10 and man["n_changed"] == 0
+    eng = BM25Engine(d, num_shards=2)
+    oracle = BM25Oracle(v2)
+    try:
+        for q in ("merge", "def"):
+            di, si = eng.search_raw(q, 30)
+            do, so = oracle.search_raw(q, 30)
+            assert di.tolist() == do.tolist()
+            assert np.array_equal(si, so)
+    finally:
+        eng.close()

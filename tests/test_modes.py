@@ -1,0 +1,130 @@
+"""Regex mode, semantic mode, hybrid fusion, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from ck_ray.regex_search import build_pattern, regex_search
+from ck_ray.semantic import (
+    PseudoEmbedder,
+    PseudoReranker,
+    build_chunk_embeddings,
+    chunk_batch,
+    semantic_search,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus_ds(ray_session, tiny_corpus):
+    import ray.data
+
+    return ray.data.from_arrow(tiny_corpus)
+
+
+# ------------------------------------------------------------------- regex
+
+
+def test_pattern_builder():
+    assert build_pattern("a.b", fixed_string=True) == r"a\.b"
+    assert build_pattern("foo", whole_word=True) == r"\b(?:foo)\b"
+    assert build_pattern("Foo", case_insensitive=True) == "(?i)Foo"
+
+
+def test_regex_basic(corpus_ds, tiny_corpus):
+    out = regex_search(corpus_ds, r"uq0000042marker")
+    # exactly the one file containing that unique marker
+    assert len(out) == 1
+    assert out["line"].iloc[0].endswith("uq0000042marker")
+    # oracle: find it by hand
+    row = [r for r in tiny_corpus.to_pylist() if "uq0000042marker" in r["content"]][0]
+    assert out["path"].iloc[0] == row["path"]
+
+
+def test_regex_line_numbers_crlf(corpus_ds):
+    out = regex_search(corpus_ds, "snake_case value")
+    hit = out[out["path"] == "src/edge/crlf.c"]
+    assert len(hit) == 1
+    assert hit["line_no"].iloc[0] == 3  # third line of the \r\n file
+
+
+def test_regex_empty_pattern_matches_every_line(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {
+            "repo": ["r"] * 2,
+            "path": ["a.py", "b.py"],
+            "content": ["x\ny\n", "one\r\ntwo"],
+        }
+    )
+    out = regex_search(ray.data.from_arrow(t), "")
+    assert len(out) == 4  # 2 lines each; no phantom line after trailing \n
+
+
+def test_regex_case_and_word(corpus_ds):
+    ci = regex_search(corpus_ds, "GETUSERBYID", case_insensitive=True)
+    cs = regex_search(corpus_ds, "GETUSERBYID")
+    assert len(ci) > 0 and len(cs) == 0
+    w = regex_search(corpus_ds, "merge", whole_word=True)
+    assert (w["line"].str.contains(r"\bmerge\b")).all()
+
+
+# ---------------------------------------------------------------- semantic
+
+
+def test_chunker_spans():
+    t = pa.table(
+        {
+            "repo": ["r"], "path": ["p"], "commit": ["c"],
+            "content": ["\n".join(f"line{i}" for i in range(50))],
+        }
+    )
+    out = chunk_batch(t, target_lines=20, overlap_lines=4)
+    df = out.to_pandas()
+    assert df["line_start"].tolist() == [1, 17, 33]
+    assert df["line_end"].tolist() == [20, 36, 50]
+    assert df["text"].iloc[0].startswith("line0") and df["text"].iloc[0].endswith("line19")
+
+
+def test_pseudo_embedder_deterministic():
+    e = PseudoEmbedder()
+    a = e.embed_texts(["def foo_bar", "other text"])
+    b = e.embed_texts(["def foo_bar", "other text"])
+    assert np.array_equal(a, b)
+    assert np.allclose(np.linalg.norm(a, axis=1), 1.0, atol=1e-5)
+    # similar texts more similar than dissimilar
+    sims = e.embed_texts(["def foo_bar baz"]) @ a.T
+    assert sims[0, 0] > sims[0, 1]
+
+
+def test_semantic_search_finds_unique_chunk(corpus_ds):
+    emb = build_chunk_embeddings(corpus_ds, concurrency=2).materialize()
+    out = semantic_search(emb, "uq0000042marker the merge", top_k=5)
+    assert len(out) == 5
+    assert out["score"].iloc[0] >= out["score"].iloc[-1]
+    thr = semantic_search(emb, "uq0000042marker", top_k=5, threshold=0.99)
+    assert "below_threshold" in thr.columns
+
+
+def test_reranker_orders_by_relevance():
+    rr = PseudoReranker()
+    scores = rr.rerank("merge posting runs", ["merge posting runs now", "zebra apple"])
+    assert scores[0] > scores[1]
+
+
+# -------------------------------------------------------------- multimodal
+
+
+def test_multimodal_plumbing(ray_session):
+    from ck_ray.ops.multimodal import FeatureExtractor, multimodal_features
+
+    out = multimodal_features("/root/testdata/sf0.001")
+    assert len(out) == 500
+    assert out["n_bytes"].gt(0).all()
+    # deterministic features
+    f = FeatureExtractor()
+    a = f._fake_decode(b"payload")
+    assert np.array_equal(a, f._fake_decode(b"payload"))
+    with pytest.raises(NotImplementedError):
+        FeatureExtractor(fake=False)._decode(b"x")
