@@ -46,6 +46,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ck_ray.ops import ann, dedup, text
     from ck_ray.pipelines import docsearch, relational
 
+    def semantic_topk(sf_dir: str):
+        """documents -> line-window chunks -> actor-pool pseudo-embed ->
+        brute-force cosine top-k (the reference's semantic mode shape)."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+
+        from ck_ray.semantic import build_chunk_embeddings, semantic_search
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "lang"],
+        )
+
+        def to_corpus(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table(
+                {
+                    "repo": pa.array(["corpus"] * n, pa.string()),
+                    "path": pc.cast(t["doc_id"], pa.string()),
+                    "commit": pa.array(["0"] * n, pa.string()),
+                    "lang": t["lang"],
+                    "content": t["text"],
+                }
+            )
+
+        emb = build_chunk_embeddings(
+            ds.map_batches(to_corpus, batch_format="pyarrow"), concurrency=2
+        )
+        out = semantic_search(emb, "merge window batch stream", top_k=20)
+        out["score"] = out["score"].astype("float64").round(4)
+        return out[["doc_id", "chunk_id", "score"]]
+
+    def multimodal(sf_dir: str):
+        from ck_ray.ops.multimodal import multimodal_features
+
+        return multimodal_features(sf_dir)
+
     def ann_cosine_topk(sf_dir: str):
         q = ann.query_vector_from(sf_dir, vec_id=0)
         out = ann.cosine_topk(sf_dir, q, k=10)
@@ -90,6 +130,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis extras
         "langid": text.langid,  # rows-only (heuristic)
         "fingerprints": text.fingerprints,  # rows-only
+        # --- semantic + multimodal (rows-only; model stages are
+        # deterministic stand-ins, plumbing is production-shaped)
+        "semantic_topk": semantic_topk,
+        "multimodal_features": multimodal,
     }
 
 

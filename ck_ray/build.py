@@ -66,6 +66,19 @@ class IndexConfig:
     salt_buckets: int = 8
     df_sample_docs: int = 2048  # docs sampled to estimate hot terms
     dedupe_keep_latest: bool = False
+    # Where the transient shuffle run files live. They are consumed within
+    # one build (resume restarts from segment lineage markers, never from
+    # runs), so fast volatile storage is correct: default /dev/shm when
+    # present (single node), else the staging dir. On a cluster this is
+    # each node's local SSD / the shared scratch tier.
+    exchange_root: str | None = None
+
+    def resolve_exchange_root(self, staging: str) -> str:
+        if self.exchange_root:
+            return self.exchange_root
+        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+            return "/dev/shm/ck_ray_exchange"
+        return staging
 
 
 # ---------------------------------------------------------------- doc stage
@@ -305,6 +318,44 @@ def _atomic_write_parquet(table: pa.Table, final_path: str) -> str:
     sha = hashlib.sha256(open(tmp, "rb").read()).hexdigest()
     os.replace(tmp, final_path)
     return sha
+
+
+def _trash_async(path: str) -> None:
+    """Rename ``path`` to a .trash sibling (O(1)) and delete it on a
+    daemon thread; leftovers are removed by ``_sweep_stale_exchange``."""
+    if not os.path.exists(path):
+        return
+    import shutil
+    import threading
+
+    trash = f"{path}.trash-{uuid.uuid4().hex[:6]}"
+    try:
+        os.rename(path, trash)
+    except OSError:
+        trash = path
+    threading.Thread(
+        target=shutil.rmtree, args=(trash,), kwargs={"ignore_errors": True},
+        daemon=True,
+    ).start()
+
+
+def _sweep_stale_exchange(ex_root: str, max_age_sec: float = 6 * 3600) -> None:
+    """Remove exchange/trash dirs from crashed or earlier builds."""
+    import shutil
+    import time
+
+    now = time.time()
+    try:
+        entries = os.listdir(ex_root)
+    except OSError:
+        return
+    for d in entries:
+        p = os.path.join(ex_root, d)
+        try:
+            if ".trash-" in d or now - os.path.getmtime(p) > max_age_sec:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
 
 
 _LINEAGE_KEYS = (
@@ -572,8 +623,11 @@ def build_index(
     # crashed attempt's partial runs can never double-count), then one
     # encode task per partition builds+writes its segment.
     launch = uuid.uuid4().hex[:8]
-    exchange_dir = os.path.join(staging, f"exchange-{launch}")
-    hotruns_dir = os.path.join(staging, f"hotruns-{launch}")
+    ex_root = cfg.resolve_exchange_root(staging)
+    os.makedirs(ex_root, exist_ok=True)
+    _sweep_stale_exchange(ex_root)
+    exchange_dir = os.path.join(ex_root, f"exchange-{launch}")
+    hotruns_dir = os.path.join(ex_root, f"hotruns-{launch}")
     docs_launch_dir = os.path.join(staging, f"docs-{launch}")
     ds.map_batches(
         _TriplesBatcher(
@@ -646,13 +700,14 @@ def build_index(
             .to_dict("records")
         )
     _mark("hot_merge")
+    # O(1) rename-to-trash, deleted off the critical path (a background
+    # thread now; leftover .trash dirs are swept by the next build)
+    _trash_async(exchange_dir)
+    _trash_async(hotruns_dir)
     import shutil
 
-    shutil.rmtree(exchange_dir, ignore_errors=True)
-    shutil.rmtree(hotruns_dir, ignore_errors=True)
-    # a previous crashed attempt's exchange dirs are dead weight: clean them
     for d in os.listdir(staging):
-        if d.startswith(("exchange-", "hotruns-", "docs-")):
+        if d.startswith("docs-"):
             shutil.rmtree(os.path.join(staging, d), ignore_errors=True)
     # previously-done parts re-enter the manifest from their markers
     for p in sorted(done_parts):
@@ -703,3 +758,37 @@ def build_index(
 def load_manifest(index_dir: str) -> dict:
     with open(os.path.join(index_dir, MANIFEST_NAME)) as fh:
         return json.load(fh)
+
+
+def index_stats(index_dir: str) -> dict:
+    """Corpus/index statistics (the reference's ``get_index_stats``,
+    ``ck-index/src/lib.rs:655-708``), from manifest + lineage — no data
+    scan."""
+    man = load_manifest(index_dir)
+    seg_bytes = 0
+    n_terms = 0
+    n_postings = 0
+    for e in man.get("epochs", [man["epoch_dir"]]):
+        seg_root = os.path.join(index_dir, e, "segments")
+        if not os.path.isdir(seg_root):
+            continue
+        for pdir, _, files in os.walk(seg_root):
+            for f in files:
+                if f.endswith(".parquet"):
+                    seg_bytes += os.path.getsize(os.path.join(pdir, f))
+    for r in man.get("parts", []):
+        if r.get("kind") in ("cold", "hot"):
+            n_terms += r["n_terms"]
+            n_postings += r["n_postings"]
+    return {
+        "num_docs": man["num_docs"],
+        "num_epochs": len(man.get("epochs", [man["epoch_dir"]])),
+        "total_tokens_content": man["fields"]["content"]["total_tokens"],
+        "total_tokens_path": man["fields"]["path"]["total_tokens"],
+        "avgdl_content": man["fields"]["content"]["avgdl"],
+        "n_terms": n_terms,
+        "n_postings": n_postings,
+        "segment_bytes": seg_bytes,
+        "num_parts": man["num_parts"],
+        "hot_terms": len(man.get("hot_terms", [])),
+    }

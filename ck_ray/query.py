@@ -144,20 +144,42 @@ class _PostingView:
     (superseded by a later epoch, or deleted) filtered out, doc-sorted.
     Positions decode lazily (phrase queries only)."""
 
-    __slots__ = ("docs", "tfs", "dls", "_entries", "_src_epoch", "_src_idx", "_pos_cache")
+    __slots__ = (
+        "_docs", "_tfs", "_dls", "_entries", "_dead", "_src_epoch",
+        "_src_idx", "_pos_cache",
+    )
 
     def __init__(self, entries: list[dict], dead_per_epoch: list[np.ndarray]):
-        import numpy as np
+        self._entries = entries
+        self._dead = dead_per_epoch
+        self._docs = None
+        self._pos_cache = {}
 
-        from . import codec
+    @property
+    def docs(self):
+        if self._docs is None:
+            self._load()
+        return self._docs
 
+    @property
+    def tfs(self):
+        if self._docs is None:
+            self._load()
+        return self._tfs
+
+    @property
+    def dls(self):
+        if self._docs is None:
+            self._load()
+        return self._dls
+
+    def _load(self):
+        entries, dead_per_epoch = self._entries, self._dead
         if len(entries) == 1 and len(dead_per_epoch[entries[0]["epoch"]]) == 0:
             d, t, l = codec.decode_posting_list(entries[0]["postings"])
-            self.docs, self.tfs, self.dls = d, t, l
+            self._docs, self._tfs, self._dls = d, t, l
             self._src_epoch = np.zeros(len(d), dtype=np.int32)
             self._src_idx = np.arange(len(d), dtype=np.int64)
-            self._entries = entries
-            self._pos_cache = {}
             return
         docs_l, tfs_l, dls_l, se_l, si_l = [], [], [], [], []
         for k, e in enumerate(entries):
@@ -177,13 +199,11 @@ class _PostingView:
             si_l.append(kept_idx)
         docs = np.concatenate(docs_l)
         order = np.argsort(docs, kind="stable")
-        self.docs = docs[order]
-        self.tfs = np.concatenate(tfs_l)[order]
-        self.dls = np.concatenate(dls_l)[order]
+        self._docs = docs[order]
+        self._tfs = np.concatenate(tfs_l)[order]
+        self._dls = np.concatenate(dls_l)[order]
         self._src_epoch = np.concatenate(se_l)[order]
         self._src_idx = np.concatenate(si_l)[order]
-        self._entries = entries
-        self._pos_cache = {}
 
     @property
     def df(self) -> int:
@@ -229,6 +249,7 @@ class BM25Engine:
         ]
         ray.get([s.ready.remote() for s in self.shards])
         self._cache: dict[tuple[int, str], _PostingView | None] = {}
+        self._raw: dict[tuple[int, str], list[dict] | None] = {}
         self.epochs = self.manifest.get("epochs", [self.manifest["epoch_dir"]])
         self._docs_dirs = [
             os.path.join(index_dir, e, "docs") for e in self.epochs
@@ -282,6 +303,7 @@ class BM25Engine:
         }
         for s, ks in by_shard.items():
             for k, entries in zip(ks, ray.get(futs[s])):
+                self._raw[k] = entries
                 self._cache[k] = (
                     _PostingView(entries, self._dead) if entries else None
                 )
@@ -335,8 +357,114 @@ class BM25Engine:
         )
         return common[match], contrib
 
+    # ---------------------------------------------- block-max pruned search
+
+    def _can_prune(self, clauses: list[Clause]) -> bool:
+        """MaxScore pruning is wired for the common case: single epoch, no
+        dead docs, plain term clauses (phrases take the full path)."""
+        return (
+            len(self.epochs) == 1
+            and all(len(d) == 0 for d in self._dead)
+            and all(not c.is_phrase for c in clauses)
+            and len(clauses) > 1
+        )
+
+    def _search_maxscore(
+        self, clauses: list[Clause], rows: dict, k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """MaxScore / block-max pruned top-k over the skip metadata.
+
+        Terms are processed in descending score upper bound
+        ``U_t = idf_t * tf_factor(max(block max_tf), min(block min_dl))``;
+        once the remaining terms' bound sum drops below the provisional
+        k-th score, only blocks whose doc range intersects current
+        candidates are decoded (``codec.decode_posting_blocks``).
+        Survivors are re-accumulated in CLAUSE order at the end, so the
+        returned scores are bit-identical to the exhaustive TAAT path —
+        pruning changes what gets decoded, never the result (tested)."""
+        man = self.manifest
+        n_docs = man["num_docs"]
+        infos = []
+        for ci, c in enumerate(clauses):
+            e = rows.get((FIELD_IDS[c.field], c.terms[0]))
+            if e is None:
+                continue
+            entry = self._raw[(FIELD_IDS[c.field], c.terms[0])][0]
+            skips = codec.decode_skips(entry["skips"])
+            avgdl = man["fields"][c.field]["avgdl"]
+            u = float(
+                scoring.idf(entry["df"], n_docs, dtype=self.dtype)
+                * scoring.tf_factor(
+                    int(skips["max_tf"].max()), int(skips["min_dl"].min()),
+                    avgdl, dtype=self.dtype,
+                )
+            )
+            infos.append(
+                {"ci": ci, "entry": entry, "skips": skips, "U": u,
+                 "df": entry["df"], "avgdl": avgdl}
+            )
+        if not infos:
+            return np.empty(0, np.uint64), np.empty(0, self.dtype)
+        infos.sort(key=lambda x: -x["U"])
+        suffix = np.cumsum([x["U"] for x in infos][::-1])[::-1]
+        contribs: list[tuple[int, np.ndarray, np.ndarray]] = []
+        acc_docs = np.empty(0, np.uint64)
+        acc_scores = np.empty(0, np.float64)
+        theta = -np.inf
+        for i, info in enumerate(infos):
+            refine = (
+                i > 0
+                and len(acc_docs) >= k
+                and suffix[i] < theta * (1.0 - 1e-6)
+            )
+            if not refine:
+                docs, tfs, dls = codec.decode_posting_list(info["entry"]["postings"])
+            else:
+                # decode only blocks whose doc range can touch a candidate
+                sk = info["skips"]
+                lo = np.concatenate(([np.uint64(0)], sk["last_doc"][:-1] + np.uint64(1)))
+                hi = sk["last_doc"]
+                li = np.searchsorted(acc_docs, lo, side="left")
+                ri = np.searchsorted(acc_docs, hi, side="right")
+                mask = ri > li
+                if not mask.any():
+                    continue
+                docs, tfs, dls = codec.decode_posting_blocks(
+                    info["entry"]["postings"], info["entry"]["skips"], mask
+                )
+                keep_idx = np.searchsorted(acc_docs, docs)
+                keep_idx = np.clip(keep_idx, 0, len(acc_docs) - 1)
+                keep = acc_docs[keep_idx] == docs
+                docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+                if len(docs) == 0:
+                    continue
+            contrib = scoring.term_scores(
+                tfs, dls, info["df"], n_docs, info["avgdl"], dtype=self.dtype
+            )
+            contribs.append((info["ci"], docs, contrib))
+            # provisional accumulate (float64; steers pruning only)
+            merged = np.concatenate((acc_docs, docs))
+            uniq, inv = np.unique(merged, return_inverse=True)
+            ns = np.zeros(len(uniq), np.float64)
+            np.add.at(ns, inv[: len(acc_docs)], acc_scores)
+            np.add.at(ns, inv[len(acc_docs):], contrib.astype(np.float64))
+            acc_docs, acc_scores = uniq, ns
+            if len(acc_scores) >= k:
+                theta = float(np.partition(acc_scores, -k)[-k])
+        # exact re-accumulation in clause order (bitwise == TAAT)
+        contribs.sort(key=lambda x: x[0])
+        all_docs = np.concatenate([c[1] for c in contribs])
+        uniq, inv = np.unique(all_docs, return_inverse=True)
+        acc = np.zeros(len(uniq), dtype=self.dtype)
+        off = 0
+        for _, docs, contrib in contribs:
+            np.add.at(acc, inv[off : off + len(docs)], contrib)
+            off += len(docs)
+        order = np.lexsort((uniq, -acc.astype(np.float64)))[:k]
+        return uniq[order], acc[order]
+
     def search_raw(
-        self, query: str, top_k: int | None = None
+        self, query: str, top_k: int | None = None, *, pruning: bool = True
     ) -> tuple[np.ndarray, np.ndarray]:
         """Top-k (doc_ids, raw f32 scores), sorted score desc / doc_id asc."""
         k = top_k if top_k is not None else 100
@@ -345,6 +473,8 @@ class BM25Engine:
             (FIELD_IDS[c.field], t) for c in clauses for t in c.terms
         ]
         rows = self._fetch(list(dict.fromkeys(keys)))
+        if pruning and self._can_prune(clauses):
+            return self._search_maxscore(clauses, rows, k)
         all_docs, all_scores = [], []
         for c in clauses:
             out = self._clause_contrib(c, rows)

@@ -48,8 +48,13 @@ def regex_search(
     whole_word: bool = False,
     case_insensitive: bool = False,
     top_k: int | None = None,
+    before: int = 0,
+    after: int = 0,
 ) -> pd.DataFrame:
-    """Line-level matches: (repo, path, line_no, line) sorted grep-style."""
+    """Line-level matches: (repo, path, line_no, line) sorted grep-style.
+
+    ``before``/``after`` attach -B/-A context (reference
+    ``ck-engine/src/lib.rs:1218-1229``) as a joined ``context`` column."""
     ds = (
         ray.data.read_parquet(corpus, columns=["repo", "path", "content"])
         if isinstance(corpus, str)
@@ -81,14 +86,30 @@ def regex_search(
             hit = pc.match_substring_regex(flat, rx).to_numpy(zero_copy_only=False)
         idx = np.nonzero(hit)[0]
         take = pa.array(idx)
-        return pa.table(
-            {
-                "repo": t["repo"].take(pa.array(parents[idx])),
-                "path": t["path"].take(pa.array(parents[idx])),
-                "line_no": pa.array(line_no[idx]),
-                "line": flat.take(take),
-            }
-        )
+        cols = {
+            "repo": t["repo"].take(pa.array(parents[idx])),
+            "path": t["path"].take(pa.array(parents[idx])),
+            "line_no": pa.array(line_no[idx]),
+            "line": flat.take(take),
+        }
+        if before or after:
+            all_lines = flat.to_pylist()
+            ctx = []
+            for i in idx:
+                doc = parents[i]
+                lo = i
+                while lo > 0 and parents[lo - 1] == doc and i - lo < before:
+                    lo -= 1
+                hi = i
+                while (
+                    hi + 1 < len(parents)
+                    and parents[hi + 1] == doc
+                    and hi - i < after
+                ):
+                    hi += 1
+                ctx.append("\n".join(all_lines[lo : hi + 1]))
+            cols["context"] = pa.array(ctx, pa.string())
+        return pa.table(cols)
 
     out = ds.map_batches(scan, batch_format="pyarrow").to_pandas()
     if out.empty:
@@ -100,3 +121,30 @@ def regex_search(
     if top_k is not None:
         out = out.head(top_k)
     return out
+
+
+def files_with_matches(
+    corpus: "str | ray.data.Dataset", pattern: str, invert: bool = False, **kw
+) -> pd.DataFrame:
+    """grep -l / -L: distinct matching (or non-matching) file paths."""
+    ds = (
+        ray.data.read_parquet(corpus, columns=["repo", "path", "content"])
+        if isinstance(corpus, str)
+        else corpus
+    )
+    rx = build_pattern(pattern, **kw)
+
+    def scan(t: pa.Table) -> pa.Table:
+        m = pc.match_substring_regex(t["content"], rx)
+        if invert:
+            m = pc.invert(m)
+        sub = t.filter(m)
+        return pa.table({"repo": sub["repo"], "path": sub["path"]})
+
+    out = ds.map_batches(scan, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"repo": pd.Series([], dtype="str"),
+                             "path": pd.Series([], dtype="str")})
+    return (
+        out.drop_duplicates().sort_values(["repo", "path"]).reset_index(drop=True)
+    )

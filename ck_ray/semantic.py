@@ -134,6 +134,7 @@ def semantic_search(
     query: str,
     top_k: int = 10,
     threshold: float | None = None,
+    rerank: bool = False,
 ) -> pd.DataFrame:
     """Cosine top-k over the chunk table; broadcast query vector, per-batch
     partial top-k, driver merge; threshold keeps the best near-miss
@@ -152,15 +153,16 @@ def semantic_search(
         if kk == 0:
             return t.slice(0, 0).append_column("score", pa.array([], pa.float32()))
         idx = np.argpartition(-sims, kk - 1)[:kk]
-        return pa.table(
-            {
-                "doc_id": t["doc_id"].take(pa.array(idx)),
-                "chunk_id": t["chunk_id"].take(pa.array(idx)),
-                "line_start": t["line_start"].take(pa.array(idx)),
-                "line_end": t["line_end"].take(pa.array(idx)),
-                "score": pa.array(sims[idx].astype(np.float32)),
-            }
-        )
+        cols = {
+            "doc_id": t["doc_id"].take(pa.array(idx)),
+            "chunk_id": t["chunk_id"].take(pa.array(idx)),
+            "line_start": t["line_start"].take(pa.array(idx)),
+            "line_end": t["line_end"].take(pa.array(idx)),
+            "score": pa.array(sims[idx].astype(np.float32)),
+        }
+        if rerank and "text" in t.column_names:
+            cols["text"] = t["text"].take(pa.array(idx))
+        return pa.table(cols)
 
     parts = chunk_emb.map_batches(partial, batch_format="pyarrow").to_pandas()
     parts = parts.sort_values(
@@ -172,7 +174,18 @@ def semantic_search(
             # closest_below_threshold: report the single best near-miss
             return parts.head(1).assign(below_threshold=True).reset_index(drop=True)
         return above.assign(below_threshold=False).reset_index(drop=True)
-    return parts.head(top_k).reset_index(drop=True)
+    out = parts.head(top_k).reset_index(drop=True)
+    if rerank and "text" in out.columns:
+        # reference rerank stage shape (ck-embed/src/reranker.rs): score the
+        # top-N candidate previews with the cross-encoder stand-in, re-sort
+        rr = PseudoReranker()
+        out["rerank_score"] = rr.rerank(query, out["text"].tolist())
+        out = out.sort_values(
+            ["rerank_score", "doc_id", "chunk_id"],
+            ascending=[False, True, True],
+        ).reset_index(drop=True)
+        out = out.drop(columns=["text"])
+    return out
 
 
 class PseudoReranker:

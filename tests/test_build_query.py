@@ -140,3 +140,21 @@ def test_parallelism_invariance(ray_session, tiny_corpus, tmp_path):
         ).to_table().sort_by([("field", "ascending"), ("term", "ascending")])
         outs.append(seg)
     assert outs[0].equals(outs[1])
+
+
+@pytest.mark.parametrize("query,k", [(q, k) for q, k in QUERY_SUITE if q], ids=[q[:20] for q, _ in QUERY_SUITE if q])
+def test_maxscore_pruning_identical(engine, query, k):
+    """Block-max MaxScore pruning must return bitwise-identical top-k."""
+    dp, sp = engine.search_raw(query, k, pruning=True)
+    dt, st = engine.search_raw(query, k, pruning=False)
+    assert dp.tolist() == dt.tolist()
+    assert np.array_equal(sp, st)
+
+
+def test_pruning_engages(engine):
+    """The pruned path actually runs for multi-term single-epoch queries."""
+    from ck_ray.query import parse_query
+
+    assert engine._can_prune(parse_query("def merge window"))
+    assert not engine._can_prune(parse_query("snake_case merge"))  # phrase
+    assert not engine._can_prune(parse_query("def"))  # single term

@@ -1,0 +1,122 @@
+"""Operator quality checks: dedup actually finds planted near-dups; regex
+context/-l flags; index stats; rerank path."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def planted_docs_dir(tmp_path_factory):
+    """A documents.parquet with planted exact + near duplicates."""
+    rng = np.random.RandomState(0)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa", "data", "merge", "query", "stream"]
+    texts = []
+    for i in range(80):
+        texts.append(" ".join(rng.choice(vocab, 40)))
+    # near-dup pair: 90% shared shingles
+    base = " ".join(rng.choice(vocab, 50))
+    texts.append(base + " tailword_one extra")
+    texts.append(base + " tailword_two other")
+    # exact dup pair
+    texts.append("exact duplicate content here merge stream")
+    texts.append("exact duplicate content here merge stream")
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    d = tmp_path_factory.mktemp("planted")
+    pq.write_table(t, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_minhash_finds_planted_near_dup(ray_session, planted_docs_dir):
+    from ck_ray.ops.dedup import minhash_lsh_pairs
+
+    out = minhash_lsh_pairs(planted_docs_dir, jaccard_threshold=0.5)
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (80, 81) in pairs  # near-dup pair
+    assert (82, 83) in pairs  # exact pair (jaccard 1.0)
+    j = out.set_index(["doc_a", "doc_b"])["jaccard"]
+    assert j.loc[(82, 83)] == 1.0
+
+
+def test_simhash_finds_exact_dup(ray_session, planted_docs_dir):
+    from ck_ray.ops.dedup import simhash_pairs
+
+    out = simhash_pairs(planted_docs_dir, max_hamming=3)
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (82, 83) in pairs
+    ham = out.set_index(["doc_a", "doc_b"])["hamming"]
+    assert ham.loc[(82, 83)] == 0
+
+
+def test_exact_dedup_planted(ray_session, planted_docs_dir):
+    from ck_ray.ops.dedup import exact_dedup
+
+    out = exact_dedup(planted_docs_dir)
+    dup = out[out["n_copies"] > 1]
+    assert dup["keeper_doc_id"].tolist() == [82]
+    assert dup["n_copies"].tolist() == [2]
+
+
+def test_ann_brute_vs_ivf_recall(ray_session):
+    from ck_ray.ops import ann
+
+    sf = "/root/testdata/sf0.001"
+    q = ann.query_vector_from(sf, 0)
+    exact = ann.cosine_topk(sf, q, k=10)
+    approx = ann.ivf_topk(sf, q, k=10, n_cells=8, n_probe=4)
+    overlap = len(set(exact["vec_id"]) & set(approx["vec_id"]))
+    assert overlap >= 5  # recall@10 of the IVF path on easy data
+
+
+def test_regex_context_and_files_with_matches(ray_session, tiny_corpus):
+    import ray.data
+
+    from ck_ray.regex_search import files_with_matches, regex_search
+
+    ds = ray.data.from_arrow(tiny_corpus)
+    out = regex_search(ds, "uq0000042marker", before=1, after=1)
+    assert len(out) == 1
+    ctx = out["context"].iloc[0].split("\n")
+    assert 2 <= len(ctx) <= 3 and any("uq0000042marker" in l for l in ctx)
+
+    files = files_with_matches(ray.data.from_arrow(tiny_corpus), "uq0000042marker")
+    assert len(files) == 1
+    none = files_with_matches(
+        ray.data.from_arrow(tiny_corpus), "zz_qqq_absent", invert=True
+    )
+    assert len(none) == tiny_corpus.num_rows  # -L: every file lacks it
+
+
+def test_index_stats(tiny_index):
+    from ck_ray.build import index_stats
+
+    st = index_stats(tiny_index)
+    assert st["num_docs"] == 206
+    assert st["n_terms"] > 0 and st["n_postings"] > 0
+    assert st["segment_bytes"] > 0
+    assert st["num_epochs"] == 1
+
+
+def test_semantic_rerank(ray_session, tiny_corpus):
+    import ray.data
+
+    from ck_ray.semantic import build_chunk_embeddings, semantic_search
+
+    emb = build_chunk_embeddings(
+        ray.data.from_arrow(tiny_corpus), concurrency=2
+    ).materialize()
+    out = semantic_search(emb, "merge posting runs", top_k=5, rerank=True)
+    assert "rerank_score" in out.columns
+    assert len(out) == 5
+    assert out["rerank_score"].is_monotonic_decreasing
