@@ -313,9 +313,16 @@ def _build_segment_table(
 
 
 def _atomic_write_parquet(table: pa.Table, final_path: str) -> str:
+    """Serialize in memory (hash the bytes once, no read-back), then one
+    write + atomic rename. Varint blobs don't benefit from page
+    compression, so blob columns go uncompressed — halves write CPU."""
+    sink = pa.BufferOutputStream()
+    pq.write_table(table, sink, compression="none")
+    buf = sink.getvalue()
+    sha = hashlib.sha256(memoryview(buf)).hexdigest()
     tmp = f"{final_path}.tmp-{uuid.uuid4().hex}"
-    pq.write_table(table, tmp)
-    sha = hashlib.sha256(open(tmp, "rb").read()).hexdigest()
+    with open(tmp, "wb") as fh:
+        fh.write(memoryview(buf))
     os.replace(tmp, final_path)
     return sha
 

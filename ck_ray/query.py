@@ -225,6 +225,49 @@ class _PostingView:
         i = int(self._src_idx[merged_idx])
         return flat[starts[i] : starts[i] + t[i]]
 
+    def positions_for_many(
+        self, merged_idx: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(flat positions, per-posting lens) for many postings at once —
+        a single vectorized ragged gather per source epoch."""
+        from . import codec
+
+        lens = np.empty(len(merged_idx), dtype=np.int64)
+        pieces = [None] * len(merged_idx)
+        src_e = self._src_epoch[merged_idx]
+        src_i = self._src_idx[merged_idx]
+        out_parts = []
+        order_parts = []
+        for k in np.unique(src_e):
+            e = self._entries[int(k)]
+            if e["positions"] is None:
+                raise RuntimeError("phrase query on an index built without positions")
+            if int(k) not in self._pos_cache:
+                _, t, _ = codec.decode_posting_list(e["postings"])
+                flat, starts = codec.decode_positions(e["positions"], t)
+                self._pos_cache[int(k)] = (flat, starts, t)
+            flat, starts, t = self._pos_cache[int(k)]
+            sel = np.nonzero(src_e == k)[0]
+            idxs = src_i[sel]
+            l = t[idxs].astype(np.int64)
+            lens[sel] = l
+            offs = np.concatenate(([0], np.cumsum(l)))
+            gather = np.repeat(starts[idxs], l) + (
+                np.arange(offs[-1]) - np.repeat(offs[:-1], l)
+            )
+            out_parts.append(flat[gather])
+            order_parts.append(sel)
+        # reassemble in merged_idx order
+        out_off = np.concatenate(([0], np.cumsum(lens)))
+        total = out_off[-1]
+        flat_out = np.empty(total, dtype=np.int64)
+        for sel, vals in zip(order_parts, out_parts):
+            l = lens[sel]
+            o = np.concatenate(([0], np.cumsum(l)))
+            dest = np.repeat(out_off[sel], l) + (np.arange(o[-1]) - np.repeat(o[:-1], l))
+            flat_out[dest] = vals
+        return flat_out, lens
+
 
 class BM25Engine:
     """Driver-side query coordinator over a ``SegmentShard`` actor pool."""
@@ -336,15 +379,29 @@ class BM25Engine:
             return None
         idx_per_term = [np.searchsorted(v.docs, common) for v in views]
         dl_common = views[0].dls[idx_per_term[0]]
-        pfreqs = np.zeros(len(common), dtype=np.int64)
-        for i in range(len(common)):
-            cand = views[0].positions_for(int(idx_per_term[0][i]))
-            for j in range(1, len(clause.terms)):
-                nxt = views[j].positions_for(int(idx_per_term[j][i]))
-                cand = cand[np.isin(cand + j, nxt, assume_unique=True)]
-                if len(cand) == 0:
-                    break
-            pfreqs[i] = len(cand)
+        # vectorized phrase counting: pack (doc_rank, position) into one
+        # u64 key per occurrence; adjacency check = sorted membership of
+        # key+j in term j's keys (positions < 2^32, so +j never crosses a
+        # doc boundary). No per-doc Python loop.
+        keys_per_term = []
+        for j, v in enumerate(views):
+            flat, lens = v.positions_for_many(idx_per_term[j])
+            doc_rank = np.repeat(
+                np.arange(len(common), dtype=np.uint64), lens
+            )
+            keys_per_term.append((doc_rank << np.uint64(32)) | flat.astype(np.uint64))
+        cand = keys_per_term[0]
+        for j in range(1, len(clause.terms)):
+            kj = keys_per_term[j]
+            shifted = cand + np.uint64(j)
+            pos = np.searchsorted(kj, shifted)
+            pos_c = np.clip(pos, 0, len(kj) - 1)
+            cand = cand[kj[pos_c] == shifted]
+            if len(cand) == 0:
+                break
+        pfreqs = np.bincount(
+            (cand >> np.uint64(32)).astype(np.int64), minlength=len(common)
+        )
         match = pfreqs > 0
         if not match.any():
             return None
