@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": dedup.exact_dedup,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # rows-only
         "simhash_pairs": dedup.simhash_pairs,  # rows-only
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,  # rows-only
         "embedding_near_dups": dedup.embedding_near_dups,  # rows-only
         # --- similarity search
         "ann_cosine_topk": ann_cosine_topk,

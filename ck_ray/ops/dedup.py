@@ -91,19 +91,19 @@ def _shingle_hashes(t: pa.Table, k: int) -> tuple[np.ndarray, np.ndarray]:
     # boundaries are masked out afterwards
     m = len(th)
     if m == 0:
-        return starts, np.empty(0, np.uint64)
-    valid_len = np.maximum(counts - k + 1, 0)
+        return np.zeros(n + 1, np.int64), np.empty(0, np.uint64)
+    valid_len = np.maximum(counts - k + 1, 0).astype(np.int64)
     sh_starts = np.concatenate(([0], np.cumsum(valid_len)))
-    out = np.empty(sh_starts[-1], dtype=np.uint64)
-    for d in range(n):
-        hs = th[starts[d] : starts[d + 1]]
-        if len(hs) < k:
-            continue
-        acc = np.zeros(len(hs) - k + 1, dtype=np.uint64)
-        for j in range(k):
-            acc = acc * np.uint64(1099511628211) + hs[j : len(hs) - k + 1 + j]
-        out[sh_starts[d] : sh_starts[d + 1]] = acc
-    return sh_starts, out
+    total = int(sh_starts[-1])
+    if total == 0:
+        return sh_starts, np.empty(0, np.uint64)
+    # base token index of every window across all docs (ragged, no loop)
+    win_ord = np.arange(total) - np.repeat(sh_starts[:-1], valid_len)
+    base = np.repeat(starts[:-1], valid_len) + win_ord
+    acc = np.zeros(total, dtype=np.uint64)
+    for j in range(k):  # k is small (5); each pass fully vectorized
+        acc = acc * np.uint64(1099511628211) + th[base + j]
+    return sh_starts, acc
 
 
 class MinHasher:
@@ -118,13 +118,14 @@ class MinHasher:
         starts, sh = _shingle_hashes(t, self.k)
         n = t.num_rows
         sigs = np.full((n, self.n_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
-        for d in range(n):
-            s = sh[starts[d] : starts[d + 1]]
-            if len(s) == 0:
-                continue
-            # (n_shingles x n_perm) universal hash, min over shingles
-            hv = (s[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
-            sigs[d] = hv.min(axis=0)
+        if len(sh):
+            # (all_shingles x n_perm) universal hash in one pass, then a
+            # segmented min per doc (reduceat) — no per-doc Python loop
+            hv = (sh[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
+            nonempty = np.diff(starts) > 0
+            seg_starts = starts[:-1][nonempty]
+            mins = np.minimum.reduceat(hv, seg_starts, axis=0)
+            sigs[nonempty] = mins
         return pa.table(
             {
                 "doc_id": t["doc_id"],
@@ -180,16 +181,36 @@ def minhash_lsh_pairs(
 
     banded = sigs.map_batches(to_bands, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        ai, bi = np.triu_indices(len(ids), 1)
-        return pd.DataFrame({"doc_a": ids[ai], "doc_b": ids[bi]})
+    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # one group per BAND (coarse; a per-(band,hash) groupby costs one
+        # Python call per bucket — millions of tiny calls); buckets are
+        # resolved vectorized inside. At larger scale, raise `bands` /
+        # pre-salt band ids so a band still fits one task.
+        g = g.sort_values(["band_hash", "doc_id"])
+        h = g["band_hash"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        starts = np.nonzero(np.concatenate(([True], h[1:] != h[:-1])))[0]
+        ends = np.concatenate((starts[1:], [len(h)]))
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            bucket = np.unique(ids[s:e])
+            if len(bucket) < 2:
+                continue
+            ai, bi = np.triu_indices(len(bucket), 1)
+            out_a.append(bucket[ai])
+            out_b.append(bucket[bi])
+        if not out_a:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+        )
 
     cand = (
-        banded.groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        banded.groupby("band")
+        .map_groups(band_pairs, batch_format="pandas")
         .to_pandas()
     )
     if len(cand) == 0:
@@ -216,6 +237,19 @@ def minhash_lsh_pairs(
     cand["jaccard"] = np.round(jac, 4)
     out = cand[cand["jaccard"] >= jaccard_threshold]
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def ngram_jaccard_pairs(
+    sf_dir: str, n: int = 3, threshold: float = 0.5
+) -> pd.DataFrame:
+    """Near-dup pairs by exact token n-gram Jaccard.
+
+    Scale shape: candidates come from permissive MinHash-LSH banding
+    (recall-oriented: 32 bands of 2 rows), then EXACT n-gram Jaccard is
+    computed only inside candidate buckets — all-pairs never happens."""
+    return minhash_lsh_pairs(
+        sf_dir, n_perm=64, bands=32, k=n, jaccard_threshold=threshold
+    )
 
 
 # ----------------------------------------------------------------- simhash
@@ -275,24 +309,38 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
             )
         return pa.concat_tables(out)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        if len(g) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # coarse per-band group; exact-value buckets resolved vectorized
+        g = g.sort_values(["band_val", "doc_id"])
+        v = g["band_val"].to_numpy()
         ids = g["doc_id"].to_numpy()
         hs = g["simhash"].to_numpy().astype(np.uint64)
-        ai, bi = np.triu_indices(len(ids), 1)
-        x = hs[ai] ^ hs[bi]
-        ham = np.array([bin(int(v)).count("1") for v in x])
-        keep = ham <= max_hamming
+        starts = np.nonzero(np.concatenate(([True], v[1:] != v[:-1])))[0]
+        ends = np.concatenate((starts[1:], [len(v)]))
+        out_a, out_b, out_h = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            ai, bi = np.triu_indices(e - s, 1)
+            x = hs[s:e][ai] ^ hs[s:e][bi]
+            ham = np.array([bin(int(y)).count("1") for y in x])
+            keep = ham <= max_hamming
+            out_a.append(ids[s:e][ai][keep])
+            out_b.append(ids[s:e][bi][keep])
+            out_h.append(ham[keep])
+        if not out_a:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
         return pd.DataFrame(
-            {"doc_a": ids[ai][keep], "doc_b": ids[bi][keep], "hamming": ham[keep]}
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b),
+             "hamming": np.concatenate(out_h)}
         )
 
     out = (
         fps.map_batches(to_bands, batch_format="pyarrow")
-        .groupby(["band", "band_val"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("band")
+        .map_groups(band_pairs, batch_format="pandas")
         .to_pandas()
     )
     if len(out) == 0:

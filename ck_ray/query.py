@@ -601,6 +601,25 @@ class BM25Engine:
             df = df.merge(meta, on="doc_id", how="left")
         return df
 
+    def search_many(
+        self, queries: list[str], top_k: int | None = None
+    ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Batch query evaluation: ONE fan-out fetch for the union of all
+        query terms (per-shard round trips amortize across the batch),
+        then per-query scoring. The shape the driver's query-suite and
+        bench use."""
+        all_clauses = [parse_query(q) for q in queries]
+        keys = list(
+            dict.fromkeys(
+                (FIELD_IDS[c.field], t)
+                for cs in all_clauses
+                for c in cs
+                for t in c.terms
+            )
+        )
+        self._fetch(keys)  # warm the cache in one round trip
+        return [self.search_raw(q, top_k) for q in queries]
+
     def close(self):
         for s in self.shards:
             ray.kill(s)

@@ -123,6 +123,67 @@ def regex_search(
     return out
 
 
+def full_sections(
+    corpus: "str | ray.data.Dataset",
+    hits: pd.DataFrame,
+    *,
+    target_lines: int = 20,
+    overlap_lines: int = 4,
+) -> pd.DataFrame:
+    """--full-section: expand line hits to their containing chunk.
+
+    The reference maps a match line to its tree-sitter Function/Class
+    chunk (``ck-engine/src/lib.rs:1231-1283``); here the containing chunk
+    is the generic line-window chunk (same chunker as the semantic index),
+    fetched by a broadcast semi-join of the hit files against the corpus —
+    only matched documents are ever split."""
+    if hits.empty:
+        return hits.assign(sec_start=[], sec_end=[], section=[])
+    ds = (
+        ray.data.read_parquet(corpus, columns=["repo", "path", "content"])
+        if isinstance(corpus, str)
+        else corpus
+    )
+    import ray as _ray
+
+    wanted = hits.groupby(["repo", "path"])["line_no"].apply(list).to_dict()
+    wref = _ray.put(wanted)
+    step = max(1, target_lines - overlap_lines)
+
+    def expand(t: pa.Table) -> pa.Table:
+        w = _ray.get(wref)
+        out = {"repo": [], "path": [], "line_no": [],
+               "sec_start": [], "sec_end": [], "section": []}
+        for repo, path, content in zip(
+            t["repo"].to_pylist(), t["path"].to_pylist(), t["content"].to_pylist()
+        ):
+            lines_wanted = w.get((repo, path))
+            if not lines_wanted:
+                continue
+            lines = re.split(LINE_SPLIT, content)
+            for ln in lines_wanted:
+                # containing window = the chunk with the largest start <= line
+                s = ((ln - 1) // step) * step
+                s = min(s, max(0, len(lines) - target_lines))
+                e = min(s + target_lines, len(lines))
+                out["repo"].append(repo)
+                out["path"].append(path)
+                out["line_no"].append(ln)
+                out["sec_start"].append(s + 1)
+                out["sec_end"].append(e)
+                out["section"].append("\n".join(lines[s:e]))
+        return pa.table(
+            {k: pa.array(v) for k, v in out.items()}
+        ) if out["repo"] else pa.table(
+            {"repo": pa.array([], pa.string()), "path": pa.array([], pa.string()),
+             "line_no": pa.array([], pa.int64()), "sec_start": pa.array([], pa.int64()),
+             "sec_end": pa.array([], pa.int64()), "section": pa.array([], pa.string())}
+        )
+
+    out = ds.map_batches(expand, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["path", "line_no"]).reset_index(drop=True)
+
+
 def files_with_matches(
     corpus: "str | ray.data.Dataset", pattern: str, invert: bool = False, **kw
 ) -> pd.DataFrame:

@@ -158,3 +158,18 @@ def test_pruning_engages(engine):
     assert engine._can_prune(parse_query("def merge window"))
     assert not engine._can_prune(parse_query("snake_case merge"))  # phrase
     assert not engine._can_prune(parse_query("def"))  # single term
+
+
+def test_engine_matches_committed_goldens(engine):
+    """Frozen oracle answers (tests/goldens_bm25.json): exact doc ids and
+    f32 score BITS — catches engine+oracle drifting together."""
+    import json
+
+    with open(os.path.join(os.path.dirname(__file__), "goldens_bm25.json")) as fh:
+        goldens = json.load(fh)
+    for query, g in goldens.items():
+        docs, scores = engine.search_raw(query, g["top_k"])
+        assert docs.tolist() == g["doc_ids"], f"{query}: docs drifted"
+        assert scores.view(np.uint32).tolist() == g["score_bits"], (
+            f"{query}: score bits drifted"
+        )

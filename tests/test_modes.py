@@ -128,3 +128,36 @@ def test_multimodal_plumbing(ray_session):
     assert np.array_equal(a, f._fake_decode(b"payload"))
     with pytest.raises(NotImplementedError):
         FeatureExtractor(fake=False)._decode(b"x")
+
+
+def test_full_sections(corpus_ds):
+    from ck_ray.regex_search import full_sections, regex_search
+
+    hits = regex_search(corpus_ds, "uq0000042marker")
+    secs = full_sections(corpus_ds, hits, target_lines=10, overlap_lines=2)
+    assert len(secs) == 1
+    s = secs.iloc[0]
+    assert s["sec_start"] <= s["line_no"] <= s["sec_end"]
+    assert "uq0000042marker" in s["section"]
+    assert s["sec_end"] - s["sec_start"] + 1 <= 10
+
+
+def test_search_many_batch(ray_session, tiny_corpus, tmp_path):
+    import ray.data
+
+    import ck_ray.build as ckb
+    from ck_ray.query import BM25Engine
+
+    d = str(tmp_path / "idx")
+    ckb.build_index(ray.data.from_arrow(tiny_corpus), d, ckb.IndexConfig(num_parts=4))
+    eng = BM25Engine(d, num_shards=2)
+    try:
+        batch = eng.search_many(["merge", "def", "snake_case"], top_k=10)
+        singles = [eng.search_raw(q, 10) for q in ["merge", "def", "snake_case"]]
+        for (bd, bs), (sd, ss) in zip(batch, singles):
+            assert bd.tolist() == sd.tolist()
+            import numpy as np
+
+            assert np.array_equal(bs, ss)
+    finally:
+        eng.close()
