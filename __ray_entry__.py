@@ -86,6 +86,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return multimodal_features(sf_dir)
 
+    def code_index_stats(sf_dir: str):
+        """Full SPIMI build over the documents corpus via the real engine
+        path, reporting index_stats — exercises tokenize/shuffle/encode/
+        manifest inside the driver gate (deterministic)."""
+        import pandas as pd
+
+        from ck_ray.build import index_stats
+        from ck_ray.pipelines.docsearch import documents_index
+
+        st = index_stats(documents_index(sf_dir))
+        st["avgdl_content"] = round(st["avgdl_content"], 6)
+        st.pop("segment_bytes")  # byte size depends on parquet writer env
+        return pd.DataFrame([st])
+
     def ann_cosine_topk(sf_dir: str):
         q = ann.query_vector_from(sf_dir, vec_id=0)
         out = ann.cosine_topk(sf_dir, q, k=10)
@@ -108,6 +122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_type_stats": relational.part_type_stats,
         "supplier_balance_by_nation": relational.supplier_balance_by_nation,
         "events_hourly": relational.events_hourly,
+        "events_sliding": relational.events_sliding,
+        "top_orders_per_customer": relational.top_orders_per_customer,
         "user_sessions": relational.user_sessions,
         # --- tokenizer / index stats over documents
         "term_df_top": text.term_df_top,
@@ -135,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic stand-ins, plumbing is production-shaped)
         "semantic_topk": semantic_topk,
         "multimodal_features": multimodal,
+        "code_index_stats": code_index_stats,  # rows-only (engine internals)
     }
 
 
@@ -226,6 +243,29 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
        event_type, count(*) AS n,
        CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS total_value_e6
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "events_sliding": """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, strftime(h, '%Y-%m-%d %H:00:00') AS hour,
+       CAST(sum(n) OVER (
+         PARTITION BY event_type ORDER BY h
+         RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_3h
+FROM hourly ORDER BY event_type, hour
+""",
+        "top_orders_per_customer": """
+SELECT o_custkey, o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+       CAST(row_number() OVER (
+         PARTITION BY o_custkey
+         ORDER BY round(o_totalprice * 100) DESC, o_orderkey
+       ) AS BIGINT) AS rank
+FROM orders
+QUALIFY rank <= 3
+ORDER BY o_custkey, rank
 """,
         "user_sessions": """
 WITH gaps AS (

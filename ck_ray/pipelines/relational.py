@@ -369,6 +369,51 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["hour", "event_type"]).reset_index(drop=True)
 
 
+def events_sliding(sf_dir: str) -> pd.DataFrame:
+    """Sliding 3-hour event count per type (window-function shape):
+    hourly tumbling buckets first (small), then a per-type ordered rolling
+    sum over the bucket series inside map_groups."""
+    hourly = events_hourly(sf_dir)[["hour", "event_type", "n"]]
+    import ray.data
+
+    ds = ray.data.from_pandas(hourly)
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("hour").copy()
+        t = pd.to_datetime(g["hour"])
+        g = g.set_index(t)
+        # pandas '3h' window = (t-3h, t] == SQL RANGE 2 HOUR PRECEDING on
+        # hour-truncated buckets
+        g["n_3h"] = g["n"].rolling("3h").sum().astype("int64")
+        return g.reset_index(drop=True)[["event_type", "hour", "n_3h"]]
+
+    out = ds.groupby("event_type").map_groups(roll, batch_format="pandas").to_pandas()
+    out["n_3h"] = out["n_3h"].astype("int64")
+    return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
+def top_orders_per_customer(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Top-k-per-group (ROW_NUMBER/QUALIFY shape): k biggest orders per
+    customer, deterministic tiebreak by orderkey."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_custkey", "o_orderkey", "o_totalprice"]
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["price_c"] = np.round(g["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        g = g.sort_values(["price_c", "o_orderkey"], ascending=[False, True]).head(k)
+        g["rank"] = np.arange(1, len(g) + 1)
+        return g[["o_custkey", "o_orderkey", "price_c", "rank"]]
+
+    out = ds.groupby("o_custkey").map_groups(topk, batch_format="pandas").to_pandas()
+    for c in ("o_custkey", "o_orderkey", "price_c", "rank"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["o_custkey", "rank"]).reset_index(drop=True)
+
+
 def user_sessions(sf_dir: str) -> pd.DataFrame:
     """Per-user ordered aggregate via groupby().map_groups: event count,
     span seconds, max gap — a window-function shape."""
