@@ -1,0 +1,205 @@
+"""ck-compatible CLI over the Ray-Data engine.
+
+Mirrors the reference's observable flag surface (``ck-cli/src/main.rs:111-408``,
+subset listed in SURVEY.md Appendix B) with a Parquet corpus instead of a
+directory tree:
+
+    python -m ck_ray.cli --index --corpus corpus_dir --index-dir idx
+    python -m ck_ray.cli "pattern" --corpus corpus_dir            # regex mode
+    python -m ck_ray.cli --lex "query" --index-dir idx            # BM25
+    python -m ck_ray.cli --sem "query" --corpus corpus_dir        # semantic
+    python -m ck_ray.cli --hybrid "query" --corpus ... --index-dir idx
+
+Flags: -i/-w/-F (case/word/fixed), -A/-B/-C context, -l files-with-matches,
+--topk, --threshold, --json, --full-section, --status.
+Exit codes are grep-like: 0 = matches found, 1 = none, 2 = error.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="ck_ray", description=__doc__)
+    p.add_argument("pattern", nargs="?", help="query / regex pattern")
+    p.add_argument("--corpus", help="corpus parquet dir (repo,path,commit,lang,content)")
+    p.add_argument("--index-dir", help="index directory")
+    mode = p.add_mutually_exclusive_group()
+    mode.add_argument("--lex", action="store_true", help="BM25 lexical search")
+    mode.add_argument("--sem", action="store_true", help="semantic search")
+    mode.add_argument("--hybrid", action="store_true", help="RRF fusion of regex+semantic")
+    mode.add_argument("--regex", action="store_true", help="regex search (default)")
+    p.add_argument("--index", action="store_true", help="build the index")
+    p.add_argument("--status", action="store_true", help="print index stats")
+    p.add_argument("-i", "--ignore-case", action="store_true")
+    p.add_argument("-w", "--word", action="store_true")
+    p.add_argument("-F", "--fixed-string", action="store_true")
+    p.add_argument("-A", type=int, default=0, metavar="N", dest="after")
+    p.add_argument("-B", type=int, default=0, metavar="N", dest="before")
+    p.add_argument("-C", type=int, default=0, metavar="N", dest="context")
+    p.add_argument("-l", "--files-with-matches", action="store_true")
+    p.add_argument("--topk", type=int, default=None)
+    p.add_argument("--threshold", type=float, default=None)
+    p.add_argument("--json", action="store_true", dest="as_json")
+    p.add_argument("--full-section", action="store_true")
+    p.add_argument("--num-parts", type=int, default=16)
+    p.add_argument("--no-positions", action="store_true")
+    return p
+
+
+def _emit(df, as_json: bool, cols: list[str]) -> None:
+    if as_json:
+        for rec in df.to_dict("records"):
+            print(json.dumps(rec, default=str))
+    else:
+        for rec in df.to_dict("records"):
+            print(":".join(str(rec[c]) for c in cols if c in rec))
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    if args.context:
+        args.before = args.after = args.context
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", include_dashboard=False, logging_level="ERROR"
+        )
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+
+    try:
+        if args.status:
+            from .build import index_stats
+
+            if not args.index_dir:
+                print("--status needs --index-dir", file=sys.stderr)
+                return 2
+            print(json.dumps(index_stats(args.index_dir), indent=1))
+            return 0
+
+        if args.index:
+            from .build import IndexConfig, build_index
+
+            if not (args.corpus and args.index_dir):
+                print("--index needs --corpus and --index-dir", file=sys.stderr)
+                return 2
+            man = build_index(
+                args.corpus,
+                args.index_dir,
+                IndexConfig(
+                    num_parts=args.num_parts,
+                    store_positions=not args.no_positions,
+                ),
+            )
+            print(
+                f"indexed {man['num_docs']} docs into {args.index_dir} "
+                f"({man['num_parts']} partitions)"
+            )
+            return 0
+
+        if args.pattern is None:
+            print("missing pattern/query", file=sys.stderr)
+            return 2
+
+        if args.lex:
+            from .query import BM25Engine
+
+            if not args.index_dir:
+                print("--lex needs --index-dir", file=sys.stderr)
+                return 2
+            eng = BM25Engine(args.index_dir)
+            try:
+                df = eng.search(
+                    args.pattern, top_k=args.topk, threshold=args.threshold
+                )
+            finally:
+                eng.close()
+            _emit(df, args.as_json, ["path", "normalized_score", "doc_id"])
+            return 0 if len(df) else 1
+
+        if args.sem or args.hybrid:
+            from .semantic import build_chunk_embeddings, semantic_search
+
+            if not args.corpus:
+                print("needs --corpus", file=sys.stderr)
+                return 2
+            emb = build_chunk_embeddings(args.corpus).materialize()
+            sem = semantic_search(
+                emb, args.pattern,
+                top_k=args.topk or 10, threshold=args.threshold,
+            )
+            if args.sem:
+                _emit(sem, args.as_json, ["doc_id", "line_start", "score"])
+                return 0 if len(sem) else 1
+            # hybrid: RRF(regex leg, semantic leg) — reference semantics
+            from .regex_search import regex_search
+
+            rex = regex_search(
+                args.corpus, args.pattern,
+                fixed_string=args.fixed_string, whole_word=args.word,
+                case_insensitive=args.ignore_case,
+            )
+            ranks: dict = {}
+            reps: dict = {}
+            sem_keys = list(
+                zip(sem["doc_id"].tolist(), sem["line_start"].tolist())
+            )
+            rex_keys = list(zip(rex["path"].tolist(), rex["line_no"].tolist()))
+            for lst in (rex_keys, sem_keys):
+                for r, key in enumerate(lst, start=1):
+                    ranks[key] = ranks.get(key, 0.0) + 1.0 / (60 + r)
+            import pandas as pd
+
+            out = pd.DataFrame(
+                {"key": [str(k) for k in ranks], "rrf_score": list(ranks.values())}
+            ).sort_values(["rrf_score", "key"], ascending=[False, True]).head(
+                args.topk or 10
+            )
+            _emit(out, args.as_json, ["key", "rrf_score"])
+            return 0 if len(out) else 1
+
+        # default: regex mode
+        from .regex_search import files_with_matches, full_sections, regex_search
+
+        if not args.corpus:
+            print("regex mode needs --corpus", file=sys.stderr)
+            return 2
+        if args.files_with_matches:
+            df = files_with_matches(
+                args.corpus, args.pattern,
+                fixed_string=args.fixed_string, whole_word=args.word,
+                case_insensitive=args.ignore_case,
+            )
+            _emit(df, args.as_json, ["path"])
+            return 0 if len(df) else 1
+        df = regex_search(
+            args.corpus, args.pattern,
+            fixed_string=args.fixed_string, whole_word=args.word,
+            case_insensitive=args.ignore_case, top_k=args.topk,
+            before=args.before, after=args.after,
+        )
+        if args.full_section and len(df):
+            df = full_sections(args.corpus, df)
+            _emit(df, args.as_json, ["path", "line_no", "section"])
+        else:
+            _emit(df, args.as_json, ["path", "line_no", "line"])
+        return 0 if len(df) else 1
+    except Exception as e:  # grep-like: errors exit 2
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    finally:
+        import ray
+
+        if ray.is_initialized():
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,87 @@
+"""CLI integration tests (subprocess, like the reference's
+``ck-cli/tests/integration_tests.rs`` — spawn, assert stdout + exit code)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def cli_env(tmp_path_factory):
+    """A corpus parquet + built index, shared by the CLI tests."""
+    import pyarrow.parquet as pq
+
+    from ck_ray.corpus import generate_corpus
+
+    d = tmp_path_factory.mktemp("cli")
+    corpus = str(d / "corpus")
+    os.makedirs(corpus)
+    pq.write_table(generate_corpus(300, seed=21), os.path.join(corpus, "part-0.parquet"))
+    idx = str(d / "idx")
+    run(["--index", "--corpus", corpus, "--index-dir", idx, "--num-parts", "4"])
+    return corpus, idx
+
+
+def run(args, timeout=300):
+    return subprocess.run(
+        [sys.executable, "-m", "ck_ray.cli", *args],
+        capture_output=True, text=True, cwd=REPO, timeout=timeout,
+    )
+
+
+def test_index_and_status(cli_env):
+    _, idx = cli_env
+    r = run(["--status", "--index-dir", idx])
+    assert r.returncode == 0
+    st = json.loads(r.stdout)
+    assert st["num_docs"] == 306
+
+
+def test_lexical_search(cli_env):
+    _, idx = cli_env
+    r = run(["--lex", "uq0000042marker", "--index-dir", idx, "--topk", "5"])
+    assert r.returncode == 0
+    assert len(r.stdout.strip().splitlines()) == 1  # unique marker -> 1 hit
+
+
+def test_regex_modes_and_exit_codes(cli_env):
+    corpus, _ = cli_env
+    hit = run(["getUserById", "--corpus", corpus, "--topk", "3"])
+    assert hit.returncode == 0 and len(hit.stdout.strip().splitlines()) == 3
+    ci = run(["GETUSERBYID", "--corpus", corpus, "-i", "--topk", "1"])
+    assert ci.returncode == 0
+    miss = run(["zz_absent_zz", "--corpus", corpus])
+    assert miss.returncode == 1 and miss.stdout.strip() == ""
+    err = run(["pattern"])  # no corpus
+    assert err.returncode == 2
+
+
+def test_files_with_matches_and_json(cli_env):
+    corpus, _ = cli_env
+    r = run(["merge", "--corpus", corpus, "-l"])
+    assert r.returncode == 0
+    paths = r.stdout.strip().splitlines()
+    assert len(paths) == len(set(paths)) > 10
+    j = run(["uq0000042marker", "--corpus", corpus, "--json"])
+    rec = json.loads(j.stdout.strip().splitlines()[0])
+    assert {"repo", "path", "line_no", "line"} <= set(rec)
+
+
+def test_full_section_flag(cli_env):
+    corpus, _ = cli_env
+    r = run(["uq0000042marker", "--corpus", corpus, "--full-section", "--json"])
+    rec = json.loads(r.stdout.strip().splitlines()[0])
+    assert "section" in rec and "uq0000042marker" in rec["section"]
+
+
+def test_semantic_and_hybrid_smoke(cli_env):
+    corpus, _ = cli_env
+    s = run(["--sem", "merge posting runs", "--corpus", corpus, "--topk", "3"])
+    assert s.returncode == 0 and len(s.stdout.strip().splitlines()) == 3
+    h = run(["--hybrid", "merge", "--corpus", corpus, "--topk", "5"])
+    assert h.returncode == 0 and len(h.stdout.strip().splitlines()) == 5
