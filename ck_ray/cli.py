@@ -148,8 +148,9 @@ def main(argv: list[str] | None = None) -> int:
             )
             ranks: dict = {}
             reps: dict = {}
+            # reference fusion key = "file:line" for both legs
             sem_keys = list(
-                zip(sem["doc_id"].tolist(), sem["line_start"].tolist())
+                zip(sem["path"].tolist(), sem["line_start"].tolist())
             )
             rex_keys = list(zip(rex["path"].tolist(), rex["line_no"].tolist()))
             for lst in (rex_keys, sem_keys):

@@ -35,7 +35,8 @@ def chunk_batch(
     import pyarrow.compute as pc
 
     doc_ids = doc_id_column(t["repo"], t["path"], t["commit"]).to_numpy()
-    out_doc, out_cid, out_ls, out_le, out_text = [], [], [], [], []
+    paths = t["path"].to_pylist()
+    out_doc, out_path, out_cid, out_ls, out_le, out_text = [], [], [], [], [], []
     step = max(1, target_lines - overlap_lines)
     for i, content in enumerate(t["content"].to_pylist()):
         lines = content.splitlines()
@@ -46,6 +47,7 @@ def chunk_batch(
         while s < len(lines):
             e = min(s + target_lines, len(lines))
             out_doc.append(doc_ids[i])
+            out_path.append(paths[i])
             out_cid.append(cid)
             out_ls.append(s + 1)  # 1-indexed like the reference Span
             out_le.append(e)
@@ -57,6 +59,7 @@ def chunk_batch(
     return pa.table(
         {
             "doc_id": pa.array(out_doc, pa.int64()),
+            "path": pa.array(out_path, pa.string()),
             "chunk_id": pa.array(out_cid, pa.int32()),
             "line_start": pa.array(out_ls, pa.int32()),
             "line_end": pa.array(out_le, pa.int32()),
@@ -155,6 +158,7 @@ def semantic_search(
         idx = np.argpartition(-sims, kk - 1)[:kk]
         cols = {
             "doc_id": t["doc_id"].take(pa.array(idx)),
+            "path": t["path"].take(pa.array(idx)),
             "chunk_id": t["chunk_id"].take(pa.array(idx)),
             "line_start": t["line_start"].take(pa.array(idx)),
             "line_end": t["line_end"].take(pa.array(idx)),
