@@ -4,16 +4,23 @@ Pipeline shape (SURVEY.md §7.2; replaces the reference's tantivy builder,
 reference ``ck-engine/src/lib.rs:847-890``, which indexes one doc per file
 with fields ``content`` and ``path``):
 
-    read_parquet(corpus)                            (repo,path,commit,lang,content)
-      ├─ map_batches(docs)      -> doc table        (doc_id, sha256, metadata)
-      └─ map_batches(tokenize)  -> posting triples  (field, term, doc_id, tf, dl, positions, part)
-           groupby(part).map_groups(build_segment)  -> per-partition segment
-           parquet + lineage rows (the ONLY all-to-all shuffle)
+    read_parquet(corpus)                     (repo,path,commit,lang,content)
+      └─ map_batches(tokenize+spill)  ONE pass emits BOTH the doc table
+         (doc_id, sha256, dl_*, metadata) AND per-partition SPIMI run
+         files — the physical form of the groupby(term-partition) shuffle
+      └─ map_batches over partitions: read runs -> vectorized encode ->
+         atomic segment parquet + lineage row
+      └─ map_batches over hot final-partitions: merge salted runs
 
 - ``part = fnv64(field, term) % num_parts`` so a term's full posting list
   lands in exactly one partition — global df falls out of the group, no
   separate stats shuffle. Doc lengths are stored inline per posting, so
   no global doc_id->dl map is ever built.
+- The exchange is run files (object-store-speed /dev/shm locally, node
+  SSD / shared scratch on a cluster) rather than Ray's sort operator,
+  which was measured serializing on few-rows/fat-payload shapes; the
+  groupby SEMANTICS are identical and the run files double as shuffle
+  checkpoints.
 - Hot-term skew (``def``/``return``/``the`` …): terms whose estimated df
   exceeds ``hot_df_threshold`` are salted by doc_id *range* bucket
   (monotone in doc_id, so per-salt runs concatenate into a valid
@@ -37,7 +44,7 @@ import hashlib
 import json
 import os
 import uuid
-from dataclasses import dataclass, field as dc_field
+from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
@@ -79,9 +86,6 @@ class IndexConfig:
         if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
             return "/dev/shm/ck_ray_exchange"
         return staging
-
-
-# ---------------------------------------------------------------- doc stage
 
 
 # ------------------------------------------------------------ triples stage
@@ -613,7 +617,6 @@ def build_index(
 
     # ---- resume bookkeeping: parts already on disk are skipped pre-shuffle
     done_parts: set[int] = set()
-    hot_done = False
     if resume:
         for d in os.listdir(seg_dir) if os.path.exists(seg_dir) else []:
             lj = os.path.join(seg_dir, d, "_lineage-cold.json")
