@@ -578,6 +578,11 @@ class BM25Engine:
             }
         )
         if with_metadata and len(df):
+            # top-k metadata lookup = parquet scan filtered on doc_id.
+            # Content-addressed ids have no file locality, so this reads
+            # every docs file's doc_id column (fine here; at 10^12 docs the
+            # doc table would be bucket-partitioned by doc_id prefix so a
+            # lookup touches one bucket — same layout change only).
             metas = []
             for i, ddir in enumerate(self._docs_dirs):
                 if not os.path.isdir(ddir):
