@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # rows-only
         "simhash_pairs": dedup.simhash_pairs,  # rows-only
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,  # rows-only
+        "near_dup_groups": dedup.near_dup_groups,  # rows-only
         "embedding_near_dups": dedup.embedding_near_dups,  # rows-only
         # --- similarity search
         "ann_cosine_topk": ann_cosine_topk,

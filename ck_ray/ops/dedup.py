@@ -252,6 +252,40 @@ def ngram_jaccard_pairs(
     )
 
 
+def near_dup_groups(
+    sf_dir: str, jaccard_threshold: float = 0.6, **kw
+) -> pd.DataFrame:
+    """Connected components over the verified MinHash-LSH pair graph:
+    (doc_id, group_keeper) for every doc in a near-dup cluster, keeper =
+    min doc_id of the component.
+
+    Components run union-find on the driver — the verified pair set is
+    tiny relative to the corpus (pairs above threshold). At web scale with
+    a large pair set this becomes a few rounds of min-label propagation
+    (groupby-min per round); the keeper semantics are identical."""
+    pairs = minhash_lsh_pairs(sf_dir, jaccard_threshold=jaccard_threshold, **kw)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members = sorted(set(pairs["doc_a"]) | set(pairs["doc_b"]))
+    out = pd.DataFrame(
+        {
+            "doc_id": pd.Series(members, dtype="int64"),
+            "group_keeper": pd.Series([find(m) for m in members], dtype="int64"),
+        }
+    )
+    return out.sort_values(["group_keeper", "doc_id"]).reset_index(drop=True)
+
+
 # ----------------------------------------------------------------- simhash
 
 

@@ -1,0 +1,82 @@
+"""Randomized conformance: engine vs oracle on random corpora + queries.
+
+Seeded (deterministic in CI) but structurally random: random vocab mixes,
+random query shapes incl. phrases, unicode, absent terms, tiny top_k.
+Catches edge interactions the curated suite misses.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ck_ray.build as ckb
+from ck_ray.oracle import BM25Oracle
+from ck_ray.query import BM25Engine
+
+VOCAB = (
+    "merge query window batch stream delta posting café naïve 数据 x2 "
+    "foo_bar getUser the a of zz1 zz2 qq"
+).split()
+
+
+def _random_corpus(rng: np.random.RandomState, n_docs: int) -> pa.Table:
+    rows = []
+    for i in range(n_docs):
+        n_tok = int(rng.randint(0, 60))  # includes empty docs
+        words = [VOCAB[j] for j in rng.randint(0, len(VOCAB), n_tok)]
+        rows.append(
+            {
+                "repo": f"r{int(rng.randint(2))}",
+                "path": f"src/{'sub/' if rng.rand() < 0.3 else ''}f{i:04d}.py",
+                "commit": "c" * 40,
+                "lang": "python",
+                "content": " ".join(words),
+            }
+        )
+    rows.sort(key=lambda r: (r["repo"], r["path"]))
+    return pa.Table.from_pylist(rows)
+
+
+def _random_queries(rng: np.random.RandomState, k: int) -> list[str]:
+    out = []
+    for _ in range(k):
+        shape = rng.randint(5)
+        if shape == 0:
+            out.append(VOCAB[rng.randint(len(VOCAB))])
+        elif shape == 1:
+            out.append(" ".join(VOCAB[j] for j in rng.randint(0, len(VOCAB), 3)))
+        elif shape == 2:
+            a, b = rng.randint(0, len(VOCAB), 2)
+            out.append(f'"{VOCAB[a]} {VOCAB[b]}"')  # random phrase
+        elif shape == 3:
+            out.append("foo_bar")  # multi-token word -> phrase
+        else:
+            out.append("absent_zzz path:sub")
+    return out
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_random_corpus_rank_identity(ray_session, tmp_path, seed):
+    import ray.data
+
+    rng = np.random.RandomState(seed)
+    corpus = _random_corpus(rng, int(rng.randint(30, 120)))
+    d = str(tmp_path / f"idx{seed}")
+    ckb.build_index(
+        ray.data.from_arrow(corpus), d,
+        ckb.IndexConfig(num_parts=int(rng.choice([2, 4, 8])), batch_size=16),
+    )
+    eng = BM25Engine(d, num_shards=2)
+    oracle = BM25Oracle(corpus)
+    try:
+        for q in _random_queries(rng, 12):
+            k = int(rng.choice([1, 3, 10, 100]))
+            de, se = eng.search_raw(q, k)
+            do, so = oracle.search_raw(q, k)
+            assert de.tolist() == do.tolist(), f"seed={seed} q={q!r} docs differ"
+            assert np.array_equal(se, so), f"seed={seed} q={q!r} scores differ"
+            # pruned path agrees too
+            dp, sp = eng.search_raw(q, k, pruning=True)
+            assert dp.tolist() == de.tolist() and np.array_equal(sp, se)
+    finally:
+        eng.close()

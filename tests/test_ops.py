@@ -120,3 +120,13 @@ def test_semantic_rerank(ray_session, tiny_corpus):
     assert "rerank_score" in out.columns
     assert len(out) == 5
     assert out["rerank_score"].is_monotonic_decreasing
+
+
+def test_near_dup_groups_planted(ray_session, planted_docs_dir):
+    from ck_ray.ops.dedup import near_dup_groups
+
+    out = near_dup_groups(planted_docs_dir, jaccard_threshold=0.5)
+    g = dict(zip(out["doc_id"], out["group_keeper"]))
+    assert g[81] == 80  # near-dup pair clustered under min id
+    assert g[83] == 82  # exact pair
+    assert g[80] == 80 and g[82] == 82
