@@ -32,7 +32,6 @@ def chunk_batch(
     t: pa.Table, *, target_lines: int = 20, overlap_lines: int = 4
 ) -> pa.Table:
     """Flat-map: one corpus row -> N chunk rows (line windows w/ overlap)."""
-    import pyarrow.compute as pc
 
     doc_ids = doc_id_column(t["repo"], t["path"], t["commit"]).to_numpy()
     paths = t["path"].to_pylist()
