@@ -44,6 +44,23 @@ from .tokenizer import tokenize_text
 FIELD_IDS = {"content": 0, "path": 1}
 
 
+def _unique_inverse(docs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """np.unique(return_inverse=True) via a STABLE sort — numpy uses radix
+    sort for integer stable sorts (O(n)), much faster than np.unique's
+    quicksort on the multi-million-posting concatenations of hot-term OR
+    queries. Identical output."""
+    order = np.argsort(docs, kind="stable")
+    sd = docs[order]
+    new_grp = np.empty(len(sd), dtype=bool)
+    if len(sd):
+        new_grp[0] = True
+        np.not_equal(sd[1:], sd[:-1], out=new_grp[1:])
+    uniq = sd[new_grp]
+    inv = np.empty(len(sd), dtype=np.int64)
+    inv[order] = np.cumsum(new_grp) - 1
+    return uniq, inv
+
+
 @dataclass
 class Clause:
     field: str  # "content" | "path"
@@ -443,10 +460,11 @@ class BM25Engine:
         n_docs = man["num_docs"]
         infos = []
         for ci, c in enumerate(clauses):
-            e = rows.get((FIELD_IDS[c.field], c.terms[0]))
-            if e is None:
+            key = (FIELD_IDS[c.field], c.terms[0])
+            view = rows.get(key)
+            if view is None:
                 continue
-            entry = self._raw[(FIELD_IDS[c.field], c.terms[0])][0]
+            entry = self._raw[key][0]
             skips = codec.decode_skips(entry["skips"])
             avgdl = man["fields"][c.field]["avgdl"]
             u = float(
@@ -457,8 +475,8 @@ class BM25Engine:
                 )
             )
             infos.append(
-                {"ci": ci, "entry": entry, "skips": skips, "U": u,
-                 "df": entry["df"], "avgdl": avgdl}
+                {"ci": ci, "entry": entry, "view": view, "skips": skips,
+                 "U": u, "df": entry["df"], "avgdl": avgdl}
             )
         if not infos:
             return np.empty(0, np.uint64), np.empty(0, self.dtype)
@@ -475,7 +493,10 @@ class BM25Engine:
                 and suffix[i] < theta * (1.0 - 1e-6)
             )
             if not refine:
-                docs, tfs, dls = codec.decode_posting_list(info["entry"]["postings"])
+                # cached decode: in the prunable case (single epoch, no
+                # dead docs) the view's arrays == the raw posting decode
+                v = info["view"]
+                docs, tfs, dls = v.docs, v.tfs, v.dls
             else:
                 # decode only blocks whose doc range can touch a candidate
                 sk = info["skips"]
@@ -501,7 +522,7 @@ class BM25Engine:
             contribs.append((info["ci"], docs, contrib))
             # provisional accumulate (float64; steers pruning only)
             merged = np.concatenate((acc_docs, docs))
-            uniq, inv = np.unique(merged, return_inverse=True)
+            uniq, inv = _unique_inverse(merged)
             ns = np.zeros(len(uniq), np.float64)
             np.add.at(ns, inv[: len(acc_docs)], acc_scores)
             np.add.at(ns, inv[len(acc_docs):], contrib.astype(np.float64))
@@ -511,7 +532,7 @@ class BM25Engine:
         # exact re-accumulation in clause order (bitwise == TAAT)
         contribs.sort(key=lambda x: x[0])
         all_docs = np.concatenate([c[1] for c in contribs])
-        uniq, inv = np.unique(all_docs, return_inverse=True)
+        uniq, inv = _unique_inverse(all_docs)
         acc = np.zeros(len(uniq), dtype=self.dtype)
         off = 0
         for _, docs, contrib in contribs:
@@ -542,7 +563,7 @@ class BM25Engine:
             return np.empty(0, np.uint64), np.empty(0, self.dtype)
         docs = np.concatenate(all_docs)
         contribs = np.concatenate(all_scores)
-        uniq, inv = np.unique(docs, return_inverse=True)
+        uniq, inv = _unique_inverse(docs)
         acc = np.zeros(len(uniq), dtype=self.dtype)
         np.add.at(acc, inv, contribs)  # in-order accumulation per doc
         order = np.lexsort((uniq, -acc.astype(np.float64)))
