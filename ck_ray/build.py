@@ -196,6 +196,14 @@ def _write_runs(
 ) -> pa.Table:
     """Spill a task's triples as one Arrow-IPC run file per partition;
     returns tiny (part, file, rows) manifest rows."""
+    if t.num_rows == 0:  # e.g. a batch whose rows all tokenize to nothing
+        return pa.table(
+            {
+                "part": pa.array([], pa.int32()),
+                "file": pa.array([], pa.string()),
+                "rows": pa.array([], pa.int64()),
+            }
+        )
     order = pc.sort_indices(t["part"])
     t = t.take(order)
     parts = t["part"].to_numpy(zero_copy_only=False)

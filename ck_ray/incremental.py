@@ -50,11 +50,24 @@ def _live_prev_docs(index_dir: str, man: dict) -> pd.DataFrame:
     docs = pd.concat(frames, ignore_index=True)
     # later epoch supersedes earlier
     docs = docs.sort_values("epoch_i").drop_duplicates("doc_id", keep="last")
+    # Deletions are epoch-scoped: a deletion recorded in epoch j applies
+    # only to docs whose surviving entry is from an EARLIER epoch — a doc
+    # deleted at j and re-added at j+1 is live (regression-tested).
+    del_frames = []
     for i, e in enumerate(man.get("epochs", [man["epoch_dir"]])):
         dfile = os.path.join(index_dir, e, "deleted.parquet")
         if os.path.exists(dfile):
-            dead = set(pq.read_table(dfile)["doc_id"].to_pylist())
-            docs = docs[~docs["doc_id"].isin(dead)]
+            d = pq.read_table(dfile).to_pandas()
+            d["del_epoch"] = i
+            del_frames.append(d)
+    if del_frames:
+        dels = (
+            pd.concat(del_frames, ignore_index=True)
+            .groupby("doc_id", as_index=False)["del_epoch"].max()
+        )
+        docs = docs.merge(dels, on="doc_id", how="left")
+        docs = docs[~(docs["del_epoch"] > docs["epoch_i"])]
+        docs = docs.drop(columns=["del_epoch"])
     return docs.drop(columns=["epoch_i"])
 
 
@@ -81,6 +94,11 @@ def incremental_update(
         )
 
     new_info = ds.map_batches(id_sha, batch_format="pyarrow").to_pandas()
+    if new_info["doc_id"].nunique() != len(new_info):
+        raise RuntimeError(
+            "duplicate (repo, path, commit) rows in the new corpus — "
+            "doc identity must be unique for incremental updates"
+        )
     prev = _live_prev_docs(index_dir, man)
     prev_map = dict(zip(prev["doc_id"], prev["content_sha256"]))
     new_ids = set(new_info["doc_id"])

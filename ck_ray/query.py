@@ -318,11 +318,16 @@ class BM25Engine:
 
     def _load_dead_sets(self) -> list[np.ndarray]:
         """dead[i] = doc_ids whose epoch-i postings are superseded by a
-        later epoch's rebuild, or deleted. (Driver-resident at this scale;
-        the shard actors would hold their partitions' slices at web scale.)"""
+        LATER epoch's rebuild of the doc, or deleted at a LATER epoch.
+
+        Deletions are epoch-scoped: a deletion recorded in epoch j's
+        ``deleted.parquet`` applies only to epochs < j, so a doc deleted at
+        j and re-added at j+1 stays live in j+1 (regression-tested).
+        (Driver-resident at this scale; the shard actors hold their doc
+        ranges' slices at web scale.)"""
         n = len(self.epochs)
         ids_per_epoch: list[np.ndarray] = []
-        deleted: list[np.ndarray] = []
+        deleted_per_epoch: list[np.ndarray] = []
         for e in self.epochs:
             ddir = os.path.join(self.index_dir, e, "docs")
             if os.path.isdir(ddir):
@@ -334,18 +339,19 @@ class BM25Engine:
             else:
                 ids_per_epoch.append(np.empty(0, np.uint64))
             dfile = os.path.join(self.index_dir, e, "deleted.parquet")
-            if os.path.exists(dfile):
-                deleted.append(
-                    pq.read_table(dfile)["doc_id"].to_numpy().astype(np.uint64)
-                )
-        del_all = (
-            np.concatenate(deleted) if deleted else np.empty(0, np.uint64)
-        )
+            deleted_per_epoch.append(
+                pq.read_table(dfile)["doc_id"].to_numpy().astype(np.uint64)
+                if os.path.exists(dfile)
+                else np.empty(0, np.uint64)
+            )
         dead = []
         for i in range(n):
-            later = ids_per_epoch[i + 1 :]
-            dead.append(np.unique(np.concatenate([*later, del_all]))
-                        if (later or len(del_all)) else np.empty(0, np.uint64))
+            later = ids_per_epoch[i + 1 :] + deleted_per_epoch[i + 1 :]
+            dead.append(
+                np.unique(np.concatenate(later))
+                if later
+                else np.empty(0, np.uint64)
+            )
         return dead
 
     # -------------------------------------------------------------- lookup

@@ -71,11 +71,11 @@ def test_random_corpus_rank_identity(ray_session, tmp_path, seed):
     try:
         for q in _random_queries(rng, 12):
             k = int(rng.choice([1, 3, 10, 100]))
-            de, se = eng.search_raw(q, k)
+            de, se = eng.search_raw(q, k, pruning=False)  # exhaustive TAAT
             do, so = oracle.search_raw(q, k)
             assert de.tolist() == do.tolist(), f"seed={seed} q={q!r} docs differ"
             assert np.array_equal(se, so), f"seed={seed} q={q!r} scores differ"
-            # pruned path agrees too
+            # MaxScore-pruned path agrees with the exhaustive path too
             dp, sp = eng.search_raw(q, k, pruning=True)
             assert dp.tolist() == de.tolist() and np.array_equal(sp, se)
     finally:

@@ -99,6 +99,35 @@ def test_incremental_noop(ray_session, tiny_corpus, tmp_path):
     assert man2.get("epochs") == man1.get("epochs")  # unchanged -> no new epoch
 
 
+def test_delete_then_readd(ray_session, tiny_corpus, tmp_path):
+    """A doc deleted in epoch N and re-added in epoch N+1 must be live:
+    deletions are epoch-scoped, not applied to later epochs (ADVICE r1)."""
+    import ray.data
+
+    cfg = ckb.IndexConfig(num_parts=4, batch_size=64)
+    d = str(tmp_path / "idx")
+    ckb.build_index(ray.data.from_arrow(tiny_corpus), d, cfg)
+    v2 = tiny_corpus.slice(5)  # drop first 5 docs -> deletion epoch
+    incremental_update(ray.data.from_arrow(v2), d, cfg)
+    # re-add the originals (identical content) -> new epoch re-adds them
+    man = incremental_update(ray.data.from_arrow(tiny_corpus), d, cfg)
+    assert man["n_changed"] == 5 and man["n_deleted"] == 0
+    assert man["num_docs"] == tiny_corpus.num_rows
+    eng = BM25Engine(d, num_shards=2)
+    oracle = BM25Oracle(tiny_corpus)
+    try:
+        for q in ("merge", "def", "the merge window"):
+            di, si = eng.search_raw(q, 50)
+            do, so = oracle.search_raw(q, 50)
+            assert di.tolist() == do.tolist(), f"{q}: docs differ after re-add"
+            assert np.array_equal(si, so), f"{q}: scores differ after re-add"
+    finally:
+        eng.close()
+    # a further no-op update must not re-classify the re-added docs
+    man2 = incremental_update(ray.data.from_arrow(tiny_corpus), d, cfg)
+    assert man2.get("epochs") == man.get("epochs")
+
+
 def test_deletion_only_update(ray_session, tiny_corpus, tmp_path):
     import ray.data
 
