@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_counts": text.lang_source_counts,
         # --- search modes (reference parity)
         "bm25_topk": docsearch.bm25_topk,
+        "bm25_boolean": docsearch.bm25_boolean,
         "regex_match_docs": docsearch.regex_match_docs,
         "hybrid_rrf": docsearch.hybrid_rrf,  # rows-only (RRF not in SQL)
         # --- dedup family
@@ -352,6 +353,45 @@ scores AS (
   JOIN df USING (term)
   JOIN dl USING (doc_id)
   CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+topk AS (
+  SELECT doc_id, score FROM scores
+  ORDER BY score DESC, doc_id LIMIT {_BM25_K}
+)
+SELECT doc_id, round(score, 4) AS score FROM topk
+ORDER BY score DESC, doc_id
+""",
+        "bm25_boolean": f"""
+WITH {_TOKS},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN ('merge', 'window') GROUP BY term
+),
+cand AS (
+  SELECT a.doc_id
+  FROM (SELECT doc_id FROM tf WHERE term = 'merge') a
+  JOIN (SELECT doc_id FROM tf WHERE term = 'window') b USING (doc_id)
+  WHERE a.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'batch')
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * ((tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) ) AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  WHERE tf.doc_id IN (SELECT doc_id FROM cand)
+    AND tf.term IN ('merge', 'window')
   GROUP BY tf.doc_id
 ),
 topk AS (

@@ -18,7 +18,7 @@ import pyarrow as pa
 
 from . import scoring
 from .ids import doc_id_for
-from .query import FIELD_IDS, parse_query
+from .query import FIELD_IDS, MUST, MUST_NOT, SHOULD, Clause, parse_query
 from .tokenizer import tokenize_text_with_positions
 
 
@@ -84,14 +84,45 @@ class BM25Oracle:
                 )
         return out
 
+    def _eval_node(self, node) -> dict[int, np.floating] | None:
+        """Boolean tree evaluation, doc-at-a-time (mirrors the engine's
+        ``_eval_node``: child-order f32 accumulation, Lucene match rule)."""
+        if isinstance(node, Clause):
+            s = self._clause_scores(node)
+            return s if s else None
+        results = [(o, self._eval_node(c)) for o, c in node.children]
+        must = [r for o, r in results if o == MUST]
+        if any(r is None for r in must):
+            return None
+        if must:
+            cand = set(must[0])
+            for r in must[1:]:
+                cand &= set(r)
+        else:
+            cand = set()
+            for o, r in results:
+                if o == SHOULD and r is not None:
+                    cand |= set(r)
+            if not cand:
+                return None
+        for o, r in results:
+            if o == MUST_NOT and r is not None:
+                cand -= set(r)
+        if not cand:
+            return None
+        out: dict[int, np.floating] = {}
+        for d in cand:
+            s = self.dtype(0.0)
+            for o, r in results:  # child order == accumulation order
+                if o != MUST_NOT and r is not None and d in r:
+                    s = self.dtype(s + r[d])
+            out[d] = s
+        return out
+
     def search_raw(self, query: str, top_k: int | None = None):
         k = top_k if top_k is not None else 100
-        acc: dict[int, np.floating] = {}
-        order_seen: dict[int, None] = {}
-        for clause in parse_query(query):
-            for d, s in self._clause_scores(clause).items():
-                acc[d] = self.dtype(acc.get(d, self.dtype(0.0)) + s)
-                order_seen.setdefault(d)
+        tree = parse_query(query)
+        acc = self._eval_node(tree) if tree is not None else None
         if not acc:
             return np.empty(0, np.uint64), np.empty(0, self.dtype)
         docs = np.array(sorted(acc), dtype=np.uint64)

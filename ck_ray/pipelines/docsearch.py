@@ -98,6 +98,15 @@ def bm25_topk(
     )
 
 
+def bm25_boolean(
+    sf_dir: str, query: str = "merge AND window -batch", k: int = 20
+) -> pd.DataFrame:
+    """Top-k BM25 for a BOOLEAN query (tantivy QueryParser subset:
+    AND/OR/NOT/+/-/parens). Same engine path as ``bm25_topk``; the DuckDB
+    oracle expresses the conjunction + exclusion with joins."""
+    return bm25_topk(sf_dir, query=query, k=k)
+
+
 def regex_match_docs(sf_dir: str, pattern: str = "merge.*window.*batch") -> pd.DataFrame:
     """doc_ids whose text matches an RE2 pattern — vectorized scan."""
     ds = ray.data.read_parquet(

@@ -71,46 +71,197 @@ class Clause:
         return len(self.terms) > 1
 
 
-def parse_query(query: str) -> list[Clause]:
-    """tantivy-QueryParser-compatible subset: whitespace words OR'd,
-    quoted spans and multi-token words become phrases, ``path:`` targets
-    the path field. Unknown/empty words drop out."""
-    clauses: list[Clause] = []
+# Occur flags (Lucene/tantivy BooleanQuery semantics)
+SHOULD, MUST, MUST_NOT = 0, 1, 2
+
+
+@dataclass
+class BoolNode:
+    """Boolean query node: a list of (occur, child) like tantivy's
+    ``BooleanQuery`` (child = Clause leaf or nested BoolNode).
+
+    Match rule (Lucene/tantivy): every MUST child matches, no MUST_NOT
+    child matches, and — when there is no MUST child — at least one SHOULD
+    child matches. A node with only MUST_NOT children matches nothing.
+    Score = sum of matching MUST/SHOULD children's scores, accumulated in
+    child order (f32, bit-compatible with the oracle)."""
+
+    children: list[tuple[int, object]]
+
+
+# ------------------------------------------------------------------ lexer
+
+
+def _lex(query: str) -> list[tuple[str, object]]:
+    """Tokens: ('lp',)/('rp',) parens, ('and'|'or'|'not',) operators,
+    ('plus'|'minus',) occur prefixes, ('word', (field, text, quoted))."""
+    out: list[tuple[str, object]] = []
     i, n = 0, len(query)
-    buf: list[tuple[str, bool]] = []  # (word, quoted)
+
+    def read_quoted(j: int) -> tuple[str, int]:
+        k = query.find('"', j + 1)
+        if k == -1:
+            k = n
+        return query[j + 1 : k], min(k + 1, n)
+
     while i < n:
         c = query[i]
         if c.isspace():
             i += 1
-            continue
-        if c == '"':
-            j = query.find('"', i + 1)
-            if j == -1:
-                j = n
-            buf.append((query[i + 1 : j], True))
-            i = j + 1
+        elif c == "(":
+            out.append(("lp", None))
+            i += 1
+        elif c == ")":
+            out.append(("rp", None))
+            i += 1
+        elif c in "+-" and i + 1 < n and not query[i + 1].isspace():
+            # occur prefix: always at token start here (whitespace was
+            # skipped); mid-word hyphens never reach this branch because
+            # the word scanner consumes them
+            out.append(("plus" if c == "+" else "minus", None))
+            i += 1
+        elif c == '"':
+            text, i = read_quoted(i)
+            out.append(("word", ("content", text, True)))
         else:
             j = i
-            while j < n and not query[j].isspace():
+            while j < n and not query[j].isspace() and query[j] not in "()\"":
                 j += 1
-            buf.append((query[i:j], False))
+            word = query[i:j]
             i = j
-    for word, quoted in buf:
-        field = "content"
-        for fname in FIELD_IDS:
-            pref = fname + ":"
-            if word.startswith(pref):
-                field = fname
-                word = word[len(pref) :]
+            # field prefix BEFORE the quote check, so path:"foo bar" is a
+            # phrase on the path field (tantivy QueryParser behavior)
+            field = None
+            for fname in FIELD_IDS:
+                if word.startswith(fname + ":"):
+                    field = fname
+                    word = word[len(fname) + 1 :]
+                    break
+            if field is not None and word == "" and i < n and query[i] == '"':
+                text, i = read_quoted(i)
+                out.append(("word", (field, text, True)))
+                continue
+            if field is None and word in ("AND", "OR", "NOT"):
+                out.append((word.lower(), None))
+                continue
+            if word:
+                out.append(("word", (field or "content", word, False)))
+    return out
+
+
+# ----------------------------------------------------------------- parser
+
+
+class _Parser:
+    """Recursive descent over the token stream.
+
+    Grammar (documented tantivy-QueryParser-compatible subset):
+
+        query := seq (OR seq)*          OR groups become SHOULD children
+        seq   := item+                  juxtaposed items default to SHOULD;
+                                        an explicit AND between two items
+                                        promotes both to MUST
+        item  := [+ | - | NOT] atom     + = MUST, - / NOT = MUST_NOT
+        atom  := WORD | PHRASE | '(' query ')'
+
+    Lenient: dangling operators / unbalanced parens never raise."""
+
+    def __init__(self, toks: list[tuple[str, object]]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i][0] if self.i < len(self.toks) else None
+
+    def parse_or(self):
+        groups = [self.parse_seq()]
+        while self.peek() == "or":
+            self.i += 1
+            groups.append(self.parse_seq())
+        groups = [g for g in groups if g is not None]
+        if not groups:
+            return None
+        if len(groups) == 1:
+            return groups[0]
+        return BoolNode([(SHOULD, g) for g in groups])
+
+    def parse_seq(self):
+        items: list[tuple[int, object]] = []
+        pending_and = False
+        while True:
+            t = self.peek()
+            if t in (None, "rp", "or"):
                 break
-        toks = tokenize_text(word)
-        if not toks:
-            continue
-        if quoted or len(toks) > 1:
-            clauses.append(Clause(field, toks))
-        else:
-            clauses.append(Clause(field, toks))
-    return clauses
+            if t == "and":
+                self.i += 1
+                if items and items[-1][0] == SHOULD:
+                    items[-1] = (MUST, items[-1][1])
+                pending_and = True
+                continue
+            occur = SHOULD
+            if t in ("not", "minus"):
+                self.i += 1
+                occur = MUST_NOT
+            elif t == "plus":
+                self.i += 1
+                occur = MUST
+            atom = self.parse_atom()
+            if atom is None:
+                continue
+            if pending_and and occur == SHOULD:
+                occur = MUST
+            pending_and = False
+            items.append((occur, atom))
+        if not items:
+            return None
+        if len(items) == 1 and items[0][0] == SHOULD:
+            return items[0][1]
+        return BoolNode(items)
+
+    def parse_atom(self):
+        t = self.peek()
+        if t == "lp":
+            self.i += 1
+            node = self.parse_or()
+            if self.peek() == "rp":
+                self.i += 1
+            return node
+        if t == "word":
+            field, text, quoted = self.toks[self.i][1]
+            self.i += 1
+            toks = tokenize_text(text)
+            if not toks:
+                return None
+            del quoted  # single-token quoted spans behave like term queries
+            return Clause(field, toks)
+        # operator in atom position (dangling) — skip it leniently
+        if t is not None:
+            self.i += 1
+            return None
+        return None
+
+
+def parse_query(query: str):
+    """tantivy-QueryParser-compatible subset -> Clause | BoolNode | None.
+
+    Whitespace words are OR'd (SHOULD), quoted spans and multi-token words
+    become phrases, ``path:`` targets the path field (incl. quoted:
+    ``path:"foo bar"``), ``AND``/``OR``/``NOT``/``+``/``-``/parens build a
+    boolean tree (reference parser entry ``ck-engine/src/lib.rs:765-769``).
+    Unknown/empty words drop out; empty query -> None."""
+    return _Parser(_lex(query)).parse_or()
+
+
+def collect_clauses(node) -> list[Clause]:
+    """All leaf clauses of a parse tree, in evaluation order."""
+    if node is None:
+        return []
+    if isinstance(node, Clause):
+        return [node]
+    out: list[Clause] = []
+    for _, child in node.children:
+        out.extend(collect_clauses(child))
+    return out
 
 
 @ray.remote
@@ -547,34 +698,75 @@ class BM25Engine:
         order = np.lexsort((uniq, -acc.astype(np.float64)))[:k]
         return uniq[order], acc[order]
 
+    # ----------------------------------------------------- boolean evaluation
+
+    def _eval_node(self, node, rows):
+        """Evaluate a parse tree -> (docs sorted u64, scores) or None.
+
+        Lucene/tantivy BooleanQuery semantics; per-doc accumulation runs
+        in child order (f32), bit-compatible with the oracle's."""
+        if isinstance(node, Clause):
+            return self._clause_contrib(node, rows)
+        results = [(o, self._eval_node(c, rows)) for o, c in node.children]
+        must = [r for o, r in results if o == MUST]
+        if any(r is None for r in must):
+            return None
+        mnot = [r for o, r in results if o == MUST_NOT and r is not None]
+        if must:
+            cand = must[0][0]
+            for d, _ in must[1:]:
+                cand = cand[np.isin(cand, d, assume_unique=True)]
+        else:
+            s_docs = [r[0] for o, r in results if o == SHOULD and r is not None]
+            if not s_docs:
+                return None
+            cand = np.unique(np.concatenate(s_docs))
+        if mnot:
+            neg = np.unique(np.concatenate([r[0] for r in mnot]))
+            cand = cand[~np.isin(cand, neg, assume_unique=True)]
+        if len(cand) == 0:
+            return None
+        acc = np.zeros(len(cand), dtype=self.dtype)
+        for occur, r in results:  # child order == accumulation order
+            if occur == MUST_NOT or r is None:
+                continue
+            d, s = r
+            pos = np.searchsorted(cand, d)
+            pos_c = np.clip(pos, 0, max(len(cand) - 1, 0))
+            m = cand[pos_c] == d
+            acc[pos_c[m]] += s[m]  # unique indices per child -> plain fancy add
+        return cand, acc
+
+    @staticmethod
+    def _flat_should_clauses(tree) -> list[Clause] | None:
+        """The clause list when the tree is a flat all-SHOULD disjunction
+        of leaves (the MaxScore-prunable shape); else None."""
+        if isinstance(tree, Clause):
+            return [tree]
+        if isinstance(tree, BoolNode) and all(
+            o == SHOULD and isinstance(c, Clause) for o, c in tree.children
+        ):
+            return [c for _, c in tree.children]
+        return None
+
     def search_raw(
         self, query: str, top_k: int | None = None, *, pruning: bool = True
     ) -> tuple[np.ndarray, np.ndarray]:
         """Top-k (doc_ids, raw f32 scores), sorted score desc / doc_id asc."""
         k = top_k if top_k is not None else 100
-        clauses = parse_query(query)
-        keys = [
-            (FIELD_IDS[c.field], t) for c in clauses for t in c.terms
-        ]
+        tree = parse_query(query)
+        leaves = collect_clauses(tree)
+        keys = [(FIELD_IDS[c.field], t) for c in leaves for t in c.terms]
         rows = self._fetch(list(dict.fromkeys(keys)))
-        if pruning and self._can_prune(clauses):
-            return self._search_maxscore(clauses, rows, k)
-        all_docs, all_scores = [], []
-        for c in clauses:
-            out = self._clause_contrib(c, rows)
-            if out is not None:
-                all_docs.append(out[0])
-                all_scores.append(out[1])
-        if not all_docs:
+        flat = self._flat_should_clauses(tree)
+        if pruning and flat is not None and self._can_prune(flat):
+            return self._search_maxscore(flat, rows, k)
+        res = self._eval_node(tree, rows) if tree is not None else None
+        if res is None:
             return np.empty(0, np.uint64), np.empty(0, self.dtype)
-        docs = np.concatenate(all_docs)
-        contribs = np.concatenate(all_scores)
-        uniq, inv = _unique_inverse(docs)
-        acc = np.zeros(len(uniq), dtype=self.dtype)
-        np.add.at(acc, inv, contribs)  # in-order accumulation per doc
-        order = np.lexsort((uniq, -acc.astype(np.float64)))
-        order = order[:k]
-        return uniq[order], acc[order]
+        docs, acc = res
+        order = np.lexsort((docs, -acc.astype(np.float64)))[:k]
+        return docs[order], acc[order]
 
     def search(
         self,
@@ -640,12 +832,11 @@ class BM25Engine:
         query terms (per-shard round trips amortize across the batch),
         then per-query scoring. The shape the driver's query-suite and
         bench use."""
-        all_clauses = [parse_query(q) for q in queries]
         keys = list(
             dict.fromkeys(
                 (FIELD_IDS[c.field], t)
-                for cs in all_clauses
-                for c in cs
+                for q in queries
+                for c in collect_clauses(parse_query(q))
                 for t in c.terms
             )
         )

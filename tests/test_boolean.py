@@ -1,0 +1,173 @@
+"""Boolean query parser + evaluation: tantivy QueryParser-subset semantics.
+
+Parser shapes are pinned structurally; evaluation is checked engine-vs-
+oracle (rank + f32 score bit identity) on the shared tiny index.
+"""
+
+import numpy as np
+import pytest
+
+from ck_ray.oracle import BM25Oracle
+from ck_ray.query import (
+    MUST,
+    MUST_NOT,
+    SHOULD,
+    BM25Engine,
+    BoolNode,
+    Clause,
+    parse_query,
+)
+
+
+# ------------------------------------------------------------------ parser
+
+
+def test_field_prefixed_quoted_phrase():
+    """path:"foo bar" is a PHRASE on the path field (ADVICE r1 fix)."""
+    node = parse_query('path:"foo bar"')
+    assert isinstance(node, Clause)
+    assert node.field == "path" and node.terms == ["foo", "bar"]
+
+
+def test_and_promotes_both_sides():
+    node = parse_query("merge AND window")
+    assert isinstance(node, BoolNode)
+    assert [(o, c.terms) for o, c in node.children] == [
+        (MUST, ["merge"]),
+        (MUST, ["window"]),
+    ]
+
+
+def test_or_groups_should():
+    node = parse_query("merge OR window")
+    assert [(o, c.terms) for o, c in node.children] == [
+        (SHOULD, ["merge"]),
+        (SHOULD, ["window"]),
+    ]
+
+
+def test_not_and_minus_are_must_not():
+    for q in ("merge -window", "merge NOT window"):
+        node = parse_query(q)
+        assert [(o, c.terms) for o, c in node.children] == [
+            (SHOULD, ["merge"]),
+            (MUST_NOT, ["window"]),
+        ], q
+
+
+def test_plus_is_must():
+    node = parse_query("+merge window")
+    assert [(o, c.terms) for o, c in node.children] == [
+        (MUST, ["merge"]),
+        (SHOULD, ["window"]),
+    ]
+
+
+def test_parens_nest():
+    node = parse_query("(merge OR window) AND batch")
+    assert [o for o, _ in node.children] == [MUST, MUST]
+    inner = node.children[0][1]
+    assert isinstance(inner, BoolNode)
+    assert [(o, c.terms) for o, c in inner.children] == [
+        (SHOULD, ["merge"]),
+        (SHOULD, ["window"]),
+    ]
+    assert node.children[1][1].terms == ["batch"]
+
+
+def test_and_binds_tighter_than_or():
+    node = parse_query("merge AND window OR batch")
+    assert [o for o, _ in node.children] == [SHOULD, SHOULD]
+    left = node.children[0][1]
+    assert [(o, c.terms) for o, c in left.children] == [
+        (MUST, ["merge"]),
+        (MUST, ["window"]),
+    ]
+    assert node.children[1][1].terms == ["batch"]
+
+
+def test_negated_phrase_and_field():
+    node = parse_query('-"merge window" +path:core')
+    assert [o for o, _ in node.children] == [MUST_NOT, MUST]
+    assert node.children[0][1].terms == ["merge", "window"]
+    assert node.children[1][1].field == "path"
+
+
+def test_lenient_degenerate_queries():
+    assert parse_query("") is None
+    assert parse_query("AND OR NOT") is None
+    assert parse_query("(((") is None
+    # hyphenated word is a phrase, not a negation
+    node = parse_query("foo-bar")
+    assert isinstance(node, Clause) and node.terms == ["foo", "bar"]
+    # lowercase and/or are plain terms
+    node = parse_query("merge and window")
+    assert all(o == SHOULD for o, _ in node.children)
+    assert [c.terms for _, c in node.children] == [["merge"], ["and"], ["window"]]
+
+
+# -------------------------------------------------------------- evaluation
+
+BOOL_QUERIES = [
+    "merge AND window",
+    "merge AND window AND batch",
+    "merge OR window",
+    "merge -window",
+    "merge NOT window",
+    "+merge window batch",
+    "(merge OR window) AND batch",
+    "merge AND window OR batch stream",
+    "def AND return -the",
+    "merge AND snake_case",  # must + phrase
+    '"the merge" AND window',
+    "path:core AND merge",
+    "merge AND absent_zzqq",  # must on absent term -> 0 hits
+    "-merge",  # pure negative -> 0 hits
+    "merge -merge",  # self-excluding -> 0 hits
+    "merge AND (window OR batch) -stream",
+]
+
+
+@pytest.fixture(scope="module")
+def bool_engine(ray_session, tiny_index):
+    eng = BM25Engine(tiny_index, num_shards=2)
+    yield eng
+    eng.close()
+
+
+@pytest.fixture(scope="module")
+def bool_oracle(tiny_corpus):
+    return BM25Oracle(tiny_corpus)
+
+
+@pytest.mark.parametrize("q", BOOL_QUERIES, ids=[q[:28] for q in BOOL_QUERIES])
+def test_boolean_rank_identity(bool_engine, bool_oracle, q):
+    de, se = bool_engine.search_raw(q, 50)
+    do, so = bool_oracle.search_raw(q, 50)
+    assert de.tolist() == do.tolist(), f"{q}: docs differ"
+    assert np.array_equal(se, so), f"{q}: scores differ"
+
+
+def test_boolean_set_semantics(bool_engine):
+    """Containment relations the boolean operators must satisfy."""
+    all_merge = set(bool_engine.search_raw("merge", 10_000)[0].tolist())
+    all_window = set(bool_engine.search_raw("window", 10_000)[0].tolist())
+    conj = set(bool_engine.search_raw("merge AND window", 10_000)[0].tolist())
+    disj = set(bool_engine.search_raw("merge OR window", 10_000)[0].tolist())
+    excl = set(bool_engine.search_raw("merge -window", 10_000)[0].tolist())
+    assert conj == all_merge & all_window
+    assert disj == all_merge | all_window
+    assert excl == all_merge - all_window
+    assert bool_engine.search_raw("-merge", 100)[0].size == 0
+    assert bool_engine.search_raw("merge AND absent_zzqq", 100)[0].size == 0
+
+
+def test_conjunction_scores_sum_both_terms(bool_engine):
+    """Score of a doc under `a AND b` = score(a) + score(b) for that doc."""
+    da, sa = bool_engine.search_raw("merge", 10_000)
+    db, sb = bool_engine.search_raw("window", 10_000)
+    dc, sc = bool_engine.search_raw("merge AND window", 10_000)
+    ma = dict(zip(da.tolist(), sa.tolist()))
+    mb = dict(zip(db.tolist(), sb.tolist()))
+    for d, s in zip(dc.tolist(), sc.tolist()):
+        assert s == np.float32(np.float32(ma[d]) + np.float32(mb[d]))

@@ -111,7 +111,9 @@ def test_sha256_invariant(tiny_index, tiny_corpus):
 
 
 def test_parser_semantics():
-    cs = parse_query('snake_case "a b" path:foo camelCase')
+    from ck_ray.query import collect_clauses
+
+    cs = collect_clauses(parse_query('snake_case "a b" path:foo camelCase'))
     assert [(c.field, c.terms) for c in cs] == [
         ("content", ["snake", "case"]),
         ("content", ["a", "b"]),
@@ -155,9 +157,13 @@ def test_pruning_engages(engine):
     """The pruned path actually runs for multi-term single-epoch queries."""
     from ck_ray.query import parse_query
 
-    assert engine._can_prune(parse_query("def merge window"))
-    assert not engine._can_prune(parse_query("snake_case merge"))  # phrase
-    assert not engine._can_prune(parse_query("def"))  # single term
+    def flat(q):
+        return engine._flat_should_clauses(parse_query(q)) or []
+
+    assert engine._can_prune(flat("def merge window"))
+    assert not engine._can_prune(flat("snake_case merge"))  # phrase
+    assert not engine._can_prune(flat("def"))  # single term
+    assert engine._flat_should_clauses(parse_query("def AND merge")) is None
 
 
 def test_engine_matches_committed_goldens(engine):

@@ -40,7 +40,7 @@ def _random_corpus(rng: np.random.RandomState, n_docs: int) -> pa.Table:
 def _random_queries(rng: np.random.RandomState, k: int) -> list[str]:
     out = []
     for _ in range(k):
-        shape = rng.randint(5)
+        shape = rng.randint(8)
         if shape == 0:
             out.append(VOCAB[rng.randint(len(VOCAB))])
         elif shape == 1:
@@ -50,8 +50,17 @@ def _random_queries(rng: np.random.RandomState, k: int) -> list[str]:
             out.append(f'"{VOCAB[a]} {VOCAB[b]}"')  # random phrase
         elif shape == 3:
             out.append("foo_bar")  # multi-token word -> phrase
-        else:
+        elif shape == 4:
             out.append("absent_zzz path:sub")
+        elif shape == 5:
+            a, b = rng.randint(0, len(VOCAB), 2)
+            out.append(f"{VOCAB[a]} AND {VOCAB[b]}")  # conjunction
+        elif shape == 6:
+            a, b, c = rng.randint(0, len(VOCAB), 3)
+            out.append(f"{VOCAB[a]} -{VOCAB[b]} OR {VOCAB[c]}")  # mixed bool
+        else:
+            a, b, c = rng.randint(0, len(VOCAB), 3)
+            out.append(f"({VOCAB[a]} OR {VOCAB[b]}) AND {VOCAB[c]}")  # parens
     return out
 
 
