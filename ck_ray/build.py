@@ -73,6 +73,11 @@ class IndexConfig:
     salt_buckets: int = 8
     df_sample_docs: int = 2048  # docs sampled to estimate hot terms
     dedupe_keep_latest: bool = False
+    # Doc-range buckets of the SERVING layout (doc-partitioned projection
+    # of the term-partitioned segments; power of two). Query shards each
+    # own a set of buckets and score their doc ranges locally, so per-query
+    # driver traffic is O(shards * k), never O(postings).
+    serving_buckets: int = 16
     # Where the transient shuffle run files live. They are consumed within
     # one build (resume restarts from segment lineage markers, never from
     # runs), so fast volatile storage is correct: default /dev/shm when
@@ -536,6 +541,171 @@ class _HotMerger:
         return _lineage_table(out)
 
 
+# --------------------------------------------------------- serving layout
+
+
+def doc_bucket_of(doc_ids: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Doc-range bucket of each doc_id: top bits of the 63-bit uniform
+    content-addressed id (monotone in doc_id, so posting-list slices per
+    bucket are contiguous runs)."""
+    bits = n_buckets.bit_length() - 1
+    return (doc_ids.astype(np.uint64) >> np.uint64(63 - bits)).astype(np.int32)
+
+
+class _ServingEncoder:
+    """Per-partition task: re-slice the partition's term-ordered posting
+    lists into doc-range buckets — the doc-partitioned SERVING projection
+    (each query shard owns a set of buckets and holds ALL terms for its
+    doc range, the standard document-partitioned search layout).
+
+    One varint decode pass over the whole partition (term boundaries fall
+    out of the df column), one vectorized re-encode over the (term x
+    bucket) run boundaries; ``df`` on every output row is the term's
+    GLOBAL df so shards score with exact idf without a stats round."""
+
+    def __init__(self, seg_dir: str, out_dir: str, store_positions: bool,
+                 n_buckets: int):
+        self.seg_dir = seg_dir
+        self.out_dir = out_dir
+        self.store_positions = store_positions
+        self.n_buckets = n_buckets
+
+    def __call__(self, items: pa.Table) -> pa.Table:
+        out = []
+        for part in items["part"].to_pylist():
+            pdir = os.path.join(self.seg_dir, f"part={int(part)}")
+            tabs = [
+                pq.read_table(os.path.join(pdir, f))
+                for f in sorted(os.listdir(pdir))
+                if f.endswith(".parquet")
+            ]
+            t = pa.concat_tables(tabs, promote_options="default")
+            if "first_doc" in t.column_names:
+                t = t.drop_columns(["first_doc"])
+            out.append((int(part), self._encode_part(t)))
+        return pa.table(
+            {
+                "part": pa.array([p for p, _ in out], pa.int32()),
+                "rows": pa.array([n for _, n in out], pa.int64()),
+            }
+        )
+
+    def _encode_part(self, t: pa.Table) -> int:
+        if t.num_rows == 0:
+            return 0
+        df = t["df"].to_numpy().astype(np.int64)
+        vals = codec.decode_varints(b"".join(t["postings"].to_pylist()))
+        deltas, tfs, dls = vals[0::3], vals[1::3], vals[2::3]
+        tstarts = np.concatenate(([0], np.cumsum(df)))[:-1]
+        docs = np.cumsum(deltas, dtype=np.uint64)
+        if len(tstarts) > 1:
+            # per-term first delta is ABSOLUTE, so true doc = global cumsum
+            # minus the cumsum carried in from previous terms. The global
+            # cumsum wraps mod 2^64 (absolute 63-bit ids sum far past the
+            # range) — wraparound SUBTRACTION is still exact, but any
+            # monotonicity trick is not: broadcast each term's base with
+            # repeat instead.
+            base_per_term = np.zeros(len(df), np.uint64)
+            base_per_term[1:] = docs[tstarts[1:] - 1]
+            docs = docs - np.repeat(base_per_term, df)
+        pos_flat = pos_offs = None
+        if self.store_positions and "positions" in t.column_names:
+            pos_flat, pstarts = codec.decode_positions(
+                b"".join(t["positions"].to_pylist()), tfs
+            )
+            pos_offs = np.concatenate((pstarts, [len(pos_flat)]))
+        # (term x bucket) run boundaries: docs ascend within a term, so
+        # buckets are contiguous and only contribute to the change mask
+        bucket = doc_bucket_of(docs, self.n_buckets)
+        term_id = np.repeat(np.arange(len(df), dtype=np.int64), df)
+        n = len(docs)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        np.logical_or(
+            term_id[1:] != term_id[:-1], bucket[1:] != bucket[:-1],
+            out=change[1:],
+        )
+        starts = np.nonzero(change)[0]
+        ends = np.concatenate((starts[1:], [n]))
+        pblobs, sblobs, posblobs = codec.encode_partition(
+            docs, tfs, dls, starts, ends,
+            pos_flat=pos_flat, pos_offsets=pos_offs,
+        )
+        run_term = term_id[starts]
+        run_bucket = bucket[starts]
+        take = pa.array(run_term, type=pa.int64())
+        cols = {
+            "field": t["field"].take(take),
+            "term": t["term"].take(take),
+            "df": t["df"].take(take),  # GLOBAL df of the term
+            "postings": pa.array(pblobs, pa.large_binary()),
+            "skips": pa.array(sblobs, pa.large_binary()),
+        }
+        if posblobs is not None:
+            cols["positions"] = pa.array(posblobs, pa.large_binary())
+        full = pa.table(cols)
+        part_tag = uuid.uuid4().hex[:12]
+        for b in np.unique(run_bucket):
+            bdir = os.path.join(self.out_dir, f"bucket={int(b)}")
+            os.makedirs(bdir, exist_ok=True)
+            _atomic_write_parquet(
+                full.filter(pa.array(run_bucket == b)),
+                os.path.join(bdir, f"post-{part_tag}.parquet"),
+            )
+        return len(starts)
+
+
+def _bucket_docs_batch(t: pa.Table, out_dir: str, n_buckets: int) -> pa.Table:
+    """Spill a docs batch into per-bucket parquet files (serving doc
+    metadata: shards read only their buckets)."""
+    if t.num_rows == 0:
+        return pa.table({"rows": pa.array([], pa.int64())})
+    ids = t["doc_id"].to_numpy().astype(np.uint64)
+    bucket = doc_bucket_of(ids, n_buckets)
+    order = np.argsort(bucket, kind="stable")
+    t = t.take(pa.array(order, type=pa.int64()))
+    bs = bucket[order]
+    starts = np.nonzero(np.concatenate(([True], bs[1:] != bs[:-1])))[0]
+    ends = np.concatenate((starts[1:], [len(bs)]))
+    tag = uuid.uuid4().hex[:12]
+    for s, e in zip(starts, ends):
+        bdir = os.path.join(out_dir, f"bucket={int(bs[s])}")
+        os.makedirs(bdir, exist_ok=True)
+        _atomic_write_parquet(
+            t.slice(s, e - s), os.path.join(bdir, f"docs-{tag}-{int(bs[s])}.parquet")
+        )
+    return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
+
+
+def _build_serving(staging: str, seg_dir: str, docs_dir: str,
+                   cfg: IndexConfig) -> None:
+    """Build the doc-partitioned serving projection inside the staging
+    epoch dir (covered by the same atomic commit rename)."""
+    B = cfg.serving_buckets
+    assert B & (B - 1) == 0, "serving_buckets must be a power of two"
+    srv = os.path.join(staging, "serving")
+    parts = sorted(
+        int(d.split("=")[1])
+        for d in (os.listdir(seg_dir) if os.path.isdir(seg_dir) else [])
+        if d.startswith("part=")
+    )
+    if parts:
+        ray.data.from_items(
+            [{"part": p} for p in parts], override_num_blocks=len(parts)
+        ).map_batches(
+            _ServingEncoder(
+                seg_dir, os.path.join(srv, "post"), cfg.store_positions, B
+            ),
+            batch_format="pyarrow", batch_size=1,
+        ).count()
+    if os.path.isdir(docs_dir):
+        docs_out = os.path.join(srv, "docs")
+        ray.data.read_parquet(docs_dir).map_batches(
+            lambda t: _bucket_docs_batch(t, docs_out, B),
+            batch_format="pyarrow",
+        ).count()
+
+
 # ------------------------------------------------------------------- build
 
 
@@ -718,6 +888,9 @@ def build_index(
             .to_dict("records")
         )
     _mark("hot_merge")
+    # ---- doc-partitioned serving projection (query shards read this)
+    _build_serving(staging, seg_dir, docs_dir, cfg)
+    _mark("serving")
     # O(1) rename-to-trash, deleted off the critical path (a background
     # thread now; leftover .trash dirs are swept by the next build)
     _trash_async(exchange_dir)
@@ -738,6 +911,7 @@ def build_index(
         "epoch": epoch,
         "num_docs": n_docs,
         "num_parts": cfg.num_parts,
+        "num_serving_buckets": cfg.serving_buckets,
         "store_positions": cfg.store_positions,
         "fields": {
             "content": {

@@ -82,6 +82,8 @@ def incremental_update(
         num_parts=man["num_parts"], store_positions=man["store_positions"]
     )
     assert cfg.num_parts == man["num_parts"], "partition count is fixed per index"
+    # serving bucket count is fixed per index (shards map buckets to ranges)
+    cfg.serving_buckets = man.get("num_serving_buckets", cfg.serving_buckets)
     ds = ray.data.read_parquet(corpus) if isinstance(corpus, str) else corpus
 
     # pass 1: (doc_id, sha) of the new corpus (ids+hashes only to driver)

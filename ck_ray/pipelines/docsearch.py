@@ -57,6 +57,14 @@ def documents_index(sf_dir: str) -> str:
     idx_dir = os.path.join(
         "/tmp/ck_ray_doc_index", key.strip("/").replace("/", "_")
     )
+    man_path = os.path.join(idx_dir, "manifest.json")
+    if os.path.exists(man_path):
+        import json
+
+        if "num_serving_buckets" not in json.load(open(man_path)):
+            import shutil
+
+            shutil.rmtree(idx_dir)  # stale pre-serving-layout cache
     if not os.path.exists(os.path.join(idx_dir, "manifest.json")):
         if os.path.exists(idx_dir):
             import shutil

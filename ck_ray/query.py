@@ -14,14 +14,17 @@ Mirrors the observable semantics of the reference's lexical search path
 - ties broken doc_id-ascending (deterministic replacement for the
   reference's unstable sort, ``:1049-1053``).
 
-Physical layout: each ``SegmentShard`` actor loads the segment parquet of
-its partitions once (``__init__``), holding a term -> row dict; a query
-fans out only to the shards owning its terms, blobs come back through the
-object store, and the driver scores term-at-a-time with vectorized numpy
-(f32, matching the oracle bit-for-bit). Skip blocks / block-max metadata
-drive block-level pruning in ``search`` when an accumulator threshold is
-available (MaxScore-style: non-essential terms only need blocks whose doc
-range intersects current candidates).
+Physical layout: DOCUMENT-partitioned serving. Each ``DocShard`` actor
+owns a set of doc-range buckets of the serving projection (built by
+``build.py::_ServingEncoder``) and holds, for every term, the slice of
+its posting list falling in those ranges plus the ranges' doc metadata.
+A query fans out to every shard; ALL scoring — term-at-a-time vectorized
+numpy, MaxScore/block-max pruning over the shard's skip metadata, phrase
+adjacency, boolean evaluation — happens inside the shard (a doc's whole
+score is shard-local), and only each shard's top-k rows return to the
+driver for a concatenate-and-sort merge: per-query driver traffic is
+O(shards * k), never O(postings). f32 scores match the oracle
+bit-for-bit (tested).
 """
 
 from __future__ import annotations
@@ -38,7 +41,6 @@ import ray
 
 from . import codec, scoring
 from .build import load_manifest
-from .ids import term_hash_one
 from .tokenizer import tokenize_text
 
 FIELD_IDS = {"content": 0, "path": 1}
@@ -264,47 +266,8 @@ def collect_clauses(node) -> list[Clause]:
     return out
 
 
-@ray.remote
-class SegmentShard:
-    """Holds the posting blobs of a set of index partitions in memory,
-    across ALL epochs (incremental updates append epoch segment sets)."""
-
-    def __init__(self, index_dir: str, parts: list[int]):
-        man = load_manifest(index_dir)
-        epochs = man.get("epochs", [man["epoch_dir"]])
-        self._rows: dict[tuple[int, str], list[dict]] = {}
-        for ei, epoch in enumerate(epochs):
-            seg_root = os.path.join(index_dir, epoch, "segments")
-            for p in parts:
-                pdir = os.path.join(seg_root, f"part={p}")
-                if not os.path.isdir(pdir):
-                    continue
-                for f in sorted(os.listdir(pdir)):
-                    if not f.endswith(".parquet"):
-                        continue
-                    t = pq.read_table(os.path.join(pdir, f))
-                    fields = t["field"].to_pylist()
-                    terms = t["term"].to_pylist()
-                    for i in range(t.num_rows):
-                        self._rows.setdefault((fields[i], terms[i]), []).append(
-                            {
-                                "epoch": ei,
-                                "df": t["df"][i].as_py(),
-                                "postings": t["postings"][i].as_py(),
-                                "skips": t["skips"][i].as_py(),
-                                "positions": (
-                                    t["positions"][i].as_py()
-                                    if "positions" in t.column_names
-                                    else None
-                                ),
-                            }
-                        )
-
-    def get_postings(self, keys: list[tuple[int, str]]) -> list[list[dict] | None]:
-        return [self._rows.get(k) for k in keys]
-
-    def ready(self) -> bool:
-        return True
+# (the physical layer lives below _PostingView: LocalIndex holds a set of
+# doc-range buckets of the serving layout, DocShard wraps it as an actor)
 
 
 class _PostingView:
@@ -437,67 +400,131 @@ class _PostingView:
         return flat_out, lens
 
 
-class BM25Engine:
-    """Driver-side query coordinator over a ``SegmentShard`` actor pool."""
 
-    def __init__(
-        self,
-        index_dir: str,
-        num_shards: int = 4,
-        dtype=np.float32,
-    ):
+class LocalIndex:
+    """Scoring core over a set of doc-range BUCKETS of the serving layout.
+
+    The index's serving projection is document-partitioned (``build.py``
+    ``_ServingEncoder``): every bucket holds, for EVERY term, the slice of
+    its posting list whose doc_ids fall in the bucket's range, plus the
+    bucket's doc metadata. A LocalIndex therefore scores any query fully
+    locally for its doc ranges — BM25 contributions for a doc never span
+    processes — and returns only its top-k. This is the standard
+    distributed-search layout: per-query traffic out of a shard is O(k),
+    never O(postings) (asserted in tests via ``BM25Engine.last_fanout_rows``).
+
+    Statistics: N and avgdl are global (manifest); ``df`` on every serving
+    row is the term's global df at build time, exact for a single-epoch
+    index. With incremental epochs or deletions the driver supplies exact
+    global live dfs via ``df_map`` (one tiny int-only round, summing the
+    shards' local live counts).
+
+    ``buckets=None`` loads ALL buckets — a complete single-process engine
+    (used by tests and the CLI's embedded mode).
+    """
+
+    def __init__(self, index_dir: str, buckets: list[int] | None = None,
+                 dtype=np.float32):
         self.index_dir = index_dir
         self.manifest = load_manifest(index_dir)
-        self.dtype = dtype
-        P = self.manifest["num_parts"]
-        num_shards = min(num_shards, P)
-        self._shard_of_part = {p: p % num_shards for p in range(P)}
-        self.shards = [
-            SegmentShard.remote(
-                index_dir, [p for p in range(P) if p % num_shards == s]
+        if "num_serving_buckets" not in self.manifest:
+            raise RuntimeError(
+                "index predates the serving layout — rebuild it"
             )
-            for s in range(num_shards)
-        ]
-        ray.get([s.ready.remote() for s in self.shards])
-        self._cache: dict[tuple[int, str], _PostingView | None] = {}
-        self._raw: dict[tuple[int, str], list[dict] | None] = {}
-        self.epochs = self.manifest.get("epochs", [self.manifest["epoch_dir"]])
-        self._docs_dirs = [
-            os.path.join(index_dir, e, "docs") for e in self.epochs
-        ]
+        self.dtype = dtype
+        self.n_buckets = self.manifest["num_serving_buckets"]
+        self.buckets = sorted(
+            range(self.n_buckets) if buckets is None else buckets
+        )
+        self.epochs = self.manifest.get(
+            "epochs", [self.manifest["epoch_dir"]]
+        )
+        self._load_tables()
         self._dead = self._load_dead_sets()
+        self._load_meta()
+        self._cache: dict[tuple[int, str], _PostingView | None] = {}
 
-    def _load_dead_sets(self) -> list[np.ndarray]:
-        """dead[i] = doc_ids whose epoch-i postings are superseded by a
-        LATER epoch's rebuild of the doc, or deleted at a LATER epoch.
+    # ------------------------------------------------------------- loading
 
-        Deletions are epoch-scoped: a deletion recorded in epoch j's
-        ``deleted.parquet`` applies only to epochs < j, so a doc deleted at
-        j and re-added at j+1 stays live in j+1 (regression-tested).
-        (Driver-resident at this scale; the shard actors hold their doc
-        ranges' slices at web scale.)"""
-        n = len(self.epochs)
-        ids_per_epoch: list[np.ndarray] = []
-        deleted_per_epoch: list[np.ndarray] = []
-        for e in self.epochs:
-            ddir = os.path.join(self.index_dir, e, "docs")
-            if os.path.isdir(ddir):
-                ids_per_epoch.append(
-                    pads.dataset(ddir).to_table(columns=["doc_id"])["doc_id"]
+    def _load_tables(self) -> None:
+        """Read the buckets' serving posting tables; build a SORTED key
+        array ("fid:term" -> (table, row)) — one vectorized Arrow concat +
+        one argsort, no per-row Python, blobs stay in Arrow until queried."""
+        self._tables: list[pa.Table] = []
+        self._tbl_epoch: list[int] = []
+        key_parts, ti_parts, ri_parts = [], [], []
+        for ei, e in enumerate(self.epochs):
+            post_root = os.path.join(self.index_dir, e, "serving", "post")
+            for b in self.buckets:
+                bdir = os.path.join(post_root, f"bucket={b}")
+                if not os.path.isdir(bdir):
+                    continue
+                for f in sorted(os.listdir(bdir)):
+                    if not f.endswith(".parquet"):
+                        continue
+                    t = pq.read_table(os.path.join(bdir, f))
+                    if t.num_rows == 0:
+                        continue
+                    ti = len(self._tables)
+                    self._tables.append(t)
+                    self._tbl_epoch.append(ei)
+                    combo = pc.binary_join_element_wise(
+                        pc.cast(t["field"], pa.string()),
+                        t["term"],
+                        ":",
+                    )
+                    key_parts.append(combo.to_numpy(zero_copy_only=False))
+                    ti_parts.append(np.full(t.num_rows, ti, np.int32))
+                    ri_parts.append(np.arange(t.num_rows, dtype=np.int64))
+        if key_parts:
+            keys = np.concatenate(key_parts)
+            # stable: entries of one key keep (epoch, bucket) append order
+            order = np.argsort(keys, kind="stable")
+            self._keys = keys[order]
+            self._key_ti = np.concatenate(ti_parts)[order]
+            self._key_ri = np.concatenate(ri_parts)[order]
+        else:
+            self._keys = np.empty(0, dtype=object)
+            self._key_ti = np.empty(0, np.int32)
+            self._key_ri = np.empty(0, np.int64)
+
+    def _epoch_doc_ids(self, ei: int) -> np.ndarray:
+        droot = os.path.join(
+            self.index_dir, self.epochs[ei], "serving", "docs"
+        )
+        arrs = []
+        for b in self.buckets:
+            bdir = os.path.join(droot, f"bucket={b}")
+            if os.path.isdir(bdir):
+                arrs.append(
+                    pads.dataset(bdir).to_table(columns=["doc_id"])["doc_id"]
                     .to_numpy()
                     .astype(np.uint64)
                 )
-            else:
-                ids_per_epoch.append(np.empty(0, np.uint64))
+        return np.concatenate(arrs) if arrs else np.empty(0, np.uint64)
+
+    def _load_dead_sets(self) -> list[np.ndarray]:
+        """dead[i] = this shard's doc_ids whose epoch-i postings are
+        superseded by a LATER epoch or deleted at a LATER epoch (deletions
+        are epoch-scoped — delete-then-re-add stays live, tested)."""
+        from .build import doc_bucket_of
+
+        n = len(self.epochs)
+        ids = [self._epoch_doc_ids(i) for i in range(n)]
+        dels: list[np.ndarray] = []
+        my_buckets = np.array(self.buckets, dtype=np.int32)
+        for e in self.epochs:
             dfile = os.path.join(self.index_dir, e, "deleted.parquet")
-            deleted_per_epoch.append(
-                pq.read_table(dfile)["doc_id"].to_numpy().astype(np.uint64)
-                if os.path.exists(dfile)
-                else np.empty(0, np.uint64)
-            )
+            if os.path.exists(dfile):
+                d = pq.read_table(dfile)["doc_id"].to_numpy().astype(np.uint64)
+                if len(self.buckets) != self.n_buckets:
+                    d = d[np.isin(doc_bucket_of(d, self.n_buckets), my_buckets)]
+                dels.append(d)
+            else:
+                dels.append(np.empty(0, np.uint64))
         dead = []
         for i in range(n):
-            later = ids_per_epoch[i + 1 :] + deleted_per_epoch[i + 1 :]
+            later = ids[i + 1 :] + dels[i + 1 :]
             dead.append(
                 np.unique(np.concatenate(later))
                 if later
@@ -505,44 +532,119 @@ class BM25Engine:
             )
         return dead
 
+    _META_COLS = ("repo", "path", "lang", "content_sha256")
+
+    def _load_meta(self) -> None:
+        """Live doc metadata of this shard's buckets, sorted by doc_id —
+        top-k metadata lookups are a local searchsorted, no table scan."""
+        id_parts, tabs = [], []
+        for ei, e in enumerate(self.epochs):
+            droot = os.path.join(self.index_dir, e, "serving", "docs")
+            epoch_tabs = []
+            for b in self.buckets:
+                bdir = os.path.join(droot, f"bucket={b}")
+                if os.path.isdir(bdir):
+                    epoch_tabs.append(
+                        pads.dataset(bdir).to_table(
+                            columns=["doc_id", *self._META_COLS]
+                        )
+                    )
+            if not epoch_tabs:
+                continue
+            t = pa.concat_tables(epoch_tabs)
+            ids = t["doc_id"].to_numpy().astype(np.uint64)
+            dead = self._dead[ei]
+            if len(dead):
+                idx = np.clip(np.searchsorted(dead, ids), 0, len(dead) - 1)
+                keep = dead[idx] != ids
+                t = t.filter(pa.array(keep))
+                ids = ids[keep]
+            id_parts.append(ids)
+            tabs.append(t)
+        if id_parts:
+            ids = np.concatenate(id_parts)
+            t = pa.concat_tables(tabs)
+            order = np.argsort(ids)
+            self._meta_ids = ids[order]
+            self._meta = {
+                c: t[c].to_numpy(zero_copy_only=False)[order]
+                for c in self._META_COLS
+            }
+        else:
+            self._meta_ids = np.empty(0, np.uint64)
+            self._meta = {c: np.empty(0, object) for c in self._META_COLS}
+
     # -------------------------------------------------------------- lookup
 
-    def _fetch(
-        self, keys: list[tuple[int, str]]
-    ) -> dict[tuple[int, str], _PostingView | None]:
-        missing = [k for k in keys if k not in self._cache]
-        by_shard: dict[int, list[tuple[int, str]]] = {}
-        for k in missing:
-            part = term_hash_one(k[1], k[0]) % self.manifest["num_parts"]
-            by_shard.setdefault(self._shard_of_part[part], []).append(k)
-        futs = {
-            s: self.shards[s].get_postings.remote(ks) for s, ks in by_shard.items()
-        }
-        for s, ks in by_shard.items():
-            for k, entries in zip(ks, ray.get(futs[s])):
-                self._raw[k] = entries
-                self._cache[k] = (
-                    _PostingView(entries, self._dead) if entries else None
-                )
-        return {k: self._cache.get(k) for k in keys}
+    def _view(self, key: tuple[int, str]) -> _PostingView | None:
+        if key in self._cache:
+            return self._cache[key]
+        s = f"{key[0]}:{key[1]}"
+        lo = int(np.searchsorted(self._keys, s, side="left"))
+        hi = int(np.searchsorted(self._keys, s, side="right"))
+        if hi == lo:
+            self._cache[key] = None
+            return None
+        entries = []
+        for j in range(lo, hi):
+            ti = int(self._key_ti[j])
+            ri = int(self._key_ri[j])
+            t = self._tables[ti]
+            entries.append(
+                {
+                    "epoch": self._tbl_epoch[ti],
+                    "df": int(t["df"][ri].as_py()),
+                    "postings": t["postings"][ri].as_py(),
+                    "skips": t["skips"][ri].as_py(),
+                    "positions": (
+                        t["positions"][ri].as_py()
+                        if "positions" in t.column_names
+                        else None
+                    ),
+                }
+            )
+        view = _PostingView(entries, self._dead)
+        self._cache[key] = view
+        return view
+
+    def _rows_for(self, keys) -> dict:
+        return {k: self._view(k) for k in keys}
+
+    def local_dfs(self, keys: list[tuple[int, str]]) -> list[int]:
+        """LIVE local df per key (loads + dead-filters the views; they
+        stay cached for the scoring round that follows)."""
+        out = []
+        for k in keys:
+            v = self._view(tuple(k))
+            out.append(0 if v is None else v.df)
+        return out
 
     # ------------------------------------------------------------- scoring
 
+    def _df_of(self, key, view, df_map) -> int:
+        """GLOBAL df for idf: exact from the serving row (single-epoch) or
+        from the driver-summed live-df map (multi-epoch / deletions)."""
+        if df_map is not None:
+            return df_map.get(key, 0)
+        return view._entries[0]["df"]
+
     def _clause_contrib(
-        self, clause: Clause, rows: dict
+        self, clause: Clause, rows: dict, df_map=None
     ) -> tuple[np.ndarray, np.ndarray] | None:
         """(doc_ids u64, contributions dtype) of one clause, or None."""
         man = self.manifest
         fid = FIELD_IDS[clause.field]
         n_docs = man["num_docs"]
         avgdl = man["fields"][clause.field]["avgdl"]
-        views = [rows.get((fid, t)) for t in clause.terms]
+        keys = [(fid, t) for t in clause.terms]
+        views = [rows.get(k) for k in keys]
         if any(v is None or v.df == 0 for v in views):
             return None
         if not clause.is_phrase:
             v = views[0]
             contrib = scoring.term_scores(
-                v.tfs, v.dls, v.df, n_docs, avgdl, dtype=self.dtype
+                v.tfs, v.dls, self._df_of(keys[0], v, df_map),
+                n_docs, avgdl, dtype=self.dtype,
             )
             return v.docs, contrib
         # phrase: intersect docs, count adjacency runs via positions
@@ -563,7 +665,9 @@ class BM25Engine:
             doc_rank = np.repeat(
                 np.arange(len(common), dtype=np.uint64), lens
             )
-            keys_per_term.append((doc_rank << np.uint64(32)) | flat.astype(np.uint64))
+            keys_per_term.append(
+                (doc_rank << np.uint64(32)) | flat.astype(np.uint64)
+            )
         cand = keys_per_term[0]
         for j in range(1, len(clause.terms)):
             kj = keys_per_term[j]
@@ -581,14 +685,67 @@ class BM25Engine:
             return None
         # phrase idf = sum of member-term idfs (tantivy Bm25Weight::for_terms)
         w = scoring.phrase_weight(
-            [v.df for v in views], n_docs, dtype=self.dtype
+            [self._df_of(k, v, df_map) for k, v in zip(keys, views)],
+            n_docs, dtype=self.dtype,
         )
         contrib = w * scoring.tf_factor(
             pfreqs[match], dl_common[match], avgdl, dtype=self.dtype
         )
         return common[match], contrib
 
-    # ---------------------------------------------- block-max pruned search
+    # ----------------------------------------------------- boolean evaluation
+
+    def _eval_node(self, node, rows, df_map=None):
+        """Evaluate a parse tree -> (docs sorted u64, scores) or None.
+
+        Lucene/tantivy BooleanQuery semantics; per-doc accumulation runs
+        in child order (f32), bit-compatible with the oracle's. Fully
+        doc-local: every contribution for a doc lives in this shard."""
+        if isinstance(node, Clause):
+            return self._clause_contrib(node, rows, df_map)
+        results = [
+            (o, self._eval_node(c, rows, df_map)) for o, c in node.children
+        ]
+        must = [r for o, r in results if o == MUST]
+        if any(r is None for r in must):
+            return None
+        mnot = [r for o, r in results if o == MUST_NOT and r is not None]
+        if must:
+            cand = must[0][0]
+            for d, _ in must[1:]:
+                cand = cand[np.isin(cand, d, assume_unique=True)]
+        else:
+            s_docs = [r[0] for o, r in results if o == SHOULD and r is not None]
+            if not s_docs:
+                return None
+            cand = np.unique(np.concatenate(s_docs))
+        if mnot:
+            neg = np.unique(np.concatenate([r[0] for r in mnot]))
+            cand = cand[~np.isin(cand, neg, assume_unique=True)]
+        if len(cand) == 0:
+            return None
+        acc = np.zeros(len(cand), dtype=self.dtype)
+        for occur, r in results:  # child order == accumulation order
+            if occur == MUST_NOT or r is None:
+                continue
+            d, s = r
+            pos = np.searchsorted(cand, d)
+            pos_c = np.clip(pos, 0, max(len(cand) - 1, 0))
+            m = cand[pos_c] == d
+            acc[pos_c[m]] += s[m]  # unique indices per child -> fancy add
+        return cand, acc
+
+    @staticmethod
+    def _flat_should_clauses(tree) -> list[Clause] | None:
+        """The clause list when the tree is a flat all-SHOULD disjunction
+        of leaves (the MaxScore-prunable shape); else None."""
+        if isinstance(tree, Clause):
+            return [tree]
+        if isinstance(tree, BoolNode) and all(
+            o == SHOULD and isinstance(c, Clause) for o, c in tree.children
+        ):
+            return [c for _, c in tree.children]
+        return None
 
     def _can_prune(self, clauses: list[Clause]) -> bool:
         """MaxScore pruning is wired for the common case: single epoch, no
@@ -601,9 +758,11 @@ class BM25Engine:
         )
 
     def _search_maxscore(
-        self, clauses: list[Clause], rows: dict, k: int
+        self, clauses: list[Clause], rows: dict, k: int, df_map=None
     ) -> tuple[np.ndarray, np.ndarray]:
-        """MaxScore / block-max pruned top-k over the skip metadata.
+        """MaxScore / block-max pruned top-k over this shard's skip
+        metadata (blocks of each serving entry, bucket-ascending so the
+        concatenation stays doc-sorted).
 
         Terms are processed in descending score upper bound
         ``U_t = idf_t * tf_factor(max(block max_tf), min(block min_dl))``;
@@ -621,19 +780,22 @@ class BM25Engine:
             view = rows.get(key)
             if view is None:
                 continue
-            entry = self._raw[key][0]
-            skips = codec.decode_skips(entry["skips"])
+            entries = view._entries
+            skips_list = [codec.decode_skips(e["skips"]) for e in entries]
+            df_g = self._df_of(key, view, df_map)
             avgdl = man["fields"][c.field]["avgdl"]
             u = float(
-                scoring.idf(entry["df"], n_docs, dtype=self.dtype)
+                scoring.idf(df_g, n_docs, dtype=self.dtype)
                 * scoring.tf_factor(
-                    int(skips["max_tf"].max()), int(skips["min_dl"].min()),
+                    int(max(sk["max_tf"].max() for sk in skips_list)),
+                    int(min(sk["min_dl"].min() for sk in skips_list)),
                     avgdl, dtype=self.dtype,
                 )
             )
             infos.append(
-                {"ci": ci, "entry": entry, "view": view, "skips": skips,
-                 "U": u, "df": entry["df"], "avgdl": avgdl}
+                {"ci": ci, "entries": entries, "view": view,
+                 "skips_list": skips_list, "U": u, "df": df_g,
+                 "avgdl": avgdl}
             )
         if not infos:
             return np.empty(0, np.uint64), np.empty(0, self.dtype)
@@ -656,17 +818,29 @@ class BM25Engine:
                 docs, tfs, dls = v.docs, v.tfs, v.dls
             else:
                 # decode only blocks whose doc range can touch a candidate
-                sk = info["skips"]
-                lo = np.concatenate(([np.uint64(0)], sk["last_doc"][:-1] + np.uint64(1)))
-                hi = sk["last_doc"]
-                li = np.searchsorted(acc_docs, lo, side="left")
-                ri = np.searchsorted(acc_docs, hi, side="right")
-                mask = ri > li
-                if not mask.any():
+                # (per serving entry; entries are bucket-ascending)
+                d_l, t_l, l_l = [], [], []
+                for e, sk in zip(info["entries"], info["skips_list"]):
+                    lo = np.concatenate(
+                        ([np.uint64(0)], sk["last_doc"][:-1] + np.uint64(1))
+                    )
+                    hi = sk["last_doc"]
+                    li = np.searchsorted(acc_docs, lo, side="left")
+                    ri = np.searchsorted(acc_docs, hi, side="right")
+                    mask = ri > li
+                    if not mask.any():
+                        continue
+                    d_, t_, l_ = codec.decode_posting_blocks(
+                        e["postings"], e["skips"], mask
+                    )
+                    d_l.append(d_)
+                    t_l.append(t_)
+                    l_l.append(l_)
+                if not d_l:
                     continue
-                docs, tfs, dls = codec.decode_posting_blocks(
-                    info["entry"]["postings"], info["entry"]["skips"], mask
-                )
+                docs = np.concatenate(d_l)
+                tfs = np.concatenate(t_l)
+                dls = np.concatenate(l_l)
                 keep_idx = np.searchsorted(acc_docs, docs)
                 keep_idx = np.clip(keep_idx, 0, len(acc_docs) - 1)
                 keep = acc_docs[keep_idx] == docs
@@ -698,75 +872,172 @@ class BM25Engine:
         order = np.lexsort((uniq, -acc.astype(np.float64)))[:k]
         return uniq[order], acc[order]
 
-    # ----------------------------------------------------- boolean evaluation
+    # ------------------------------------------------------------ querying
 
-    def _eval_node(self, node, rows):
-        """Evaluate a parse tree -> (docs sorted u64, scores) or None.
-
-        Lucene/tantivy BooleanQuery semantics; per-doc accumulation runs
-        in child order (f32), bit-compatible with the oracle's."""
-        if isinstance(node, Clause):
-            return self._clause_contrib(node, rows)
-        results = [(o, self._eval_node(c, rows)) for o, c in node.children]
-        must = [r for o, r in results if o == MUST]
-        if any(r is None for r in must):
-            return None
-        mnot = [r for o, r in results if o == MUST_NOT and r is not None]
-        if must:
-            cand = must[0][0]
-            for d, _ in must[1:]:
-                cand = cand[np.isin(cand, d, assume_unique=True)]
-        else:
-            s_docs = [r[0] for o, r in results if o == SHOULD and r is not None]
-            if not s_docs:
-                return None
-            cand = np.unique(np.concatenate(s_docs))
-        if mnot:
-            neg = np.unique(np.concatenate([r[0] for r in mnot]))
-            cand = cand[~np.isin(cand, neg, assume_unique=True)]
-        if len(cand) == 0:
-            return None
-        acc = np.zeros(len(cand), dtype=self.dtype)
-        for occur, r in results:  # child order == accumulation order
-            if occur == MUST_NOT or r is None:
-                continue
-            d, s = r
-            pos = np.searchsorted(cand, d)
-            pos_c = np.clip(pos, 0, max(len(cand) - 1, 0))
-            m = cand[pos_c] == d
-            acc[pos_c[m]] += s[m]  # unique indices per child -> plain fancy add
-        return cand, acc
-
-    @staticmethod
-    def _flat_should_clauses(tree) -> list[Clause] | None:
-        """The clause list when the tree is a flat all-SHOULD disjunction
-        of leaves (the MaxScore-prunable shape); else None."""
-        if isinstance(tree, Clause):
-            return [tree]
-        if isinstance(tree, BoolNode) and all(
-            o == SHOULD and isinstance(c, Clause) for o, c in tree.children
-        ):
-            return [c for _, c in tree.children]
-        return None
-
-    def search_raw(
-        self, query: str, top_k: int | None = None, *, pruning: bool = True
+    def query_topk(
+        self, query: str, k: int = 100, pruning: bool = True, df_map=None
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Top-k (doc_ids, raw f32 scores), sorted score desc / doc_id asc."""
-        k = top_k if top_k is not None else 100
+        """This shard's top-k (doc_ids, raw scores) for the query."""
         tree = parse_query(query)
+        if tree is None:
+            return np.empty(0, np.uint64), np.empty(0, self.dtype)
         leaves = collect_clauses(tree)
-        keys = [(FIELD_IDS[c.field], t) for c in leaves for t in c.terms]
-        rows = self._fetch(list(dict.fromkeys(keys)))
+        keys = dict.fromkeys(
+            (FIELD_IDS[c.field], t) for c in leaves for t in c.terms
+        )
+        rows = self._rows_for(keys)
         flat = self._flat_should_clauses(tree)
         if pruning and flat is not None and self._can_prune(flat):
-            return self._search_maxscore(flat, rows, k)
-        res = self._eval_node(tree, rows) if tree is not None else None
+            return self._search_maxscore(flat, rows, k, df_map)
+        res = self._eval_node(tree, rows, df_map)
         if res is None:
             return np.empty(0, np.uint64), np.empty(0, self.dtype)
         docs, acc = res
         order = np.lexsort((docs, -acc.astype(np.float64)))[:k]
         return docs[order], acc[order]
+
+    def query_topk_meta(
+        self, query: str, k: int = 100, pruning: bool = True, df_map=None
+    ) -> dict:
+        """Top-k plus this shard's doc metadata (O(k) searchsorted)."""
+        docs, scores = self.query_topk(query, k, pruning, df_map)
+        out = {"doc_id": docs, "score": scores}
+        if len(docs):
+            pos = np.clip(
+                np.searchsorted(self._meta_ids, docs),
+                0, max(len(self._meta_ids) - 1, 0),
+            )
+            found = (
+                self._meta_ids[pos] == docs
+                if len(self._meta_ids)
+                else np.zeros(len(docs), bool)
+            )
+            for c in self._META_COLS:
+                vals = np.full(len(docs), None, dtype=object)
+                vals[found] = self._meta[c][pos[found]]
+                out[c] = vals
+        else:
+            for c in self._META_COLS:
+                out[c] = np.empty(0, dtype=object)
+        return out
+
+    def query_many(
+        self, queries: list[str], k: int = 100, pruning: bool = True,
+        df_map=None,
+    ) -> list[tuple[np.ndarray, np.ndarray]]:
+        return [self.query_topk(q, k, pruning, df_map) for q in queries]
+
+    def ready(self) -> bool:
+        return True
+
+
+DocShard = ray.remote(LocalIndex)
+
+
+class BM25Engine:
+    """Driver-side coordinator over a pool of ``DocShard`` actors, each
+    owning a disjoint set of doc-range buckets (document-partitioned
+    serving; SURVEY.md §7.2 step 7).
+
+    A query fans out to every shard; each shard scores its doc ranges
+    locally (all of a doc's term contributions are shard-local, so scores
+    are exact, not partial) and returns only its top-k; the driver's merge
+    is a concatenate + sort of <= shards * k rows. ``last_fanout_rows``
+    records the actual row traffic of the latest query (tested O(s*k)).
+
+    Global df statistics: exact from serving rows for single-epoch
+    indexes; with incremental epochs/deletions the engine first sums the
+    shards' local live dfs (ints only) and passes the exact global df map
+    into the scoring round — the classic two-phase distributed-IR shape.
+    """
+
+    def __init__(
+        self,
+        index_dir: str,
+        num_shards: int = 4,
+        dtype=np.float32,
+    ):
+        self.index_dir = index_dir
+        self.manifest = load_manifest(index_dir)
+        self.dtype = dtype
+        if "num_serving_buckets" not in self.manifest:
+            raise RuntimeError(
+                "index predates the serving layout — rebuild it"
+            )
+        B = self.manifest["num_serving_buckets"]
+        num_shards = max(1, min(num_shards, B))
+        assign = [
+            [b for b in range(B) if b % num_shards == s]
+            for s in range(num_shards)
+        ]
+        self.shards = [
+            DocShard.remote(index_dir, a, dtype=dtype) for a in assign
+        ]
+        ray.get([s.ready.remote() for s in self.shards])
+        self.epochs = self.manifest.get(
+            "epochs", [self.manifest["epoch_dir"]]
+        )
+        self._needs_df_round = len(self.epochs) > 1 or any(
+            os.path.exists(os.path.join(index_dir, e, "deleted.parquet"))
+            for e in self.epochs
+        )
+        self._df_cache: dict[tuple[int, str], int] = {}
+        self.last_fanout_rows = 0
+
+    # ---------------------------------------------------- global statistics
+
+    def _global_dfs(self, keys: list[tuple[int, str]]) -> dict:
+        missing = [k for k in keys if k not in self._df_cache]
+        if missing:
+            per = ray.get(
+                [s.local_dfs.remote(missing) for s in self.shards]
+            )
+            for i, k in enumerate(missing):
+                self._df_cache[k] = int(sum(p[i] for p in per))
+        return {k: self._df_cache[k] for k in keys}
+
+    def _df_map_for(self, queries: list[str]) -> dict | None:
+        if not self._needs_df_round:
+            return None
+        keys = list(
+            dict.fromkeys(
+                (FIELD_IDS[c.field], t)
+                for q in queries
+                for c in collect_clauses(parse_query(q))
+                for t in c.terms
+            )
+        )
+        return self._global_dfs(keys)
+
+    # ------------------------------------------------------------ searching
+
+    @staticmethod
+    def _merge_topk(
+        parts: list[tuple[np.ndarray, np.ndarray]], k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        docs = np.concatenate([p[0] for p in parts])
+        if len(docs) == 0:
+            return docs.astype(np.uint64), np.concatenate(
+                [p[1] for p in parts]
+            )
+        scores = np.concatenate([p[1] for p in parts])
+        order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
+        return docs[order], scores[order]
+
+    def search_raw(
+        self, query: str, top_k: int | None = None, *, pruning: bool = True
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k (doc_ids, raw scores), sorted score desc / doc_id asc."""
+        k = top_k if top_k is not None else 100
+        df_map = self._df_map_for([query])
+        parts = ray.get(
+            [
+                s.query_topk.remote(query, k, pruning, df_map)
+                for s in self.shards
+            ]
+        )
+        self.last_fanout_rows = int(sum(len(p[0]) for p in parts))
+        return self._merge_topk(parts, k)
 
     def search(
         self,
@@ -776,72 +1047,72 @@ class BM25Engine:
         with_metadata: bool = True,
     ):
         """Full reference semantics: normalize by max score, then threshold
-        (``ck-engine/src/lib.rs:820-844``). Returns a pandas DataFrame."""
+        (``ck-engine/src/lib.rs:820-844``). Returns a pandas DataFrame.
+        Metadata comes back WITH each shard's top-k (doc-range-local
+        lookup) — no driver-side doc-table scan."""
         import pandas as pd
 
-        docs, scores = self.search_raw(query, top_k)
+        k = top_k if top_k is not None else 100
+        df_map = self._df_map_for([query])
+        parts = ray.get(
+            [
+                s.query_topk_meta.remote(query, k, True, df_map)
+                for s in self.shards
+            ]
+        )
+        self.last_fanout_rows = int(sum(len(p["doc_id"]) for p in parts))
+        docs = np.concatenate([p["doc_id"] for p in parts])
         if len(docs) == 0:
             return pd.DataFrame(
-                columns=["doc_id", "score", "normalized_score", "repo", "path", "lang"]
+                columns=[
+                    "doc_id", "score", "normalized_score",
+                    "repo", "path", "lang", "content_sha256",
+                ]
             )
+        scores = np.concatenate([p["score"] for p in parts])
+        order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
+        docs, scores = docs[order], scores[order]
         max_s = scores[0] if scores[0] > 0 else self.dtype(1.0)
         norm = scores / max_s
+        cols = {
+            "doc_id": docs.astype(np.int64),
+            "score": scores,
+            "normalized_score": norm,
+        }
+        for c in LocalIndex._META_COLS:
+            merged = np.concatenate([p[c] for p in parts])[order]
+            cols[c] = merged
+        df = pd.DataFrame(cols)
         if threshold is not None:
-            keep = norm >= threshold
-            docs, scores, norm = docs[keep], scores[keep], norm[keep]
-        df = pd.DataFrame(
-            {
-                "doc_id": docs.astype(np.int64),
-                "score": scores,
-                "normalized_score": norm,
-            }
-        )
-        if with_metadata and len(df):
-            # top-k metadata lookup = parquet scan filtered on doc_id.
-            # Content-addressed ids have no file locality, so this reads
-            # every docs file's doc_id column (fine here; at 10^12 docs the
-            # doc table would be bucket-partitioned by doc_id prefix so a
-            # lookup touches one bucket — same layout change only).
-            metas = []
-            for i, ddir in enumerate(self._docs_dirs):
-                if not os.path.isdir(ddir):
-                    continue
-                m = (
-                    pads.dataset(ddir)
-                    .to_table(
-                        columns=["doc_id", "repo", "path", "lang", "content_sha256"],
-                        filter=pc.field("doc_id").isin(df["doc_id"].tolist()),
-                    )
-                    .to_pandas()
-                )
-                m["epoch_i"] = i
-                metas.append(m)
-            meta = (
-                pd.concat(metas, ignore_index=True)
-                .sort_values("epoch_i")
-                .drop_duplicates("doc_id", keep="last")  # latest epoch wins
-                .drop(columns=["epoch_i"])
+            df = df[df["normalized_score"] >= threshold].reset_index(
+                drop=True
             )
-            df = df.merge(meta, on="doc_id", how="left")
-        return df
+        return df[
+            [
+                "doc_id", "score", "normalized_score",
+                "repo", "path", "lang", "content_sha256",
+            ]
+        ]
 
     def search_many(
         self, queries: list[str], top_k: int | None = None
     ) -> list[tuple[np.ndarray, np.ndarray]]:
-        """Batch query evaluation: ONE fan-out fetch for the union of all
-        query terms (per-shard round trips amortize across the batch),
-        then per-query scoring. The shape the driver's query-suite and
-        bench use."""
-        keys = list(
-            dict.fromkeys(
-                (FIELD_IDS[c.field], t)
-                for q in queries
-                for c in collect_clauses(parse_query(q))
-                for t in c.terms
-            )
+        """Batch query evaluation: ONE round trip per shard for the whole
+        batch (plus one int-only df round when epochs/deletions exist)."""
+        k = top_k if top_k is not None else 100
+        df_map = self._df_map_for(queries)
+        per_shard = ray.get(
+            [
+                s.query_many.remote(queries, k, True, df_map)
+                for s in self.shards
+            ]
         )
-        self._fetch(keys)  # warm the cache in one round trip
-        return [self.search_raw(q, top_k) for q in queries]
+        out = []
+        for qi in range(len(queries)):
+            out.append(
+                self._merge_topk([ps[qi] for ps in per_shard], k)
+            )
+        return out
 
     def close(self):
         for s in self.shards:

@@ -153,17 +153,19 @@ def test_maxscore_pruning_identical(engine, query, k):
     assert np.array_equal(sp, st)
 
 
-def test_pruning_engages(engine):
+def test_pruning_engages(tiny_index):
     """The pruned path actually runs for multi-term single-epoch queries."""
-    from ck_ray.query import parse_query
+    from ck_ray.query import LocalIndex, parse_query
+
+    idx = LocalIndex(tiny_index)  # all buckets: embedded single-process
 
     def flat(q):
-        return engine._flat_should_clauses(parse_query(q)) or []
+        return idx._flat_should_clauses(parse_query(q)) or []
 
-    assert engine._can_prune(flat("def merge window"))
-    assert not engine._can_prune(flat("snake_case merge"))  # phrase
-    assert not engine._can_prune(flat("def"))  # single term
-    assert engine._flat_should_clauses(parse_query("def AND merge")) is None
+    assert idx._can_prune(flat("def merge window"))
+    assert not idx._can_prune(flat("snake_case merge"))  # phrase
+    assert not idx._can_prune(flat("def"))  # single term
+    assert idx._flat_should_clauses(parse_query("def AND merge")) is None
 
 
 def test_engine_matches_committed_goldens(engine):
