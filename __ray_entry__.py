@@ -35,6 +35,95 @@ _BM25_K = 20
 _REGEX_PATTERN = "merge.*window.*batch"
 _STOPWORDS_SQL = "('the','a','of','and','to','in','is','it')"
 
+# POSITIONAL tokens (same analyzer, contiguous 1-based position among the
+# KEPT tokens per doc) — for order-sensitive oracles (shingles, windows)
+_TOKS_POS = """
+tokp0 AS (
+  SELECT doc_id,
+         generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS pos0,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+),
+tokp AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos0) AS pos
+  FROM tokp0 WHERE term <> '' AND length(term) < 40
+)
+"""
+
+_U64 = 1 << 64
+_FP_PRIME = 1099511628211
+
+
+def _fp_coeffs(window: int = 8) -> list[int]:
+    out, c = [], 1
+    for _ in range(window):
+        out.append(c)
+        c = (c * _FP_PRIME) % _U64
+    return out
+
+
+def _shingle_sql(k: int, thr: float) -> str:
+    """Exact token k-gram Jaccard pairs >= thr (string shingles)."""
+    joins = "".join(
+        f"\n  JOIN tokp t{j} ON t0.doc_id = t{j}.doc_id"
+        f" AND t{j}.pos = t0.pos + {j}"
+        for j in range(1, k)
+    )
+    concat = " || chr(1) || ".join(f"t{j}.term" for j in range(k))
+    return f"""
+WITH {_TOKS_POS},
+sh AS (
+  SELECT DISTINCT t0.doc_id, {concat} AS s
+  FROM tokp t0{joins}
+),
+sz AS (SELECT doc_id, count(*) AS size FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(i * 1.0 / (sa.size + sb.size - i), 4) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE round(i * 1.0 / (sa.size + sb.size - i), 4) >= {thr}
+ORDER BY doc_a, doc_b
+"""
+
+
+_LANG_MARKERS_SQL = {
+    "de": ("der", "die", "und", "das", "ein"),
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es": ("el", "la", "y", "de", "que"),
+    "fr": ("le", "la", "et", "de", "un"),
+    "zh": ("de", "le", "shi"),
+}
+
+
+def _simhash_fp_sql() -> str:
+    """fp = 63-bit simhash per doc from md5-u64 token hashes (tf-weighted
+    bit votes), matching ck_ray.ops.dedup.SimHasher bit-for-bit."""
+    bit_terms = "\n       + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)"
+        f" > 0 THEN {1 << b}::UBIGINT ELSE 0::UBIGINT END)"
+        for b in range(63)
+    )
+    return f"""
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(term), 1, 16))::UBIGINT AS h FROM toks2
+),
+fp0 AS (
+  SELECT doc_id, {bit_terms} AS fp
+  FROM th GROUP BY doc_id
+),
+fp AS (
+  SELECT d.doc_id, coalesce(f.fp, 0::UBIGINT) AS fp
+  FROM documents d LEFT JOIN fp0 f USING (doc_id)
+)
+"""
+
 
 def entry() -> Any:
     from ck_ray.pipelines.docsearch import bm25_topk
@@ -135,25 +224,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": docsearch.bm25_topk,
         "bm25_boolean": docsearch.bm25_boolean,
         "regex_match_docs": docsearch.regex_match_docs,
-        "hybrid_rrf": docsearch.hybrid_rrf,  # rows-only (RRF not in SQL)
+        "hybrid_rrf": docsearch.hybrid_rrf,
         # --- dedup family
         "exact_dedup": dedup.exact_dedup,
-        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # rows-only
-        "simhash_pairs": dedup.simhash_pairs,  # rows-only
-        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,  # rows-only
-        "near_dup_groups": dedup.near_dup_groups,  # rows-only
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # rows-only: LSH
+        # recall < 1 by design; its exact-verified superset is the
+        # oracle-gated ngram_jaccard_pairs
+        "simhash_pairs": dedup.simhash_pairs,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "near_dup_groups": dedup.near_dup_groups,
         "embedding_near_dups": dedup.embedding_near_dups,  # rows-only
         # --- similarity search
         "ann_cosine_topk": ann_cosine_topk,
         "ann_ivf_topk": ann_ivf_topk,  # rows-only (approximate by design)
         # --- text analysis extras
-        "langid": text.langid,  # rows-only (heuristic)
-        "fingerprints": text.fingerprints,  # rows-only
-        # --- semantic + multimodal (rows-only; model stages are
-        # deterministic stand-ins, plumbing is production-shaped)
+        "langid": text.langid,
+        "fingerprints": text.fingerprints,
+        # --- semantic + multimodal (semantic is rows-only: the embedder
+        # is a deterministic stand-in; multimodal's fake decode is
+        # sha256-derived and oracle-checked)
         "semantic_topk": semantic_topk,
         "multimodal_features": multimodal,
-        "code_index_stats": code_index_stats,  # rows-only (engine internals)
+        "code_index_stats": code_index_stats,
     }
 
 
@@ -409,6 +501,182 @@ ORDER BY doc_id
         "exact_dedup": """
 SELECT CAST(min(doc_id) AS BIGINT) AS keeper_doc_id, count(*) AS n_copies
 FROM documents GROUP BY text ORDER BY keeper_doc_id
+""",
+        "ngram_jaccard_pairs": _shingle_sql(3, 0.5),
+        "near_dup_groups": f"""
+WITH RECURSIVE {_TOKS_POS.strip().lstrip()},
+sh AS (
+  SELECT DISTINCT t0.doc_id,
+         t0.term || chr(1) || t1.term || chr(1) || t2.term || chr(1)
+           || t3.term || chr(1) || t4.term AS s
+  FROM tokp t0
+  JOIN tokp t1 ON t0.doc_id = t1.doc_id AND t1.pos = t0.pos + 1
+  JOIN tokp t2 ON t0.doc_id = t2.doc_id AND t2.pos = t0.pos + 2
+  JOIN tokp t3 ON t0.doc_id = t3.doc_id AND t3.pos = t0.pos + 3
+  JOIN tokp t4 ON t0.doc_id = t4.doc_id AND t4.pos = t0.pos + 4
+),
+sz AS (SELECT doc_id, count(*) AS size FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+  WHERE round(i * 1.0 / (sa.size + sb.size - i), 4) >= 0.6
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT u FROM edges),
+reach(src, dst) AS (
+  SELECT u, u FROM nodes
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+)
+SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS group_keeper
+FROM reach GROUP BY src
+ORDER BY group_keeper, doc_id
+""",
+        "simhash_pairs": f"""
+WITH {_TOKS},
+{_simhash_fp_sql().strip()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.fp::BIGINT, b.fp::BIGINT)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp::BIGINT, b.fp::BIGINT)) <= 3
+ORDER BY doc_a, doc_b
+""",
+        "fingerprints": f"""
+WITH {_TOKS_POS},
+th AS (
+  SELECT doc_id, pos,
+         ('0x' || substr(md5(term), 1, 8))::UBIGINT AS h
+  FROM tokp
+),
+win AS (
+  SELECT t.doc_id, t.pos, n.n,
+         (( {" + ".join(
+             f"coalesce(lead(t.h, {j}) OVER w, 0)::HUGEINT"
+             f" * {c}::HUGEINT" for j, c in enumerate(_fp_coeffs(8))
+         )}
+         ) % {_U64}::HUGEINT) AS wh
+  FROM th t
+  JOIN (SELECT doc_id, count(*) AS n FROM th GROUP BY doc_id) n USING (doc_id)
+  WINDOW w AS (PARTITION BY t.doc_id ORDER BY t.pos)
+),
+fp0 AS (
+  SELECT doc_id, min(wh) AS fp
+  FROM win
+  WHERE (n >= 8 AND pos <= n - 7) OR (n < 8 AND pos = 1)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(f.fp, 0::HUGEINT) % {1 << 63}::HUGEINT AS BIGINT)
+         AS fingerprint
+FROM documents d LEFT JOIN fp0 f USING (doc_id)
+ORDER BY d.doc_id
+""",
+        "langid": f"""
+WITH {_TOKS},
+sc AS (
+  SELECT doc_id,
+{",".join(
+    f"         sum(CASE WHEN term IN {tuple(words)!r} THEN 1 ELSE 0 END)"
+    f" AS s_{lang}" for lang, words in _LANG_MARKERS_SQL.items()
+)}
+  FROM toks2 GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang AS lang_true,
+       CASE
+         WHEN greatest({", ".join(
+             f"coalesce(s_{lang}, 0)" for lang in _LANG_MARKERS_SQL
+         )}) = 0 THEN 'und'
+{"".join(
+    f"         WHEN coalesce(s_{lang}, 0) = greatest("
+    + ", ".join(f"coalesce(s_{x}, 0)" for x in _LANG_MARKERS_SQL)
+    + f") THEN '{lang}'" + chr(10) for lang in _LANG_MARKERS_SQL
+)}       END AS lang_guess
+FROM documents d LEFT JOIN sc USING (doc_id)
+ORDER BY d.doc_id
+""",
+        "code_index_stats": f"""
+WITH {_TOKS},
+cstats AS (
+  SELECT count(DISTINCT term) AS content_terms,
+         count(*) AS content_tokens,
+         (SELECT count(*) FROM (SELECT DISTINCT doc_id, term FROM toks2))
+           AS content_postings
+  FROM toks2
+),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT CAST(n.n_docs AS BIGINT)                          AS num_docs,
+       CAST(1 AS BIGINT)                                 AS num_epochs,
+       CAST(c.content_tokens AS BIGINT)                  AS total_tokens_content,
+       CAST(n.n_docs AS BIGINT)                          AS total_tokens_path,
+       round(c.content_tokens * 1.0 / n.n_docs, 6)       AS avgdl_content,
+       CAST(c.content_terms + n.n_docs AS BIGINT)        AS n_terms,
+       CAST(c.content_postings + n.n_docs AS BIGINT)     AS n_postings,
+       CAST(8 AS BIGINT)                                 AS num_parts,
+       CAST(0 AS BIGINT)                                 AS hot_terms
+FROM cstats c, n
+""",
+        "hybrid_rrf": f"""
+WITH {_TOKS},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+qterms AS (SELECT * FROM (VALUES {", ".join(f"('{t}')" for t in _BM25_QUERY_TERMS)}) AS q(term)),
+df AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * ((tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) ) AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+lex AS (
+  -- membership of the top-100 is decided on unrounded scores, but the
+  -- published list (and so the RRF rank) orders by the ROUNDED score —
+  -- mirroring bm25_topk's 4dp output contract
+  SELECT doc_id,
+         row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS r
+  FROM (SELECT * FROM scores ORDER BY score DESC, doc_id LIMIT 100)
+),
+rex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS r
+  FROM documents WHERE regexp_matches(text, '{_REGEX_PATTERN}')
+),
+fused AS (
+  SELECT coalesce(lex.doc_id, rex.doc_id) AS doc_id,
+         coalesce(1.0 / (60 + lex.r), 0) + coalesce(1.0 / (60 + rex.r), 0)
+           AS rrf
+  FROM lex FULL OUTER JOIN rex USING (doc_id)
+)
+SELECT doc_id, round(rrf, 6) AS rrf_score
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 20
+""",
+        "multimodal_features": """
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(('0x' || substr(sha256(text), 1, 2))::UBIGINT
+            + 256 * ('0x' || substr(sha256(text), 3, 2))::UBIGINT
+            AS BIGINT) AS feat0_u16
+FROM documents ORDER BY doc_id
 """,
         "ann_cosine_topk": """
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

@@ -74,6 +74,32 @@ def sha256_hex_column(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
     return pa.array(out, type=pa.string())
 
 
+def md5_u64(term: str) -> int:
+    """First 8 md5 bytes as uint64 — the SQL-replicable token hash
+    (DuckDB: ``('0x' || substr(md5(term), 1, 16))::UBIGINT``), used by the
+    operators whose DuckDB oracles must recompute identical hashes
+    (simhash, fingerprints)."""
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:16], 16)
+
+
+def md5_u64_of_terms(terms: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """md5_u64 per row, hashing each DISTINCT term once (dictionary
+    encode; the md5 loop is vocabulary-bounded, the scatter vectorized)."""
+    import pyarrow.compute as pc
+
+    if isinstance(terms, pa.ChunkedArray):
+        terms = terms.combine_chunks()
+    if len(terms) == 0:
+        return np.empty(0, np.uint64)
+    enc = pc.dictionary_encode(terms)
+    uniq = np.fromiter(
+        (md5_u64(t) for t in enc.dictionary.to_pylist()),
+        dtype=np.uint64,
+        count=len(enc.dictionary),
+    )
+    return uniq[enc.indices.to_numpy(zero_copy_only=False)]
+
+
 def doc_id_for(repo: str, path: str, commit: str) -> int:
     h = hashlib.sha256(f"{repo}\x00{path}\x00{commit}".encode("utf-8")).digest()
     return int.from_bytes(h[:8], "big") & 0x7FFF_FFFF_FFFF_FFFF
@@ -84,9 +110,30 @@ def doc_id_column(
     path: pa.Array | pa.ChunkedArray,
     commit: pa.Array | pa.ChunkedArray,
 ) -> pa.Array:
-    ids = np.fromiter(
-        (doc_id_for(r, p, c) for r, p, c in zip(repo.to_pylist(), path.to_pylist(), commit.to_pylist())),
-        dtype=np.int64,
-        count=len(repo),
+    """Same bytes as ``doc_id_for`` row-wise, but the key material is
+    assembled by ONE vectorized Arrow concat and hashed from memoryview
+    slices — the Python loop is just C sha256 calls over buffer views (no
+    per-row join/encode/str allocation)."""
+    import pyarrow.compute as pc
+
+    keys = pc.binary_join_element_wise(
+        pc.binary_join_element_wise(repo, path, "\x00"), commit, "\x00"
     )
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    n = len(keys)
+    if n == 0:
+        return pa.array([], type=pa.int64())
+    bufs = keys.buffers()  # [validity, int32 offsets, utf8 data]
+    offs = np.frombuffer(bufs[1], dtype=np.int32)[
+        keys.offset : keys.offset + n + 1
+    ].astype(np.int64)
+    data = memoryview(bufs[2])
+    sha = hashlib.sha256
+    dig = b"".join(
+        sha(data[offs[i] : offs[i + 1]]).digest()[:8] for i in range(n)
+    )
+    ids = (
+        np.frombuffer(dig, dtype=">u8") & np.uint64(0x7FFF_FFFF_FFFF_FFFF)
+    ).astype(np.int64)
     return pa.array(ids, type=pa.int64())

@@ -50,20 +50,20 @@ def exact_dedup(sf_dir: str) -> pd.DataFrame:
         ]
         return pa.table({"doc_id": t["doc_id"], "h": pa.array(hs, pa.string())})
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "keeper_doc_id": [int(g["doc_id"].min())],
-                "n_copies": [len(g)],
-            }
-        )
+    from ray.data.aggregate import Count, Min
 
     out = (
         ds.map_batches(hash_batch, batch_format="pyarrow")
         .groupby("h")
-        .map_groups(keep_first, batch_format="pandas")
-        .to_pandas()
+        # native hash aggregate — no per-group Python call (one pandas
+        # call per DISTINCT text was the r1 anti-pattern)
+        .aggregate(
+            Min("doc_id", alias_name="keeper_doc_id"),
+            Count(alias_name="n_copies"),
+        )
+        .to_pandas()[["keeper_doc_id", "n_copies"]]
     )
+    out["keeper_doc_id"] = out["keeper_doc_id"].astype("int64")
     out["n_copies"] = out["n_copies"].astype("int64")
     return out.sort_values("keeper_doc_id").reset_index(drop=True)
 
@@ -216,74 +216,217 @@ def minhash_lsh_pairs(
     if len(cand) == 0:
         return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
     cand = cand.drop_duplicates().astype({"doc_a": "int64", "doc_b": "int64"})
-    # exact-verify candidates: shingle sets of only the involved docs
-    import pyarrow.dataset as pads
-
+    # DISTRIBUTED exact verify (r1 materialized candidate texts on the
+    # driver): run the exact-Jaccard pipeline over only the candidate-
+    # involved docs (predicate-pushdown read; a semi-join at 100 TB),
+    # then keep the LSH-candidate pairs above threshold. Text never
+    # reaches the driver; only id+hash rows shuffle.
     need = sorted(set(cand["doc_a"]) | set(cand["doc_b"]))
-    sub = (
-        pads.dataset(docs_path)
-        .to_table(columns=["doc_id", "text"], filter=pc.field("doc_id").isin(need))
+    sub = ray.data.read_parquet(
+        docs_path, columns=["doc_id", "text"],
+        filter=pc.field("doc_id").isin(need),
     )
-    starts, sh = _shingle_hashes(sub, k)
-    sets = {
-        int(d): set(sh[starts[i] : starts[i + 1]].tolist())
-        for i, d in enumerate(sub["doc_id"].to_pylist())
-    }
-    jac = []
-    for a_, b_ in zip(cand["doc_a"], cand["doc_b"]):
-        sa, sb = sets.get(int(a_), set()), sets.get(int(b_), set())
-        u = len(sa | sb)
-        jac.append(len(sa & sb) / u if u else 0.0)
-    cand["jaccard"] = np.round(jac, 4)
-    out = cand[cand["jaccard"] >= jaccard_threshold]
+    exact = _exact_jaccard_over(sub, k, jaccard_threshold)
+    out = exact.merge(cand, on=["doc_a", "doc_b"], how="inner")
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 def ngram_jaccard_pairs(
     sf_dir: str, n: int = 3, threshold: float = 0.5
 ) -> pd.DataFrame:
-    """Near-dup pairs by exact token n-gram Jaccard.
+    """EXACT all-pairs token n-gram Jaccard >= threshold, distributed.
 
-    Scale shape: candidates come from permissive MinHash-LSH banding
-    (recall-oriented: 32 bands of 2 rows), then EXACT n-gram Jaccard is
-    computed only inside candidate buckets — all-pairs never happens."""
-    return minhash_lsh_pairs(
-        sf_dir, n_perm=64, bands=32, k=n, jaccard_threshold=threshold
+    Shape (only ids + 64-bit shingle hashes ever shuffle, never text):
+
+    1. per batch: DISTINCT (doc_id, shingle) rows + the doc's distinct-
+       shingle count carried on every row (vectorized ``_shingle_hashes``);
+    2. ``groupby(shingle-prefix)``: co-occurring (a < b) pairs emitted per
+       exact shingle bucket, carrying (size_a, size_b) — buckets resolved
+       vectorized inside a coarse group, same pattern as LSH banding;
+    3. ``groupby(a, b).aggregate(Count, Min(sa), Min(sb))`` -> |A∩B| and
+       sizes in one shuffle, J = inter / (|A| + |B| - inter), filter.
+
+    At 100 TB step 2 needs prefix filtering (keep each doc's rarest
+    shingles by global df before pairing) to bound the blowup of stop-
+    shingle buckets; the J arithmetic is unchanged. DuckDB oracle:
+    identical pipeline over string shingles (``__ray_entry__``)."""
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    ds = ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+    return _exact_jaccard_over(ds, n, threshold)
+
+
+def _exact_jaccard_over(
+    ds: ray.data.Dataset, n: int, threshold: float
+) -> pd.DataFrame:
+    """Exact n-gram Jaccard pairs >= threshold over a (doc_id, text)
+    dataset — the shared engine of ``ngram_jaccard_pairs`` and the
+    distributed MinHash verify."""
+
+    def doc_shingles(t: pa.Table) -> pa.Table:
+        starts, sh = _shingle_hashes(t, n)
+        nrows = t.num_rows
+        counts = np.diff(starts)
+        row = np.repeat(np.arange(nrows), counts)
+        # distinct (row, shingle)
+        order = np.lexsort((sh, row))
+        r2, s2 = row[order], sh[order]
+        keep = np.concatenate(
+            ([True], (r2[1:] != r2[:-1]) | (s2[1:] != s2[:-1]))
+        ) if len(r2) else np.empty(0, bool)
+        r2, s2 = r2[keep], s2[keep]
+        sizes = np.bincount(r2, minlength=nrows)  # distinct shingles/doc
+        ids = t["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "sh": pa.array(
+                    (s2 & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64)
+                ),
+                "doc_id": pa.array(ids[r2]),
+                "size": pa.array(sizes[r2].astype(np.int64)),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sh", "doc_id"])
+        h = g["sh"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        sz = g["size"].to_numpy()
+        starts = np.nonzero(np.concatenate(([True], h[1:] != h[:-1])))[0]
+        ends = np.concatenate((starts[1:], [len(h)]))
+        a_l, b_l, sa_l, sb_l = [], [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            ai, bi = np.triu_indices(e - s, 1)
+            a_l.append(ids[s:e][ai])
+            b_l.append(ids[s:e][bi])
+            sa_l.append(sz[s:e][ai])
+            sb_l.append(sz[s:e][bi])
+        if not a_l:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                    "sa": pd.Series([], dtype="int64"),
+                    "sb": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(a_l),
+                "doc_b": np.concatenate(b_l),
+                "sa": np.concatenate(sa_l),
+                "sb": np.concatenate(sb_l),
+            }
+        )
+
+    from ray.data.aggregate import Count, Min
+
+    shingles = ds.map_batches(doc_shingles, batch_format="pyarrow")
+
+    def coarse(t: pa.Table) -> pa.Table:
+        b = (t["sh"].to_numpy() >> np.int64(52)).astype(np.int32)
+        return t.append_column("bk", pa.array(b))
+
+    inter = (
+        shingles.map_batches(coarse, batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(
+            Count(alias_name="inter"),
+            Min("sa", alias_name="sa"),
+            Min("sb", alias_name="sb"),
+        )
+        .to_pandas()
     )
+    if len(inter) == 0:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "jaccard": pd.Series([], dtype="float64"),
+            }
+        )
+    union = inter["sa"] + inter["sb"] - inter["inter"]
+    inter["jaccard"] = np.round(inter["inter"] / union, 4)
+    out = inter[inter["jaccard"] >= threshold][["doc_a", "doc_b", "jaccard"]]
+    out = out.astype({"doc_a": "int64", "doc_b": "int64"})
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def connected_components(pairs: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, group_keeper) per node of the pair graph, keeper = min
+    doc_id of the connected component — distributed min-label propagation.
+
+    Each round: every node offers its current label to its neighbors, a
+    ``groupby(node).min`` keeps the smallest seen; converges in O(graph
+    diameter) rounds. The per-round label lookup here is a broadcast dict
+    (the label table is bounded by the number of near-dup nodes, tiny
+    relative to the corpus); at 100 TB the lookup becomes a hash-
+    partitioned join on the same keys — the rounds and the keeper
+    semantics are identical."""
+    import ray as _ray
+    from ray.data.aggregate import Min
+
+    if len(pairs) == 0:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "group_keeper": pd.Series([], dtype="int64"),
+            }
+        )
+    a = pairs["doc_a"].to_numpy(dtype=np.int64)
+    b = pairs["doc_b"].to_numpy(dtype=np.int64)
+    edges = pa.table(
+        {
+            "u": pa.array(np.concatenate((a, b))),
+            "v": pa.array(np.concatenate((b, a))),
+        }
+    )
+    edges_ds = ray.data.from_arrow(edges)
+    nodes = np.unique(np.concatenate((a, b)))  # sorted
+    labels = nodes.copy()  # label[i] = component label of nodes[i]
+    while True:
+        lab_ref = _ray.put((nodes, labels))
+
+        def offer(t: pa.Table) -> pa.Table:
+            keys, vals = _ray.get(lab_ref)
+            u = t["u"].to_numpy()
+            lu = vals[np.searchsorted(keys, u)]  # every u is a node
+            return pa.table({"node": t["v"], "label": pa.array(lu)})
+
+        new = (
+            edges_ds.map_batches(offer, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .to_pandas()
+        )
+        nl = labels.copy()
+        pos = np.searchsorted(nodes, new["node"].to_numpy(dtype=np.int64))
+        np.minimum.at(nl, pos, new["label"].to_numpy(dtype=np.int64))
+        if np.array_equal(nl, labels):
+            break
+        labels = nl
+    out = pd.DataFrame(
+        {
+            "doc_id": pd.Series(nodes, dtype="int64"),
+            "group_keeper": pd.Series(labels, dtype="int64"),
+        }
+    )
+    return out.sort_values(["group_keeper", "doc_id"]).reset_index(drop=True)
 
 
 def near_dup_groups(
     sf_dir: str, jaccard_threshold: float = 0.6, **kw
 ) -> pd.DataFrame:
-    """Connected components over the verified MinHash-LSH pair graph:
+    """Connected components over the EXACT 5-gram Jaccard pair graph:
     (doc_id, group_keeper) for every doc in a near-dup cluster, keeper =
-    min doc_id of the component.
-
-    Components run union-find on the driver — the verified pair set is
-    tiny relative to the corpus (pairs above threshold). At web scale with
-    a large pair set this becomes a few rounds of min-label propagation
-    (groupby-min per round); the keeper semantics are identical."""
-    pairs = minhash_lsh_pairs(sf_dir, jaccard_threshold=jaccard_threshold, **kw)
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    members = sorted(set(pairs["doc_a"]) | set(pairs["doc_b"]))
-    out = pd.DataFrame(
-        {
-            "doc_id": pd.Series(members, dtype="int64"),
-            "group_keeper": pd.Series([find(m) for m in members], dtype="int64"),
-        }
-    )
-    return out.sort_values(["group_keeper", "doc_id"]).reset_index(drop=True)
+    min doc_id of the component (min-label propagation, see
+    ``connected_components``). DuckDB oracle: recursive transitive
+    closure over the same exact pairs."""
+    pairs = ngram_jaccard_pairs(sf_dir, n=5, threshold=jaccard_threshold)
+    return connected_components(pairs)
 
 
 # ----------------------------------------------------------------- simhash
@@ -291,29 +434,32 @@ def near_dup_groups(
 
 class SimHasher:
     """64-bit simhash per doc; actor-pool stage (projection-free variant:
-    bit votes from token hashes weighted by tf)."""
+    bit votes from token hashes weighted by tf).
+
+    Token hash = first 8 md5 bytes (``ids.md5_u64``) so the DuckDB oracle
+    recomputes bit-identical fingerprints in SQL
+    (``('0x'||substr(md5(term),1,16))::UBIGINT``); bit 63 is masked off
+    (int64-safe on both sides), so Hamming distances run over 63 bits."""
 
     def __init__(self):
-        self.bit = np.uint64(1)
+        from ..ids import md5_u64_of_terms
+
+        self._hash = md5_u64_of_terms
 
     def __call__(self, t: pa.Table) -> pa.Table:
         tb = tokenize_array(t["text"])
         n = t.num_rows
-        th = term_hash(tb.term, np.zeros(len(tb.row_index), dtype=np.int64))
+        th = self._hash(tb.term)
         fps = np.zeros(n, dtype=np.uint64)
-        votes = np.zeros((n, 64), dtype=np.int64)
         rows = tb.row_index
-        for b in range(64):
+        for b in range(63):
             bitset = ((th >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
-            votes[:, b] = np.bincount(rows, weights=2 * bitset - 1, minlength=n)
-        for b in range(64):
-            fps |= (votes[:, b] > 0).astype(np.uint64) << np.uint64(b)
+            votes = np.bincount(rows, weights=2 * bitset - 1, minlength=n)
+            fps |= (votes > 0).astype(np.uint64) << np.uint64(b)
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "simhash": pa.array(
-                    (fps & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64)
-                ),
+                "simhash": pa.array(fps.astype(np.int64)),
             }
         )
 
@@ -357,7 +503,10 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
                 continue
             ai, bi = np.triu_indices(e - s, 1)
             x = hs[s:e][ai] ^ hs[s:e][bi]
-            ham = np.array([bin(int(y)).count("1") for y in x])
+            # vectorized popcount: bytes view -> unpackbits row-sum
+            ham = np.unpackbits(
+                x.view(np.uint8).reshape(-1, 8), axis=1
+            ).sum(axis=1).astype(np.int64)
             keep = ham <= max_hamming
             out_a.append(ids[s:e][ai][keep])
             out_b.append(ids[s:e][bi][keep])

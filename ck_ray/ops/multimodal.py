@@ -102,9 +102,15 @@ def multimodal_features(sf_dir: str) -> pd.DataFrame:
         )
         .to_pandas()
     )
-    out["feat0"] = out["features"].map(lambda v: round(float(v[0]), 6))
+    # feat0 as the raw uint16 (features[0] * 65535 is exact in f32): an
+    # integer column survives the driver's value-hash compare with no
+    # float-rounding hazard, and the DuckDB oracle recomputes it from
+    # sha256 hex directly
+    out["feat0_u16"] = (
+        out["features"].map(lambda v: float(v[0])) * 65535.0
+    ).round().astype("int64")
     return (
-        out[["doc_id", "n_bytes", "feat0"]]
+        out[["doc_id", "n_bytes", "feat0_u16"]]
         .sort_values("doc_id")
         .reset_index(drop=True)
     )

@@ -174,9 +174,9 @@ class LangIdHeuristic:
         for i, (lang, prof) in enumerate(sorted(self.profiles.items())):
             hit = np.isin(terms, list(prof))
             scores[i] = np.bincount(tb.row_index, weights=hit, minlength=n)
-        langs = np.array(sorted(self.profiles))
+        langs = np.array(sorted(self.profiles), dtype=object)
         guess = langs[np.argmax(scores, axis=0)]
-        guess[scores.max(axis=0) == 0] = "und"
+        guess[scores.max(axis=0) == 0] = "und"  # object dtype: no U2 clip
         return pa.table(
             {
                 "doc_id": t["doc_id"],
@@ -196,30 +196,48 @@ def langid(sf_dir: str) -> pd.DataFrame:
     )
 
 
+_FP_PRIME = np.uint64(1099511628211)  # FNV prime as the window multiplier
+
+
 def fingerprints(sf_dir: str, window: int = 8) -> pd.DataFrame:
-    """Rolling-hash document fingerprint (winnowing-lite): min FNV hash of
-    each doc's token n-gram windows, as an int64 — vectorized per batch."""
-    from ..ids import term_hash
+    """Rolling-hash document fingerprint (winnowing-lite): min over the
+    doc's token ``w``-gram windows of ``sum_j tok_h[i+j] * P^j mod 2^64``
+    with ``w = min(window, n_tokens)``; token hash = first 4 md5 bytes
+    (32-bit, so the DuckDB oracle's HUGEINT products stay in range) —
+    recomputed bit-identically in SQL. Fully vectorized ragged-window
+    kernel (the r1 per-doc Python loop is gone); docs with n < window
+    fall to a tiny residual loop (one whole-doc window each)."""
+    from ..ids import md5_u64_of_terms
 
     ds = _docs(sf_dir, ["doc_id", "text"])
+    powers = np.empty(window, dtype=np.uint64)
+    powers[0] = 1
+    for j in range(1, window):
+        powers[j] = powers[j - 1] * _FP_PRIME  # wraps mod 2^64
 
     def per_doc(t: pa.Table) -> pa.Table:
         tb = tokenize_array(t["text"])
-        th = term_hash(tb.term, np.zeros(len(tb.row_index), dtype=np.int64))
+        th = md5_u64_of_terms(tb.term) >> np.uint64(32)  # first 4 md5 bytes
         n = t.num_rows
+        counts = np.bincount(tb.row_index, minlength=n)
+        starts = np.concatenate(([0], np.cumsum(counts)))
         fp = np.zeros(n, dtype=np.uint64)
-        # rolling window combine: h[i] = xor of window token hashes rotated
-        starts = np.concatenate(([0], np.cumsum(np.bincount(tb.row_index, minlength=n))))
-        for d in range(n):
+        long = counts >= window
+        if long.any():
+            valid_len = (counts[long] - window + 1).astype(np.int64)
+            total = int(valid_len.sum())
+            win_ord = np.arange(total) - np.repeat(
+                np.concatenate(([0], np.cumsum(valid_len)[:-1])), valid_len
+            )
+            base = np.repeat(starts[:-1][long], valid_len) + win_ord
+            acc = np.zeros(total, dtype=np.uint64)
+            for j in range(window):  # window is small; passes vectorized
+                acc += th[base + j] * powers[j]
+            seg = np.concatenate(([0], np.cumsum(valid_len)[:-1]))
+            fp[long] = np.minimum.reduceat(acc, seg)
+        for d in np.nonzero((counts > 0) & ~long)[0]:  # rare short docs
             hs = th[starts[d] : starts[d + 1]]
-            if len(hs) == 0:
-                fp[d] = 0
-                continue
-            w = min(window, len(hs))
-            acc = np.zeros(len(hs) - w + 1, dtype=np.uint64)
-            for j in range(w):
-                acc ^= (hs[j : len(hs) - w + 1 + j] << np.uint64(j % 8))
-            fp[d] = acc.min()
+            fp[d] = (hs * powers[: len(hs)]).sum(dtype=np.uint64)
         return pa.table(
             {
                 "doc_id": t["doc_id"],
