@@ -95,100 +95,184 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
 
 
 def q3_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
-    """Join lineitem x orders x customer (broadcast small sides), top 10."""
+    """lineitem JOIN orders JOIN customer, top 10 revenue orders.
+
+    FACT-FACT side (lineitem x orders) is a distributed SHUFFLE SEMI-JOIN
+    — both sides co-partition on l_orderkey through one union + groupby
+    (native Sum/Max aggregates, no per-group Python, no fact broadcast;
+    r1 shipped every filtered o_orderkey through ray.put). Customer is a
+    true dimension and stays broadcast for its segment filter."""
+    cutoff = pd.Timestamp("1995-03-15")
     cust = pq.read_table(
         _p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
     )
-    building = set(
-        cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].to_pylist()
+    building = np.sort(
+        cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"]
+        .to_numpy()
     )
-    orders = pq.read_table(
-        _p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
-    )
-    cutoff = pd.Timestamp("1995-03-15")
-    mask = pc.and_(
-        pc.less(orders["o_orderdate"], pa.scalar(cutoff)),
-        pc.is_in(orders["o_custkey"], value_set=pa.array(sorted(building))),
-    )
-    orders = orders.filter(mask)
-    okeys = np.sort(orders["o_orderkey"].to_numpy())
-    ok_ref = ray.put(okeys)
+    bref = ray.put(building)
 
-    ds = ray.data.read_parquet(
-        _p(sf_dir, "lineitem"),
-        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
-    )
+    # orders side: distributed filter -> (key, src=1, revenue_e4=0) rows
+    def orders_side(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["o_orderdate"], pa.scalar(cutoff)))
+        keys = t["o_orderkey"].to_numpy()
+        _, hit = _lookup(t["o_custkey"].to_numpy(), ray.get(bref),
+                         ray.get(bref))
+        keys = keys[hit]
+        return pa.table(
+            {
+                "l_orderkey": pa.array(keys),
+                "revenue_e4": pa.array(np.zeros(len(keys), np.int64)),
+                "src": pa.array(np.ones(len(keys), np.int64)),
+            }
+        )
 
-    def partial(t: pa.Table) -> pa.Table:
+    orders_ds = ray.data.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(orders_side, batch_format="pyarrow")
+
+    # lineitem side: filter + map-side partial revenue per orderkey
+    def line_side(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff)))
         keys = t["l_orderkey"].to_numpy()
-        ok = ray.get(ok_ref)
-        _, hit = _lookup(keys, ok, ok)
         price_c = np.round(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
         disc_c = np.round(t["l_discount"].to_numpy() * 100).astype(np.int64)
-        rev = (price_c * (100 - disc_c))[hit]
-        keys = keys[hit]
+        rev = price_c * (100 - disc_c)
         gk, inv = np.unique(keys, return_inverse=True)
         sums = np.zeros(len(gk), dtype=np.int64)
         np.add.at(sums, inv, rev)
-        return pa.table({"l_orderkey": gk, "revenue_e4": sums})
+        return pa.table(
+            {
+                "l_orderkey": pa.array(gk),
+                "revenue_e4": pa.array(sums),
+                "src": pa.array(np.zeros(len(gk), np.int64)),
+            }
+        )
+
+    line_ds = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(line_side, batch_format="pyarrow")
+
+    from ray.data.aggregate import Max
+
+    joined = (
+        line_ds.union(orders_ds)
+        .groupby("l_orderkey")
+        .aggregate(
+            Sum("revenue_e4", alias_name="revenue_e4"),
+            Max("src", alias_name="has_order"),
+        )
+    )
+
+    # semi-join predicate: keys present on BOTH sides (an orders row AND
+    # revenue from at least one lineitem partial); then DISTRIBUTED
+    # sort + limit — the full joined key set never reaches the driver
+    def matched(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(t["has_order"], 1), pc.greater(t["revenue_e4"], 0)
+        )
+        return t.filter(keep).select(["l_orderkey", "revenue_e4"])
 
     out = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
+        joined.map_batches(matched, batch_format="pyarrow")
+        .sort(["revenue_e4", "l_orderkey"], descending=[True, False])
+        .limit(10)
         .to_pandas()
     )
-    out = out.sort_values(["revenue_e4", "l_orderkey"], ascending=[False, True]).head(10)
     out["revenue_e4"] = out["revenue_e4"].astype("int64")
+    out["l_orderkey"] = out["l_orderkey"].astype("int64")
     return out.reset_index(drop=True)
 
 
 def q5_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     """lineitem x orders x customer x supplier x nation (c_nationkey ==
-    s_nationkey), revenue per nation — all small sides broadcast."""
-    orders = pq.read_table(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    s_nationkey), revenue per nation.
+
+    FACT-FACT side (lineitem x orders) is a distributed SHUFFLE JOIN on
+    the composite key (orderkey, nationkey): the orders side maps each
+    order to its customer's nation (customer/supplier/nation are true
+    dimensions -> broadcast), the lineitem side carries the supplier's
+    nation, and one union + groupby co-partitions both — a group matches
+    exactly when c_nationkey == s_nationkey. No fact table is ever
+    broadcast or driver-materialized (r1 shipped all orders+customer+
+    supplier arrays through ray.put)."""
     cust = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
     supp = pq.read_table(_p(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
     nation = pq.read_table(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
 
-    ok = orders["o_orderkey"].to_numpy()
-    order_sort = np.argsort(ok)
-    o_keys = ok[order_sort]
-    o_cust = orders["o_custkey"].to_numpy()[order_sort]
     ck = cust["c_custkey"].to_numpy()
-    cust_sort = np.argsort(ck)
-    c_keys = ck[cust_sort]
-    c_nat = cust["c_nationkey"].to_numpy()[cust_sort]
+    cs = np.argsort(ck)
     sk = supp["s_suppkey"].to_numpy()
-    supp_sort = np.argsort(sk)
-    s_keys = sk[supp_sort]
-    s_nat = supp["s_nationkey"].to_numpy()[supp_sort]
-    ref = ray.put((o_keys, o_cust, c_keys, c_nat, s_keys, s_nat))
-
-    ds = ray.data.read_parquet(
-        _p(sf_dir, "lineitem"),
-        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ss = np.argsort(sk)
+    dims = ray.put(
+        (
+            ck[cs], cust["c_nationkey"].to_numpy()[cs],
+            sk[ss], supp["s_nationkey"].to_numpy()[ss],
+        )
     )
 
-    def partial(t: pa.Table) -> pa.Table:
-        o_keys, o_cust, c_keys, c_nat, s_keys, s_nat = ray.get(ref)
-        lok = t["l_orderkey"].to_numpy()
-        lsk = t["l_suppkey"].to_numpy()
-        custk, hit_o = _lookup(lok, o_keys, o_cust)
-        natc, hit_c = _lookup(custk, c_keys, c_nat)
-        nats, hit_s = _lookup(lsk, s_keys, s_nat)
-        keep = hit_o & hit_c & hit_s & (natc == nats)
+    def orders_side(t: pa.Table) -> pa.Table:
+        c_keys, c_nat, _, _ = ray.get(dims)
+        nat, hit = _lookup(t["o_custkey"].to_numpy(), c_keys, c_nat)
+        keys = t["o_orderkey"].to_numpy()[hit]
+        return pa.table(
+            {
+                "l_orderkey": pa.array(keys),
+                "nationkey": pa.array(nat[hit].astype(np.int64)),
+                "revenue_e4": pa.array(np.zeros(len(keys), np.int64)),
+                "src": pa.array(np.ones(len(keys), np.int64)),
+            }
+        )
+
+    orders_ds = ray.data.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
+    ).map_batches(orders_side, batch_format="pyarrow")
+
+    def line_side(t: pa.Table) -> pa.Table:
+        _, _, s_keys, s_nat = ray.get(dims)
+        nat, hit = _lookup(t["l_suppkey"].to_numpy(), s_keys, s_nat)
         price_c = np.round(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
         disc_c = np.round(t["l_discount"].to_numpy() * 100).astype(np.int64)
-        rev = (price_c * (100 - disc_c))[keep]
-        gk, inv = np.unique(natc[keep], return_inverse=True)
+        rev = (price_c * (100 - disc_c))[hit]
+        keys = t["l_orderkey"].to_numpy()[hit]
+        nat = nat[hit].astype(np.int64)
+        # map-side partial per (orderkey, nationkey)
+        comb = (keys.astype(np.uint64) << np.uint64(8)) | nat.astype(np.uint64)
+        gk, inv = np.unique(comb, return_inverse=True)
         sums = np.zeros(len(gk), dtype=np.int64)
         np.add.at(sums, inv, rev)
-        return pa.table({"nationkey": gk.astype(np.int64), "revenue_e4": sums})
+        return pa.table(
+            {
+                "l_orderkey": pa.array((gk >> np.uint64(8)).astype(np.int64)),
+                "nationkey": pa.array((gk & np.uint64(0xFF)).astype(np.int64)),
+                "revenue_e4": pa.array(sums),
+                "src": pa.array(np.zeros(len(gk), np.int64)),
+            }
+        )
+
+    line_ds = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(line_side, batch_format="pyarrow")
+
+    from ray.data.aggregate import Max
+
+    def matched(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(t["has_order"], 1), pc.greater(t["revenue_e4"], 0)
+        )
+        return t.filter(keep).select(["nationkey", "revenue_e4"])
 
     out = (
-        ds.map_batches(partial, batch_format="pyarrow")
+        line_ds.union(orders_ds)
+        .groupby(["l_orderkey", "nationkey"])
+        .aggregate(
+            Sum("revenue_e4", alias_name="revenue_e4"),
+            Max("src", alias_name="has_order"),
+        )
+        .map_batches(matched, batch_format="pyarrow")
         .groupby("nationkey")
         .aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
         .to_pandas()
