@@ -223,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- search modes (reference parity)
         "bm25_topk": docsearch.bm25_topk,
         "bm25_boolean": docsearch.bm25_boolean,
+        "code_chunks": docsearch.code_chunks,
         "regex_match_docs": docsearch.regex_match_docs,
         "hybrid_rrf": docsearch.hybrid_rrf,
         # --- dedup family
@@ -501,6 +502,23 @@ ORDER BY doc_id
         "exact_dedup": """
 SELECT CAST(min(doc_id) AS BIGINT) AS keeper_doc_id, count(*) AS n_copies
 FROM documents GROUP BY text ORDER BY keeper_doc_id
+""",
+        "code_chunks": """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN text = '' THEN 0
+              ELSE len(string_split(text, chr(10)))
+                   - CASE WHEN text LIKE '%' || chr(10) THEN 1 ELSE 0 END
+         END AS n
+  FROM documents
+)
+SELECT doc_id,
+       CAST(s / 16 AS BIGINT)          AS chunk_id,
+       CAST(s + 1 AS BIGINT)           AS line_start,
+       CAST(least(s + 20, n) AS BIGINT) AS line_end
+FROM d, unnest(generate_series(0, greatest(n - 1, 0), 16)) AS g(s)
+WHERE n > 0 AND (s = 0 OR s + 4 < n)
+ORDER BY doc_id, chunk_id
 """,
         "ngram_jaccard_pairs": _shingle_sql(3, 0.5),
         "near_dup_groups": f"""

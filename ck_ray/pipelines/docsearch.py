@@ -106,6 +106,31 @@ def bm25_topk(
     )
 
 
+def code_chunks(sf_dir: str) -> pd.DataFrame:
+    """Chunk table over documents via the structural chunker entry point
+    (``ck_ray.chunker.ast_chunk_batch``). The documents table is natural
+    language, so every row takes the generic line-window path — which is
+    exactly the part a SQL oracle can verify (window emission rule
+    ``s == 0 OR s + 4 < n``); the AST path is pinned by pytest
+    (tests/test_chunker.py) on real Python sources."""
+    from ..chunker import ast_chunk_batch
+
+    ds = _doc_corpus(sf_dir)
+    out = (
+        ds.map_batches(ast_chunk_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out["doc_id"] = out["path"].astype("int64")
+    out["chunk_id"] = out["chunk_id"].astype("int64")
+    out["line_start"] = out["line_start"].astype("int64")
+    out["line_end"] = out["line_end"].astype("int64")
+    return (
+        out[["doc_id", "chunk_id", "line_start", "line_end"]]
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+
+
 def bm25_boolean(
     sf_dir: str, query: str = "merge AND window -batch", k: int = 20
 ) -> pd.DataFrame:

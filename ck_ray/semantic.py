@@ -118,13 +118,30 @@ def build_chunk_embeddings(
     target_lines: int = 20,
     overlap_lines: int = 4,
     concurrency: int = 4,
+    chunker: str = "lines",
 ) -> ray.data.Dataset:
-    """corpus -> chunk table with embeddings (the semantic index)."""
+    """corpus -> chunk table with embeddings (the semantic index).
+
+    ``chunker="ast"`` swaps in the structural chunker
+    (``ck_ray.chunker.ast_chunk_batch``: AST captures with breadcrumbs
+    for Python, line-window fallback elsewhere) — same flat-map slot the
+    reference uses for tree-sitter vs generic chunking."""
     ds = ray.data.read_parquet(corpus) if isinstance(corpus, str) else corpus
-    chunks = ds.map_batches(
-        lambda t: chunk_batch(t, target_lines=target_lines, overlap_lines=overlap_lines),
-        batch_format="pyarrow",
-    )
+    if chunker == "ast":
+        from .chunker import ast_chunk_batch
+
+        chunks = ds.map_batches(
+            lambda t: ast_chunk_batch(
+                t, fallback_target=target_lines,
+                fallback_overlap=overlap_lines,
+            ).drop_columns(["chunk_type", "breadcrumb", "depth"]),
+            batch_format="pyarrow",
+        )
+    else:
+        chunks = ds.map_batches(
+            lambda t: chunk_batch(t, target_lines=target_lines, overlap_lines=overlap_lines),
+            batch_format="pyarrow",
+        )
     return chunks.map_batches(
         PseudoEmbedder, batch_format="pyarrow", batch_size=512,
         concurrency=concurrency,
