@@ -11,7 +11,9 @@ directory tree:
     python -m ck_ray.cli --hybrid "query" --corpus ... --index-dir idx
 
 Flags: -i/-w/-F (case/word/fixed), -A/-B/-C context, -l files-with-matches,
---topk, --threshold, --json, --full-section, --status.
+-L files-without-match, --exclude glob (repeatable), --topk, --threshold,
+--json (array) / --jsonl (one object per line), --full-section, --status,
+--clean, --inspect FILE, --dump-chunks FILE.
 Exit codes are grep-like: 0 = matches found, 1 = none, 2 = error.
 """
 
@@ -41,22 +43,88 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("-B", type=int, default=0, metavar="N", dest="before")
     p.add_argument("-C", type=int, default=0, metavar="N", dest="context")
     p.add_argument("-l", "--files-with-matches", action="store_true")
+    p.add_argument(
+        "-L", "--files-without-match", action="store_true",
+        help="print files with NO match (grep -L)",
+    )
     p.add_argument("--topk", type=int, default=None)
     p.add_argument("--threshold", type=float, default=None)
-    p.add_argument("--json", action="store_true", dest="as_json")
+    p.add_argument(
+        "--json", action="store_const", const="json", dest="as_json",
+        help="emit one JSON array",
+    )
+    p.add_argument(
+        "--jsonl", action="store_const", const="jsonl", dest="as_json",
+        help="emit one JSON object per line",
+    )
+    p.add_argument(
+        "--exclude", action="append", default=[], metavar="GLOB",
+        help="exclude paths matching the glob (repeatable)",
+    )
     p.add_argument("--full-section", action="store_true")
     p.add_argument("--num-parts", type=int, default=16)
     p.add_argument("--no-positions", action="store_true")
+    p.add_argument(
+        "--clean", action="store_true",
+        help="remove the index directory (refuses non-index dirs)",
+    )
+    p.add_argument(
+        "--inspect", metavar="FILE",
+        help="print one corpus file's doc metadata + token stats",
+    )
+    p.add_argument(
+        "--dump-chunks", metavar="FILE",
+        help="print the structural chunk table of one corpus file",
+    )
     return p
 
 
-def _emit(df, as_json: bool, cols: list[str]) -> None:
-    if as_json:
+def _emit(df, as_json: str | None, cols: list[str]) -> None:
+    if as_json == "json":
+        print(json.dumps(df.to_dict("records"), default=str))
+    elif as_json == "jsonl":
         for rec in df.to_dict("records"):
             print(json.dumps(rec, default=str))
     else:
         for rec in df.to_dict("records"):
             print(":".join(str(rec[c]) for c in cols if c in rec))
+
+
+def _glob_to_re2(glob: str) -> str:
+    """Glob -> RE2-safe anchored regex (* spans path separators like the
+    reference's globset; fnmatch.translate's \\Z is not RE2)."""
+    import re
+
+    parts = []
+    for ch in glob:
+        if ch == "*":
+            parts.append(".*")
+        elif ch == "?":
+            parts.append(".")
+        else:
+            parts.append(re.escape(ch))
+    return "^" + "".join(parts) + "$"
+
+
+def _corpus_ds(corpus: str, excludes: list[str]):
+    """Corpus dataset with --exclude globs applied as an Arrow predicate
+    at the read (pruning before any other work)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    ds = ray.data.read_parquet(corpus)
+    if excludes:
+        pats = [_glob_to_re2(g) for g in excludes]
+
+        def drop(t):
+            keep = None
+            for rx in pats:
+                m = pc.match_substring_regex(t["path"], rx)
+                keep = m if keep is None else pc.or_(keep, m)
+            return t.filter(pc.invert(keep))
+
+        ds = ds.map_batches(drop, batch_format="pyarrow")
+    return ds
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -82,6 +150,71 @@ def main(argv: list[str] | None = None) -> int:
                 print("--status needs --index-dir", file=sys.stderr)
                 return 2
             print(json.dumps(index_stats(args.index_dir), indent=1))
+            return 0
+
+        if args.clean:
+            import os
+            import shutil
+
+            if not args.index_dir:
+                print("--clean needs --index-dir", file=sys.stderr)
+                return 2
+            if not os.path.exists(os.path.join(args.index_dir, "manifest.json")):
+                print(
+                    f"refusing to clean {args.index_dir}: no manifest.json "
+                    "(not an index directory)", file=sys.stderr,
+                )
+                return 2
+            shutil.rmtree(args.index_dir)
+            print(f"removed {args.index_dir}")
+            return 0
+
+        if args.inspect or args.dump_chunks:
+            import pyarrow.compute as pc
+
+            if not args.corpus:
+                print("--inspect/--dump-chunks need --corpus", file=sys.stderr)
+                return 2
+            target = args.inspect or args.dump_chunks
+            sub = (
+                _corpus_ds(args.corpus, args.exclude)
+                .map_batches(
+                    lambda t: t.filter(pc.equal(t["path"], target)),
+                    batch_format="pyarrow",
+                )
+                .take_all()
+            )
+            if not sub:
+                print(f"no corpus row with path {target!r}", file=sys.stderr)
+                return 1
+            import pyarrow as pa
+
+            row_t = pa.Table.from_pylist(sub)
+            if args.dump_chunks:
+                from .chunker import ast_chunk_batch
+
+                df = ast_chunk_batch(row_t).to_pandas().drop(columns=["text"])
+                _emit(df, args.as_json, [
+                    "path", "chunk_id", "chunk_type", "breadcrumb",
+                    "line_start", "line_end",
+                ])
+                return 0
+            from .ids import doc_id_for, sha256_hex_column
+            from .tokenizer import tokenize_text
+
+            r = sub[0]
+            info = {
+                "repo": r["repo"], "path": r["path"], "commit": r["commit"],
+                "lang": r["lang"],
+                "doc_id": doc_id_for(r["repo"], r["path"], r["commit"]),
+                "content_sha256": sha256_hex_column(
+                    pa.array([r["content"]])
+                )[0].as_py(),
+                "n_bytes": len(r["content"].encode("utf-8")),
+                "n_lines": len(r["content"].splitlines()),
+                "n_tokens": len(tokenize_text(r["content"])),
+            }
+            print(json.dumps(info, indent=1))
             return 0
 
         if args.index:
@@ -172,16 +305,22 @@ def main(argv: list[str] | None = None) -> int:
         if not args.corpus:
             print("regex mode needs --corpus", file=sys.stderr)
             return 2
-        if args.files_with_matches:
+        corpus = (
+            _corpus_ds(args.corpus, args.exclude)
+            if args.exclude
+            else args.corpus
+        )
+        if args.files_with_matches or args.files_without_match:
             df = files_with_matches(
-                args.corpus, args.pattern,
+                corpus, args.pattern,
+                invert=args.files_without_match,
                 fixed_string=args.fixed_string, whole_word=args.word,
                 case_insensitive=args.ignore_case,
             )
             _emit(df, args.as_json, ["path"])
             return 0 if len(df) else 1
         df = regex_search(
-            args.corpus, args.pattern,
+            corpus, args.pattern,
             fixed_string=args.fixed_string, whole_word=args.word,
             case_insensitive=args.ignore_case, top_k=args.topk,
             before=args.before, after=args.after,

@@ -68,14 +68,15 @@ def test_files_with_matches_and_json(cli_env):
     paths = r.stdout.strip().splitlines()
     assert len(paths) == len(set(paths)) > 10
     j = run(["uq0000042marker", "--corpus", corpus, "--json"])
-    rec = json.loads(j.stdout.strip().splitlines()[0])
-    assert {"repo", "path", "line_no", "line"} <= set(rec)
+    arr = json.loads(j.stdout)  # --json = one array; --jsonl = lines
+    assert isinstance(arr, list)
+    assert {"repo", "path", "line_no", "line"} <= set(arr[0])
 
 
 def test_full_section_flag(cli_env):
     corpus, _ = cli_env
     r = run(["uq0000042marker", "--corpus", corpus, "--full-section", "--json"])
-    rec = json.loads(r.stdout.strip().splitlines()[0])
+    rec = json.loads(r.stdout)[0]
     assert "section" in rec and "uq0000042marker" in rec["section"]
 
 
@@ -85,3 +86,58 @@ def test_semantic_and_hybrid_smoke(cli_env):
     assert s.returncode == 0 and len(s.stdout.strip().splitlines()) == 3
     h = run(["--hybrid", "merge", "--corpus", corpus, "--topk", "5"])
     assert h.returncode == 0 and len(h.stdout.strip().splitlines()) == 5
+
+
+def test_files_without_match_and_exclude(cli_env):
+    corpus, _ = cli_env
+    # -L: every file NOT containing the unique marker
+    rl = run(["uq0000042marker", "--corpus", corpus, "-l"])
+    rL = run(["uq0000042marker", "--corpus", corpus, "-L"])
+    assert rl.returncode == 0 and rL.returncode == 0
+    n_l = len(rl.stdout.strip().splitlines())
+    n_L = len(rL.stdout.strip().splitlines())
+    assert n_l == 1 and n_l + n_L == 306
+    # --exclude removes the matching file entirely
+    rx = run(["uq0000042marker", "--corpus", corpus, "-l",
+              "--exclude", "src/*"])
+    assert rx.returncode == 1 and rx.stdout.strip() == ""
+
+
+def test_json_array_vs_jsonl(cli_env):
+    corpus, _ = cli_env
+    ra = run(["uq0000042marker", "--corpus", corpus, "-l", "--json"])
+    arr = json.loads(ra.stdout)
+    assert isinstance(arr, list) and len(arr) == 1
+    rj = run(["uq0000042marker", "--corpus", corpus, "-l", "--jsonl"])
+    recs = [json.loads(x) for x in rj.stdout.strip().splitlines()]
+    assert recs == arr
+
+
+def test_inspect_and_dump_chunks(cli_env):
+    corpus, _ = cli_env
+    import pyarrow.parquet as pq
+
+    path = pq.read_table(os.path.join(corpus, "part-0.parquet"))["path"][0].as_py()
+    ri = run(["--inspect", path, "--corpus", corpus])
+    assert ri.returncode == 0
+    info = json.loads(ri.stdout)
+    assert info["path"] == path and info["n_tokens"] > 0
+    rd = run(["--dump-chunks", path, "--corpus", corpus, "--jsonl"])
+    assert rd.returncode == 0
+    chunks = [json.loads(x) for x in rd.stdout.strip().splitlines()]
+    assert chunks and all(c["path"] == path for c in chunks)
+    assert chunks[0]["line_start"] == 1
+
+
+def test_clean(tmp_path, cli_env):
+    corpus, _ = cli_env
+    idx = str(tmp_path / "cleanme")
+    r = run(["--index", "--corpus", corpus, "--index-dir", idx, "--num-parts", "2"])
+    assert r.returncode == 0
+    r2 = run(["--clean", "--index-dir", idx])
+    assert r2.returncode == 0 and not os.path.exists(idx)
+    # refuses a non-index dir
+    other = str(tmp_path / "notindex")
+    os.makedirs(other)
+    r3 = run(["--clean", "--index-dir", other])
+    assert r3.returncode == 2 and os.path.exists(other)
