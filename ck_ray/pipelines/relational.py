@@ -155,32 +155,37 @@ def q3_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
     ).map_batches(line_side, batch_format="pyarrow")
 
-    from ray.data.aggregate import Max
+    from ..exchange import hash_exchange, int_key_hash
 
-    joined = (
-        line_ds.union(orders_ds)
-        .groupby("l_orderkey")
-        .aggregate(
-            Sum("revenue_e4", alias_name="revenue_e4"),
-            Max("src", alias_name="has_order"),
+    def reduce_part(rows: pa.Table) -> pa.Table:
+        """One partition: final per-orderkey sums + match filter + the
+        partition's top-10 (a global top-10 member must be a partition
+        top-10 member — exact)."""
+        g = pa.TableGroupBy(rows, ["l_orderkey"], use_threads=False).aggregate(
+            [("revenue_e4", "sum"), ("src", "max")]
         )
-    )
-
-    # semi-join predicate: keys present on BOTH sides (an orders row AND
-    # revenue from at least one lineitem partial); then DISTRIBUTED
-    # sort + limit — the full joined key set never reaches the driver
-    def matched(t: pa.Table) -> pa.Table:
         keep = pc.and_(
-            pc.equal(t["has_order"], 1), pc.greater(t["revenue_e4"], 0)
+            pc.equal(g["src_max"], 1), pc.greater(g["revenue_e4_sum"], 0)
         )
-        return t.filter(keep).select(["l_orderkey", "revenue_e4"])
+        g = g.filter(keep)
+        order = pc.sort_indices(
+            g,
+            sort_keys=[("revenue_e4_sum", "descending"),
+                       ("l_orderkey", "ascending")],
+        )[:10]
+        g = g.take(order)
+        return pa.table(
+            {"l_orderkey": g["l_orderkey"], "revenue_e4": g["revenue_e4_sum"]}
+        )
 
-    out = (
-        joined.map_batches(matched, batch_format="pyarrow")
-        .sort(["revenue_e4", "l_orderkey"], descending=[True, False])
-        .limit(10)
-        .to_pandas()
+    out = hash_exchange(
+        line_ds.union(orders_ds),
+        key_fn=lambda t: int_key_hash(t["l_orderkey"].to_numpy()),
+        reducer=reduce_part,
     )
+    out = out.sort_values(
+        ["revenue_e4", "l_orderkey"], ascending=[False, True]
+    ).head(10)
     out["revenue_e4"] = out["revenue_e4"].astype("int64")
     out["l_orderkey"] = out["l_orderkey"].astype("int64")
     return out.reset_index(drop=True)
@@ -257,25 +262,37 @@ def q5_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     ).map_batches(line_side, batch_format="pyarrow")
 
-    from ray.data.aggregate import Max
+    from ..exchange import hash_exchange, int_key_hash
 
-    def matched(t: pa.Table) -> pa.Table:
+    def reduce_part(rows: pa.Table) -> pa.Table:
+        """One partition: per-(orderkey, nation) sums + match filter, then
+        a partial per-nation rollup (<= 25 rows leave the partition)."""
+        g = pa.TableGroupBy(
+            rows, ["l_orderkey", "nationkey"], use_threads=False
+        ).aggregate([("revenue_e4", "sum"), ("src", "max")])
         keep = pc.and_(
-            pc.equal(t["has_order"], 1), pc.greater(t["revenue_e4"], 0)
+            pc.equal(g["src_max"], 1), pc.greater(g["revenue_e4_sum"], 0)
         )
-        return t.filter(keep).select(["nationkey", "revenue_e4"])
+        g = g.filter(keep)
+        n = pa.TableGroupBy(g, ["nationkey"], use_threads=False).aggregate(
+            [("revenue_e4_sum", "sum")]
+        )
+        return pa.table(
+            {"nationkey": n["nationkey"],
+             "revenue_e4": n["revenue_e4_sum_sum"]}
+        )
 
+    def key_fn(t: pa.Table) -> np.ndarray:
+        comb = (
+            t["l_orderkey"].to_numpy().astype(np.uint64) << np.uint64(8)
+        ) | t["nationkey"].to_numpy().astype(np.uint64)
+        return int_key_hash(comb.astype(np.int64))
+
+    parts = hash_exchange(
+        line_ds.union(orders_ds), key_fn=key_fn, reducer=reduce_part
+    )
     out = (
-        line_ds.union(orders_ds)
-        .groupby(["l_orderkey", "nationkey"])
-        .aggregate(
-            Sum("revenue_e4", alias_name="revenue_e4"),
-            Max("src", alias_name="has_order"),
-        )
-        .map_batches(matched, batch_format="pyarrow")
-        .groupby("nationkey")
-        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
-        .to_pandas()
+        parts.groupby("nationkey", as_index=False)["revenue_e4"].sum()
     )
     nm = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
     out["n_name"] = out["nationkey"].map(nm)
