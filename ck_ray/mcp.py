@@ -1,0 +1,302 @@
+"""MCP (Model Context Protocol) server facade over the Ray-Data engine.
+
+Mirrors the reference's MCP surface (``ck-cli/src/mcp_server.rs:613-940``:
+tools ``regex_search``, ``lexical_search``, ``semantic_search``,
+``hybrid_search``, ``index_status``, ``reindex``, ``health_check``) and
+its session pagination protocol (``ck-cli/src/mcp/session.rs:109-426``):
+a search creates a session caching the full result list; pages are served
+through an opaque cursor; sessions expire after a TTL and the oldest is
+evicted beyond MAX_SESSIONS; ``page_size`` is clamped to
+``[1, MAX_PAGE_SIZE]``.
+
+Transport is JSON-RPC 2.0 over stdio (``serve_stdio``), the standard MCP
+wire shape; ``CkRayMCP.handle`` is transport-free so tests drive it
+directly. The server wraps one corpus + one index dir; Ray must already
+be initialized by the host process (the library never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import sys
+import time
+import uuid
+
+MAX_PAGE_SIZE = 100
+DEFAULT_PAGE_SIZE = 20
+MAX_SESSIONS = 100
+DEFAULT_SESSION_TTL = 300.0
+
+
+class SessionManager:
+    """Result-caching pagination sessions (reference
+    ``ck-cli/src/mcp/session.rs``): create -> page via opaque cursor."""
+
+    def __init__(self, ttl: float = DEFAULT_SESSION_TTL, *, clock=time.monotonic):
+        self._sessions: dict[str, dict] = {}
+        self._ttl = ttl
+        self._clock = clock
+
+    def create(self, results: list[dict], page_size: int) -> tuple[list[dict], str | None, dict]:
+        """Store results, return (first page, next_cursor, meta)."""
+        page_size = max(1, min(int(page_size), MAX_PAGE_SIZE))
+        sid = uuid.uuid4().hex
+        now = self._clock()
+        if len(self._sessions) >= MAX_SESSIONS:
+            oldest = min(self._sessions, key=lambda k: self._sessions[k]["last"])
+            del self._sessions[oldest]
+        self._sessions[sid] = {
+            "results": results, "created": now, "last": now,
+            "page_size": page_size,
+        }
+        return self.page(self._cursor(sid, 0, page_size))
+
+    def _cursor(self, sid: str, offset: int, page_size: int) -> str:
+        raw = json.dumps({"sid": sid, "offset": offset, "page_size": page_size})
+        return base64.urlsafe_b64encode(raw.encode()).decode()
+
+    def page(self, cursor: str) -> tuple[list[dict], str | None, dict]:
+        try:
+            c = json.loads(base64.urlsafe_b64decode(cursor.encode()))
+            sid, offset = c["sid"], int(c["offset"])
+            page_size = max(1, min(int(c["page_size"]), MAX_PAGE_SIZE))
+        except Exception:
+            raise ValueError("invalid cursor") from None
+        s = self._sessions.get(sid)
+        if s is None:
+            raise ValueError("session not found or expired")
+        now = self._clock()
+        if now - s["last"] > self._ttl:
+            del self._sessions[sid]
+            raise ValueError("session has expired")
+        s["last"] = now
+        total = len(s["results"])
+        end = min(offset + page_size, total)
+        matches = s["results"][offset:end]
+        has_more = end < total
+        nxt = self._cursor(sid, end, page_size) if has_more else None
+        return matches, nxt, {
+            "count": len(matches), "total_count": total, "has_more": has_more,
+        }
+
+
+class CkRayMCP:
+    """One corpus + one index dir behind the MCP tool set."""
+
+    def __init__(self, corpus: str, index_dir: str, ttl: float = DEFAULT_SESSION_TTL):
+        self.corpus = corpus
+        self.index_dir = index_dir
+        self.sessions = SessionManager(ttl)
+        self._engine = None
+        self._chunk_emb = None
+
+    # ------------------------------------------------------------- engines
+
+    def _bm25(self):
+        import os
+
+        from .build import IndexConfig, build_index
+        from .query import BM25Engine
+
+        if self._engine is None:
+            if not os.path.exists(os.path.join(self.index_dir, "manifest.json")):
+                build_index(self.corpus, self.index_dir, IndexConfig(num_parts=8))
+            self._engine = BM25Engine(self.index_dir)
+        return self._engine
+
+    def _semantic_index(self):
+        from .semantic import build_chunk_embeddings
+
+        if self._chunk_emb is None:
+            self._chunk_emb = build_chunk_embeddings(self.corpus).materialize()
+        return self._chunk_emb
+
+    def close(self):
+        if self._engine is not None:
+            self._engine.close()
+            self._engine = None
+
+    # --------------------------------------------------------------- tools
+
+    TOOLS = {
+        "regex_search": "Regex search over the corpus (RE2 semantics)",
+        "lexical_search": "BM25 full-text search over the index",
+        "semantic_search": "Embedding cosine search over chunked corpus",
+        "hybrid_search": "RRF fusion of the regex and BM25 legs",
+        "index_status": "Index statistics (docs, terms, postings, epochs)",
+        "reindex": "Incrementally update the index from the corpus",
+        "health_check": "Server liveness + component status",
+    }
+
+    def list_tools(self) -> list[dict]:
+        return [
+            {
+                "name": name,
+                "description": desc,
+                "inputSchema": {
+                    "type": "object",
+                    "properties": {
+                        "query": {"type": "string"},
+                        "page_size": {"type": "integer"},
+                        "cursor": {"type": "string"},
+                        "top_k": {"type": "integer"},
+                    },
+                },
+            }
+            for name, desc in self.TOOLS.items()
+        ]
+
+    def _paged(self, args: dict, make_results) -> dict:
+        if args.get("cursor"):
+            matches, nxt, meta = self.sessions.page(args["cursor"])
+        else:
+            results = make_results()
+            matches, nxt, meta = self.sessions.create(
+                results, args.get("page_size", DEFAULT_PAGE_SIZE)
+            )
+        return {"matches": matches, "next_cursor": nxt, **meta}
+
+    def call_tool(self, name: str, args: dict) -> dict:
+        if name == "health_check":
+            import os
+
+            return {
+                "status": "ok",
+                "corpus": os.path.isdir(self.corpus),
+                "index": os.path.exists(
+                    os.path.join(self.index_dir, "manifest.json")
+                ),
+            }
+        if name == "index_status":
+            from .build import index_stats
+
+            self._bm25()  # builds on first use
+            return index_stats(self.index_dir)
+        if name == "reindex":
+            from .incremental import incremental_update
+
+            self._bm25()
+            man = incremental_update(self.corpus, self.index_dir)
+            self.close()  # engine reloads the new epoch set lazily
+            return {
+                "epochs": man.get("epochs", [man["epoch_dir"]]),
+                "n_changed": man.get("n_changed", 0),
+                "n_deleted": man.get("n_deleted", 0),
+                "num_docs": man["num_docs"],
+            }
+        query = args.get("query", "")
+        if name == "regex_search":
+            from .regex_search import regex_search
+
+            def mk():
+                df = regex_search(self.corpus, query)
+                return df.to_dict("records")
+
+            return self._paged(args, mk)
+        if name == "lexical_search":
+            def mk():
+                df = self._bm25().search(query, top_k=args.get("top_k"))
+                return df.drop(columns=["content_sha256"]).to_dict("records")
+
+            return self._paged(args, mk)
+        if name == "semantic_search":
+            from .semantic import semantic_search
+
+            def mk():
+                df = semantic_search(
+                    self._semantic_index(), query,
+                    top_k=args.get("top_k", 10),
+                )
+                return df.to_dict("records")
+
+            return self._paged(args, mk)
+        if name == "hybrid_search":
+            from .regex_search import regex_search
+
+            def mk():
+                lex = self._bm25().search(query, top_k=100)
+                pattern = ".*".join(query.split())
+                rex = regex_search(self.corpus, pattern)
+                ranks: dict = {}
+                for lst in (
+                    lex["path"].tolist(),
+                    rex["path"].drop_duplicates().tolist(),
+                ):
+                    for r, key in enumerate(lst, start=1):
+                        ranks[key] = ranks.get(key, 0.0) + 1.0 / (60 + r)
+                ordered = sorted(ranks.items(), key=lambda kv: (-kv[1], kv[0]))
+                return [
+                    {"path": p, "rrf_score": round(s, 6)} for p, s in ordered
+                ]
+
+            return self._paged(args, mk)
+        raise ValueError(f"unknown tool {name!r}")
+
+    # ------------------------------------------------------------ JSON-RPC
+
+    def handle(self, req: dict) -> dict:
+        """One JSON-RPC 2.0 request -> response dict."""
+        rid = req.get("id")
+        method = req.get("method", "")
+        try:
+            if method == "initialize":
+                result = {
+                    "protocolVersion": "2024-11-05",
+                    "serverInfo": {"name": "ck_ray", "version": "1.0"},
+                    "capabilities": {"tools": {}},
+                }
+            elif method == "tools/list":
+                result = {"tools": self.list_tools()}
+            elif method == "tools/call":
+                p = req.get("params", {})
+                out = self.call_tool(p.get("name", ""), p.get("arguments", {}))
+                result = {
+                    "content": [
+                        {"type": "text", "text": json.dumps(out, default=str)}
+                    ],
+                    "isError": False,
+                }
+            else:
+                return {
+                    "jsonrpc": "2.0", "id": rid,
+                    "error": {"code": -32601, "message": f"unknown method {method}"},
+                }
+            return {"jsonrpc": "2.0", "id": rid, "result": result}
+        except Exception as e:
+            return {
+                "jsonrpc": "2.0", "id": rid,
+                "error": {"code": -32000, "message": str(e)},
+            }
+
+
+def serve_stdio(corpus: str, index_dir: str) -> None:
+    """Blocking stdio loop: one JSON-RPC request per line."""
+    srv = CkRayMCP(corpus, index_dir)
+    try:
+        for line in sys.stdin:
+            line = line.strip()
+            if not line:
+                continue
+            resp = srv.handle(json.loads(line))
+            sys.stdout.write(json.dumps(resp, default=str) + "\n")
+            sys.stdout.flush()
+    finally:
+        srv.close()
+
+
+if __name__ == "__main__":
+    import argparse
+
+    import ray
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", required=True)
+    ap.add_argument("--index-dir", required=True)
+    a = ap.parse_args()
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    try:
+        serve_stdio(a.corpus, a.index_dir)
+    finally:
+        ray.shutdown()

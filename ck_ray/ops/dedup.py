@@ -150,7 +150,7 @@ def minhash_lsh_pairs(
     docs_path = os.path.join(sf_dir, "documents.parquet")
     ds = ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
     sigs = ds.map_batches(
-        MinHasher, batch_format="pyarrow", concurrency=2,
+        MinHasher, batch_format="pyarrow", concurrency=(1, 2),
         fn_constructor_kwargs={"n_perm": n_perm, "k": k},
     )
 
@@ -470,7 +470,7 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
-    fps = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=2)
+    fps = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 2))
 
     def to_bands(t: pa.Table) -> pa.Table:
         h = t["simhash"].to_numpy().astype(np.uint64)

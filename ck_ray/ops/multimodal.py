@@ -98,7 +98,7 @@ def multimodal_features(sf_dir: str) -> pd.DataFrame:
         ds.map_batches(attach_binary_payload, batch_format="pyarrow")
         .map_batches(
             FeatureExtractor, batch_format="pyarrow", batch_size=128,
-            concurrency=2,
+            concurrency=(1, 2),
         )
         .to_pandas()
     )

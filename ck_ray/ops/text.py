@@ -189,7 +189,7 @@ class LangIdHeuristic:
 def langid(sf_dir: str) -> pd.DataFrame:
     ds = _docs(sf_dir, ["doc_id", "text", "lang"])
     return (
-        ds.map_batches(LangIdHeuristic, batch_format="pyarrow", concurrency=2)
+        ds.map_batches(LangIdHeuristic, batch_format="pyarrow", concurrency=(1, 2))
         .to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)

@@ -931,7 +931,11 @@ class LocalIndex:
         return True
 
 
-DocShard = ray.remote(LocalIndex)
+# Serving shards reserve HALF a CPU each: they burst during queries but
+# idle between them, and a full-CPU reservation can starve Ray Data jobs
+# running while an engine stays open (e.g. the MCP server's hybrid tool
+# on a small cluster — deadlock without this).
+DocShard = ray.remote(num_cpus=0.5)(LocalIndex)
 
 
 class BM25Engine:

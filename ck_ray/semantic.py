@@ -144,7 +144,10 @@ def build_chunk_embeddings(
         )
     return chunks.map_batches(
         PseudoEmbedder, batch_format="pyarrow", batch_size=512,
-        concurrency=concurrency,
+        # autoscaling pool (min 1): a FIXED pool of size N waits for all N
+        # CPUs and deadlocks when other actors (e.g. an open BM25Engine's
+        # shards) hold part of a small cluster
+        concurrency=(1, concurrency),
     )
 
 

@@ -1,0 +1,137 @@
+"""MCP facade: tool list, JSON-RPC envelope, session pagination, TTL."""
+
+import json
+
+import pytest
+
+from ck_ray.mcp import (
+    DEFAULT_PAGE_SIZE,
+    MAX_PAGE_SIZE,
+    CkRayMCP,
+    SessionManager,
+)
+
+
+@pytest.fixture(scope="module")
+def mcp(ray_session, tmp_path_factory, tiny_corpus):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("mcp")
+    corpus = str(d / "corpus")
+    os.makedirs(corpus)
+    pq.write_table(tiny_corpus, os.path.join(corpus, "part-0.parquet"))
+    srv = CkRayMCP(corpus, str(d / "idx"))
+    yield srv
+    srv.close()
+
+
+def _call(srv, name, **args):
+    resp = srv.handle(
+        {"jsonrpc": "2.0", "id": 1, "method": "tools/call",
+         "params": {"name": name, "arguments": args}}
+    )
+    assert "error" not in resp, resp
+    return json.loads(resp["result"]["content"][0]["text"])
+
+
+def test_initialize_and_tool_list(mcp):
+    init = mcp.handle({"jsonrpc": "2.0", "id": 0, "method": "initialize"})
+    assert init["result"]["serverInfo"]["name"] == "ck_ray"
+    tools = mcp.handle({"jsonrpc": "2.0", "id": 1, "method": "tools/list"})
+    names = {t["name"] for t in tools["result"]["tools"]}
+    assert names == {
+        "regex_search", "lexical_search", "semantic_search",
+        "hybrid_search", "index_status", "reindex", "health_check",
+    }
+
+
+def test_health_and_status(mcp):
+    h = _call(mcp, "health_check")
+    assert h["status"] == "ok" and h["corpus"]
+    st = _call(mcp, "index_status")
+    assert st["num_docs"] == 206 and st["n_terms"] > 0
+
+
+def test_lexical_search_tool(mcp):
+    out = _call(mcp, "lexical_search", query="uq0000042marker", top_k=5)
+    assert out["total_count"] == 1 and len(out["matches"]) == 1
+    assert out["next_cursor"] is None
+
+
+def test_pagination_walks_all_results(mcp):
+    first = _call(mcp, "regex_search", query="merge", page_size=7)
+    total = first["total_count"]
+    assert total > 7 and first["has_more"]
+    seen = [(m["path"], m["line_no"]) for m in first["matches"]]
+    cursor = first["next_cursor"]
+    while cursor:
+        page = _call(mcp, "regex_search", cursor=cursor)
+        assert len(page["matches"]) <= 7
+        seen += [(m["path"], m["line_no"]) for m in page["matches"]]
+        cursor = page["next_cursor"]
+    assert len(seen) == total and len(set(seen)) == total
+
+
+def test_page_size_clamped():
+    sm = SessionManager()
+    results = [{"i": i} for i in range(500)]
+    matches, nxt, meta = sm.create(results, page_size=10_000)
+    assert len(matches) == MAX_PAGE_SIZE
+    matches, _, _ = sm.create(results, page_size=0)
+    assert len(matches) == 1
+
+
+def test_session_ttl_expiry():
+    now = [0.0]
+    sm = SessionManager(ttl=5.0, clock=lambda: now[0])
+    _, nxt, _ = sm.create([{"i": i} for i in range(50)], page_size=10)
+    now[0] = 10.0
+    with pytest.raises(ValueError, match="expired"):
+        sm.page(nxt)
+
+
+def test_session_eviction():
+    sm = SessionManager()
+    cursors = []
+    from ck_ray import mcp as m
+
+    for i in range(m.MAX_SESSIONS + 1):
+        _, nxt, _ = sm.create([{"i": j} for j in range(30)], page_size=10)
+        cursors.append(nxt)
+    with pytest.raises(ValueError, match="not found"):
+        sm.page(cursors[0])  # oldest evicted
+    sm.page(cursors[-1])  # newest alive
+
+
+def test_bad_requests(mcp):
+    r = mcp.handle({"jsonrpc": "2.0", "id": 9, "method": "nope"})
+    assert r["error"]["code"] == -32601
+    r2 = mcp.handle(
+        {"jsonrpc": "2.0", "id": 10, "method": "tools/call",
+         "params": {"name": "no_such_tool", "arguments": {}}}
+    )
+    assert r2["error"]["code"] == -32000
+    r3 = mcp.handle(
+        {"jsonrpc": "2.0", "id": 11, "method": "tools/call",
+         "params": {"name": "regex_search",
+                    "arguments": {"cursor": "garbage"}}}
+    )
+    assert "invalid cursor" in r3["error"]["message"]
+
+
+def test_hybrid_and_semantic_tools(mcp):
+    h = _call(mcp, "hybrid_search", query="merge window", page_size=5)
+    assert h["count"] > 0 and "rrf_score" in h["matches"][0]
+    s = _call(mcp, "semantic_search", query="merge posting runs", top_k=3)
+    assert s["count"] == 3
+
+
+def test_reindex_tool(mcp):
+    out = _call(mcp, "reindex")
+    assert out["num_docs"] == 206
+    # unchanged corpus -> no new epoch
+    assert len(out["epochs"]) == 1
+    st = _call(mcp, "index_status")
+    assert st["num_epochs"] == 1
