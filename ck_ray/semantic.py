@@ -119,6 +119,7 @@ def build_chunk_embeddings(
     overlap_lines: int = 4,
     concurrency: int = 4,
     chunker: str = "lines",
+    model: str | None = None,
 ) -> ray.data.Dataset:
     """corpus -> chunk table with embeddings (the semantic index).
 
@@ -142,8 +143,14 @@ def build_chunk_embeddings(
             lambda t: chunk_batch(t, target_lines=target_lines, overlap_lines=overlap_lines),
             batch_format="pyarrow",
         )
+    dim = EMBED_DIM
+    if model is not None:  # registry swap point (ck_ray.models)
+        from .models import ModelRegistry
+
+        dim = ModelRegistry().resolve(model)[1].dimensions
     return chunks.map_batches(
         PseudoEmbedder, batch_format="pyarrow", batch_size=512,
+        fn_constructor_kwargs={"dim": dim},
         # autoscaling pool (min 1): a FIXED pool of size N waits for all N
         # CPUs and deadlocks when other actors (e.g. an open BM25Engine's
         # shards) hold part of a small cluster
@@ -157,11 +164,17 @@ def semantic_search(
     top_k: int = 10,
     threshold: float | None = None,
     rerank: bool = False,
+    model: str | None = None,
 ) -> pd.DataFrame:
     """Cosine top-k over the chunk table; broadcast query vector, per-batch
     partial top-k, driver merge; threshold keeps the best near-miss
     (reference ``semantic_v3.rs:144-227`` closest_below_threshold)."""
-    q = PseudoEmbedder().embed_texts([query])[0]
+    if model is not None:
+        from .models import create_embedder
+
+        q = create_embedder(model).embed_texts([query])[0]
+    else:
+        q = PseudoEmbedder().embed_texts([query])[0]
     qref = ray.put(q.astype(np.float32))
 
     def partial(t: pa.Table) -> pa.Table:
