@@ -181,37 +181,53 @@ def minhash_lsh_pairs(
 
     banded = sigs.map_batches(to_bands, batch_format="pyarrow")
 
-    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # one group per BAND (coarse; a per-(band,hash) groupby costs one
-        # Python call per bucket — millions of tiny calls); buckets are
-        # resolved vectorized inside. At larger scale, raise `bands` /
-        # pre-salt band ids so a band still fits one task.
-        g = g.sort_values(["band_hash", "doc_id"])
-        h = g["band_hash"].to_numpy()
-        ids = g["doc_id"].to_numpy()
-        starts = np.nonzero(np.concatenate(([True], h[1:] != h[:-1])))[0]
+    def band_reduce(rows: pa.Table) -> pa.Table:
+        """One band-bucket partition -> candidate (a < b) pairs; exact
+        (band, band_hash) buckets resolved vectorized inside."""
+        order = np.lexsort(
+            (
+                rows["doc_id"].to_numpy(),
+                rows["band_hash"].to_numpy(),
+                rows["band"].to_numpy(),
+            )
+        )
+        b = rows["band"].to_numpy()[order]
+        h = rows["band_hash"].to_numpy()[order]
+        ids = rows["doc_id"].to_numpy()[order]
+        change = np.concatenate(
+            ([True], (h[1:] != h[:-1]) | (b[1:] != b[:-1]))
+        )
+        starts = np.nonzero(change)[0]
         ends = np.concatenate((starts[1:], [len(h)]))
         out_a, out_b = [], []
-        for s, e in zip(starts, ends):
-            if e - s < 2:
+        for st, e in zip(starts, ends):
+            if e - st < 2:
                 continue
-            bucket = np.unique(ids[s:e])
+            bucket = np.unique(ids[st:e])
             if len(bucket) < 2:
                 continue
             ai, bi = np.triu_indices(len(bucket), 1)
             out_a.append(bucket[ai])
             out_b.append(bucket[bi])
         if not out_a:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64")})
-        return pd.DataFrame(
-            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()),
+                 "doc_b": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"doc_a": pa.array(np.concatenate(out_a)),
+             "doc_b": pa.array(np.concatenate(out_b))}
         )
 
-    cand = (
-        banded.groupby("band")
-        .map_groups(band_pairs, batch_format="pandas")
-        .to_pandas()
+    from ..exchange import hash_exchange, int_key_hash
+
+    cand = hash_exchange(
+        banded,
+        key_fn=lambda t: int_key_hash(
+            t["band_hash"].to_numpy()
+            + t["band"].to_numpy().astype(np.int64) * np.int64(1_000_003)
+        ),
+        reducer=band_reduce,
     )
     if len(cand) == 0:
         return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
@@ -286,61 +302,73 @@ def _exact_jaccard_over(
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sh", "doc_id"])
-        h = g["sh"].to_numpy()
-        ids = g["doc_id"].to_numpy()
-        sz = g["size"].to_numpy()
+    def pair_reduce(rows: pa.Table) -> pa.Table:
+        """One shingle partition -> co-occurring (a < b) pairs carrying
+        both docs' distinct-shingle sizes (vectorized per bucket run)."""
+        order = np.lexsort(
+            (rows["doc_id"].to_numpy(), rows["sh"].to_numpy())
+        )
+        h = rows["sh"].to_numpy()[order]
+        ids = rows["doc_id"].to_numpy()[order]
+        sz = rows["size"].to_numpy()[order]
         starts = np.nonzero(np.concatenate(([True], h[1:] != h[:-1])))[0]
         ends = np.concatenate((starts[1:], [len(h)]))
         a_l, b_l, sa_l, sb_l = [], [], [], []
-        for s, e in zip(starts, ends):
-            if e - s < 2:
+        for st, e in zip(starts, ends):
+            if e - st < 2:
                 continue
-            ai, bi = np.triu_indices(e - s, 1)
-            a_l.append(ids[s:e][ai])
-            b_l.append(ids[s:e][bi])
-            sa_l.append(sz[s:e][ai])
-            sb_l.append(sz[s:e][bi])
+            ai, bi = np.triu_indices(e - st, 1)
+            a_l.append(ids[st:e][ai])
+            b_l.append(ids[st:e][bi])
+            sa_l.append(sz[st:e][ai])
+            sb_l.append(sz[st:e][bi])
         if not a_l:
-            return pd.DataFrame(
+            return pa.table(
                 {
-                    "doc_a": pd.Series([], dtype="int64"),
-                    "doc_b": pd.Series([], dtype="int64"),
-                    "sa": pd.Series([], dtype="int64"),
-                    "sb": pd.Series([], dtype="int64"),
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "sa": pa.array([], pa.int64()),
+                    "sb": pa.array([], pa.int64()),
                 }
             )
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_a": np.concatenate(a_l),
-                "doc_b": np.concatenate(b_l),
-                "sa": np.concatenate(sa_l),
-                "sb": np.concatenate(sb_l),
+                "doc_a": pa.array(np.concatenate(a_l)),
+                "doc_b": pa.array(np.concatenate(b_l)),
+                "sa": pa.array(np.concatenate(sa_l)),
+                "sb": pa.array(np.concatenate(sb_l)),
             }
         )
 
-    from ray.data.aggregate import Count, Min
+    def jaccard_reduce(pairs: pa.Table) -> pa.Table:
+        """One pair partition -> (doc_a, doc_b, jaccard >= threshold)."""
+        g = pa.TableGroupBy(
+            pairs, ["doc_a", "doc_b"], use_threads=False
+        ).aggregate([("sa", "count"), ("sa", "min"), ("sb", "min")])
+        inter = g["sa_count"].to_numpy().astype(np.int64)
+        union = g["sa_min"].to_numpy() + g["sb_min"].to_numpy() - inter
+        jac = np.round(inter / union, 4)
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "doc_a": g["doc_a"].filter(pa.array(keep)),
+                "doc_b": g["doc_b"].filter(pa.array(keep)),
+                "jaccard": pa.array(jac[keep]),
+            }
+        )
+
+    from ..exchange import hash_exchange, int_key_hash
 
     shingles = ds.map_batches(doc_shingles, batch_format="pyarrow")
-
-    def coarse(t: pa.Table) -> pa.Table:
-        b = (t["sh"].to_numpy() >> np.int64(52)).astype(np.int32)
-        return t.append_column("bk", pa.array(b))
-
-    inter = (
-        shingles.map_batches(coarse, batch_format="pyarrow")
-        .groupby("bk")
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(
-            Count(alias_name="inter"),
-            Min("sa", alias_name="sa"),
-            Min("sb", alias_name="sb"),
-        )
-        .to_pandas()
+    # exchange 1: co-locate by shingle -> candidate pairs (+ sizes);
+    # the reducer output (pairs) is the next exchange's input, so it is
+    # fed straight back through a second run-file exchange keyed by pair
+    pairs_df = hash_exchange(
+        shingles,
+        key_fn=lambda t: int_key_hash(t["sh"].to_numpy()),
+        reducer=pair_reduce,
     )
-    if len(inter) == 0:
+    if len(pairs_df) == 0:
         return pd.DataFrame(
             {
                 "doc_a": pd.Series([], dtype="int64"),
@@ -348,9 +376,22 @@ def _exact_jaccard_over(
                 "jaccard": pd.Series([], dtype="float64"),
             }
         )
-    union = inter["sa"] + inter["sb"] - inter["inter"]
-    inter["jaccard"] = np.round(inter["inter"] / union, 4)
-    out = inter[inter["jaccard"] >= threshold][["doc_a", "doc_b", "jaccard"]]
+    pairs_ds = ray.data.from_arrow(pa.Table.from_pandas(pairs_df))
+
+    def pair_key(t: pa.Table) -> np.ndarray:
+        return int_key_hash(
+            t["doc_a"].to_numpy() * np.int64(1_000_003) + t["doc_b"].to_numpy()
+        )
+
+    out = hash_exchange(pairs_ds, key_fn=pair_key, reducer=jaccard_reduce)
+    if len(out) == 0:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "jaccard": pd.Series([], dtype="float64"),
+            }
+        )
     out = out.astype({"doc_a": "int64", "doc_b": "int64"})
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
@@ -489,42 +530,60 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
             )
         return pa.concat_tables(out)
 
-    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # coarse per-band group; exact-value buckets resolved vectorized
-        g = g.sort_values(["band_val", "doc_id"])
-        v = g["band_val"].to_numpy()
-        ids = g["doc_id"].to_numpy()
-        hs = g["simhash"].to_numpy().astype(np.uint64)
-        starts = np.nonzero(np.concatenate(([True], v[1:] != v[:-1])))[0]
+    def band_reduce(rows: pa.Table) -> pa.Table:
+        """One band-value partition -> pairs with Hamming <= max_hamming;
+        exact (band, band_val) buckets resolved vectorized inside."""
+        order = np.lexsort(
+            (
+                rows["doc_id"].to_numpy(),
+                rows["band_val"].to_numpy(),
+                rows["band"].to_numpy(),
+            )
+        )
+        b = rows["band"].to_numpy()[order]
+        v = rows["band_val"].to_numpy()[order]
+        ids = rows["doc_id"].to_numpy()[order]
+        hs = rows["simhash"].to_numpy().astype(np.uint64)[order]
+        change = np.concatenate(
+            ([True], (v[1:] != v[:-1]) | (b[1:] != b[:-1]))
+        )
+        starts = np.nonzero(change)[0]
         ends = np.concatenate((starts[1:], [len(v)]))
         out_a, out_b, out_h = [], [], []
-        for s, e in zip(starts, ends):
-            if e - s < 2:
+        for st, e in zip(starts, ends):
+            if e - st < 2:
                 continue
-            ai, bi = np.triu_indices(e - s, 1)
-            x = hs[s:e][ai] ^ hs[s:e][bi]
+            ai, bi = np.triu_indices(e - st, 1)
+            x = hs[st:e][ai] ^ hs[st:e][bi]
             # vectorized popcount: bytes view -> unpackbits row-sum
             ham = np.unpackbits(
                 x.view(np.uint8).reshape(-1, 8), axis=1
             ).sum(axis=1).astype(np.int64)
             keep = ham <= max_hamming
-            out_a.append(ids[s:e][ai][keep])
-            out_b.append(ids[s:e][bi][keep])
+            out_a.append(ids[st:e][ai][keep])
+            out_b.append(ids[st:e][bi][keep])
             out_h.append(ham[keep])
         if not out_a:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64"),
-                                 "hamming": pd.Series([], dtype="int64")})
-        return pd.DataFrame(
-            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b),
-             "hamming": np.concatenate(out_h)}
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()),
+                 "doc_b": pa.array([], pa.int64()),
+                 "hamming": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"doc_a": pa.array(np.concatenate(out_a)),
+             "doc_b": pa.array(np.concatenate(out_b)),
+             "hamming": pa.array(np.concatenate(out_h))}
         )
 
-    out = (
-        fps.map_batches(to_bands, batch_format="pyarrow")
-        .groupby("band")
-        .map_groups(band_pairs, batch_format="pandas")
-        .to_pandas()
+    from ..exchange import hash_exchange, int_key_hash
+
+    out = hash_exchange(
+        fps.map_batches(to_bands, batch_format="pyarrow"),
+        key_fn=lambda t: int_key_hash(
+            t["band_val"].to_numpy()
+            + t["band"].to_numpy().astype(np.int64) * np.int64(1_000_003)
+        ),
+        reducer=band_reduce,
     )
     if len(out) == 0:
         return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
