@@ -274,7 +274,7 @@ def run_scaling() -> dict:
     n_lo, n_hi = (
         int(x) for x in os.environ.get("CK_SCALING_LEVELS", "2,8").split(",")
     )
-    trials = int(os.environ.get("CK_SCALING_TRIALS", "2"))
+    trials = int(os.environ.get("CK_SCALING_TRIALS", "3"))
 
     def best(ncpu: int) -> dict:
         # best-of-k: this host's wall times vary ±40% run-to-run (noisy

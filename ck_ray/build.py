@@ -277,10 +277,89 @@ def _term_runs(
     return starts, ends
 
 
+def _serving_rows_from_arrays(
+    fields: np.ndarray,
+    terms: pa.Array,
+    df_global: np.ndarray,
+    docs: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    n_buckets: int,
+    pos_flat: np.ndarray | None = None,
+    pos_offsets: np.ndarray | None = None,
+) -> tuple[pa.Table, np.ndarray]:
+    """Doc-range-bucketed serving rows straight from DECODED posting
+    arrays (``starts``/``ends`` delimit each term) — one vectorized
+    re-encode over (term x bucket) run boundaries, no blob decode pass.
+    Returns (rows, bucket_of_row); ``df`` on every row is the term's
+    global df."""
+    n = len(docs)
+    if n == 0:
+        cols = {
+            "field": pa.array([], pa.int8()),
+            "term": pa.array([], pa.string()),
+            "df": pa.array([], pa.int64()),
+            "postings": pa.array([], pa.large_binary()),
+            "skips": pa.array([], pa.large_binary()),
+        }
+        if pos_flat is not None:
+            cols["positions"] = pa.array([], pa.large_binary())
+        return pa.table(cols), np.empty(0, np.int32)
+    df = (ends - starts).astype(np.int64)
+    bucket = doc_bucket_of(docs, n_buckets)
+    term_id = np.repeat(np.arange(len(starts), dtype=np.int64), df)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    np.logical_or(
+        term_id[1:] != term_id[:-1], bucket[1:] != bucket[:-1],
+        out=change[1:],
+    )
+    rstarts = np.nonzero(change)[0]
+    rends = np.concatenate((rstarts[1:], [n]))
+    pblobs, sblobs, posblobs = codec.encode_partition(
+        docs, tfs, dls, rstarts, rends,
+        pos_flat=pos_flat, pos_offsets=pos_offsets,
+    )
+    run_term = term_id[rstarts]
+    take = pa.array(run_term, type=pa.int64())
+    cols = {
+        "field": pa.array(fields[run_term].astype(np.int8)),
+        "term": terms.take(take),
+        "df": pa.array(df_global[run_term], type=pa.int64()),
+        "postings": pa.array(pblobs, pa.large_binary()),
+        "skips": pa.array(sblobs, pa.large_binary()),
+    }
+    if posblobs is not None:
+        cols["positions"] = pa.array(posblobs, pa.large_binary())
+    return pa.table(cols), bucket[rstarts]
+
+
+def _write_serving_buckets(
+    rows: pa.Table, bucket_of_row: np.ndarray, srv_post_dir: str, tag: str
+) -> None:
+    """``tag`` must be deterministic per source partition so a retried
+    task OVERWRITES its own files (atomic rename) instead of duplicating
+    serving rows."""
+    for b in np.unique(bucket_of_row):
+        bdir = os.path.join(srv_post_dir, f"bucket={int(b)}")
+        os.makedirs(bdir, exist_ok=True)
+        _atomic_write_parquet(
+            rows.filter(pa.array(bucket_of_row == b)),
+            os.path.join(bdir, f"post-{tag}.parquet"),
+        )
+
+
 def _build_segment_table(
-    group: pa.Table, store_positions: bool, keep_salt: bool = False
+    group: pa.Table, store_positions: bool, keep_salt: bool = False,
+    serving: tuple[str, int, str] | None = None,
 ) -> tuple[pa.Table, dict]:
-    """Encode one shuffle partition's triples into segment rows + stats."""
+    """Encode one shuffle partition's triples into segment rows + stats.
+
+    With ``serving=(srv_post_dir, n_buckets, tag)``, ALSO emits the partition's
+    doc-range-bucketed serving rows from the same decoded arrays — no
+    second decode pass over the segment blobs."""
     sort_keys = [("field", "ascending"), ("term", "ascending"), ("doc_id", "ascending")]
     t = group.sort_by(sort_keys).combine_chunks()
     salts = (
@@ -304,6 +383,16 @@ def _build_segment_table(
         docs, tfs, dls, starts, ends,
         pos_flat=pos_vals, pos_offsets=pos_offs,
     )
+    if serving is not None:
+        srv_dir, n_buckets, tag = serving
+        term_take = pa.array(starts, type=pa.int64())
+        rows, brow = _serving_rows_from_arrays(
+            fields[starts], terms.take(term_take),
+            (ends - starts).astype(np.int64),
+            docs, tfs, dls, starts, ends, n_buckets,
+            pos_flat=pos_vals, pos_offsets=pos_offs,
+        )
+        _write_serving_buckets(rows, brow, srv_dir, tag)
     # cf per term: segmented sum of tf (vectorized)
     cf = np.add.reduceat(tfs.astype(np.int64), starts)
     seg_cols = {
@@ -404,12 +493,15 @@ class _SegmentEncoder:
     partition, so the merge stage reads only its own terms' runs."""
 
     def __init__(self, exchange_dir: str, seg_dir: str, hotruns_dir: str,
-                 store_positions: bool, num_parts: int):
+                 store_positions: bool, num_parts: int,
+                 srv_post_dir: str | None = None, n_buckets: int = 16):
         self.exchange_dir = exchange_dir
         self.seg_dir = seg_dir
         self.hotruns_dir = hotruns_dir
         self.store_positions = store_positions
         self.num_parts = num_parts
+        self.srv_post_dir = srv_post_dir
+        self.n_buckets = n_buckets
 
     def __call__(self, items: pa.Table) -> pa.Table:
         out = []
@@ -417,21 +509,32 @@ class _SegmentEncoder:
             part = int(part)
             triples = _read_runs(os.path.join(self.exchange_dir, f"part={part}"))
             is_run = part >= self.num_parts
+            # cold parts emit serving slices from the same decoded arrays;
+            # hot (salted) parts defer to the merge stage's full lists
+            serving = (
+                (self.srv_post_dir, self.n_buckets, f"cold{part}")
+                if (self.srv_post_dir and not is_run)
+                else None
+            )
             table, stats = _build_segment_table(
-                triples, self.store_positions, keep_salt=is_run
+                triples, self.store_positions, keep_salt=is_run,
+                serving=serving,
             )
             if is_run:
-                # re-spill grouped by each term's FINAL partition so the
-                # merge stage reads exactly one dir per task
+                # re-spill keyed by TERM GROUP (4*num_parts groups), not by
+                # final partition: hot terms are few and enormous, so
+                # final-partition merge tasks were skew-bound (a partition
+                # holding 2-3 giant terms set the stage's critical path).
+                # Term-group tasks spread giants over independent workers.
                 fid = table["field"].to_numpy(zero_copy_only=False)
                 th = term_hash(table["term"].combine_chunks(), fid)
-                finals = (th % np.uint64(self.num_parts)).astype(np.int64)
-                for f_ in np.unique(finals):
-                    sub = table.filter(pa.array(finals == f_))
-                    fdir = os.path.join(self.hotruns_dir, f"final={int(f_)}")
-                    os.makedirs(fdir, exist_ok=True)
+                groups = (th % np.uint64(4 * self.num_parts)).astype(np.int64)
+                for g_ in np.unique(groups):
+                    sub = table.filter(pa.array(groups == g_))
+                    gdir = os.path.join(self.hotruns_dir, f"group={int(g_)}")
+                    os.makedirs(gdir, exist_ok=True)
                     _atomic_write_parquet(
-                        sub, os.path.join(fdir, f"runs-{part}.parquet")
+                        sub, os.path.join(gdir, f"runs-{part}.parquet")
                     )
                 out.append(
                     {"part": part, "file": "", "sha256": "", "kind": "run", **stats}
@@ -450,16 +553,23 @@ class _SegmentEncoder:
 
 
 class _HotMerger:
-    """Per-final-partition merge task: concatenate each hot term's
-    doc-range-ordered runs back into one posting list (byte-identical to
-    the unsalted encoding) and write the partition's seg-hot file."""
+    """Per-term-group merge task: concatenate each hot term's doc-range-
+    ordered runs back into one posting list (byte-identical to the
+    unsalted encoding) and write each term into its FINAL partition's
+    seg-hot-g{group} file (several group files per partition compose the
+    partition's hot terms)."""
 
-    def __init__(self, hotruns_dir: str, seg_dir: str, store_positions: bool):
+    def __init__(self, hotruns_dir: str, seg_dir: str, store_positions: bool,
+                 num_parts: int,
+                 srv_post_dir: str | None = None, n_buckets: int = 16):
         self.hotruns_dir = hotruns_dir
         self.seg_dir = seg_dir
         self.store_positions = store_positions
+        self.num_parts = num_parts
+        self.srv_post_dir = srv_post_dir
+        self.n_buckets = n_buckets
 
-    def _merge_term(self, g: pa.Table) -> dict:
+    def _merge_term(self, g: pa.Table):
         g = g.sort_by([("first_doc", "ascending")])
         docs_l, tfs_l, pos_l, dls_l = [], [], [], []
         for i in range(g.num_rows):
@@ -482,15 +592,17 @@ class _HotMerger:
             "postings": blob,
             "skips": skips,
         }
+        pos_flat = None
         if self.store_positions:
-            row["positions"] = codec.encode_positions(np.concatenate(pos_l), tfs)
-        return row
+            pos_flat = np.concatenate(pos_l)
+            row["positions"] = codec.encode_positions(pos_flat, tfs)
+        return row, docs, tfs, dls, pos_flat
 
     def __call__(self, items: pa.Table) -> pa.Table:
         out = []
-        for final in items["final"].to_pylist():
-            final = int(final)
-            tdir = os.path.join(self.hotruns_dir, f"final={final}")
+        for group in items["group"].to_pylist():
+            group = int(group)
+            tdir = os.path.join(self.hotruns_dir, f"group={group}")
             runs = pa.concat_tables(
                 [pq.read_table(os.path.join(tdir, f))
                  for f in sorted(os.listdir(tdir)) if f.endswith(".parquet")]
@@ -507,7 +619,33 @@ class _HotMerger:
                           out=change[1:])
             starts = np.nonzero(change)[0]
             ends = np.concatenate((starts[1:], [n]))
-            rows = [self._merge_term(runs.slice(s, e - s)) for s, e in zip(starts, ends)]
+            merged = [self._merge_term(runs.slice(s, e - s)) for s, e in zip(starts, ends)]
+            rows = [m[0] for m in merged]
+            if self.srv_post_dir and merged:
+                # serving slices straight from the merged arrays
+                docs_all = np.concatenate([m[1] for m in merged])
+                tfs_all = np.concatenate([m[2] for m in merged])
+                dls_all = np.concatenate([m[3] for m in merged])
+                dfs = np.array([len(m[1]) for m in merged], np.int64)
+                tstarts = np.concatenate(([0], np.cumsum(dfs)))[:-1]
+                tends = tstarts + dfs
+                pos_flat = pos_offs = None
+                if self.store_positions:
+                    pos_flat = np.concatenate([m[4] for m in merged])
+                    pos_offs = np.concatenate(
+                        ([0], np.cumsum(tfs_all.astype(np.int64)))
+                    )
+                srv_rows, brow = _serving_rows_from_arrays(
+                    np.array([r["field"] for r in rows], np.int64),
+                    pa.array([r["term"] for r in rows], pa.string()),
+                    dfs,
+                    docs_all, tfs_all, dls_all, tstarts, tends,
+                    self.n_buckets,
+                    pos_flat=pos_flat, pos_offsets=pos_offs,
+                )
+                _write_serving_buckets(
+                    srv_rows, brow, self.srv_post_dir, f"hot{group}"
+                )
             cols = {
                 "field": pa.array(np.array([r["field"] for r in rows], np.int8)),
                 "term": pa.array([r["term"] for r in rows], pa.string()),
@@ -521,23 +659,30 @@ class _HotMerger:
                     [r["positions"] for r in rows], pa.large_binary()
                 )
             table = pa.table(cols)
-            pdir = os.path.join(self.seg_dir, f"part={final}")
-            os.makedirs(pdir, exist_ok=True)
-            fname = "seg-hot.parquet"
-            sha = _atomic_write_parquet(table, os.path.join(pdir, fname))
-            out.append(
-                {
-                    "part": final, "file": fname, "sha256": sha,
-                    "kind": "hot", "n_terms": table.num_rows,
-                    "n_postings": int(pc.sum(table["df"]).as_py() or 0),
-                    "sum_tf_content": int(pc.sum(
-                        pc.if_else(pc.equal(table["field"], 0), table["cf"], 0)
-                    ).as_py() or 0),
-                    "sum_tf_path": int(pc.sum(
-                        pc.if_else(pc.equal(table["field"], 1), table["cf"], 0)
-                    ).as_py() or 0),
-                }
-            )
+            # each term lands in its FINAL partition's dir; one file per
+            # (group, final)
+            fidv = table["field"].to_numpy(zero_copy_only=False)
+            thv = term_hash(table["term"].combine_chunks(), fidv)
+            finals = (thv % np.uint64(self.num_parts)).astype(np.int64)
+            fname = f"seg-hot-g{group}.parquet"
+            for f_ in np.unique(finals):
+                sub = table.filter(pa.array(finals == f_))
+                pdir = os.path.join(self.seg_dir, f"part={int(f_)}")
+                os.makedirs(pdir, exist_ok=True)
+                sha = _atomic_write_parquet(sub, os.path.join(pdir, fname))
+                out.append(
+                    {
+                        "part": int(f_), "file": fname, "sha256": sha,
+                        "kind": "hot", "n_terms": sub.num_rows,
+                        "n_postings": int(pc.sum(sub["df"]).as_py() or 0),
+                        "sum_tf_content": int(pc.sum(
+                            pc.if_else(pc.equal(sub["field"], 0), sub["cf"], 0)
+                        ).as_py() or 0),
+                        "sum_tf_path": int(pc.sum(
+                            pc.if_else(pc.equal(sub["field"], 1), sub["cf"], 0)
+                        ).as_py() or 0),
+                    }
+                )
         return _lineage_table(out)
 
 
@@ -552,112 +697,10 @@ def doc_bucket_of(doc_ids: np.ndarray, n_buckets: int) -> np.ndarray:
     return (doc_ids.astype(np.uint64) >> np.uint64(63 - bits)).astype(np.int32)
 
 
-class _ServingEncoder:
-    """Per-partition task: re-slice the partition's term-ordered posting
-    lists into doc-range buckets — the doc-partitioned SERVING projection
-    (each query shard owns a set of buckets and holds ALL terms for its
-    doc range, the standard document-partitioned search layout).
-
-    One varint decode pass over the whole partition (term boundaries fall
-    out of the df column), one vectorized re-encode over the (term x
-    bucket) run boundaries; ``df`` on every output row is the term's
-    GLOBAL df so shards score with exact idf without a stats round."""
-
-    def __init__(self, seg_dir: str, out_dir: str, store_positions: bool,
-                 n_buckets: int):
-        self.seg_dir = seg_dir
-        self.out_dir = out_dir
-        self.store_positions = store_positions
-        self.n_buckets = n_buckets
-
-    def __call__(self, items: pa.Table) -> pa.Table:
-        out = []
-        for part in items["part"].to_pylist():
-            pdir = os.path.join(self.seg_dir, f"part={int(part)}")
-            tabs = [
-                pq.read_table(os.path.join(pdir, f))
-                for f in sorted(os.listdir(pdir))
-                if f.endswith(".parquet")
-            ]
-            t = pa.concat_tables(tabs, promote_options="default")
-            if "first_doc" in t.column_names:
-                t = t.drop_columns(["first_doc"])
-            out.append((int(part), self._encode_part(t)))
-        return pa.table(
-            {
-                "part": pa.array([p for p, _ in out], pa.int32()),
-                "rows": pa.array([n for _, n in out], pa.int64()),
-            }
-        )
-
-    def _encode_part(self, t: pa.Table) -> int:
-        if t.num_rows == 0:
-            return 0
-        df = t["df"].to_numpy().astype(np.int64)
-        vals = codec.decode_varints(b"".join(t["postings"].to_pylist()))
-        deltas, tfs, dls = vals[0::3], vals[1::3], vals[2::3]
-        tstarts = np.concatenate(([0], np.cumsum(df)))[:-1]
-        docs = np.cumsum(deltas, dtype=np.uint64)
-        if len(tstarts) > 1:
-            # per-term first delta is ABSOLUTE, so true doc = global cumsum
-            # minus the cumsum carried in from previous terms. The global
-            # cumsum wraps mod 2^64 (absolute 63-bit ids sum far past the
-            # range) — wraparound SUBTRACTION is still exact, but any
-            # monotonicity trick is not: broadcast each term's base with
-            # repeat instead.
-            base_per_term = np.zeros(len(df), np.uint64)
-            base_per_term[1:] = docs[tstarts[1:] - 1]
-            docs = docs - np.repeat(base_per_term, df)
-        pos_flat = pos_offs = None
-        if self.store_positions and "positions" in t.column_names:
-            pos_flat, pstarts = codec.decode_positions(
-                b"".join(t["positions"].to_pylist()), tfs
-            )
-            pos_offs = np.concatenate((pstarts, [len(pos_flat)]))
-        # (term x bucket) run boundaries: docs ascend within a term, so
-        # buckets are contiguous and only contribute to the change mask
-        bucket = doc_bucket_of(docs, self.n_buckets)
-        term_id = np.repeat(np.arange(len(df), dtype=np.int64), df)
-        n = len(docs)
-        change = np.empty(n, dtype=bool)
-        change[0] = True
-        np.logical_or(
-            term_id[1:] != term_id[:-1], bucket[1:] != bucket[:-1],
-            out=change[1:],
-        )
-        starts = np.nonzero(change)[0]
-        ends = np.concatenate((starts[1:], [n]))
-        pblobs, sblobs, posblobs = codec.encode_partition(
-            docs, tfs, dls, starts, ends,
-            pos_flat=pos_flat, pos_offsets=pos_offs,
-        )
-        run_term = term_id[starts]
-        run_bucket = bucket[starts]
-        take = pa.array(run_term, type=pa.int64())
-        cols = {
-            "field": t["field"].take(take),
-            "term": t["term"].take(take),
-            "df": t["df"].take(take),  # GLOBAL df of the term
-            "postings": pa.array(pblobs, pa.large_binary()),
-            "skips": pa.array(sblobs, pa.large_binary()),
-        }
-        if posblobs is not None:
-            cols["positions"] = pa.array(posblobs, pa.large_binary())
-        full = pa.table(cols)
-        part_tag = uuid.uuid4().hex[:12]
-        for b in np.unique(run_bucket):
-            bdir = os.path.join(self.out_dir, f"bucket={int(b)}")
-            os.makedirs(bdir, exist_ok=True)
-            _atomic_write_parquet(
-                full.filter(pa.array(run_bucket == b)),
-                os.path.join(bdir, f"post-{part_tag}.parquet"),
-            )
-        return len(starts)
-
-
 def _bucket_docs_batch(t: pa.Table, out_dir: str, n_buckets: int) -> pa.Table:
     """Spill a docs batch into per-bucket parquet files (serving doc
-    metadata: shards read only their buckets)."""
+    metadata: shards read only their buckets). File tag is content-
+    derived so a retried task overwrites rather than duplicates."""
     if t.num_rows == 0:
         return pa.table({"rows": pa.array([], pa.int64())})
     ids = t["doc_id"].to_numpy().astype(np.uint64)
@@ -667,7 +710,7 @@ def _bucket_docs_batch(t: pa.Table, out_dir: str, n_buckets: int) -> pa.Table:
     bs = bucket[order]
     starts = np.nonzero(np.concatenate(([True], bs[1:] != bs[:-1])))[0]
     ends = np.concatenate((starts[1:], [len(bs)]))
-    tag = uuid.uuid4().hex[:12]
+    tag = hashlib.sha256(ids.tobytes()).hexdigest()[:12]
     for s, e in zip(starts, ends):
         bdir = os.path.join(out_dir, f"bucket={int(bs[s])}")
         os.makedirs(bdir, exist_ok=True)
@@ -677,29 +720,13 @@ def _bucket_docs_batch(t: pa.Table, out_dir: str, n_buckets: int) -> pa.Table:
     return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
 
 
-def _build_serving(staging: str, seg_dir: str, docs_dir: str,
-                   cfg: IndexConfig) -> None:
-    """Build the doc-partitioned serving projection inside the staging
-    epoch dir (covered by the same atomic commit rename)."""
+def _build_serving_docs(staging: str, docs_dir: str, cfg: IndexConfig) -> None:
+    """Bucket the doc-metadata table for serving (posting slices are
+    emitted inline by the segment-encode / hot-merge stages)."""
     B = cfg.serving_buckets
     assert B & (B - 1) == 0, "serving_buckets must be a power of two"
-    srv = os.path.join(staging, "serving")
-    parts = sorted(
-        int(d.split("=")[1])
-        for d in (os.listdir(seg_dir) if os.path.isdir(seg_dir) else [])
-        if d.startswith("part=")
-    )
-    if parts:
-        ray.data.from_items(
-            [{"part": p} for p in parts], override_num_blocks=len(parts)
-        ).map_batches(
-            _ServingEncoder(
-                seg_dir, os.path.join(srv, "post"), cfg.store_positions, B
-            ),
-            batch_format="pyarrow", batch_size=1,
-        ).count()
     if os.path.isdir(docs_dir):
-        docs_out = os.path.join(srv, "docs")
+        docs_out = os.path.join(staging, "serving", "docs")
         ray.data.read_parquet(docs_dir).map_batches(
             lambda t: _bucket_docs_batch(t, docs_out, B),
             batch_format="pyarrow",
@@ -860,6 +887,8 @@ def build_index(
                 _SegmentEncoder(
                     exchange_dir, seg_dir, hotruns_dir,
                     cfg.store_positions, cfg.num_parts,
+                    srv_post_dir=os.path.join(staging, "serving", "post"),
+                    n_buckets=cfg.serving_buckets,
                 ),
                 batch_format="pyarrow", batch_size=1,
             )
@@ -872,7 +901,7 @@ def build_index(
     hot_items = []
     if os.path.isdir(hotruns_dir):
         hot_items = [
-            {"final": int(d.split("=")[1])}
+            {"group": int(d.split("=")[1])}
             for d in sorted(os.listdir(hotruns_dir))
         ]
     if hot_items:
@@ -881,16 +910,22 @@ def build_index(
         )
         lineage += (
             fitems.map_batches(
-                _HotMerger(hotruns_dir, seg_dir, cfg.store_positions),
+                _HotMerger(
+                    hotruns_dir, seg_dir, cfg.store_positions,
+                    cfg.num_parts,
+                    srv_post_dir=os.path.join(staging, "serving", "post"),
+                    n_buckets=cfg.serving_buckets,
+                ),
                 batch_format="pyarrow", batch_size=1,
             )
             .to_pandas()
             .to_dict("records")
         )
     _mark("hot_merge")
-    # ---- doc-partitioned serving projection (query shards read this)
-    _build_serving(staging, seg_dir, docs_dir, cfg)
-    _mark("serving")
+    # ---- serving doc metadata (posting slices were emitted inline by
+    # the encode/merge stages straight from their decoded arrays)
+    _build_serving_docs(staging, docs_dir, cfg)
+    _mark("serving_docs")
     # O(1) rename-to-trash, deleted off the critical path (a background
     # thread now; leftover .trash dirs are swept by the next build)
     _trash_async(exchange_dir)
