@@ -63,6 +63,10 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--full-section", action="store_true")
     p.add_argument(
+        "--heatmap", action="store_true",
+        help="ANSI-colour matched lines by per-token similarity",
+    )
+    p.add_argument(
         "--model", default=None,
         help="embedding model alias/name (ck_ray.models registry)",
     )
@@ -351,6 +355,13 @@ def main(argv: list[str] | None = None) -> int:
             df = full_sections(args.corpus, df)
             _emit(df, args.as_json, ["path", "line_no", "section"])
         else:
+            if args.heatmap and len(df) and not args.as_json:
+                from .heatmap import highlight_ansi
+
+                df = df.copy()
+                df["line"] = [
+                    highlight_ansi(ln, args.pattern) for ln in df["line"]
+                ]
             _emit(df, args.as_json, ["path", "line_no", "line"])
         return 0 if len(df) else 1
     except Exception as e:  # grep-like: errors exit 2

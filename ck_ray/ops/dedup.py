@@ -627,8 +627,14 @@ def embedding_near_dups(
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("vec_id")
-        if len(g) < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+        if len(g) < 2:  # typed empty block (schema-consistent streaming)
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series([], dtype="int64"),
+                    "vec_b": pd.Series([], dtype="int64"),
+                    "cosine": pd.Series([], dtype="float64"),
+                }
+            )
         ids = g["vec_id"].to_numpy()
         U = np.stack(g["unit"].to_numpy())
         sims = U @ U.T

@@ -211,9 +211,10 @@ def fingerprints(sf_dir: str, window: int = 8) -> pd.DataFrame:
 
     ds = _docs(sf_dir, ["doc_id", "text"])
     powers = np.empty(window, dtype=np.uint64)
-    powers[0] = 1
-    for j in range(1, window):
-        powers[j] = powers[j - 1] * _FP_PRIME  # wraps mod 2^64
+    p = 1
+    for j in range(window):  # python-int mod avoids numpy overflow warnings
+        powers[j] = p
+        p = (p * int(_FP_PRIME)) % (1 << 64)
 
     def per_doc(t: pa.Table) -> pa.Table:
         tb = tokenize_array(t["text"])
