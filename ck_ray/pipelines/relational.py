@@ -77,17 +77,30 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    out = (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("qty", alias_name="sum_qty"),
-            Sum("price_c", alias_name="sum_base_price_c"),
-            Sum("disc_e4", alias_name="sum_disc_price_e4"),
-            Sum("charge_e6", alias_name="sum_charge_e6"),
-            Count(alias_name="count_order"),
+    def partial(t: pa.Table) -> pa.Table:
+        # map-side combine: <= 6 (flag, status) groups exist, so each
+        # batch reduces to a handful of partial rows and the "shuffle" is
+        # a trivial stream of tiny partials to one final combine — no
+        # all-to-all exchange for an ultra-low-cardinality aggregate
+        t = prep(t)
+        g = pa.TableGroupBy(
+            t, ["l_returnflag", "l_linestatus"], use_threads=False
+        ).aggregate(
+            [("qty", "sum"), ("price_c", "sum"), ("disc_e4", "sum"),
+             ("charge_e6", "sum"), ("qty", "count")]
         )
-        .to_pandas()
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+        .agg(
+            sum_qty=("qty_sum", "sum"),
+            sum_base_price_c=("price_c_sum", "sum"),
+            sum_disc_price_e4=("disc_e4_sum", "sum"),
+            sum_charge_e6=("charge_e6_sum", "sum"),
+            count_order=("qty_count", "sum"),
+        )
     )
     for c in ("sum_qty", "sum_base_price_c", "sum_disc_price_e4", "sum_charge_e6", "count_order"):
         out[c] = out[c].astype("int64")
