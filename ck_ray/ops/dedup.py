@@ -408,7 +408,6 @@ def connected_components(pairs: pd.DataFrame) -> pd.DataFrame:
     partitioned join on the same keys — the rounds and the keeper
     semantics are identical."""
     import ray as _ray
-    from ray.data.aggregate import Min
 
     if len(pairs) == 0:
         return pd.DataFrame(
@@ -425,9 +424,18 @@ def connected_components(pairs: pd.DataFrame) -> pd.DataFrame:
             "v": pa.array(np.concatenate((b, a))),
         }
     )
+    from ..exchange import hash_exchange, int_key_hash
+
     edges_ds = ray.data.from_arrow(edges)
     nodes = np.unique(np.concatenate((a, b)))  # sorted
     labels = nodes.copy()  # label[i] = component label of nodes[i]
+
+    def min_label(rows: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(rows, ["node"], use_threads=False).aggregate(
+            [("label", "min")]
+        )
+        return pa.table({"node": g["node"], "label": g["label_min"]})
+
     while True:
         lab_ref = _ray.put((nodes, labels))
 
@@ -437,11 +445,10 @@ def connected_components(pairs: pd.DataFrame) -> pd.DataFrame:
             lu = vals[np.searchsorted(keys, u)]  # every u is a node
             return pa.table({"node": t["v"], "label": pa.array(lu)})
 
-        new = (
-            edges_ds.map_batches(offer, batch_format="pyarrow")
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .to_pandas()
+        new = hash_exchange(
+            edges_ds.map_batches(offer, batch_format="pyarrow"),
+            key_fn=lambda t: int_key_hash(t["node"].to_numpy()),
+            reducer=min_label,
         )
         nl = labels.copy()
         pos = np.searchsorted(nodes, new["node"].to_numpy(dtype=np.int64))
