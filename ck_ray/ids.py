@@ -23,6 +23,25 @@ _FNV_OFFSET = np.uint64(1469598103934665603)
 _FNV_PRIME = np.uint64(1099511628211)
 
 
+def _utf8_offsets(arr: pa.Array) -> np.ndarray:
+    """int64 value offsets of a string OR large_string array.
+
+    Branching on the physical offset width (int32 vs int64) instead of
+    assuming int32 means a block whose joined keys exceed 2 GiB (Arrow
+    auto-promotes to large_string on concat/combine) hashes correctly
+    instead of mis-parsing the buffer."""
+    if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
+        dt = np.int64
+    elif pa.types.is_string(arr.type) or pa.types.is_binary(arr.type):
+        dt = np.int32
+    else:  # pragma: no cover - callers cast first
+        raise TypeError(f"expected (large_)string, got {arr.type}")
+    n = len(arr)
+    return np.frombuffer(arr.buffers()[1], dtype=dt)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+
+
 def term_hash(terms: pa.Array | pa.ChunkedArray, field_ids: np.ndarray) -> np.ndarray:
     """Deterministic 64-bit FNV-1a hash of (field_id, term) — vectorized.
 
@@ -33,7 +52,7 @@ def term_hash(terms: pa.Array | pa.ChunkedArray, field_ids: np.ndarray) -> np.nd
     """
     if isinstance(terms, pa.ChunkedArray):
         terms = terms.combine_chunks()
-    if terms.type != pa.string():
+    if terms.type not in (pa.string(), pa.large_string()):
         terms = terms.cast(pa.string())
     n = len(terms)
     h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
@@ -41,11 +60,8 @@ def term_hash(terms: pa.Array | pa.ChunkedArray, field_ids: np.ndarray) -> np.nd
     h = (h ^ np.asarray(field_ids, dtype=np.uint64)) * _FNV_PRIME
     if n == 0:
         return h
-    bufs = terms.buffers()  # [validity, int32 offsets, utf8 data]
-    offs = (
-        np.frombuffer(bufs[1], dtype=np.int32)[terms.offset : terms.offset + n + 1]
-        .astype(np.int64)
-    )
+    bufs = terms.buffers()  # [validity, offsets, utf8 data]
+    offs = _utf8_offsets(terms)
     starts = offs[:-1]
     lens = np.diff(offs)
     buf = np.frombuffer(bufs[2], dtype=np.uint8)
@@ -116,18 +132,30 @@ def doc_id_column(
     per-row join/encode/str allocation)."""
     import pyarrow.compute as pc
 
+    def _is_large(a):
+        t = a.type if not isinstance(a, pa.ChunkedArray) else a.type
+        return pa.types.is_large_string(t) or pa.types.is_large_binary(t)
+
+    sep_t = (
+        pa.large_string()
+        if any(_is_large(a) for a in (repo, path, commit))
+        else pa.string()
+    )
+    if sep_t == pa.large_string():  # join kernel requires uniform types
+        repo, path, commit = (
+            a.cast(pa.large_string()) for a in (repo, path, commit)
+        )
+    sep = pa.scalar("\x00", sep_t)
     keys = pc.binary_join_element_wise(
-        pc.binary_join_element_wise(repo, path, "\x00"), commit, "\x00"
+        pc.binary_join_element_wise(repo, path, sep), commit, sep
     )
     if isinstance(keys, pa.ChunkedArray):
         keys = keys.combine_chunks()
     n = len(keys)
     if n == 0:
         return pa.array([], type=pa.int64())
-    bufs = keys.buffers()  # [validity, int32 offsets, utf8 data]
-    offs = np.frombuffer(bufs[1], dtype=np.int32)[
-        keys.offset : keys.offset + n + 1
-    ].astype(np.int64)
+    bufs = keys.buffers()  # [validity, offsets (int32 or int64), utf8 data]
+    offs = _utf8_offsets(keys)
     data = memoryview(bufs[2])
     sha = hashlib.sha256
     dig = b"".join(

@@ -235,10 +235,18 @@ class CkRayMCP:
 
     # ------------------------------------------------------------ JSON-RPC
 
-    def handle(self, req: dict) -> dict:
-        """One JSON-RPC 2.0 request -> response dict."""
+    def handle(self, req: dict) -> dict | None:
+        """One JSON-RPC 2.0 request -> response dict.
+
+        Requests WITHOUT an ``id`` are notifications (e.g. the standard
+        MCP ``notifications/initialized`` sent after ``initialize``);
+        JSON-RPC 2.0 §4.1 forbids responding to them, and strict clients
+        treat an unsolicited response as a protocol violation — so they
+        are processed (currently: ignored) and ``None`` is returned."""
         rid = req.get("id")
         method = req.get("method", "")
+        if rid is None or method.startswith("notifications/"):
+            return None
         try:
             if method == "initialize":
                 result = {
@@ -279,6 +287,8 @@ def serve_stdio(corpus: str, index_dir: str) -> None:
             if not line:
                 continue
             resp = srv.handle(json.loads(line))
+            if resp is None:  # notification — no response line
+                continue
             sys.stdout.write(json.dumps(resp, default=str) + "\n")
             sys.stdout.flush()
     finally:

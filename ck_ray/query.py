@@ -1053,26 +1053,34 @@ class BM25Engine:
         """Full reference semantics: normalize by max score, then threshold
         (``ck-engine/src/lib.rs:820-844``). Returns a pandas DataFrame.
         Metadata comes back WITH each shard's top-k (doc-range-local
-        lookup) — no driver-side doc-table scan."""
+        lookup) — no driver-side doc-table scan. ``with_metadata=False``
+        skips the shard-side metadata fetch entirely and returns only
+        doc_id/score/normalized_score."""
         import pandas as pd
 
         k = top_k if top_k is not None else 100
         df_map = self._df_map_for([query])
-        parts = ray.get(
-            [
-                s.query_topk_meta.remote(query, k, True, df_map)
-                for s in self.shards
-            ]
-        )
-        self.last_fanout_rows = int(sum(len(p["doc_id"]) for p in parts))
-        docs = np.concatenate([p["doc_id"] for p in parts])
-        if len(docs) == 0:
-            return pd.DataFrame(
-                columns=[
-                    "doc_id", "score", "normalized_score",
-                    "repo", "path", "lang", "content_sha256",
+        if with_metadata:
+            parts = ray.get(
+                [
+                    s.query_topk_meta.remote(query, k, True, df_map)
+                    for s in self.shards
                 ]
             )
+        else:
+            raw = ray.get(
+                [
+                    s.query_topk.remote(query, k, True, df_map)
+                    for s in self.shards
+                ]
+            )
+            parts = [{"doc_id": d, "score": s} for d, s in raw]
+        self.last_fanout_rows = int(sum(len(p["doc_id"]) for p in parts))
+        meta_cols = list(LocalIndex._META_COLS) if with_metadata else []
+        out_cols = ["doc_id", "score", "normalized_score", *meta_cols]
+        docs = np.concatenate([p["doc_id"] for p in parts])
+        if len(docs) == 0:
+            return pd.DataFrame(columns=out_cols)
         scores = np.concatenate([p["score"] for p in parts])
         order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
         docs, scores = docs[order], scores[order]
@@ -1083,7 +1091,7 @@ class BM25Engine:
             "score": scores,
             "normalized_score": norm,
         }
-        for c in LocalIndex._META_COLS:
+        for c in meta_cols:
             merged = np.concatenate([p[c] for p in parts])[order]
             cols[c] = merged
         df = pd.DataFrame(cols)
@@ -1091,12 +1099,7 @@ class BM25Engine:
             df = df[df["normalized_score"] >= threshold].reset_index(
                 drop=True
             )
-        return df[
-            [
-                "doc_id", "score", "normalized_score",
-                "repo", "path", "lang", "content_sha256",
-            ]
-        ]
+        return df[out_cols]
 
     def search_many(
         self, queries: list[str], top_k: int | None = None

@@ -47,6 +47,20 @@ def test_initialize_and_tool_list(mcp):
     }
 
 
+def test_notifications_get_no_response(mcp):
+    """JSON-RPC notifications (no id) must not be answered — strict MCP
+    clients treat an unsolicited response to notifications/initialized
+    as a protocol violation (ADVICE r2)."""
+    assert mcp.handle(
+        {"jsonrpc": "2.0", "method": "notifications/initialized"}
+    ) is None
+    # unknown method without an id is still a notification -> silence
+    assert mcp.handle({"jsonrpc": "2.0", "method": "bogus/unknown"}) is None
+    # unknown method WITH an id still errors
+    err = mcp.handle({"jsonrpc": "2.0", "id": 7, "method": "bogus/unknown"})
+    assert err["error"]["code"] == -32601 and err["id"] == 7
+
+
 def test_health_and_status(mcp):
     h = _call(mcp, "health_check")
     assert h["status"] == "ok" and h["corpus"]

@@ -117,6 +117,12 @@ def test_search_metadata_from_shards(ray_session, tiny_index, tiny_corpus):
         }
         for _, row in df.iterrows():
             assert truth[(row["repo"], row["path"])] == row["content_sha256"]
+        # with_metadata=False must actually skip metadata (ADVICE r2):
+        # only the three score columns, same ranking as the full search.
+        slim = eng.search("merge_posting_runs", top_k=5, with_metadata=False)
+        assert list(slim.columns) == ["doc_id", "score", "normalized_score"]
+        assert slim["doc_id"].tolist() == df["doc_id"].tolist()
+        assert slim["score"].tolist() == df["score"].tolist()
     finally:
         eng.close()
 

@@ -88,3 +88,22 @@ def test_term_frequencies_tf_and_positions():
     assert d[(0, "a")] == (3, [0, 2, 4])
     assert d[(0, "b")] == (2, [1, 3])
     assert dl.tolist() == [5]
+
+
+def test_ids_large_string_offsets():
+    """doc_id / term_hash must parse int64 offsets when a block arrives
+    as large_string (Arrow promotes on >2 GiB concat) — ADVICE r2."""
+    from ck_ray.ids import doc_id_column, doc_id_for, term_hash
+
+    terms = ["merge", "snake_case", "x" * 60, ""]
+    small = pa.array(terms, pa.string())
+    big = small.cast(pa.large_string())
+    fids = np.zeros(len(terms), dtype=np.int64)
+    assert term_hash(big, fids).tolist() == term_hash(small, fids).tolist()
+
+    repo = pa.array(["r1", "r2"]).cast(pa.large_string())
+    path = pa.array(["a/b.py", "c.rs"]).cast(pa.large_string())
+    commit = pa.array(["c1", "c2"]).cast(pa.large_string())
+    got = doc_id_column(repo, path, commit).to_pylist()
+    want = [doc_id_for("r1", "a/b.py", "c1"), doc_id_for("r2", "c.rs", "c2")]
+    assert got == want
