@@ -53,6 +53,7 @@ import pyarrow.parquet as pq
 import ray.data
 
 from . import codec
+from .exchange import ActorExchange, FsExchange, spill_partitioned
 from .ids import doc_id_column, sha256_hex_column, term_hash
 from .tokenizer import term_frequencies
 
@@ -84,6 +85,16 @@ class IndexConfig:
     # present (single node), else the staging dir. On a cluster this is
     # each node's local SSD / the shared scratch tier.
     exchange_root: str | None = None
+    # Exchange transport: "fs" (run files on a filesystem both sides see;
+    # single node or shared-scratch cluster) or "actor" (shared-nothing:
+    # rows travel via Ray RPC to SPREAD partition-owner actors holding
+    # node-local disk — no path shared between processes). None = the
+    # CK_EXCHANGE_BACKEND env var, default "fs".
+    exchange_backend: str | None = None
+    exchange_num_owners: int = 8
+    # Test hook: explicit per-owner roots for the actor backend, to prove
+    # disjoint-locality correctness (each simulates one node's local disk).
+    exchange_roots: list[str] | None = None
 
     def resolve_exchange_root(self, staging: str) -> str:
         if self.exchange_root:
@@ -91,6 +102,29 @@ class IndexConfig:
         if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
             return "/dev/shm/ck_ray_exchange"
         return staging
+
+    def make_backends(self, staging: str, launch: str):
+        """(triples backend, hot-runs backend) for this build attempt."""
+        kind = self.exchange_backend or os.environ.get(
+            "CK_EXCHANGE_BACKEND", "fs"
+        )
+        if kind == "fs":
+            root = self.resolve_exchange_root(staging)
+            return (
+                FsExchange(root=root, tag=f"exchange-{launch}"),
+                FsExchange(root=root, tag=f"hotruns-{launch}"),
+            )
+        if kind == "actor":
+            sub = lambda name: (  # noqa: E731
+                [os.path.join(r, name) for r in self.exchange_roots]
+                if self.exchange_roots
+                else None
+            )
+            return (
+                ActorExchange(self.exchange_num_owners, roots=sub("exchange")),
+                ActorExchange(self.exchange_num_owners, roots=sub("hotruns")),
+            )
+        raise ValueError(f"unknown exchange backend {kind!r}")
 
 
 # ------------------------------------------------------------ triples stage
@@ -111,14 +145,14 @@ class _TriplesBatcher:
 
     def __init__(self, num_parts: int, store_positions: bool,
                  hot_terms: frozenset[str] | None, salt_buckets: int,
-                 exchange_dir: str | None = None,
+                 backend=None,
                  skip_parts: frozenset[int] = frozenset(),
                  docs_dir: str | None = None):
         self.num_parts = num_parts
         self.store_positions = store_positions
         self.hot_terms = hot_terms
         self.salt_buckets = salt_buckets
-        self.exchange_dir = exchange_dir
+        self.backend = backend
         self.skip_parts = skip_parts
         self.docs_dir = docs_dir
 
@@ -168,6 +202,8 @@ class _TriplesBatcher:
                 )
             cols["part"] = pa.array(part)
             pieces.append(pa.table(cols))
+        man_part: list[int] = []
+        man_run: list[str] = []
         if self.docs_dir is not None:
             # doc table rows fall out of the same pass (dl_* reuse the
             # tokenize results; no second corpus read)
@@ -191,62 +227,26 @@ class _TriplesBatcher:
             tmp = os.path.join(self.docs_dir, f".{name}.tmp")
             pq.write_table(docs, tmp)
             os.replace(tmp, os.path.join(self.docs_dir, name))
-        return _write_runs(
-            pa.concat_tables(pieces), self.exchange_dir, self.skip_parts
-        )
-
-
-def _write_runs(
-    t: pa.Table, exchange_dir: str, skip_parts: frozenset[int]
-) -> pa.Table:
-    """Spill a task's triples as one Arrow-IPC run file per partition;
-    returns tiny (part, file, rows) manifest rows."""
-    if t.num_rows == 0:  # e.g. a batch whose rows all tokenize to nothing
+            # docs files ride the same manifest (part=-1): the build
+            # promotes ONLY manifested docs files, so a crashed attempt's
+            # orphans can never duplicate doc-metadata rows.
+            man_part.append(-1)
+            man_run.append(name)
+        t = pa.concat_tables(pieces)
+        if t.num_rows:
+            part = t["part"].to_numpy(zero_copy_only=False)
+            for p, r in spill_partitioned(
+                t, part, self.backend,
+                skip_parts=self.skip_parts, drop_part_col=True,
+            ):
+                man_part.append(p)
+                man_run.append(r)
         return pa.table(
             {
-                "part": pa.array([], pa.int32()),
-                "file": pa.array([], pa.string()),
-                "rows": pa.array([], pa.int64()),
+                "part": pa.array(man_part, pa.int32()),
+                "run": pa.array(man_run, pa.string()),
             }
         )
-    order = pc.sort_indices(t["part"])
-    t = t.take(order)
-    parts = t["part"].to_numpy(zero_copy_only=False)
-    bounds = np.nonzero(np.concatenate(([True], parts[1:] != parts[:-1])))[0]
-    ends = np.concatenate((bounds[1:], [len(parts)]))
-    out_part, out_file, out_rows = [], [], []
-    for s, e in zip(bounds, ends):
-        part = int(parts[s])
-        if part in skip_parts:
-            continue
-        sub = t.slice(s, e - s).drop_columns(["part"])
-        pdir = os.path.join(exchange_dir, f"part={part}")
-        os.makedirs(pdir, exist_ok=True)
-        name = f"run-{uuid.uuid4().hex}.arrow"
-        tmp = os.path.join(pdir, f".{name}.tmp")
-        with pa.OSFile(tmp, "wb") as f, pa.ipc.new_file(f, sub.schema) as w:
-            w.write_table(sub)
-        os.replace(tmp, os.path.join(pdir, name))
-        out_part.append(part)
-        out_file.append(name)
-        out_rows.append(e - s)
-    return pa.table(
-        {
-            "part": pa.array(out_part, pa.int32()),
-            "file": pa.array(out_file, pa.string()),
-            "rows": pa.array(out_rows, pa.int64()),
-        }
-    )
-
-
-def _read_runs(part_dir: str) -> pa.Table:
-    """Memory-map and concat all run files of one partition."""
-    tables = []
-    for f in sorted(os.listdir(part_dir)):
-        if f.endswith(".arrow"):
-            with pa.memory_map(os.path.join(part_dir, f)) as m:
-                tables.append(pa.ipc.open_file(m).read_all())
-    return pa.concat_tables(tables)
 
 
 # ------------------------------------------------------------ segment stage
@@ -433,44 +433,6 @@ def _atomic_write_parquet(table: pa.Table, final_path: str) -> str:
     return sha
 
 
-def _trash_async(path: str) -> None:
-    """Rename ``path`` to a .trash sibling (O(1)) and delete it on a
-    daemon thread; leftovers are removed by ``_sweep_stale_exchange``."""
-    if not os.path.exists(path):
-        return
-    import shutil
-    import threading
-
-    trash = f"{path}.trash-{uuid.uuid4().hex[:6]}"
-    try:
-        os.rename(path, trash)
-    except OSError:
-        trash = path
-    threading.Thread(
-        target=shutil.rmtree, args=(trash,), kwargs={"ignore_errors": True},
-        daemon=True,
-    ).start()
-
-
-def _sweep_stale_exchange(ex_root: str, max_age_sec: float = 6 * 3600) -> None:
-    """Remove exchange/trash dirs from crashed or earlier builds."""
-    import shutil
-    import time
-
-    now = time.time()
-    try:
-        entries = os.listdir(ex_root)
-    except OSError:
-        return
-    for d in entries:
-        p = os.path.join(ex_root, d)
-        try:
-            if ".trash-" in d or now - os.path.getmtime(p) > max_age_sec:
-                shutil.rmtree(p, ignore_errors=True)
-        except OSError:
-            pass
-
-
 _LINEAGE_KEYS = (
     "part", "file", "sha256", "kind", "n_terms", "n_postings",
     "sum_tf_content", "sum_tf_path",
@@ -489,15 +451,17 @@ class _SegmentEncoder:
 
     Parts < num_parts are final ("cold") segments. Parts >= num_parts are
     salted hot-term partitions: their per-(term, salt) posting runs are
-    re-spilled into ``hotruns/final=F`` dirs keyed by each term's FINAL
-    partition, so the merge stage reads only its own terms' runs."""
+    re-spilled through the hot-runs backend keyed by TERM GROUP, so the
+    merge stage reads only its own terms' runs. Hot-run names are
+    deterministic per (group, source part), so a retried encode task
+    overwrites its own output instead of duplicating it."""
 
-    def __init__(self, exchange_dir: str, seg_dir: str, hotruns_dir: str,
+    def __init__(self, backend, seg_dir: str, hot_backend,
                  store_positions: bool, num_parts: int,
                  srv_post_dir: str | None = None, n_buckets: int = 16):
-        self.exchange_dir = exchange_dir
+        self.backend = backend
         self.seg_dir = seg_dir
-        self.hotruns_dir = hotruns_dir
+        self.hot_backend = hot_backend
         self.store_positions = store_positions
         self.num_parts = num_parts
         self.srv_post_dir = srv_post_dir
@@ -505,9 +469,9 @@ class _SegmentEncoder:
 
     def __call__(self, items: pa.Table) -> pa.Table:
         out = []
-        for part in items["part"].to_pylist():
-            part = int(part)
-            triples = _read_runs(os.path.join(self.exchange_dir, f"part={part}"))
+        for item in items.to_pylist():
+            part = int(item["part"])
+            triples = self.backend.read_runs(part, item["runs"])
             is_run = part >= self.num_parts
             # cold parts emit serving slices from the same decoded arrays;
             # hot (salted) parts defer to the merge stage's full lists
@@ -529,12 +493,22 @@ class _SegmentEncoder:
                 fid = table["field"].to_numpy(zero_copy_only=False)
                 th = term_hash(table["term"].combine_chunks(), fid)
                 groups = (th % np.uint64(4 * self.num_parts)).astype(np.int64)
-                for g_ in np.unique(groups):
-                    sub = table.filter(pa.array(groups == g_))
-                    gdir = os.path.join(self.hotruns_dir, f"group={int(g_)}")
-                    os.makedirs(gdir, exist_ok=True)
-                    _atomic_write_parquet(
-                        sub, os.path.join(gdir, f"runs-{part}.parquet")
+                ug = np.unique(groups)
+                pairs = [
+                    (int(g_), table.filter(pa.array(groups == g_)))
+                    for g_ in ug
+                ]
+                man = self.hot_backend.write_many(
+                    pairs,
+                    names=[f"runs-{part}-g{int(g_)}.arrow" for g_ in ug],
+                )
+                # "hotrun" rows carry the (group, run) manifest so the
+                # merge stage reads exactly the successful attempts' runs
+                for g_, run in man:
+                    out.append(
+                        {"part": int(g_), "file": run, "sha256": "",
+                         "kind": "hotrun", "n_terms": 0, "n_postings": 0,
+                         "sum_tf_content": 0, "sum_tf_path": 0}
                     )
                 out.append(
                     {"part": part, "file": "", "sha256": "", "kind": "run", **stats}
@@ -559,10 +533,10 @@ class _HotMerger:
     seg-hot-g{group} file (several group files per partition compose the
     partition's hot terms)."""
 
-    def __init__(self, hotruns_dir: str, seg_dir: str, store_positions: bool,
+    def __init__(self, hot_backend, seg_dir: str, store_positions: bool,
                  num_parts: int,
                  srv_post_dir: str | None = None, n_buckets: int = 16):
-        self.hotruns_dir = hotruns_dir
+        self.hot_backend = hot_backend
         self.seg_dir = seg_dir
         self.store_positions = store_positions
         self.num_parts = num_parts
@@ -600,13 +574,9 @@ class _HotMerger:
 
     def __call__(self, items: pa.Table) -> pa.Table:
         out = []
-        for group in items["group"].to_pylist():
-            group = int(group)
-            tdir = os.path.join(self.hotruns_dir, f"group={group}")
-            runs = pa.concat_tables(
-                [pq.read_table(os.path.join(tdir, f))
-                 for f in sorted(os.listdir(tdir)) if f.endswith(".parquet")]
-            )
+        for item in items.to_pylist():
+            group = int(item["group"])
+            runs = self.hot_backend.read_runs(group, item["runs"])
             runs = runs.sort_by([("field", "ascending"), ("term", "ascending")])
             fields = runs["field"].to_numpy(zero_copy_only=False)
             tidx = pc.dictionary_encode(
@@ -718,6 +688,39 @@ def _bucket_docs_batch(t: pa.Table, out_dir: str, n_buckets: int) -> pa.Table:
             t.slice(s, e - s), os.path.join(bdir, f"docs-{tag}-{int(bs[s])}.parquet")
         )
     return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
+
+
+def _prune_stale_serving(staging: str, done_parts: set[int]) -> None:
+    """Delete serving files this attempt will regenerate: every hot tag
+    (all hot groups re-merge each attempt, and the grouping can shift
+    with the sampled hot-term set), cold tags of parts NOT in
+    ``done_parts``, and the whole serving/docs dir (rebuilt wholesale by
+    ``_build_serving_docs``). Without this a crashed attempt's
+    differently-tagged files survive alongside the rerun's and duplicate
+    serving rows (ADVICE r2)."""
+    import shutil
+
+    post = os.path.join(staging, "serving", "post")
+    if os.path.isdir(post):
+        for b in os.listdir(post):
+            bdir = os.path.join(post, b)
+            if not os.path.isdir(bdir):
+                continue
+            for f in os.listdir(bdir):
+                if not (f.startswith("post-") and f.endswith(".parquet")):
+                    continue
+                tag = f[len("post-"):-len(".parquet")]
+                keep = (
+                    tag.startswith("cold")
+                    and tag[4:].isdigit()
+                    and int(tag[4:]) in done_parts
+                )
+                if not keep:
+                    try:
+                        os.unlink(os.path.join(bdir, f))
+                    except OSError:
+                        pass
+    shutil.rmtree(os.path.join(staging, "serving", "docs"), ignore_errors=True)
 
 
 def _build_serving_docs(staging: str, docs_dir: str, cfg: IndexConfig) -> None:
@@ -833,36 +836,43 @@ def build_index(
                 ).hexdigest() == rec["sha256"]:
                     done_parts.add(rec["part"])
 
-    # ---- groupby(term-partition) via SPIMI run-file exchange:
-    # tokenize tasks spill per-partition run files (launch-unique dir so a
-    # crashed attempt's partial runs can never double-count), then one
-    # encode task per partition builds+writes its segment.
+    # ---- groupby(term-partition) via the SPIMI run exchange: tokenize
+    # tasks spill per-partition runs through the exchange backend and
+    # return a (part, run) manifest; the encode stage reads EXACTLY the
+    # manifested runs, so a Ray-retried task's orphan runs (first attempt
+    # crashed mid-spill) are never read, let alone double-counted.
     launch = uuid.uuid4().hex[:8]
-    ex_root = cfg.resolve_exchange_root(staging)
-    os.makedirs(ex_root, exist_ok=True)
-    _sweep_stale_exchange(ex_root)
-    exchange_dir = os.path.join(ex_root, f"exchange-{launch}")
-    hotruns_dir = os.path.join(ex_root, f"hotruns-{launch}")
+    backend, hot_backend = cfg.make_backends(staging, launch)
     docs_launch_dir = os.path.join(staging, f"docs-{launch}")
-    ds.map_batches(
+    # drop serving files this attempt will regenerate (crashed attempts
+    # leave differently-tagged files behind otherwise)
+    _prune_stale_serving(staging, done_parts)
+    man = ds.map_batches(
         _TriplesBatcher(
             cfg.num_parts, cfg.store_positions, hot_terms, cfg.salt_buckets,
-            exchange_dir, frozenset(done_parts), docs_launch_dir,
+            backend, frozenset(done_parts), docs_launch_dir,
         ),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-    ).count()
-    # promote this launch's doc table (stale launches' dirs cleaned below)
+    ).to_pandas()
+    # promote ONLY manifested docs files: a crashed attempt's orphan
+    # docs-*.parquet can never duplicate doc-metadata rows
+    docs_files = (
+        man.loc[man["part"] == -1, "run"].tolist() if len(man) else []
+    )
     docs_dir = os.path.join(staging, "docs")
     import shutil as _sh
 
     if os.path.exists(docs_dir):
         _sh.rmtree(docs_dir)
-    os.replace(docs_launch_dir, docs_dir)
+    os.makedirs(docs_dir)
+    for f in docs_files:
+        os.replace(
+            os.path.join(docs_launch_dir, f), os.path.join(docs_dir, f)
+        )
     n_docs = sum(
         pq.read_metadata(os.path.join(docs_dir, f)).num_rows
-        for f in os.listdir(docs_dir)
-        if f.endswith(".parquet")
+        for f in docs_files
     )
     _mark("tokenize_spill")
     if n_docs <= 2_000_000:  # content-addressed id uniqueness (cheap at test scale)
@@ -872,20 +882,26 @@ def build_index(
         if len(pc.unique(idcol)) != n_docs:
             raise RuntimeError("doc_id collision — content-addressed ids not unique")
 
-    parts_present = sorted(
-        int(d.split("=")[1])
-        for d in (os.listdir(exchange_dir) if os.path.isdir(exchange_dir) else [])
+    runs_man = man[man["part"] >= 0] if len(man) else man
+    runs_by_part: dict[int, list[str]] = (
+        {int(p): g["run"].tolist() for p, g in runs_man.groupby("part")}
+        if len(runs_man)
+        else {}
     )
     lineage: list[dict] = []
-    if parts_present:
+    hotrun_by_group: dict[int, list[str]] = {}
+    if runs_by_part:
         items = ray.data.from_items(
-            [{"part": p} for p in parts_present],
-            override_num_blocks=len(parts_present),
+            [
+                {"part": p, "runs": rs}
+                for p, rs in sorted(runs_by_part.items())
+            ],
+            override_num_blocks=len(runs_by_part),
         )
         enc_rows = (
             items.map_batches(
                 _SegmentEncoder(
-                    exchange_dir, seg_dir, hotruns_dir,
+                    backend, seg_dir, hot_backend,
                     cfg.store_positions, cfg.num_parts,
                     srv_post_dir=os.path.join(staging, "serving", "post"),
                     n_buckets=cfg.serving_buckets,
@@ -896,22 +912,25 @@ def build_index(
             .to_dict("records")
         )
         lineage += [r for r in enc_rows if r["kind"] == "cold"]
+        for r in enc_rows:
+            if r["kind"] == "hotrun":
+                hotrun_by_group.setdefault(int(r["part"]), []).append(
+                    r["file"]
+                )
     _mark("encode_segments")
 
-    hot_items = []
-    if os.path.isdir(hotruns_dir):
-        hot_items = [
-            {"group": int(d.split("=")[1])}
-            for d in sorted(os.listdir(hotruns_dir))
-        ]
-    if hot_items:
+    if hotrun_by_group:
         fitems = ray.data.from_items(
-            hot_items, override_num_blocks=len(hot_items)
+            [
+                {"group": g, "runs": rs}
+                for g, rs in sorted(hotrun_by_group.items())
+            ],
+            override_num_blocks=len(hotrun_by_group),
         )
         lineage += (
             fitems.map_batches(
                 _HotMerger(
-                    hotruns_dir, seg_dir, cfg.store_positions,
+                    hot_backend, seg_dir, cfg.store_positions,
                     cfg.num_parts,
                     srv_post_dir=os.path.join(staging, "serving", "post"),
                     n_buckets=cfg.serving_buckets,
@@ -926,10 +945,8 @@ def build_index(
     # the encode/merge stages straight from their decoded arrays)
     _build_serving_docs(staging, docs_dir, cfg)
     _mark("serving_docs")
-    # O(1) rename-to-trash, deleted off the critical path (a background
-    # thread now; leftover .trash dirs are swept by the next build)
-    _trash_async(exchange_dir)
-    _trash_async(hotruns_dir)
+    backend.cleanup()
+    hot_backend.cleanup()
     import shutil
 
     for d in os.listdir(staging):

@@ -93,3 +93,82 @@ def test_lineage_rows_complete(tiny_index):
             tiny_index, man["epoch_dir"], "segments", f"part={r['part']}", r["file"]
         )
         assert os.path.exists(f)
+
+
+def test_build_actor_exchange_identical(ray_session, tiny_corpus, tmp_path):
+    """A build whose shuffle rides the shared-nothing actor exchange
+    (disjoint per-owner roots simulating node-local disks) must commit a
+    byte-identical index to the fs-exchange build (VERDICT r2 #1)."""
+    import ray.data
+
+    d_fs = str(tmp_path / "fs")
+    d_act = str(tmp_path / "act")
+    roots = [str(tmp_path / f"node-{i}") for i in range(3)]
+    ckb.build_index(
+        ray.data.from_arrow(tiny_corpus), d_fs,
+        ckb.IndexConfig(num_parts=4, hot_df_threshold=20, salt_buckets=4),
+    )
+    ckb.build_index(
+        ray.data.from_arrow(tiny_corpus), d_act,
+        ckb.IndexConfig(
+            num_parts=4, hot_df_threshold=20, salt_buckets=4,
+            exchange_backend="actor", exchange_num_owners=3,
+            exchange_roots=roots,
+        ),
+    )
+    a, b = _segments_table(d_fs), _segments_table(d_act)
+    assert a.num_rows == b.num_rows
+    for col in ("field", "term", "df", "cf", "postings", "skips", "positions"):
+        assert a[col].equals(b[col]), f"column {col} differs"
+    ma, mb = ckb.load_manifest(d_fs), ckb.load_manifest(d_act)
+    assert ma["num_docs"] == mb["num_docs"]
+    assert ma["fields"] == mb["fields"]
+
+
+def test_stale_staging_artifacts_pruned(ray_session, tiny_corpus, tmp_path):
+    """A crashed attempt's orphan docs parquet and stale serving files
+    must not leak into the committed index (ADVICE r2): docs promotion is
+    manifest-gated, serving/post is pruned per attempt, serving/docs is
+    rebuilt wholesale."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    d = str(tmp_path / "idx")
+    staging = os.path.join(d, "_staging-epoch-0001")
+    # fabricate a crashed attempt: an orphan docs file from a dead launch
+    # and stale serving files with tags the rerun won't regenerate
+    orphan_docs = os.path.join(staging, "docs-deadbeef")
+    os.makedirs(orphan_docs)
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2, 3], pa.int64())}),
+        os.path.join(orphan_docs, "docs-orphan.parquet"),
+    )
+    for sub, fname in (
+        ("post/bucket=0", "post-hot999.parquet"),
+        ("post/bucket=0", "post-cold7.parquet"),
+        ("docs/bucket=0", "docs-stale-0.parquet"),
+    ):
+        p = os.path.join(staging, "serving", sub)
+        os.makedirs(p, exist_ok=True)
+        pq.write_table(pa.table({"x": pa.array([0])}), os.path.join(p, fname))
+
+    man = ckb.build_index(
+        ray.data.from_arrow(tiny_corpus), d,
+        ckb.IndexConfig(num_parts=4), resume=True,
+    )
+    assert man["num_docs"] == tiny_corpus.num_rows
+    epoch = os.path.join(d, man["epoch_dir"])
+    leftovers = []
+    for root, _, files in os.walk(os.path.join(epoch, "serving")):
+        for f in files:
+            if "hot999" in f or "cold7" in f or "stale" in f:
+                leftovers.append(os.path.join(root, f))
+    assert not leftovers, leftovers
+    # committed docs table holds exactly the corpus rows (no orphan rows)
+    docs = pads.dataset(os.path.join(epoch, "docs")).to_table()
+    assert docs.num_rows == tiny_corpus.num_rows
+    # ... and the serving docs projection as well
+    sdocs = pads.dataset(
+        os.path.join(epoch, "serving", "docs"), partitioning="hive"
+    ).to_table()
+    assert sdocs.num_rows == tiny_corpus.num_rows
