@@ -393,20 +393,39 @@ def distinct_flag_status(sf_dir: str) -> pd.DataFrame:
 
 
 def expensive_items(sf_dir: str) -> pd.DataFrame:
-    """Filter + global sort + limit: top 15 discounted high-price items."""
+    """Filter + top-15 by price. NOT a global sort: every batch emits its
+    own top-15 (a global top-15 row must be in some batch's top-15) and
+    the driver merges <= 15 x n_batches tiny rows — the same partial-
+    top-k + merge pattern as ``ops.ann.cosine_topk``. Ray's sort operator
+    was measured serializing on this host and is O(all rows moved) at
+    scale; this moves 15 rows per batch."""
     ds = ray.data.read_parquet(
         _p(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"],
     )
-    ds = ds.map_batches(
-        lambda t: t.filter(pc.greater(t["l_discount"], pa.scalar(0.05))),
-        batch_format="pyarrow",
-    )
-    out = ds.sort(["l_extendedprice", "l_orderkey", "l_linenumber"],
-                  descending=[True, False, False]).limit(15).to_pandas()
-    out["price_c"] = np.round(out["l_extendedprice"].to_numpy() * 100).astype(np.int64)
-    out["l_linenumber"] = out["l_linenumber"].astype("int64")
-    return out[["l_orderkey", "l_linenumber", "price_c"]]
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_discount"], pa.scalar(0.05)))
+        ok = t["l_orderkey"].to_numpy()
+        ln = t["l_linenumber"].to_numpy().astype(np.int64)
+        price_c = np.round(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        order = np.lexsort((ln, ok, -price_c))[:15]
+        return pa.table(
+            {
+                "l_orderkey": pa.array(ok[order]),
+                "l_linenumber": pa.array(ln[order]),
+                "price_c": pa.array(price_c[order]),
+            }
+        )
+
+    parts = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    out = parts.sort_values(
+        ["price_c", "l_orderkey", "l_linenumber"],
+        ascending=[False, True, True],
+    ).head(15)
+    for c in ("l_orderkey", "l_linenumber", "price_c"):
+        out[c] = out[c].astype("int64")
+    return out[["l_orderkey", "l_linenumber", "price_c"]].reset_index(drop=True)
 
 
 def part_type_stats(sf_dir: str) -> pd.DataFrame:
@@ -483,70 +502,157 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["hour", "event_type"]).reset_index(drop=True)
 
 
+def _segments(sorted_keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, ends) of equal-key runs over a sorted key column."""
+    n = len(sorted_keys)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    starts = np.nonzero(
+        np.concatenate(([True], sorted_keys[1:] != sorted_keys[:-1]))
+    )[0]
+    ends = np.concatenate((starts[1:], [n]))
+    return starts, ends
+
+
+def _topk_per_key(
+    ck: np.ndarray, ok: np.ndarray, pr: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Segmented top-k: per ck group, the k rows with highest pr
+    (tiebreak ok asc); returns (ck, ok, pr, rank) — ONE lexsort + one
+    boundary scan, no per-group Python."""
+    order = np.lexsort((ok, -pr, ck))
+    ck_s, ok_s, pr_s = ck[order], ok[order], pr[order]
+    starts, _ = _segments(ck_s)
+    counts = np.diff(np.concatenate((starts, [len(ck_s)])))
+    rank = np.arange(len(ck_s)) - np.repeat(starts, counts) + 1
+    keep = rank <= k
+    return ck_s[keep], ok_s[keep], pr_s[keep], rank[keep]
+
+
 def events_sliding(sf_dir: str) -> pd.DataFrame:
     """Sliding 3-hour event count per type (window-function shape):
-    hourly tumbling buckets first (small), then a per-type ordered rolling
-    sum over the bucket series inside map_groups."""
+    hourly tumbling buckets first (distributed; the heavy pass), then the
+    RANGE window over the SMALL bucket series — one vectorized
+    prefix-sum + searchsorted kernel over all types at once, replacing
+    the per-group pandas ``map_groups`` of r2 (VERDICT r2 #5)."""
     hourly = events_hourly(sf_dir)[["hour", "event_type", "n"]]
-    import ray.data
-
-    ds = ray.data.from_pandas(hourly)
-
-    def roll(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("hour").copy()
-        t = pd.to_datetime(g["hour"])
-        g = g.set_index(t)
-        # pandas '3h' window = (t-3h, t] == SQL RANGE 2 HOUR PRECEDING on
-        # hour-truncated buckets
-        g["n_3h"] = g["n"].rolling("3h").sum().astype("int64")
-        return g.reset_index(drop=True)[["event_type", "hour", "n_3h"]]
-
-    out = ds.groupby("event_type").map_groups(roll, batch_format="pandas").to_pandas()
-    out["n_3h"] = out["n_3h"].astype("int64")
-    return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+    df = hourly.sort_values(["event_type", "hour"]).reset_index(drop=True)
+    t = pd.to_datetime(df["hour"]).astype("int64").to_numpy()  # ns
+    n = df["n"].to_numpy().astype(np.int64)
+    et = df["event_type"].to_numpy()
+    pre = np.concatenate(([0], np.cumsum(n)))
+    win_lo = t - np.int64(2 * 3600 * 1_000_000_000)  # RANGE 2h PRECEDING
+    n_3h = np.empty(len(n), np.int64)
+    starts, ends = _segments(et)
+    for s, e in zip(starts, ends):  # one iteration per TYPE (a handful)
+        lo = s + np.searchsorted(t[s:e], win_lo[s:e], side="left")
+        n_3h[s:e] = pre[s + 1 : e + 1] - pre[lo]
+    df["n_3h"] = n_3h
+    return df[["event_type", "hour", "n_3h"]].reset_index(drop=True)
 
 
 def top_orders_per_customer(sf_dir: str, k: int = 3) -> pd.DataFrame:
     """Top-k-per-group (ROW_NUMBER/QUALIFY shape): k biggest orders per
-    customer, deterministic tiebreak by orderkey."""
+    customer, deterministic tiebreak by orderkey.
+
+    Map side prunes each batch to its per-customer top-k (a global
+    top-k row must be in some batch's per-customer top-k) and ships
+    int-only rows through the hash exchange; each partition then runs
+    ONE segmented lexsort kernel — no per-group Python anywhere
+    (VERDICT r2 #5: r2 paid one pandas callable per customer)."""
     import ray.data
+
+    from ..exchange import hash_exchange, int_key_hash
 
     ds = ray.data.read_parquet(
         _p(sf_dir, "orders"), columns=["o_custkey", "o_orderkey", "o_totalprice"]
     )
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        g["price_c"] = np.round(g["o_totalprice"].to_numpy() * 100).astype(np.int64)
-        g = g.sort_values(["price_c", "o_orderkey"], ascending=[False, True]).head(k)
-        g["rank"] = np.arange(1, len(g) + 1)
-        return g[["o_custkey", "o_orderkey", "price_c", "rank"]]
+    def map_side(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy()
+        ok = t["o_orderkey"].to_numpy()
+        pr = np.round(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        ck, ok, pr, _ = _topk_per_key(ck, ok, pr, k)
+        return pa.table(
+            {
+                "o_custkey": pa.array(ck),
+                "o_orderkey": pa.array(ok),
+                "price_c": pa.array(pr),
+            }
+        )
 
-    out = ds.groupby("o_custkey").map_groups(topk, batch_format="pandas").to_pandas()
+    def reduce_part(rows: pa.Table) -> pa.Table:
+        ck, ok, pr, rank = _topk_per_key(
+            rows["o_custkey"].to_numpy(),
+            rows["o_orderkey"].to_numpy(),
+            rows["price_c"].to_numpy(),
+            k,
+        )
+        return pa.table(
+            {
+                "o_custkey": pa.array(ck),
+                "o_orderkey": pa.array(ok),
+                "price_c": pa.array(pr),
+                "rank": pa.array(rank.astype(np.int64)),
+            }
+        )
+
+    out = hash_exchange(
+        ds.map_batches(map_side, batch_format="pyarrow"),
+        key_fn=lambda t: int_key_hash(t["o_custkey"].to_numpy()),
+        reducer=reduce_part,
+    )
     for c in ("o_custkey", "o_orderkey", "price_c", "rank"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["o_custkey", "rank"]).reset_index(drop=True)
 
 
 def user_sessions(sf_dir: str) -> pd.DataFrame:
-    """Per-user ordered aggregate via groupby().map_groups: event count,
-    span seconds, max gap — a window-function shape."""
+    """Per-user ordered aggregate (event count, span, max inter-event
+    gap): int-only (user_id, ts_us) rows co-locate per user through the
+    hash exchange, then ONE segmented lexsort + masked-diff +
+    maximum.reduceat kernel per partition — no per-group Python
+    (VERDICT r2 #5: r2 paid one pandas callable per user)."""
+    from ..exchange import hash_exchange, int_key_hash
+
     ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        ts = g["ts"].astype("int64").to_numpy()  # microseconds (exact ints)
-        gap = int(np.diff(ts).max()) if len(ts) > 1 else 0
-        return pd.DataFrame(
+    def map_side(t: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_events": [len(g)],
-                "span_us": [int(ts[-1] - ts[0])],
-                "max_gap_us": [gap],
+                "user_id": t["user_id"],
+                # timestamp[us] -> epoch microseconds, matching the
+                # oracle's epoch_us()
+                "ts_us": t["ts"].cast(pa.int64()),
             }
         )
 
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
-    for c in ("n_events", "span_us", "max_gap_us"):
+    def reduce_part(rows: pa.Table) -> pa.Table:
+        u = rows["user_id"].to_numpy()
+        ts = rows["ts_us"].to_numpy()
+        order = np.lexsort((ts, u))
+        u_s, t_s = u[order], ts[order]
+        starts, ends = _segments(u_s)
+        # gap[i] = t[i]-t[i-1] within a user, 0 at user boundaries, so
+        # maximum.reduceat per segment yields 0 for singletons (== the
+        # oracle's coalesce(max(gap), 0))
+        gap = np.zeros(len(t_s), np.int64)
+        if len(t_s) > 1:
+            gap[1:] = np.where(u_s[1:] == u_s[:-1], t_s[1:] - t_s[:-1], 0)
+        return pa.table(
+            {
+                "user_id": pa.array(u_s[starts]),
+                "n_events": pa.array((ends - starts).astype(np.int64)),
+                "span_us": pa.array(t_s[ends - 1] - t_s[starts]),
+                "max_gap_us": pa.array(np.maximum.reduceat(gap, starts)),
+            }
+        )
+
+    out = hash_exchange(
+        ds.map_batches(map_side, batch_format="pyarrow"),
+        key_fn=lambda t: int_key_hash(t["user_id"].to_numpy()),
+        reducer=reduce_part,
+    )
+    for c in ("user_id", "n_events", "span_us", "max_gap_us"):
         out[c] = out[c].astype("int64")
     return out.sort_values("user_id").reset_index(drop=True)

@@ -130,3 +130,65 @@ def test_near_dup_groups_planted(ray_session, planted_docs_dir):
     assert g[81] == 80  # near-dup pair clustered under min id
     assert g[83] == 82  # exact pair
     assert g[80] == 80 and g[82] == 82
+
+
+def test_embedding_near_dups_planted_and_capped(ray_session, tmp_path):
+    """Planted near-identical vector pairs must be recovered, and the
+    adaptive prefix splitter must never leave a splittable leaf above
+    the population cap even under heavy skew (VERDICT r2 #3)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ck_ray.ops.dedup import _leaf_ranges, embedding_near_dups
+
+    rng = np.random.RandomState(5)
+    dim = 16
+    # heavy skew: 400 vectors clustered around ONE direction (they share
+    # most hyperplane signs -> same coarse bucket), plus 100 background
+    base = rng.randn(dim)
+    cluster = base + 0.05 * rng.randn(400, dim)
+    noise = rng.randn(100, dim)
+    emb = np.vstack([cluster, noise])
+    # planted: vectors 450/451 nearly identical (in the noise region)
+    emb[451] = emb[450] + 1e-4 * rng.randn(dim)
+    # ... and 10/11 nearly identical inside the skewed cluster
+    emb[11] = emb[10] + 1e-4 * rng.randn(dim)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(emb)), pa.int64()),
+            "embedding": pa.array([list(map(float, e)) for e in emb]),
+            "label": pa.array(np.zeros(len(emb), np.int32)),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "embeddings.parquet")
+
+    out = embedding_near_dups(str(d), threshold=0.98, cap=32)
+    pairs = set(zip(out["vec_a"], out["vec_b"]))
+    assert (450, 451) in pairs
+    assert (10, 11) in pairs
+    # no false positives among pure-noise vectors (random 16-dim pairs
+    # don't hit cosine 0.98)
+    assert all(a < 400 or (a, b) == (450, 451) for a, b in pairs)
+
+    # splitter invariant: skewed signatures -> every leaf <= cap unless
+    # its signatures are all identical
+    sigs = np.sort(
+        np.concatenate(
+            [
+                np.full(500, 7, np.uint64) << np.uint64(48),  # one hot prefix
+                rng.randint(0, 2**63, 200).astype(np.uint64),
+            ]
+        )
+    )
+    # make the hot prefix splittable in its LOW bits
+    sigs[:500] |= rng.randint(0, 2**32, 500).astype(np.uint64)
+    sigs = np.sort(sigs)
+    for s, e in _leaf_ranges(sigs, cap=32, base_bits=4):
+        assert e - s <= 32 or sigs[s] == sigs[e - 1]
+
+    # identical-signature mega-leaf is allowed but must still pair
+    same = np.zeros(100, np.uint64)
+    leaves = _leaf_ranges(same, cap=32, base_bits=4)
+    assert leaves == [(0, 100)]
