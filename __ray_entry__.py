@@ -506,6 +506,7 @@ FROM documents GROUP BY text ORDER BY keeper_doc_id
         "code_chunks": """
 WITH d AS (
   SELECT doc_id,
+         string_split(text, chr(10)) AS ls,
          CASE WHEN text = '' THEN 0
               ELSE len(string_split(text, chr(10)))
                    - CASE WHEN text LIKE '%' || chr(10) THEN 1 ELSE 0 END
@@ -515,7 +516,14 @@ WITH d AS (
 SELECT doc_id,
        CAST(s / 16 AS BIGINT)          AS chunk_id,
        CAST(s + 1 AS BIGINT)           AS line_start,
-       CAST(least(s + 20, n) AS BIGINT) AS line_end
+       CAST(least(s + 20, n) AS BIGINT) AS line_end,
+       -- byte offsets by cumulative line-length arithmetic (strlen =
+       -- BYTES; +1 per preceding newline); terminator-exclusive end
+       CAST(CASE WHEN s = 0 THEN 0
+            ELSE strlen(array_to_string(ls[1:s], chr(10))) + 1
+       END AS BIGINT)                   AS byte_start,
+       CAST(strlen(array_to_string(ls[1:least(s + 20, n)], chr(10)))
+            AS BIGINT)                  AS byte_end
 FROM d, unnest(generate_series(0, greatest(n - 1, 0), 16)) AS g(s)
 WHERE n > 0 AND (s = 0 OR s + 4 < n)
 ORDER BY doc_id, chunk_id

@@ -121,11 +121,13 @@ def code_chunks(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     out["doc_id"] = out["path"].astype("int64")
-    out["chunk_id"] = out["chunk_id"].astype("int64")
-    out["line_start"] = out["line_start"].astype("int64")
-    out["line_end"] = out["line_end"].astype("int64")
+    for c in ("chunk_id", "line_start", "line_end", "byte_start", "byte_end"):
+        out[c] = out[c].astype("int64")
     return (
-        out[["doc_id", "chunk_id", "line_start", "line_end"]]
+        out[
+            ["doc_id", "chunk_id", "line_start", "line_end",
+             "byte_start", "byte_end"]
+        ]
         .sort_values(["doc_id", "chunk_id"])
         .reset_index(drop=True)
     )

@@ -112,25 +112,27 @@ def test_striding_splits_long_chunks():
         assert b[0] == a[0] + 8
 
 
-def test_fallback_for_non_python_and_bad_syntax():
+def test_fallback_for_unsupported_and_bad_syntax():
     t = pa.table(
         {
-            "repo": ["r", "r", "r"],
-            "path": ["a.rs", "b.py", "c.py"],
-            "commit": ["0", "0", "0"],
-            "lang": ["rust", "python", "python"],
+            "repo": ["r", "r", "r", "r"],
+            "path": ["a.hs", "b.py", "c.py", "d.rs"],
+            "commit": ["0", "0", "0", "0"],
+            "lang": ["haskell", "python", "python", "rust"],
             "content": [
-                "fn main() {}\n" * 30,
+                "main = putStrLn hello\n" * 30,  # no structural chunker
                 "def ok():\n    pass\n",
                 "def broken(:\n",  # SyntaxError -> fallback
+                "just prose, no definitions\n" * 30,  # captures nothing
             ],
         }
     )
     out = ast_chunk_batch(t)
     df = out.to_pandas()
-    rust = df[df["path"] == "a.rs"]
-    assert (rust["chunk_type"] == "text").all()
-    assert len(rust) == len(line_window_chunks(30))
+    for p in ("a.hs", "d.rs"):  # both take the line-window fallback
+        sub = df[df["path"] == p]
+        assert (sub["chunk_type"] == "text").all()
+        assert len(sub) == len(line_window_chunks(30))
     okpy = df[df["path"] == "b.py"]
     assert set(okpy["chunk_type"]) == {"function"}
     bad = df[df["path"] == "c.py"]
@@ -180,3 +182,224 @@ def test_window_emission_rule(n):
         if s == 0 or s + 4 < n
     ]
     assert [(r[0], r[1]) for r in rows] == expect
+
+
+# ---- per-language structural captures, mirroring the reference's
+# query_chunker tests (ck-chunk/src/query_chunker.rs:269-560)
+
+
+def _caps(src, lang):
+    from ck_ray.chunker import structural_chunks
+
+    return structural_chunks(src, lang)
+
+
+def test_rust_captures_core_constructs():
+    src = (
+        "mod sample {\n"
+        "    pub struct Thing;\n"
+        "\n"
+        "    impl Thing {\n"
+        "        pub fn new() -> Self { Self }\n"
+        "        fn helper(&self) {}\n"
+        "    }\n"
+        "}\n"
+        "\n"
+        "fn util() {}\n"
+        "\n"
+        "trait Runner {\n"
+        "    fn run(&self);\n"
+        "}\n"
+    )
+    rows = _caps(src, "rust")
+    by = {(r[2], r[3]): r for r in rows}
+    assert ("function", "util") in by
+    assert ("method", "sample.Thing.new") in by
+    assert ("class", "sample.Thing") in by  # struct Thing;
+    assert ("module", "sample") in by
+    assert by[("module", "sample")][0:2] == (1, 8)
+    # impl block is a module chunk with breadcrumb sample.Thing
+    impls = [r for r in rows if r[2] == "module" and r[0] == 4]
+    assert impls and impls[0][3] == "sample.Thing"
+    # trait method DECLARATION (no body) is not captured, like the
+    # reference's function_signature_item exclusion
+    assert not any(r[3].endswith("run") for r in rows)
+    assert ("class", "Runner") in by  # the trait itself is
+    # depth: method inside impl inside mod = 2 ancestors
+    assert by[("method", "sample.Thing.new")][4] == 2
+
+
+def test_go_captures_core_constructs():
+    src = (
+        "package main\n"
+        "\n"
+        'func (s *Server) Handle(w io.Writer) {\n'
+        '\tfmt.Println("hi { not a brace }")\n'
+        "}\n"
+        "\n"
+        "func main() {\n"
+        "\treturn\n"
+        "}\n"
+        "\n"
+        "type Config struct {\n"
+        "\tName string\n"
+        "}\n"
+        "\n"
+        "type Alias = Config\n"
+    )
+    rows = _caps(src, "go")
+    by = {(r[2], r[3]): r for r in rows}
+    assert ("method", "Handle") in by  # receiver -> method
+    assert ("function", "main") in by
+    assert ("class", "Config") in by  # type_declaration -> class
+    assert ("class", "Alias") in by  # brace-less type alias
+    assert by[("class", "Config")][0:2] == (11, 13)
+    # the quoted brace inside Println must not break the span
+    assert by[("method", "Handle")][0:2] == (3, 5)
+
+
+def test_javascript_captures_core_constructs():
+    src = (
+        "// Utility function\n"
+        "export const util = () => {\n"
+        "    return 42;\n"
+        "};\n"
+        "\n"
+        "export class Example {\n"
+        "    constructor() {}\n"
+        "\n"
+        "    // Another comment\n"
+        "    run = () => {\n"
+        "        return util();\n"
+        "    };\n"
+        "}\n"
+        "\n"
+        "const compute = (x) => x * 2;\n"
+        "\n"
+        "if (x) {\n"
+        "    nope();\n"
+        "}\n"
+    )
+    rows = _caps(src, "javascript")
+    by = {(r[2], r[3]): r for r in rows}
+    assert ("function", "util") in by  # exported arrow
+    assert ("class", "Example") in by
+    assert ("method", "Example.run") in by
+    assert ("method", "Example.constructor") in by
+    assert ("function", "compute") in by  # one-line arrow
+    assert by[("function", "compute")][0:2] == (15, 15)
+    # control flow is NOT a capture
+    assert not any(r[3].endswith("if") for r in rows)
+
+
+def test_java_captures_core_constructs():
+    src = (
+        "public class Greeter {\n"
+        "    private String name;\n"
+        "\n"
+        "    public Greeter(String name) {\n"
+        "        this.name = name;\n"
+        "    }\n"
+        "\n"
+        "    @Override\n"
+        "    public String hello(int n) throws Exception {\n"
+        "        if (n > 0) {\n"
+        "            return name;\n"
+        "        }\n"
+        '        return "";\n'
+        "    }\n"
+        "}\n"
+        "\n"
+        "interface Runner { }\n"
+    )
+    rows = _caps(src, "java")
+    by = {(r[2], r[3]): r for r in rows}
+    assert ("class", "Greeter") in by
+    assert ("method", "Greeter.Greeter") in by  # constructor
+    assert ("method", "Greeter.hello") in by
+    assert ("class", "Runner") in by
+    assert by[("method", "Greeter.hello")][0:2] == (9, 14)
+    # the if-statement inside the method is not a capture
+    assert sum(1 for r in rows if r[2] == "method") == 2
+
+
+def test_markdown_captures_sections_and_fences():
+    src = (
+        "# Title\n"
+        "\n"
+        "Intro paragraph.\n"
+        "\n"
+        "Setext Section\n"
+        "==============\n"
+        "\n"
+        "## Usage\n"
+        "\n"
+        "```rust\n"
+        "fn main() {}\n"
+        "```\n"
+        "\n"
+        "- Item one\n"
+    )
+    rows = _caps(src, "markdown")
+    mods = {r[3]: r for r in rows if r[2] == "module"}
+    assert "Title" in mods
+    assert "Setext Section" in mods
+    assert "Setext Section.Usage" in mods
+    assert mods["Setext Section.Usage"][4] == 1  # nested one level
+    fences = [r for r in rows if r[2] == "text" and r[0] == 10]
+    assert fences and fences[0][1] == 12  # the fenced block incl. ```
+
+
+def test_trivia_and_chunk_hash_columns():
+    from ck_ray.chunker import compute_chunk_hash
+
+    src = (
+        "class Greeter:\n"
+        "    # helper below\n"
+        "    @staticmethod\n"
+        "    def hello():\n"
+        '        return "hi"\n'
+        "    # trailing note\n"
+    )
+    t = pa.table(
+        {
+            "repo": ["r"], "path": ["g.py"], "commit": ["0"],
+            "lang": ["python"], "content": [src],
+        }
+    )
+    df = ast_chunk_batch(t).to_pandas()
+    m = df[df["breadcrumb"] == "Greeter.hello"].iloc[0]
+    assert any("@staticmethod" in s for s in m["leading_trivia"])
+    assert any("# helper below" in s for s in m["leading_trivia"])
+    assert any("# trailing note" in s for s in m["trailing_trivia"])
+    # chunk hash covers text + trivia (reference compute_chunk_hash)
+    assert m["chunk_hash"] == compute_chunk_hash(
+        m["text"], list(m["leading_trivia"]), list(m["trailing_trivia"])
+    )
+    # a trivia-only change MUST change the hash
+    other = compute_chunk_hash(m["text"], ["# different"], [])
+    assert other != m["chunk_hash"]
+
+
+def test_byte_spans_crlf_and_unicode():
+    crlf = (
+        "struct Código {\r\n"
+        "    x: i32,\r\n"
+        "}\r\n"
+        "fn útil() {}\r\n"
+    )
+    t = pa.table(
+        {
+            "repo": ["r"], "path": ["c.rs"], "commit": ["0"],
+            "lang": ["rust"], "content": [crlf],
+        }
+    )
+    df = ast_chunk_batch(t).to_pandas()
+    raw = crlf.encode("utf-8")
+    for _, r in df.iterrows():
+        sl = raw[r["byte_start"]:r["byte_end"]].decode("utf-8")
+        # the raw byte slice reproduces the chunk with ORIGINAL (\r\n)
+        # internal terminators; the text column is \n-joined
+        assert sl.replace("\r\n", "\n") == r["text"]
+        assert r["byte_start"] <= r["byte_end"]
+        assert r["line_start"] >= 1 and r["line_start"] <= r["line_end"]
