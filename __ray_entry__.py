@@ -167,7 +167,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds.map_batches(to_corpus, batch_format="pyarrow"), concurrency=2
         )
         out = semantic_search(emb, "merge window batch stream", top_k=20)
+        # path carries the ORIGINAL documents.doc_id (to_corpus packs it
+        # there), so the oracle can address rows without re-deriving the
+        # content hash id; membership is decided on unrounded scores,
+        # the published order on rounded ones (same contract as bm25)
+        out["doc_id"] = out["path"].astype("int64")
+        out["chunk_id"] = out["chunk_id"].astype("int64")
         out["score"] = out["score"].astype("float64").round(4)
+        out = out.sort_values(
+            ["score", "doc_id", "chunk_id"], ascending=[False, True, True]
+        ).reset_index(drop=True)
         return out[["doc_id", "chunk_id", "score"]]
 
     def multimodal(sf_dir: str):
@@ -195,8 +204,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out[["vec_id", "score"]]
 
     def ann_ivf_topk(sf_dir: str):
+        """IVF probe-subset scan with the deterministic hyperplane coarse
+        quantizer — cell assignment and probe rule are pure functions of
+        the vectors, so the whole pipeline is hash-exact against the SQL
+        oracle. The k-means-quantizer variant (ann.ivf_topk) stays
+        recall-gated in pytest (test_ops.test_ann_brute_vs_ivf_recall)."""
         q = ann.query_vector_from(sf_dir, vec_id=0)
-        out = ann.ivf_topk(sf_dir, q, k=10)
+        out = ann.ivf_hyperplane_topk(sf_dir, q, k=10)
         return out[["vec_id", "score"]]
 
     return {
@@ -237,13 +251,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": dedup.embedding_near_dups,  # rows-only
         # --- similarity search
         "ann_cosine_topk": ann_cosine_topk,
-        "ann_ivf_topk": ann_ivf_topk,  # rows-only (approximate by design)
+        "ann_ivf_topk": ann_ivf_topk,  # hyperplane-cell IVF: hash-exact
+        # (the k-means-cell variant stays recall-gated in pytest)
         # --- text analysis extras
         "langid": text.langid,
         "fingerprints": text.fingerprints,
-        # --- semantic + multimodal (semantic is rows-only: the embedder
-        # is a deterministic stand-in; multimodal's fake decode is
-        # sha256-derived and oracle-checked)
+        # --- semantic + multimodal (semantic's stand-in embedder is
+        # integer mixing + exact dyadic sums, replicated term-for-term in
+        # the SQL oracle; multimodal's fake decode is sha256-derived and
+        # oracle-checked)
         "semantic_topk": semantic_topk,
         "multimodal_features": multimodal,
         "code_index_stats": code_index_stats,
@@ -713,5 +729,105 @@ sims AS (
 ),
 topk AS (SELECT * FROM sims ORDER BY score DESC, vec_id LIMIT 10)
 SELECT vec_id, round(score, 4) AS score FROM topk ORDER BY score DESC, vec_id
+""",
+        # IVF with the hyperplane coarse quantizer: cell = sign bits of
+        # the first 4 dims, probe = cells within Hamming distance 1 of
+        # the query's cell, exact cosine over the probed subset only —
+        # a pure function of the data, so hash-exact.
+        "ann_ivf_topk": """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+qc AS (SELECT (CASE WHEN qe[1] > 0 THEN 1 ELSE 0 END
+             + CASE WHEN qe[2] > 0 THEN 2 ELSE 0 END
+             + CASE WHEN qe[3] > 0 THEN 4 ELSE 0 END
+             + CASE WHEN qe[4] > 0 THEN 8 ELSE 0 END)::BIGINT AS c FROM q),
+cells AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+        + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+        + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+        + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)::BIGINT AS c
+  FROM embeddings
+),
+sims AS (
+  SELECT e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS score
+  FROM cells e, q, qc
+  WHERE bit_count(xor(e.c, qc.c)) <= 1
+),
+topk AS (SELECT * FROM sims ORDER BY score DESC, vec_id LIMIT 10)
+SELECT vec_id, round(score, 4) AS score FROM topk ORDER BY score DESC, vec_id
+""",
+        # The semantic path, replicated term-for-term: line-window chunks
+        # -> tantivy tokenizer -> FNV-1a 64 over utf-8 bytes (recursive
+        # CTE; mod-2^64 products via HUGEINT) -> splitmix column mixing
+        # (the 64x64 multiply split into 32-bit halves to stay inside
+        # HUGEINT) -> EXACT dyadic sums in DOUBLE -> float32-rounded unit
+        # vectors -> double cosine. The engine accumulates in float64
+        # over exact multiples of 2^-15, so both sides compute identical
+        # embeddings regardless of summation order.
+        "semantic_topk": """
+WITH RECURSIVE
+d AS (SELECT doc_id, string_split(text, chr(10)) AS ls,
+        CASE WHEN text = '' THEN 0 ELSE len(string_split(text, chr(10)))
+          - CASE WHEN text LIKE '%' || chr(10) THEN 1 ELSE 0 END END AS n
+      FROM documents),
+chunks AS (
+  SELECT doc_id, CAST(s/16 AS BIGINT) AS chunk_id,
+         array_to_string(ls[s+1:least(s+20,n)], chr(10)) AS ctext
+  FROM d, unnest(generate_series(0, greatest(n-1,0), 16)) AS g(s)
+  WHERE n > 0 AND (s = 0 OR s + 4 < n)
+),
+ctoks AS (
+  SELECT doc_id, chunk_id, term, count(*) AS tf FROM (
+    SELECT doc_id, chunk_id,
+           unnest(regexp_split_to_array(lower(ctext), '[^a-z0-9]+')) AS term
+    FROM chunks) WHERE term <> '' AND length(term) < 40
+  GROUP BY 1, 2, 3
+),
+qtoks AS (SELECT term, 1 AS tf
+          FROM (VALUES ('merge'),('window'),('batch'),('stream')) q(term)),
+vocab AS (SELECT DISTINCT term
+          FROM (SELECT term FROM ctoks UNION ALL SELECT term FROM qtoks)),
+fnv AS (
+  SELECT term, to_hex(encode(term)) AS hx, octet_length(encode(term)) AS nb,
+         0 AS i, CAST(4953163356653287321 AS UBIGINT) AS h
+  FROM vocab
+  UNION ALL
+  SELECT term, hx, nb, i + 1,
+         CAST((xor(h, ('0x' || substr(hx, 2*i+1, 2))::UBIGINT)::HUGEINT
+               * 1099511628211) % 18446744073709551616 AS UBIGINT)
+  FROM fnv WHERE i < nb
+),
+th AS (SELECT term, h FROM fnv WHERE i = nb),
+cols AS (SELECT unnest(generate_series(0, 63)) AS c),
+m0 AS (SELECT t.term, cols.c,
+         xor(t.h, CAST((cols.c::HUGEINT * 11400714819323198485)
+                       % 18446744073709551616 AS UBIGINT)) AS x
+       FROM th t, cols),
+m1 AS (SELECT term, c, xor(x, x >> 33) AS x FROM m0),
+m2 AS (SELECT term, c,
+         CAST(((x::HUGEINT * 3981806797)
+              + ((((x % 4294967296)::HUGEINT * 4283543511) % 4294967296)
+                 * 4294967296)) % 18446744073709551616 AS UBIGINT) AS x
+       FROM m1),
+m3 AS (SELECT term, c, xor(x, x >> 33) AS x FROM m2),
+vals AS (SELECT term, c, ((x & 65535)::DOUBLE / 32768.0) - 1.0 AS v FROM m3),
+cemb AS (SELECT doc_id, chunk_id, c, sum(t.tf * v.v) AS e
+         FROM ctoks t JOIN vals v USING (term) GROUP BY 1, 2, 3),
+cnorm AS (SELECT doc_id, chunk_id, sqrt(sum(e*e)) AS nr
+          FROM cemb GROUP BY 1, 2),
+cunit AS (SELECT doc_id, chunk_id, c,
+            CAST(CAST(e / greatest(nr, 1e-12) AS FLOAT) AS DOUBLE) AS u
+          FROM cemb JOIN cnorm USING (doc_id, chunk_id)),
+qemb AS (SELECT c, sum(q.tf * v.v) AS e
+         FROM qtoks q JOIN vals v USING (term) GROUP BY 1),
+qnorm AS (SELECT sqrt(sum(e*e)) AS nr FROM qemb),
+qunit AS (SELECT c, CAST(CAST(e / greatest(nr, 1e-12) AS FLOAT) AS DOUBLE) AS u
+          FROM qemb, qnorm),
+sc AS (SELECT doc_id, chunk_id, sum(cu.u * qu.u) AS s
+       FROM cunit cu JOIN qunit qu USING (c) GROUP BY 1, 2),
+topk AS (SELECT * FROM sc ORDER BY s DESC, doc_id, chunk_id LIMIT 20)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, chunk_id, round(s, 4) AS score
+FROM topk ORDER BY round(s, 4) DESC, doc_id, chunk_id
 """,
     }

@@ -145,6 +145,78 @@ def ivf_topk(
     return out.reset_index(drop=True)
 
 
+def ivf_hyperplane_topk(
+    sf_dir: str,
+    queries: np.ndarray,
+    k: int = 10,
+    n_bits: int = 4,
+    max_hamming: int = 1,
+) -> pd.DataFrame:
+    """IVF with a DETERMINISTIC coarse quantizer: cell = sign bits of the
+    first ``n_bits`` dimensions (an LSH-style inverted file); a query
+    probes every cell within ``max_hamming`` bit flips of its own cell
+    and scans only those cells' vectors. Same probe-subset scan shape as
+    ``ivf_topk``, but the cell assignment is a pure function of the
+    vector — so the whole pipeline (cells, probe rule, cosine, top-k) is
+    exactly reproducible by the DuckDB oracle, giving the IVF family a
+    hash-exact driver gate (the k-means variant stays recall-gated)."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    Q = _unit(np.atleast_2d(np.asarray(queries, np.float64)))
+    raw_q = np.atleast_2d(np.asarray(queries, np.float64))
+    qcell = (
+        (raw_q[:, :n_bits] > 0).astype(np.int64)
+        * (1 << np.arange(n_bits))[None, :]
+    ).sum(axis=1)
+    qref = ray.put((Q, qcell))
+
+    def partial(t: pa.Table) -> pa.Table:
+        Qm, qc = ray.get(qref)
+        raw = _emb_matrix(t)
+        emb = _unit(raw)
+        ids = t["vec_id"].to_numpy()
+        cell = (
+            (raw[:, :n_bits] > 0).astype(np.int64)
+            * (1 << np.arange(n_bits))[None, :]
+        ).sum(axis=1)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(Qm)):
+            x = np.bitwise_xor(cell, qc[qi]).astype(np.uint8)  # n_bits <= 8
+            ham = np.unpackbits(x[:, None], axis=1).sum(axis=1)
+            mask = ham <= max_hamming
+            if not mask.any():
+                continue
+            sims = emb[mask] @ Qm[qi]
+            sub_ids = ids[mask]
+            kk = min(k, len(sims))
+            idx = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.append(np.full(kk, qi, np.int64))
+            out_v.append(sub_ids[idx])
+            out_s.append(sims[idx])
+        if not out_q:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "score": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.sort_values(["query_id", "score", "vec_id"],
+                          ascending=[True, False, True])
+        .groupby("query_id", as_index=False)
+        .head(k)
+    )
+    out["score"] = out["score"].round(4)
+    return out.reset_index(drop=True)
+
+
 def query_vector_from(sf_dir: str, vec_id: int = 0) -> np.ndarray:
     """Deterministic query vector: the embedding of a fixed vec_id."""
     import pyarrow.dataset as pads

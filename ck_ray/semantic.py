@@ -73,7 +73,14 @@ def _embed_tokens(term_hashes: np.ndarray, row_index: np.ndarray, n_rows: int,
 
     Each token hash seeds ``dim`` pseudo-random signs via splitmix-style
     mixing; a document's embedding is the L2-normalized sum over tokens.
-    Pure numpy, no per-row Python."""
+    Pure numpy, no per-row Python.
+
+    Accumulation runs in float64 on purpose: the per-token values are
+    exact multiples of 2^-15, so float64 sums are EXACT and therefore
+    order-independent — which makes the whole embedding reproducible by
+    the DuckDB oracle (integer mixing replicated in SQL, sums in
+    DOUBLE) regardless of summation order. Only the stored vector is
+    float32."""
     if len(term_hashes) == 0:
         return np.zeros((n_rows, dim), dtype=np.float32)
     h = term_hashes.astype(np.uint64)
@@ -83,12 +90,12 @@ def _embed_tokens(term_hashes: np.ndarray, row_index: np.ndarray, n_rows: int,
     x ^= x >> np.uint64(33)
     x *= np.uint64(0xFF51AFD7ED558CCD)
     x ^= x >> np.uint64(33)
-    vals = ((x & np.uint64(0xFFFF)).astype(np.float32) / 32768.0) - 1.0
-    emb = np.zeros((n_rows, dim), dtype=np.float32)
+    vals = ((x & np.uint64(0xFFFF)).astype(np.float64) / 32768.0) - 1.0
+    emb = np.zeros((n_rows, dim), dtype=np.float64)
     np.add.at(emb, row_index, vals)
     norm = np.linalg.norm(emb, axis=1)
     emb /= np.maximum(norm, 1e-12)[:, None]
-    return emb
+    return emb.astype(np.float32)
 
 
 class PseudoEmbedder:
@@ -183,10 +190,13 @@ def semantic_search(
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         emb = col.flatten().to_numpy(zero_copy_only=False).reshape(len(col), -1)
-        sims = emb @ qv
+        # float64 dot over the stored float32 vectors: both this code and
+        # the DuckDB oracle then compute the same IEEE double products,
+        # so 4dp-rounded scores agree robustly
+        sims = emb.astype(np.float64) @ qv.astype(np.float64)
         kk = min(top_k + 1, len(sims))
         if kk == 0:
-            return t.slice(0, 0).append_column("score", pa.array([], pa.float32()))
+            return t.slice(0, 0).append_column("score", pa.array([], pa.float64()))
         idx = np.argpartition(-sims, kk - 1)[:kk]
         cols = {
             "doc_id": t["doc_id"].take(pa.array(idx)),
@@ -194,7 +204,7 @@ def semantic_search(
             "chunk_id": t["chunk_id"].take(pa.array(idx)),
             "line_start": t["line_start"].take(pa.array(idx)),
             "line_end": t["line_end"].take(pa.array(idx)),
-            "score": pa.array(sims[idx].astype(np.float32)),
+            "score": pa.array(sims[idx]),
         }
         if rerank and "text" in t.column_names:
             cols["text"] = t["text"].take(pa.array(idx))

@@ -79,6 +79,29 @@ def test_ann_brute_vs_ivf_recall(ray_session):
     assert overlap >= 5  # recall@10 of the IVF path on easy data
 
 
+def test_ann_hyperplane_ivf_containment(ray_session):
+    """The hyperplane-cell IVF result must be exactly the brute-force
+    ranking restricted to probed cells: every returned (vec_id, score)
+    appears in the exact scoring with an IDENTICAL score, and recall is
+    reasonable on easy data."""
+    import numpy as np
+
+    from ck_ray.ops import ann
+
+    sf = "/root/testdata/sf0.001"
+    q = ann.query_vector_from(sf, 0)
+    exact = ann.cosine_topk(sf, q, k=100)
+    approx = ann.ivf_hyperplane_topk(sf, q, k=10)
+    escore = dict(zip(exact["vec_id"], exact["score"]))
+    for _, r in approx.iterrows():
+        if r["vec_id"] in escore:  # same vector -> identical 4dp score
+            assert escore[r["vec_id"]] == r["score"]
+    overlap = len(set(exact.head(10)["vec_id"]) & set(approx["vec_id"]))
+    assert overlap >= 5
+    # the probed subset never outranks the true best (scores bounded)
+    assert np.all(approx["score"].to_numpy() <= exact["score"].iloc[0])
+
+
 def test_regex_context_and_files_with_matches(ray_session, tiny_corpus):
     import ray.data
 
