@@ -88,6 +88,48 @@ def _build_parser() -> argparse.ArgumentParser:
         "--dump-chunks", metavar="FILE",
         help="print the structural chunk table of one corpus file",
     )
+    p.add_argument(
+        "--add", metavar="FILE",
+        help="upsert ONE corpus file into an existing index (no deletions)",
+    )
+    p.add_argument(
+        "--reindex", action="store_true",
+        help="incremental update of the index from --corpus before anything else",
+    )
+    p.add_argument(
+        "--switch-model", metavar="NAME", dest="switch_model",
+        help="persist a different embedding model for this index "
+             "(validated against the registry; semantic mode reads it)",
+    )
+    p.add_argument(
+        "--status-json", action="store_true",
+        help="index stats as JSON (alias of --status, which is JSON here)",
+    )
+    p.add_argument(
+        "--status-verbose", action="store_true",
+        help="index stats plus per-partition lineage rows",
+    )
+    p.add_argument(
+        "-n", "--line-number", action="store_true",
+        help="show line numbers (default on; kept for grep compatibility)",
+    )
+    p.add_argument(
+        "-H", dest="with_filename", action="store_true",
+        help="always print filenames (default on)",
+    )
+    p.add_argument(
+        "--no-filename", action="store_true",
+        help="suppress filenames in regex output",
+    )
+    p.add_argument(
+        "-R", "--recursive", action="store_true",
+        help="accepted for grep compatibility (a parquet corpus is "
+             "already the recursive walk's output)",
+    )
+    p.add_argument(
+        "--rerank", action="store_true",
+        help="rerank semantic top-k with the cross-encoder stage",
+    )
     return p
 
 
@@ -166,14 +208,77 @@ def main(argv: list[str] | None = None) -> int:
             ))
             return 0
 
-        if args.status:
-            from .build import index_stats
+        if args.switch_model:
+            from .build import MANIFEST_NAME, load_manifest
+            from .models import ModelRegistry
+
+            if not args.index_dir:
+                print("--switch-model needs --index-dir", file=sys.stderr)
+                return 2
+            alias, spec = ModelRegistry().resolve(args.switch_model)
+            man = load_manifest(args.index_dir)
+            man["model"] = alias
+            import os
+            import uuid
+
+            tmp = os.path.join(
+                args.index_dir, f".{MANIFEST_NAME}.tmp-{uuid.uuid4().hex}"
+            )
+            with open(tmp, "w") as fh:
+                json.dump(man, fh, indent=1)
+            os.replace(tmp, os.path.join(args.index_dir, MANIFEST_NAME))
+            print(
+                f"switched model to {alias} "
+                f"({spec.dimensions}d, {spec.provider})"
+            )
+            return 0
+
+        if args.status or args.status_json or args.status_verbose:
+            from .build import index_stats, load_manifest
 
             if not args.index_dir:
                 print("--status needs --index-dir", file=sys.stderr)
                 return 2
-            print(json.dumps(index_stats(args.index_dir), indent=1))
+            st = index_stats(args.index_dir)
+            man = load_manifest(args.index_dir)
+            if "model" in man:
+                st["model"] = man["model"]
+            if args.status_verbose:
+                st["parts"] = man.get("parts", [])
+                st["epochs"] = man.get("epochs", [])
+                st["hot_terms"] = man.get("hot_terms", [])
+            print(json.dumps(st, indent=1))
             return 0
+
+        if args.add or args.reindex:
+            from .incremental import incremental_update
+
+            if not (args.corpus and args.index_dir):
+                print("--add/--reindex need --corpus and --index-dir",
+                      file=sys.stderr)
+                return 2
+            ds = _corpus_ds(args.corpus, args.exclude)
+            if args.add:
+                import pyarrow.compute as pc
+
+                target = args.add
+                ds = ds.map_batches(
+                    lambda t: t.filter(pc.equal(t["path"], target)),
+                    batch_format="pyarrow",
+                )
+                if ds.count() == 0:
+                    print(f"no corpus row with path {target!r}",
+                          file=sys.stderr)
+                    return 1
+            man = incremental_update(
+                ds, args.index_dir, additive=bool(args.add)
+            )
+            print(
+                f"index now at {man['epoch_dir']} "
+                f"({man['num_docs']} docs, {len(man.get('epochs', []))} epochs)"
+            )
+            if not args.pattern:
+                return 0
 
         if args.clean:
             import os
@@ -286,13 +391,22 @@ def main(argv: list[str] | None = None) -> int:
             if not args.corpus:
                 print("needs --corpus", file=sys.stderr)
                 return 2
+            model = args.model
+            if model is None and args.index_dir:
+                # --switch-model persists the choice in the manifest
+                try:
+                    from .build import load_manifest
+
+                    model = load_manifest(args.index_dir).get("model")
+                except OSError:
+                    model = None
             emb = build_chunk_embeddings(
-                args.corpus, model=args.model
+                args.corpus, model=model
             ).materialize()
             sem = semantic_search(
                 emb, args.pattern,
                 top_k=args.topk or 10, threshold=args.threshold,
-                model=args.model,
+                model=model, rerank=args.rerank,
             )
             if args.sem:
                 _emit(sem, args.as_json, ["doc_id", "line_start", "score"])
@@ -362,7 +476,10 @@ def main(argv: list[str] | None = None) -> int:
                 df["line"] = [
                     highlight_ansi(ln, args.pattern) for ln in df["line"]
                 ]
-            _emit(df, args.as_json, ["path", "line_no", "line"])
+            cols = ["path", "line_no", "line"]
+            if args.no_filename:
+                cols.remove("path")
+            _emit(df, args.as_json, cols)
         return 0 if len(df) else 1
     except Exception as e:  # grep-like: errors exit 2
         print(f"error: {e}", file=sys.stderr)

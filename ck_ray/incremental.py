@@ -75,7 +75,16 @@ def incremental_update(
     corpus: str | ray.data.Dataset,
     index_dir: str,
     config: IndexConfig | None = None,
+    *,
+    additive: bool = False,
 ) -> dict:
+    """Diff the new corpus against the live index and commit one epoch.
+
+    ``additive=True`` is the reference's ``--add`` semantics
+    (ck-cli/src/main.rs:311): rows present in ``corpus`` are
+    added/updated, but docs absent from it are NOT treated as deletions
+    — so a single file (or a shard) can be upserted without shipping
+    the whole corpus."""
     man = load_manifest(index_dir)
     epochs = man.get("epochs", [man["epoch_dir"]])
     cfg = config or IndexConfig(
@@ -109,7 +118,7 @@ def incremental_update(
         for r in new_info.itertuples()
         if prev_map.get(r.doc_id) != r.content_sha256
     ]
-    deleted = sorted(set(prev_map) - new_ids)
+    deleted = [] if additive else sorted(set(prev_map) - new_ids)
     if not changed and not deleted:
         return man
 
@@ -150,7 +159,11 @@ def incremental_update(
             os.path.join(index_dir, epoch, "deleted.parquet"),
         )
 
-    n_docs = len(new_info)
+    # live docs after this epoch: full-corpus mode replaces the universe
+    # with the new corpus; additive mode only adds genuinely-new ids
+    n_docs = (
+        len(set(prev_map) | new_ids) if additive else len(new_info)
+    )
     root = dict(man)
     root.update(
         {

@@ -174,11 +174,25 @@ class CkRayMCP:
             self._bm25()  # builds on first use
             return index_stats(self.index_dir)
         if name == "reindex":
+            import os
+
+            from .build import IndexConfig, build_index
             from .incremental import incremental_update
 
-            self._bm25()
-            man = incremental_update(self.corpus, self.index_dir)
-            self.close()  # engine reloads the new epoch set lazily
+            # release the shard actors BEFORE running the Ray Data
+            # update: open engines reserve CPUs, and on a small cluster
+            # the update's tasks would starve against them (deadlock).
+            # The next search lazily reloads the new epoch set.
+            self.close()
+            if not os.path.exists(
+                os.path.join(self.index_dir, "manifest.json")
+            ):
+                man = build_index(
+                    self.corpus, self.index_dir, IndexConfig(num_parts=8)
+                )
+                man.setdefault("epochs", [man["epoch_dir"]])
+            else:
+                man = incremental_update(self.corpus, self.index_dir)
             return {
                 "epochs": man.get("epochs", [man["epoch_dir"]]),
                 "n_changed": man.get("n_changed", 0),

@@ -234,14 +234,29 @@ def minhash_lsh_pairs(
     cand = cand.drop_duplicates().astype({"doc_a": "int64", "doc_b": "int64"})
     # DISTRIBUTED exact verify (r1 materialized candidate texts on the
     # driver): run the exact-Jaccard pipeline over only the candidate-
-    # involved docs (predicate-pushdown read; a semi-join at 100 TB),
-    # then keep the LSH-candidate pairs above threshold. Text never
-    # reaches the driver; only id+hash rows shuffle.
-    need = sorted(set(cand["doc_a"]) | set(cand["doc_b"]))
-    sub = ray.data.read_parquet(
-        docs_path, columns=["doc_id", "text"],
-        filter=pc.field("doc_id").isin(need),
+    # involved docs, selected by a BROADCAST SEMI-JOIN — the sorted
+    # candidate-id array is ray.put once and each read batch filters
+    # itself with a searchsorted probe (the candidate pairs are already
+    # on the driver by output contract, so the broadcast adds no new
+    # driver materialization; unlike an isin parquet filter, the probe
+    # array doesn't ride inside the query plan). Text never reaches the
+    # driver; only id+hash rows shuffle.
+    need = np.sort(
+        np.union1d(
+            cand["doc_a"].to_numpy(np.int64), cand["doc_b"].to_numpy(np.int64)
+        )
     )
+    nref = ray.put(need)
+
+    def only_candidates(t: pa.Table) -> pa.Table:
+        arr = ray.get(nref)
+        ids = t["doc_id"].to_numpy()
+        pos = np.clip(np.searchsorted(arr, ids), 0, max(len(arr) - 1, 0))
+        return t.filter(pa.array(arr[pos] == ids))
+
+    sub = ray.data.read_parquet(
+        docs_path, columns=["doc_id", "text"]
+    ).map_batches(only_candidates, batch_format="pyarrow")
     exact = _exact_jaccard_over(sub, k, jaccard_threshold)
     out = exact.merge(cand, on=["doc_a", "doc_b"], how="inner")
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

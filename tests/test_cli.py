@@ -141,3 +141,74 @@ def test_clean(tmp_path, cli_env):
     os.makedirs(other)
     r3 = run(["--clean", "--index-dir", other])
     assert r3.returncode == 2 and os.path.exists(other)
+
+
+def test_add_switch_model_and_status_verbose(cli_env, tmp_path_factory):
+    """--add upserts one file without deleting the rest; --switch-model
+    persists a registry-validated choice the status report exposes;
+    --status-verbose adds lineage (reference main.rs:288-321)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("cli_add")
+    corpus = str(d / "corpus")
+    os.makedirs(corpus)
+    from ck_ray.corpus import generate_corpus
+
+    base = generate_corpus(50, seed=33)
+    pq.write_table(base, os.path.join(corpus, "part-0.parquet"))
+    idx = str(d / "idx")
+    r = run(["--index", "--corpus", corpus, "--index-dir", idx,
+             "--num-parts", "4"])
+    assert r.returncode == 0, r.stderr
+    n0 = json.loads(run(["--status", "--index-dir", idx]).stdout)["num_docs"]
+
+    # corpus gains one brand-new file; --add must index ONLY it
+    new_row = pa.table(
+        {
+            "repo": ["org0/new"], "path": ["src/added_one.py"],
+            "commit": ["f" * 40], "lang": ["python"],
+            "content": ["def added_marker_fn():\n    return 42\n"],
+        }
+    )
+    pq.write_table(new_row, os.path.join(corpus, "part-1.parquet"))
+    r = run(["--add", "src/added_one.py", "--corpus", corpus,
+             "--index-dir", idx])
+    assert r.returncode == 0, r.stderr
+    st = json.loads(run(["--status-json", "--index-dir", idx]).stdout)
+    assert st["num_docs"] == n0 + 1
+    # the added doc is searchable; nothing was deleted
+    r = run(["--lex", "added_marker_fn", "--index-dir", idx, "--topk", "3"])
+    assert r.returncode == 0 and "added_one.py" in r.stdout
+    r = run(["--lex", "uq0000042marker", "--index-dir", idx, "--topk", "3"])
+    assert r.returncode == 0 and len(r.stdout.strip().splitlines()) == 1
+
+    # --switch-model persists; --status surfaces it; bogus name errors
+    r = run(["--switch-model", "bge-small", "--index-dir", idx])
+    assert r.returncode == 0 and "bge-small" in r.stdout
+    st = json.loads(run(["--status", "--index-dir", idx]).stdout)
+    assert st["model"] == "bge-small"
+    assert run(["--switch-model", "not-a-model", "--index-dir", idx]).returncode == 2
+
+    sv = json.loads(run(["--status-verbose", "--index-dir", idx]).stdout)
+    assert sv["parts"] and sv["epochs"]
+
+
+def test_no_filename_and_compat_flags(cli_env):
+    corpus, idx = cli_env
+    plain = run(["uq0000042marker", "--corpus", corpus])
+    noname = run(["uq0000042marker", "--corpus", corpus, "--no-filename"])
+    assert plain.returncode == 0 and noname.returncode == 0
+    assert ":" in plain.stdout.strip()
+    assert plain.stdout.strip().split(":", 1)[1] == noname.stdout.strip()
+    # -n / -H / -R accepted (defaults already match their meaning)
+    r = run(["-n", "-H", "-R", "uq0000042marker", "--corpus", corpus])
+    assert r.returncode == 0 and r.stdout == plain.stdout
+
+
+def test_rerank_flag(cli_env):
+    corpus, _ = cli_env
+    r = run(["--sem", "merge posting runs", "--corpus", corpus,
+             "--rerank", "--topk", "5"])
+    assert r.returncode == 0
+    assert len(r.stdout.strip().splitlines()) == 5

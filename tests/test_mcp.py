@@ -149,3 +149,47 @@ def test_reindex_tool(mcp):
     assert len(out["epochs"]) == 1
     st = _call(mcp, "index_status")
     assert st["num_epochs"] == 1
+
+
+def test_reindex_after_corpus_mutation(ray_session, tmp_path_factory, tiny_corpus):
+    """The reindex tool must pick up corpus mutations: an edited file
+    becomes searchable under its new content, a deleted file disappears,
+    and index_status reports the extra epoch (VERDICT r2 #8)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("mcp_mut")
+    corpus = str(d / "corpus")
+    os.makedirs(corpus)
+    pq.write_table(tiny_corpus, os.path.join(corpus, "part-0.parquet"))
+    srv = CkRayMCP(corpus, str(d / "idx"))
+    try:
+        before = _call(srv, "lexical_search", query="uq0000042marker", top_k=3)
+        assert before["total_count"] == 1
+        victim_path = before["matches"][0]["path"]
+
+        # mutate: rewrite the matched doc with new content, drop another
+        tbl = tiny_corpus.to_pandas()
+        tbl.loc[tbl["path"] == victim_path, "content"] = (
+            "def mutated_sentinel_fn():\n    return 7\n"
+        )
+        tbl = tbl[tbl["path"] != tbl["path"].iloc[-1]]  # delete one doc
+        pq.write_table(
+            pa.Table.from_pandas(tbl, preserve_index=False),
+            os.path.join(corpus, "part-0.parquet"),
+        )
+        out = _call(srv, "reindex")
+        assert len(out["epochs"]) == 2
+
+        gone = _call(srv, "lexical_search", query="uq0000042marker", top_k=3)
+        assert gone["total_count"] == 0  # old content superseded
+        new = _call(srv, "lexical_search", query="mutated_sentinel_fn", top_k=3)
+        assert new["total_count"] == 1
+        assert new["matches"][0]["path"] == victim_path
+        st = _call(srv, "index_status")
+        assert st["num_epochs"] == 2
+        assert st["num_docs"] == len(tbl)
+    finally:
+        srv.close()
