@@ -351,6 +351,63 @@ LANG_SPECS: dict[str, LangSpec] = {
     "java": _JAVA,
 }
 
+# User-override dir for per-language chunking specs — the analogue of the
+# reference's CK_CHUNK_QUERY_DIR tags.scm overrides
+# (ck-chunk/src/query_chunker.rs:8,204-245). A file ``<dir>/<lang>.json``
+# REPLACES (or adds) that language's spec:
+#   {"defs": [{"pattern": "^fn (?P<name>\\w+)", "ctype": "function",
+#              "semi_emits": false, "eol_emits": false,
+#              "needs_class_parent": false, "filter_keywords": false}],
+#    "method_parents": ["class"], "comment_prefixes": ["//"],
+#    "attr_prefixes": ["@"], "line_comment": "//"}
+SPEC_OVERRIDE_DIR_ENV = "CK_CHUNK_SPEC_DIR"
+_spec_cache: dict[tuple[str, str], LangSpec | None] = {}
+
+
+def _spec_from_json(d: dict) -> LangSpec:
+    defs = tuple(
+        _Def(
+            pattern=re.compile(x["pattern"]),
+            ctype=x.get("ctype", "function"),
+            semi_emits=bool(x.get("semi_emits", False)),
+            eol_emits=bool(x.get("eol_emits", False)),
+            needs_class_parent=bool(x.get("needs_class_parent", False)),
+            filter_keywords=bool(x.get("filter_keywords", False)),
+        )
+        for x in d.get("defs", [])
+    )
+    return LangSpec(
+        name=d.get("name", "custom"),
+        defs=defs,
+        method_parents=frozenset(d.get("method_parents", ["class", "module"])),
+        comment_prefixes=tuple(d.get("comment_prefixes", ("//", "/*", "*"))),
+        attr_prefixes=tuple(d.get("attr_prefixes", ())),
+        line_comment=d.get("line_comment", "//"),
+    )
+
+
+def spec_for(lang: str) -> LangSpec | None:
+    """Resolve a language's chunking spec: the override dir wins over the
+    built-ins (reference load_query_source semantics). Parsed overrides
+    are cached per (dir, lang); workers resolve the env var themselves,
+    so the dir just needs to be visible where tasks run."""
+    import json
+    import os
+
+    d = os.environ.get(SPEC_OVERRIDE_DIR_ENV)
+    if d:
+        key = (d, lang)
+        if key not in _spec_cache:
+            p = os.path.join(d, f"{lang}.json")
+            if os.path.exists(p):
+                with open(p) as fh:
+                    _spec_cache[key] = _spec_from_json(json.load(fh))
+            else:
+                _spec_cache[key] = None
+        if _spec_cache[key] is not None:
+            return _spec_cache[key]
+    return LANG_SPECS.get(lang)
+
 _STR_RE = re.compile(r"'(?:\\.|[^'\\\n])*'|\"(?:\\.|[^\"\\\n])*\"|`[^`\n]*`")
 
 
@@ -588,13 +645,14 @@ def structural_chunks(
     fill + striding) or None when no structural chunker applies / finds
     anything — the caller's line-window fallback contract."""
     caps: list[tuple[int, int, str, str, int]] | None = None
+    spec = spec_for(lang) if lang != "python" else None
     if lang == "python":
         try:
             caps = _suppress_contained(_python_captures(src))
         except (SyntaxError, ValueError, RecursionError):
             return None
-    elif lang in LANG_SPECS:
-        caps = brace_chunks(src, LANG_SPECS[lang])
+    elif spec is not None:
+        caps = brace_chunks(src, spec)
     elif lang == "markdown":
         caps = markdown_chunks(src)
     if not caps:

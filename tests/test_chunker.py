@@ -403,3 +403,48 @@ def test_byte_spans_crlf_and_unicode():
         assert sl.replace("\r\n", "\n") == r["text"]
         assert r["byte_start"] <= r["byte_end"]
         assert r["line_start"] >= 1 and r["line_start"] <= r["line_end"]
+
+
+def test_spec_override_dir(tmp_path, monkeypatch):
+    """CK_CHUNK_SPEC_DIR overrides/extends the per-language specs — the
+    reference's CK_CHUNK_QUERY_DIR tags.scm mechanism
+    (ck-chunk/src/query_chunker.rs:204-245)."""
+    import json
+
+    from ck_ray import chunker as ch
+
+    # a brand-new language: haskell top-level equations as functions
+    spec = {
+        "name": "haskell",
+        "defs": [
+            {"pattern": "^(?P<name>[a-z]\\w*)\\s+.*=", "ctype": "function",
+             "eol_emits": True}
+        ],
+        "comment_prefixes": ["--"],
+        "line_comment": "--",
+    }
+    d = tmp_path / "specs"
+    d.mkdir()
+    (d / "haskell.json").write_text(json.dumps(spec))
+    monkeypatch.setenv(ch.SPEC_OVERRIDE_DIR_ENV, str(d))
+    ch._spec_cache.clear()
+    src = "main = putStrLn hello\n\nhelper x = x + 1\n"
+    rows = ch.structural_chunks(src, "haskell")
+    names = {r[3] for r in rows if r[2] == "function"}
+    assert names == {"main", "helper"}
+
+    # ... and an override REPLACING a built-in (rust: functions only)
+    (d / "rust.json").write_text(json.dumps({
+        "name": "rust",
+        "defs": [{"pattern": "^\\s*fn\\s+(?P<name>\\w+)",
+                  "ctype": "function"}],
+        "comment_prefixes": ["//"],
+    }))
+    ch._spec_cache.clear()
+    rows = ch.structural_chunks("fn a() {}\nstruct B { x: i32 }\n", "rust")
+    assert {r[2] for r in rows if r[3]} == {"function"}  # struct ignored
+
+    monkeypatch.delenv(ch.SPEC_OVERRIDE_DIR_ENV)
+    ch._spec_cache.clear()
+    rows = ch.structural_chunks("fn a() {}\nstruct B { x: i32 }\n", "rust")
+    assert any(r[2] == "class" for r in rows)  # built-in restored
