@@ -215,3 +215,28 @@ def test_embedding_near_dups_planted_and_capped(ray_session, tmp_path):
     same = np.zeros(100, np.uint64)
     leaves = _leaf_ranges(same, cap=32, base_bits=4)
     assert leaves == [(0, 100)]
+
+
+def test_retrieval_quality_harness(ray_session):
+    """SWE-bench-style retrieval quality gate (VERDICT r2 missing #7):
+    unique-marker queries must hit Recall@1 = 1.0, and identifier
+    queries (analyzer splits snake_case, truth = verbatim-containing
+    docs by independent scan) must clear a quality floor."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from benchmarks.retrieval_quality import run_quality
+
+    out = run_quality(n_files=2000, k=10, num_parts=4)
+    assert out["marker_recall_at_1"] == 1.0
+    assert out["ident_mean_recall_at_10"] >= 0.5
+    assert out["ident_mrr"] >= 0.7
+    assert out["n_ident_queries"] >= 10
+    # the phrase leg must beat the bag-of-words leg decisively on the
+    # line queries (that's what positions are for)
+    assert out["line_phrase_recall_at_10"] >= 0.6
+    assert out["line_phrase_recall_at_10"] > out["line_bag_recall_at_10"]
+    assert out["n_line_queries"] >= 10
