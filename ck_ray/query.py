@@ -960,33 +960,68 @@ class BM25Engine:
         index_dir: str,
         num_shards: int = 4,
         dtype=np.float32,
+        auto_reload: bool = True,
     ):
         self.index_dir = index_dir
-        self.manifest = load_manifest(index_dir)
         self.dtype = dtype
+        self._requested_shards = num_shards
+        # auto_reload: every search stats the root manifest (one syscall,
+        # ~1us vs ~10ms queries) and transparently respawns the shards
+        # when an incremental_update / reindex committed new epochs — an
+        # open engine never serves a stale epoch set silently.
+        self.auto_reload = auto_reload
+        self.shards: list = []
+        self._load()
+
+    def _manifest_stamp(self) -> tuple[int, int]:
+        st = os.stat(os.path.join(self.index_dir, "manifest.json"))
+        return (st.st_mtime_ns, st.st_size)
+
+    def _load(self) -> None:
+        self.manifest = load_manifest(self.index_dir)
+        self._stamp = self._manifest_stamp()
         if "num_serving_buckets" not in self.manifest:
             raise RuntimeError(
                 "index predates the serving layout — rebuild it"
             )
         B = self.manifest["num_serving_buckets"]
-        num_shards = max(1, min(num_shards, B))
+        num_shards = max(1, min(self._requested_shards, B))
         assign = [
             [b for b in range(B) if b % num_shards == s]
             for s in range(num_shards)
         ]
+        old = self.shards
         self.shards = [
-            DocShard.remote(index_dir, a, dtype=dtype) for a in assign
+            DocShard.remote(self.index_dir, a, dtype=self.dtype)
+            for a in assign
         ]
         ray.get([s.ready.remote() for s in self.shards])
+        for s in old:  # swap completed — drop the previous generation
+            ray.kill(s)
         self.epochs = self.manifest.get(
             "epochs", [self.manifest["epoch_dir"]]
         )
         self._needs_df_round = len(self.epochs) > 1 or any(
-            os.path.exists(os.path.join(index_dir, e, "deleted.parquet"))
+            os.path.exists(os.path.join(self.index_dir, e, "deleted.parquet"))
             for e in self.epochs
         )
         self._df_cache: dict[tuple[int, str], int] = {}
         self.last_fanout_rows = 0
+
+    def refresh(self) -> bool:
+        """Reload the shard pool if the committed manifest changed since
+        load; returns True when a reload happened."""
+        if self._manifest_stamp() == self._stamp:
+            return False
+        self._load()
+        return True
+
+    def _maybe_reload(self) -> None:
+        if self.auto_reload:
+            try:
+                self.refresh()
+            except FileNotFoundError:
+                pass  # mid-commit rename window; serve the loaded epoch
 
     # ---------------------------------------------------- global statistics
 
@@ -1032,6 +1067,7 @@ class BM25Engine:
         self, query: str, top_k: int | None = None, *, pruning: bool = True
     ) -> tuple[np.ndarray, np.ndarray]:
         """Top-k (doc_ids, raw scores), sorted score desc / doc_id asc."""
+        self._maybe_reload()
         k = top_k if top_k is not None else 100
         df_map = self._df_map_for([query])
         parts = ray.get(
@@ -1058,6 +1094,7 @@ class BM25Engine:
         doc_id/score/normalized_score."""
         import pandas as pd
 
+        self._maybe_reload()
         k = top_k if top_k is not None else 100
         df_map = self._df_map_for([query])
         if with_metadata:
@@ -1106,6 +1143,7 @@ class BM25Engine:
     ) -> list[tuple[np.ndarray, np.ndarray]]:
         """Batch query evaluation: ONE round trip per shard for the whole
         batch (plus one int-only df round when epochs/deletions exist)."""
+        self._maybe_reload()
         k = top_k if top_k is not None else 100
         df_map = self._df_map_for(queries)
         per_shard = ray.get(

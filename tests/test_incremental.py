@@ -128,6 +128,50 @@ def test_delete_then_readd(ray_session, tiny_corpus, tmp_path):
     assert man2.get("epochs") == man.get("epochs")
 
 
+def test_engine_auto_reload_after_update(ray_session, tiny_corpus, tmp_path):
+    """An open BM25Engine must not serve a stale epoch set: after an
+    incremental_update commits a new manifest, the next search on the SAME
+    engine transparently reloads the shard pool (auto_reload=True default);
+    auto_reload=False pins the loaded epoch until an explicit refresh()."""
+    import ray.data
+
+    cfg = ckb.IndexConfig(num_parts=4, batch_size=64)
+    d = str(tmp_path / "idx")
+    ckb.build_index(ray.data.from_arrow(tiny_corpus), d, cfg)
+    eng = BM25Engine(d, num_shards=2)
+    pinned = BM25Engine(d, num_shards=2, auto_reload=False)
+    try:
+        q = "uqadded00003marker"  # only exists in the mutated corpus
+        assert len(eng.search_raw(q, 10)[0]) == 0
+        assert len(pinned.search_raw(q, 10)[0]) == 0
+
+        v2 = _mutate(tiny_corpus)
+        incremental_update(ray.data.from_arrow(v2), d, cfg)
+
+        # auto-reloading engine sees the new epoch, scores bitwise-equal
+        # to a freshly opened engine and the oracle over v2
+        di, si = eng.search_raw(q, 10)
+        oracle = BM25Oracle(v2)
+        do, so = oracle.search_raw(q, 10)
+        assert len(di) > 0
+        assert di.tolist() == do.tolist()
+        assert np.array_equal(si, so)
+
+        # pinned engine still serves the original epoch...
+        assert len(pinned.search_raw(q, 10)[0]) == 0
+        # ...until an explicit refresh, which reports the reload
+        assert pinned.refresh() is True
+        dp, sp = pinned.search_raw(q, 10)
+        assert dp.tolist() == do.tolist()
+        assert np.array_equal(sp, so)
+        # second refresh with no new commit is a no-op
+        assert pinned.refresh() is False
+        assert eng.refresh() is False
+    finally:
+        eng.close()
+        pinned.close()
+
+
 def test_deletion_only_update(ray_session, tiny_corpus, tmp_path):
     import ray.data
 
