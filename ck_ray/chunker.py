@@ -230,6 +230,9 @@ class _Def:
     needs_class_parent: bool = False
     # Go: receiver group present -> method
     method_if_group: str | None = None
+    # ";" opens a scope closed only at EOF (C# file-scoped namespace:
+    # `namespace X;` applies to the rest of the file)
+    semi_opens: bool = False
     # reject control-flow keywords as names — only needed for patterns
     # ambiguous with statements (JS "run() {" also matches "if (x) {")
     filter_keywords: bool = False
@@ -244,6 +247,10 @@ class LangSpec:
     comment_prefixes: tuple[str, ...] = ("//", "/*", "*")
     attr_prefixes: tuple[str, ...] = ()
     line_comment: str = "//"
+    # lines directly above a capture matching this extend its span upward
+    # (C++ template-prefix merge, reference
+    # merge_cpp_template_prefix_chunks ck-chunk/src/lib.rs:498-561)
+    prefix_extend: re.Pattern | None = None
 
 
 _KW_NOT_NAME = frozenset(
@@ -343,12 +350,177 @@ _JAVA = LangSpec(
     attr_prefixes=("@",),
 )
 
+# C function definitions start at column 0 (return type words, then the
+# name directly before the parameter list). Declarations (no body) die at
+# the ";" — the reference captures function_definition only
+# (queries/c/tags.scm) and cpp_queries_skip_function_body_declarations.
+_C_FN = _Def(
+    re.compile(
+        r"^(?:[A-Za-z_]\w*(?:\s*[*&]+\s*|\s+))+[*&]*"
+        r"(?P<name>~?[\w:]+)\s*\("
+    ),
+    "function",
+    filter_keywords=True,
+)
+_C_STRUCT = _Def(
+    re.compile(
+        r"^\s*(?:typedef\s+)?(?:struct|union)\s+(?P<name>\w+)?\s*(?:\{|$)"
+    ),
+    "class",
+)
+_C_ENUM = _Def(
+    re.compile(r"^\s*(?:typedef\s+)?enum\s+(?P<name>\w+)?\s*(?:\{|$)"),
+    "class",
+)
+_C_MACRO_FN = _Def(
+    re.compile(r"^#\s*define\s+(?P<name>\w+)\("),
+    "function",
+    eol_emits=True,
+)
+_C_MACRO = _Def(
+    re.compile(r"^#\s*define\s+(?P<name>\w+)"),
+    "text",
+    eol_emits=True,
+)
+
+_C = LangSpec(
+    name="c",
+    defs=(_C_STRUCT, _C_ENUM, _C_MACRO_FN, _C_MACRO, _C_FN),
+    method_parents=frozenset(),
+)
+
+_CPP = LangSpec(
+    name="cpp",
+    defs=(
+        _Def(re.compile(
+            r"^\s*(?:template\s*<[^>]*>\s*)?"
+            r"(?:class|struct)\s+(?P<name>\w+)\s*"
+            r"(?:final\s*)?(?::[^{;]*)?(?:\{|$)"
+        ), "class"),
+        _C_ENUM,
+        _Def(re.compile(
+            r"^\s*(?:inline\s+)?namespace\s*(?P<name>[\w:]*)"
+        ), "module"),
+        _C_MACRO_FN,
+        _C_MACRO,
+        _C_FN,
+        # in-class member functions (indented); pure-virtual / =default /
+        # =delete declarations end in ";" and are dropped (reference
+        # cpp_queries_skip_defaulted_deleted_ctors)
+        _Def(re.compile(
+            r"^\s+(?:(?:virtual|static|inline|constexpr|explicit|friend)"
+            r"\s+)*[\w:<>,&*\s]*?[\s*&]?(?P<name>~?\w+|operator\S+)"
+            r"\s*\([^;{]*\)"
+        ), "method", needs_class_parent=True, filter_keywords=True),
+    ),
+    # free functions inside a namespace stay functions; only class
+    # members read as methods
+    method_parents=frozenset({"class"}),
+    prefix_extend=re.compile(r"^\s*template\s*<"),
+)
+
+_CSHARP = LangSpec(
+    name="csharp",
+    defs=(
+        _Def(re.compile(
+            r"^\s*(?:(?:file|public|private|protected|internal)\s+)?"
+            r"namespace\s+(?P<name>[\w.]+)"
+        ), "module", semi_opens=True),
+        _Def(re.compile(
+            r"^\s*(?:(?:public|private|protected|internal|static|sealed|"
+            r"abstract|partial|readonly|file)\s+)*"
+            r"(?:class|struct|record)\s+(?P<name>\w+)"
+        ), "class"),
+        _Def(re.compile(
+            r"^\s*(?:(?:public|private|protected|internal|partial|file)"
+            r"\s+)*interface\s+(?P<name>\w+)"
+        ), "module"),
+        # fields before methods so initializer calls don't read as methods
+        _Def(re.compile(
+            r"^\s*(?:(?:public|private|protected|internal|static|readonly|"
+            r"const|volatile)\s+)+[\w<>\[\],.?\s]+?\s(?P<name>\w+)\s*"
+            r"(?:=[^;]*)?;"
+        ), "module", semi_emits=True, needs_class_parent=True,
+            filter_keywords=True),
+        _Def(re.compile(
+            r"^\s*(?:(?:public|private|protected|internal|static|virtual|"
+            r"override|sealed|async|abstract|partial|new|extern|unsafe)"
+            r"\s+)+[\w<>\[\],.?\s]+?\s(?P<name>\w+)\s*(?:<[^>]*>)?\s*"
+            r"\([^;{]*\)"
+        ), "method", semi_emits=True, needs_class_parent=True,
+            filter_keywords=True),
+        # constructor: modifiers then the class name directly (no return
+        # type) before the parameter list
+        _Def(re.compile(
+            r"^\s*(?:(?:public|private|protected|internal|static)\s+)+"
+            r"(?P<name>[A-Z]\w*)\s*\([^;{]*\)\s*$"
+        ), "method", needs_class_parent=True, filter_keywords=True),
+    ),
+    method_parents=frozenset({"class", "module"}),
+    attr_prefixes=("[",),
+)
+
+_DART = LangSpec(
+    name="dart",
+    defs=(
+        _Def(re.compile(
+            r"^\s*(?:(?:abstract|base|final|sealed|interface)\s+)*"
+            r"(?:class|mixin|enum)\s+(?P<name>\w+)"
+        ), "class"),
+        # top-level variables/constants -> text (queries/dart/tags.scm:
+        # local_variable_declaration @module.text)
+        _Def(re.compile(
+            r"^(?:final|const|var|late)\s+(?:[\w<>\[\],?]+\s+)?"
+            r"(?P<name>\w+)\s*[=;]"
+        ), "text", semi_emits=True),
+        _Def(re.compile(
+            r"^(?:[\w<>\[\],?]+\s+)?(?P<name>\w+)\s*\([^;{]*\)\s*"
+            r"(?:async\s*\*?|sync\s*\*?)?\s*(?:\{|=>)"
+        ), "function", semi_emits=True, filter_keywords=True),
+        _Def(re.compile(
+            r"^\s+(?:(?:static|final|const|late)\s+)*[\w<>\[\],?\s]*?"
+            r"(?P<name>\w+)\s*\([^;{]*\)\s*(?:async\s*\*?)?\s*(?:\{|=>)"
+        ), "method", semi_emits=True, needs_class_parent=True,
+            filter_keywords=True),
+    ),
+    method_parents=frozenset({"class"}),
+    attr_prefixes=("@",),
+)
+
+_ZIG = LangSpec(
+    name="zig",
+    defs=(
+        _Def(re.compile(
+            r"^\s*(?:pub\s+)?(?:export\s+)?(?:extern\s+(?:\"[^\"]*\"\s+)?)?"
+            r"(?:inline\s+)?fn\s+(?P<name>\w+)"
+        ), "function"),
+        _Def(re.compile(r"^\s*test\s+(?:\"(?P<name>[^\"]*)\")?"), "module"),
+        # const Name = struct/enum/union/opaque/error { ... } -> class
+        _Def(re.compile(
+            r"^\s*(?:pub\s+)?const\s+(?P<name>\w+)\s*=\s*"
+            r"(?:packed\s+|extern\s+)?(?:struct|enum|union|opaque|error)\b"
+        ), "class"),
+        _Def(re.compile(
+            r"^\s*(?:pub\s+)?(?:const|var)\s+(?P<name>\w+)"
+        ), "module", semi_emits=True),
+        _Def(re.compile(r"^\s*comptime\b"), "module"),
+    ),
+    method_parents=frozenset({"class"}),
+)
+
 LANG_SPECS: dict[str, LangSpec] = {
     "rust": _RUST,
     "go": _GO,
     "javascript": _JS,
     "typescript": _JS,
     "java": _JAVA,
+    "c": _C,
+    "cpp": _CPP,
+    "c++": _CPP,
+    "csharp": _CSHARP,
+    "c#": _CSHARP,
+    "dart": _DART,
+    "zig": _ZIG,
 }
 
 # User-override dir for per-language chunking specs — the analogue of the
@@ -383,6 +555,9 @@ def _spec_from_json(d: dict) -> LangSpec:
         comment_prefixes=tuple(d.get("comment_prefixes", ("//", "/*", "*"))),
         attr_prefixes=tuple(d.get("attr_prefixes", ())),
         line_comment=d.get("line_comment", "//"),
+        prefix_extend=(
+            re.compile(d["prefix_extend"]) if d.get("prefix_extend") else None
+        ),
     )
 
 
@@ -485,15 +660,28 @@ def brace_chunks(
                 m = d.pattern.match(s)
                 if m is None:
                     continue
-                name = m.groupdict().get("name") or ""
+                # names can live inside string literals (zig `test "…"`)
+                # which _effective_lines blanked — re-match the raw line
+                mr = d.pattern.match(lines[ln_no])
+                name = (mr or m).groupdict().get("name") or ""
+                name = name.strip()
                 if d.filter_keywords and name in _KW_NOT_NAME:
                     continue
                 ctype = d.ctype
                 if d.ctype == "function" and class_parent_open():
                     ctype = "method"
+                start = ln_no
+                if spec.prefix_extend is not None:
+                    # template-prefix merge: pull `template <...>` lines
+                    # above the definition into its span (reference
+                    # merge_cpp_template_prefix_chunks)
+                    while start > 0 and spec.prefix_extend.match(
+                        eff[start - 1]
+                    ):
+                        start -= 1
                 pending = {
-                    "start": ln_no, "ctype": ctype, "name": name,
-                    "def": d, "from_col": m.start(),
+                    "start": start, "match_line": ln_no, "ctype": ctype,
+                    "name": name, "def": d, "from_col": m.start(),
                     "crumbs": list(open_caps),
                 }
                 break
@@ -501,7 +689,8 @@ def brace_chunks(
             if ch == "{":
                 depth += 1
                 if pending is not None and (
-                    pending["start"] < ln_no or col >= pending["from_col"]
+                    pending["match_line"] < ln_no
+                    or col >= pending["from_col"]
                 ):
                     open_caps.append({**pending, "close_at": depth - 1})
                     pending = None
@@ -510,16 +699,19 @@ def brace_chunks(
                 while open_caps and open_caps[-1]["close_at"] >= depth:
                     emit(open_caps.pop(), ln_no)
             elif ch == ";" and pending is not None and (
-                pending["start"] < ln_no or col >= pending["from_col"]
+                pending["match_line"] < ln_no or col >= pending["from_col"]
             ):
-                if pending["def"].semi_emits:
+                if pending["def"].semi_opens:
+                    # file-scoped namespace: stays open until EOF
+                    open_caps.append({**pending, "close_at": -1})
+                elif pending["def"].semi_emits:
                     emit(pending, ln_no)
                 pending = None
         if pending is not None:
-            if pending["def"].eol_emits and pending["start"] == ln_no:
+            if pending["def"].eol_emits and pending["match_line"] == ln_no:
                 emit(pending, ln_no)
                 pending = None
-            elif ln_no - pending["start"] >= 8:  # give up on odd syntax
+            elif ln_no - pending["match_line"] >= 8:  # odd syntax: give up
                 pending = None
     for c in reversed(open_caps):  # EOF closes whatever is still open
         emit(c, len(lines) - 1)
@@ -590,6 +782,249 @@ def markdown_chunks(src: str) -> list[tuple[int, int, str, str, int]]:
     return out
 
 
+# --- end-keyword block languages (Ruby, Elixir) -------------------------
+# Blocks close with the ``end`` keyword instead of ``}``. The capture
+# tables mirror the reference's tags.scm files
+# (ck-chunk/queries/ruby/tags.scm: class/module -> @class/@module,
+# method/singleton_method -> @function;
+# ck-chunk/queries/elixir/tags.scm: defmodule/defprotocol/defimpl ->
+# @module, def/defp/defmacro*/defguard*/defdelegate -> @function,
+# defstruct -> @definition.struct, @spec/@type/@callback/@behaviour ->
+# single-line text captures).
+
+_RUBY_CAPS: tuple[tuple[re.Pattern, str], ...] = (
+    (re.compile(r"^\s*class\s+(?:<<\s*)?(?P<name>[\w:.]+)"), "class"),
+    (re.compile(r"^\s*module\s+(?P<name>[\w:]+)"), "module"),
+    (re.compile(r"^\s*def\s+(?P<name>(?:self\.)?[\w?!=\[\]<>+\-*/%~^]+)"),
+     "function"),
+)
+# block openers that consume an ``end`` without being captures
+_RUBY_OPEN_RE = re.compile(
+    r"^\s*(?:if|unless|while|until|case|begin|for)\b"
+)
+_RUBY_DO_RE = re.compile(r"(?:^|\s)do(?:\s*\|[^|]*\|)?\s*$")
+# modifier forms (`x if y`) never open a block; one-line `def x; end` is
+# handled because both tokens sit on one line.
+
+_ELIXIR_CAPS: tuple[tuple[re.Pattern, str], ...] = (
+    (re.compile(r"^\s*defmodule\s+(?P<name>[\w.]+)"), "module"),
+    (re.compile(r"^\s*defprotocol\s+(?P<name>[\w.]+)"), "module"),
+    (re.compile(r"^\s*defimpl\s+(?P<name>[\w.]+)"), "module"),
+    (re.compile(
+        r"^\s*def(?:p|macro|macrop|guard|guardp|delegate)?"
+        r"\s+(?P<name>[\w?!]+)"
+    ), "function"),
+)
+_ELIXIR_LINE_CAPS: tuple[tuple[re.Pattern, str], ...] = (
+    # single-expression captures with no `do` block
+    (re.compile(r"^\s*defstruct\b"), "class"),
+    (re.compile(r"^\s*defdelegate\s+(?P<name>[\w?!]+)"), "function"),
+    (re.compile(
+        r"^\s*@(?:spec|type|typep|opaque|callback|macrocallback|"
+        r"optional_callbacks|behaviou?r)\b"
+    ), "text"),
+)
+_ELIXIR_DO_RE = re.compile(r"(?:^|\s)do\s*$")
+_ELIXIR_INLINE_DO_RE = re.compile(r",\s*do:")
+
+
+def end_block_chunks(
+    src: str, lang: str
+) -> list[tuple[int, int, str, str, int]]:
+    """Structural captures for ``end``-delimited languages. Depth is the
+    count of open blocks (captures and anonymous if/do blocks alike);
+    each ``end`` closes the innermost. Strings/comments are blanked
+    before matching, as in the brace engine."""
+    caps = _RUBY_CAPS if lang == "ruby" else _ELIXIR_CAPS
+    line_caps = () if lang == "ruby" else _ELIXIR_LINE_CAPS
+    spec = LangSpec(name=lang, defs=(), comment_prefixes=("#",),
+                    line_comment="#")
+    lines = src.splitlines()
+    eff = _effective_lines(lines, spec)
+    out: list[tuple[int, int, str, str, int]] = []
+    stack: list[dict | None] = []  # None = anonymous (non-capture) block
+    open_caps: list[dict] = []
+
+    def emit(cap: dict, end_ln: int) -> None:
+        crumb = ".".join(c["name"] for c in cap["crumbs"] if c["name"])
+        own = cap["name"]
+        crumb = f"{crumb}.{own}" if crumb and own else (crumb or own)
+        out.append(
+            (cap["start"] + 1, end_ln + 1, cap["ctype"], crumb,
+             len(cap["crumbs"]))
+        )
+
+    for ln_no, s in enumerate(eff):
+        stripped = s.strip()
+        if not stripped:
+            continue
+        matched_cap = None
+        for pat, ctype in caps:
+            m = pat.match(s)
+            if m:
+                name = m.groupdict().get("name") or ""
+                if ctype == "function" and open_caps and (
+                    open_caps[-1]["ctype"] in ("class", "module")
+                ):
+                    ctype = "method"
+                matched_cap = {
+                    "start": ln_no, "ctype": ctype, "name": name,
+                    "crumbs": list(open_caps),
+                }
+                break
+        if matched_cap is None:
+            for pat, ctype in line_caps:
+                m = pat.match(s)
+                if m:
+                    crumb0 = ".".join(
+                        c["name"] for c in open_caps if c["name"]
+                    )
+                    name = (m.groupdict().get("name") or "") if m.groupdict() else ""
+                    crumb = (
+                        f"{crumb0}.{name}" if crumb0 and name
+                        else (crumb0 or name)
+                    )
+                    out.append(
+                        (ln_no + 1, ln_no + 1, ctype, crumb, len(open_caps))
+                    )
+                    break
+        # block accounting
+        opens = 0
+        if lang == "ruby":
+            if matched_cap is not None or _RUBY_OPEN_RE.match(s):
+                # `while x do` / `for i in xs do`: the trailing `do` is
+                # part of the same block, not a second one
+                opens += 1
+            elif _RUBY_DO_RE.search(s):
+                opens += 1
+        else:
+            if _ELIXIR_DO_RE.search(s) and not _ELIXIR_INLINE_DO_RE.search(s):
+                opens += 1
+            elif matched_cap is not None:
+                # `def f(x), do: expr` / multiline head without `do` yet:
+                # treat as single-line capture
+                emit(matched_cap, ln_no)
+                matched_cap = None
+            # anonymous functions (`fn x -> ... end`) consume an `end` too
+            opens += len(re.findall(r"(?:^|[\s(,\[=])fn\b", s))
+        closes = len(re.findall(r"(?:^|[\s;(\[])end\b", s))
+        for _ in range(opens):
+            if matched_cap is not None:
+                stack.append(matched_cap)
+                open_caps.append(matched_cap)
+                matched_cap = None
+            else:
+                stack.append(None)
+        for _ in range(closes):
+            if not stack:
+                break
+            top = stack.pop()
+            if top is not None:
+                if open_caps and open_caps[-1] is top:
+                    open_caps.pop()
+                emit(top, ln_no)
+    while stack:  # EOF closes whatever is still open
+        top = stack.pop()
+        if top is not None:
+            if open_caps and open_caps[-1] is top:
+                open_caps.pop()
+            emit(top, len(lines) - 1)
+    out.sort(key=lambda c: (c[0], -c[1], c[4]))
+    return out
+
+
+# --- Haskell ------------------------------------------------------------
+
+_HS_DECL_RE = re.compile(r"^(?P<name>[a-z_][\w']*|\([^)]*\))")
+_HS_KIND_RE = re.compile(
+    r"^(?P<kw>data|newtype|type\s+family|type|class|instance)\b"
+)
+
+
+def haskell_chunks(src: str) -> list[tuple[int, int, str, str, int]]:
+    """Haskell top-level declarations with equation merge: a signature
+    (``name ::``) and all consecutive equations of the same ``name``
+    collapse into one ``function`` chunk (reference
+    merge_haskell_functions, ck-chunk/src/lib.rs:715-826; captures per
+    queries/haskell/tags.scm: data/newtype/type family -> module,
+    class/instance -> class, signature+function -> function)."""
+    lines = src.splitlines()
+    # split into top-level decl blocks: a block starts at a non-blank
+    # column-0 line and swallows following indented/blank lines
+    blocks: list[tuple[int, int, str]] = []  # (start, end, head line)
+    cur_start = None
+    cur_head = ""
+    for i, ln in enumerate(lines):
+        if ln and not ln[0].isspace():
+            if cur_start is not None:
+                end = i - 1
+                while end > cur_start and not lines[end].strip():
+                    end -= 1
+                blocks.append((cur_start, end, cur_head))
+            cur_start, cur_head = i, ln
+    if cur_start is not None:
+        end = len(lines) - 1
+        while end > cur_start and not lines[end].strip():
+            end -= 1
+        blocks.append((cur_start, end, cur_head))
+
+    def decl_of(head: str, body: str = "") -> tuple[str, str] | None:
+        s = head.strip()
+        if s.startswith("--") or s.startswith("{-"):
+            return None
+        mk = _HS_KIND_RE.match(s)
+        if mk:
+            kw = mk.group("kw")
+            rest = s[mk.end():].strip()
+            name = re.match(r"[\w.']+", rest)
+            nm = name.group() if name else ""
+            if kw in ("class", "instance"):
+                return ("class", nm)
+            return ("module", nm)
+        if s.startswith(("module ", "import ", "{-#", "infix")):
+            return None
+        if "::" in s:
+            nm = s.split("::")[0].strip().split()[0] if s.split("::")[0].strip() else ""
+            return ("function", nm)
+        m = _HS_DECL_RE.match(s)
+        # an equation: `name args = ...` or guard clauses (`| cond = ...`)
+        # on the head or any continuation line of the block
+        if m and ("=" in s or "|" in s or "=" in body or "|" in body):
+            return ("function", m.group("name"))
+        return None
+
+    out: list[tuple[int, int, str, str, int]] = []
+    i = 0
+    while i < len(blocks):
+        s0, e0, head = blocks[i]
+        d = decl_of(head, "\n".join(lines[s0 + 1 : e0 + 1]))
+        if d is None:
+            i += 1
+            continue
+        ctype, name = d
+        end = e0
+        j = i + 1
+        if ctype == "function" and name:
+            # equation merge: absorb consecutive same-name decls
+            # (comment-only blocks between equations are skipped, as in
+            # the reference's look-ahead)
+            while j < len(blocks):
+                s1, e1, head1 = blocks[j]
+                st = head1.strip()
+                if st.startswith("--") or st.startswith("{-"):
+                    j += 1
+                    continue
+                d1 = decl_of(head1, "\n".join(lines[s1 + 1 : e1 + 1]))
+                if d1 is not None and d1[0] == "function" and d1[1] == name:
+                    end = e1
+                    j += 1
+                else:
+                    break
+        out.append((s0 + 1, end + 1, ctype, name, 0))
+        i = j if j > i + 1 else i + 1
+    return out
+
+
 def _leading_trivia(
     lines: list[str], line_start: int, spec_prefixes: tuple[str, ...],
     attr_prefixes: tuple[str, ...],
@@ -635,6 +1070,14 @@ _TRIVIA_PREFIXES: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
     "javascript": (("//", "/*", "*"), ("@",)),
     "typescript": (("//", "/*", "*"), ("@",)),
     "java": (("//", "/*", "*"), ("@",)),
+    "c": (("//", "/*", "*"), ()),
+    "cpp": (("//", "/*", "*"), ("[[",)),
+    "csharp": (("//", "/*", "*"), ("[",)),
+    "dart": (("//", "/*", "*"), ("@",)),
+    "zig": (("//",), ()),
+    "ruby": (("#",), ()),
+    "elixir": (("#",), ()),
+    "haskell": (("--", "{-"), ()),
 }
 
 
@@ -653,6 +1096,10 @@ def structural_chunks(
             return None
     elif spec is not None:
         caps = brace_chunks(src, spec)
+    elif lang in ("ruby", "elixir"):
+        caps = end_block_chunks(src, lang)
+    elif lang == "haskell":
+        caps = haskell_chunks(src)
     elif lang == "markdown":
         caps = markdown_chunks(src)
     if not caps:

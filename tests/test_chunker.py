@@ -116,11 +116,11 @@ def test_fallback_for_unsupported_and_bad_syntax():
     t = pa.table(
         {
             "repo": ["r", "r", "r", "r"],
-            "path": ["a.hs", "b.py", "c.py", "d.rs"],
+            "path": ["a.lua", "b.py", "c.py", "d.rs"],
             "commit": ["0", "0", "0", "0"],
-            "lang": ["haskell", "python", "python", "rust"],
+            "lang": ["lua", "python", "python", "rust"],
             "content": [
-                "main = putStrLn hello\n" * 30,  # no structural chunker
+                "print(hello)\n" * 30,  # no structural chunker for lua
                 "def ok():\n    pass\n",
                 "def broken(:\n",  # SyntaxError -> fallback
                 "just prose, no definitions\n" * 30,  # captures nothing
@@ -129,7 +129,7 @@ def test_fallback_for_unsupported_and_bad_syntax():
     )
     out = ast_chunk_batch(t)
     df = out.to_pandas()
-    for p in ("a.hs", "d.rs"):  # both take the line-window fallback
+    for p in ("a.lua", "d.rs"):  # both take the line-window fallback
         sub = df[df["path"] == p]
         assert (sub["chunk_type"] == "text").all()
         assert len(sub) == len(line_window_chunks(30))
@@ -448,3 +448,275 @@ def test_spec_override_dir(tmp_path, monkeypatch):
     ch._spec_cache.clear()
     rows = ch.structural_chunks("fn a() {}\nstruct B { x: i32 }\n", "rust")
     assert any(r[2] == "class" for r in rows)  # built-in restored
+
+
+def test_c_captures_core_constructs():
+    src = (
+        "#include <stdio.h>\n"
+        "#define MAX(a,b) ((a)>(b)?(a):(b))\n"
+        "#define LIMIT 100\n"
+        "\n"
+        "typedef struct point {\n"
+        "    int x;\n"
+        "} point_t;\n"
+        "\n"
+        "enum color { RED, GREEN };\n"
+        "\n"
+        "static int add(int a, int b) {\n"
+        "    return a + b;\n"
+        "}\n"
+        "\n"
+        "void *alloc_buf(size_t n)\n"
+        "{\n"
+        "    return malloc(n);\n"
+        "}\n"
+        "\n"
+        "int declared_only(int a);\n"
+    )
+    rows = _caps(src, "c")
+    by = {(r[2], r[3]): r for r in rows}
+    assert ("function", "MAX") in by  # function-like macro
+    assert ("text", "LIMIT") in by  # object macro
+    assert ("class", "point") in by
+    assert ("class", "color") in by
+    assert by[("function", "add")][0:2] == (11, 13)
+    # K&R style: brace on its own line still closes the span
+    assert by[("function", "alloc_buf")][0:2] == (15, 18)
+    # declarations without a body are not captured (reference
+    # cpp_queries_skip_function_body_declarations)
+    assert not any(r[3] == "declared_only" for r in rows)
+
+
+def test_cpp_captures_core_constructs():
+    src = (
+        "namespace geo {\n"
+        "\n"
+        "template <typename T>\n"
+        "class Point {\n"
+        "public:\n"
+        "    Point(T x, T y) : x_(x), y_(y) {}\n"
+        "    T norm() const {\n"
+        "        return x_ * x_;\n"
+        "    }\n"
+        "    virtual void draw() = 0;\n"
+        "private:\n"
+        "    T x_;\n"
+        "};\n"
+        "\n"
+        "template <typename T>\n"
+        "T clamp(T v, T lo, T hi) {\n"
+        "    return v < lo ? lo : v;\n"
+        "}\n"
+        "\n"
+        "}  // namespace geo\n"
+    )
+    rows = _caps(src, "cpp")
+    by = {(r[2], r[3]): r for r in rows}
+    assert ("module", "geo") in by
+    # template-prefix merge: class span starts at the `template <...>`
+    # line (reference merge_cpp_template_prefix_chunks)
+    assert by[("class", "geo.Point")][0:2] == (3, 13)
+    assert by[("method", "geo.Point.Point")][0:2] == (6, 6)
+    assert ("method", "geo.Point.norm") in by
+    # pure-virtual declaration is not captured
+    assert not any(r[3].endswith("draw") for r in rows)
+    # free function inside a namespace stays a function
+    assert by[("function", "geo.clamp")][0:2] == (15, 18)
+
+
+def test_csharp_captures_core_constructs():
+    src = (
+        "namespace Geo.Shapes;\n"
+        "\n"
+        "public sealed class Point\n"
+        "{\n"
+        "    private readonly int _x;\n"
+        "\n"
+        "    public Point(int x)\n"
+        "    {\n"
+        "        _x = x;\n"
+        "    }\n"
+        "\n"
+        "    public int Norm() => _x * _x;\n"
+        "\n"
+        "    public static int Dist(Point a, Point b)\n"
+        "    {\n"
+        "        return 0;\n"
+        "    }\n"
+        "}\n"
+        "\n"
+        "public interface IShape\n"
+        "{\n"
+        "    int Area();\n"
+        "}\n"
+    )
+    rows = _caps(src, "csharp")
+    by = {(r[2], r[3]): r for r in rows}
+    assert ("module", "Geo.Shapes") in by  # file-scoped namespace
+    assert ("class", "Geo.Shapes.Point") in by
+    assert ("method", "Geo.Shapes.Point.Point") in by
+    assert by[("method", "Geo.Shapes.Point.Dist")][0:2] == (14, 17)
+    assert ("module", "Geo.Shapes.IShape") in by
+
+
+def test_dart_captures_core_constructs():
+    src = (
+        "const int limit = 100;\n"
+        "\n"
+        "class Point {\n"
+        "  final int x;\n"
+        "\n"
+        "  Point(this.x);\n"
+        "\n"
+        "  int norm() {\n"
+        "    return x * x;\n"
+        "  }\n"
+        "}\n"
+        "\n"
+        "int clamp(int v, int hi) {\n"
+        "  return v > hi ? hi : v;\n"
+        "}\n"
+    )
+    rows = _caps(src, "dart")
+    by = {(r[2], r[3]): r for r in rows}
+    assert ("text", "limit") in by  # top-level const -> @module.text
+    assert ("class", "Point") in by
+    assert ("method", "Point.norm") in by
+    assert by[("function", "clamp")][0:2] == (13, 15)
+
+
+def test_zig_captures_core_constructs():
+    src = (
+        'const std = @import("std");\n'
+        "\n"
+        "pub const Point = struct {\n"
+        "    x: i32,\n"
+        "\n"
+        "    pub fn norm(self: Point) i32 {\n"
+        "        return self.x * self.x;\n"
+        "    }\n"
+        "};\n"
+        "\n"
+        "pub fn clamp(v: i32, hi: i32) i32 {\n"
+        "    return if (v > hi) hi else v;\n"
+        "}\n"
+        "\n"
+        'test "clamp caps" {\n'
+        "    try std.testing.expect(clamp(5, 3) == 3);\n"
+        "}\n"
+    )
+    rows = _caps(src, "zig")
+    by = {(r[2], r[3]): r for r in rows}
+    assert ("module", "std") in by  # top-level const decl
+    assert ("class", "Point") in by
+    assert ("method", "Point.norm") in by
+    assert by[("function", "clamp")][0:2] == (11, 13)
+    assert ("module", "clamp caps") in by  # test block
+
+
+def test_ruby_captures_core_constructs():
+    src = (
+        "module Geo\n"
+        "  class Point\n"
+        "    def initialize(x)\n"
+        "      @x = x\n"
+        "    end\n"
+        "\n"
+        "    def self.origin\n"
+        "      new(0)\n"
+        "    end\n"
+        "\n"
+        "    def norm\n"
+        "      [@x].map { |v| v * v }.sum\n"
+        "    end\n"
+        "  end\n"
+        "\n"
+        "  def self.distance(a, b)\n"
+        "    if a == b\n"
+        "      return 0\n"
+        "    end\n"
+        "    [a, b].each do |p|\n"
+        "      puts p\n"
+        "    end\n"
+        "  end\n"
+        "end\n"
+    )
+    rows = _caps(src, "ruby")
+    by = {(r[2], r[3]): r for r in rows}
+    assert by[("module", "Geo")][0:2] == (1, 24)
+    assert by[("class", "Geo.Point")][0:2] == (2, 14)
+    assert ("method", "Geo.Point.initialize") in by
+    assert ("method", "Geo.Point.self.origin") in by
+    # if/end and do/end inside the method balance correctly
+    assert by[("method", "Geo.self.distance")][0:2] == (16, 23)
+    assert by[("method", "Geo.Point.norm")][4] == 2  # depth
+
+
+def test_elixir_captures_core_constructs():
+    src = (
+        "defmodule Geo.Point do\n"
+        "  @behaviour Geo.Shape\n"
+        "  @spec norm(t()) :: number()\n"
+        "\n"
+        "  defstruct x: 0\n"
+        "\n"
+        "  def norm(%__MODULE__{x: x}) do\n"
+        "    x * x\n"
+        "  end\n"
+        "\n"
+        "  defp helper(v), do: v * 2\n"
+        "\n"
+        "  def scale(p, f) do\n"
+        "    Enum.map([p.x], fn v -> v * f end)\n"
+        "  end\n"
+        "end\n"
+    )
+    rows = _caps(src, "elixir")
+    by = {(r[2], r[3]): r for r in rows}
+    assert by[("module", "Geo.Point")][0:2] == (1, 16)
+    assert by[("method", "Geo.Point.norm")][0:2] == (7, 9)
+    # `defp f(x), do: expr` single-line form
+    assert by[("method", "Geo.Point.helper")][0:2] == (11, 11)
+    # inline `fn ... end` must not close the def block early
+    assert by[("method", "Geo.Point.scale")][0:2] == (13, 15)
+    # @spec / @behaviour / defstruct single-line captures
+    line_caps = [r for r in rows if r[0] == r[1] and r[2] in ("text", "class")]
+    assert len(line_caps) >= 3
+
+
+def test_haskell_equation_merge():
+    src = (
+        "module Geo where\n"
+        "\n"
+        "data Point = Point Int Int\n"
+        "  deriving (Show)\n"
+        "\n"
+        "norm :: Point -> Int\n"
+        "norm (Point x y) = x * x + y * y\n"
+        "\n"
+        "factorial :: Integer -> Integer\n"
+        "factorial 0 = 1\n"
+        "factorial n = n * factorial (n - 1)\n"
+        "\n"
+        "-- guard style\n"
+        "clamp lo hi v\n"
+        "  | v < lo = lo\n"
+        "  | otherwise = v\n"
+        "\n"
+        "class Shape a where\n"
+        "  area :: a -> Int\n"
+        "\n"
+        "instance Shape Point where\n"
+        "  area _ = 0\n"
+    )
+    rows = _caps(src, "haskell")
+    by = {(r[2], r[3]): r for r in rows}
+    assert by[("module", "Point")][0:2] == (3, 4)  # data decl
+    # signature + equation merge into ONE function chunk (reference
+    # merge_haskell_functions, ck-chunk/src/lib.rs:715-826)
+    assert by[("function", "norm")][0:2] == (6, 7)
+    assert by[("function", "factorial")][0:2] == (9, 11)
+    assert len([r for r in rows if r[3] == "factorial"]) == 1
+    # guard-style equation with no `=` on the head line
+    assert by[("function", "clamp")][0:2] == (14, 16)
+    assert ("class", "Shape") in by
