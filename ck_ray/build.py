@@ -95,6 +95,9 @@ class IndexConfig:
     # Test hook: explicit per-owner roots for the actor backend, to prove
     # disjoint-locality correctness (each simulates one node's local disk).
     exchange_roots: list[str] | None = None
+    # Reference binary sniff (is_text_file, ck-index/src/lib.rs:1598-1625):
+    # rows whose first 8 KiB contain a NUL byte are skipped at index time.
+    skip_binary: bool = True
 
     def resolve_exchange_root(self, staging: str) -> str:
         if self.exchange_root:
@@ -147,7 +150,8 @@ class _TriplesBatcher:
                  hot_terms: frozenset[str] | None, salt_buckets: int,
                  backend=None,
                  skip_parts: frozenset[int] = frozenset(),
-                 docs_dir: str | None = None):
+                 docs_dir: str | None = None,
+                 skip_binary: bool = True):
         self.num_parts = num_parts
         self.store_positions = store_positions
         self.hot_terms = hot_terms
@@ -155,8 +159,15 @@ class _TriplesBatcher:
         self.backend = backend
         self.skip_parts = skip_parts
         self.docs_dir = docs_dir
+        self.skip_binary = skip_binary
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.skip_binary:
+            from .corpus import text_rows_mask
+
+            mask = text_rows_mask(batch["content"])
+            if not pc.all(mask).as_py():
+                batch = batch.filter(mask)
         doc_ids = doc_id_column(batch["repo"], batch["path"], batch["commit"])
         doc_ids_np = doc_ids.to_numpy()
         pieces = []
@@ -851,6 +862,7 @@ def build_index(
         _TriplesBatcher(
             cfg.num_parts, cfg.store_positions, hot_terms, cfg.salt_buckets,
             backend, frozenset(done_parts), docs_launch_dir,
+            skip_binary=cfg.skip_binary,
         ),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,

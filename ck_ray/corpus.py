@@ -185,3 +185,17 @@ def corpus_parquet(
     with open(done, "w") as f:
         f.write(f"{t.num_rows}\n")
     return d
+
+
+def text_rows_mask(content) -> pa.Array:
+    """Reference binary sniff (``is_text_file``,
+    ck-index/src/lib.rs:1598-1625): ripgrep's NUL heuristic over the
+    first 8 KiB — a NUL byte there marks the row binary; empty content
+    (and NULs past 8 KiB) is text. Vectorized: byte-wise slice + substring
+    scan, no Python loop."""
+    import pyarrow.compute as pc
+
+    arr = content.combine_chunks() if isinstance(content, pa.ChunkedArray) \
+        else content
+    head = pc.binary_slice(arr.cast(pa.binary()), 0, 8192)
+    return pc.invert(pc.match_substring(head, "\x00"))

@@ -1,0 +1,220 @@
+"""Cluster entrypoints for ``ray job submit`` (reference deployment shape:
+the north rule's "run via ray job submit on a fixed-size multi-node Ray
+cluster"; the reference ships a one-process CLI, ``ck-cli/src/main.rs``).
+
+On a cluster::
+
+    ray job submit --working-dir . -- \
+        python -m ck_ray.job build --corpus /data/corpus \
+            --index-dir /shared/idx --num-parts 256 --exchange-backend actor
+    ray job submit --working-dir . -- \
+        python -m ck_ray.job query --index-dir /shared/idx --top-k 10 \
+            'parse_request_body path:core'
+    ray job submit --working-dir . -- \
+        python -m ck_ray.job pipeline --name exact_dups \
+            --sf-dir /data/sf100 --output /shared/out/exact_dups
+
+Each subcommand prints exactly one JSON line to stdout (logs go to
+stderr), so the submitting side can parse results from the job log.
+
+Ray connection: inside a submitted job the runtime exports
+``RAY_ADDRESS`` for the cluster the job landed on, and a bare
+``ray.init()`` joins it; standalone (this sandbox presets
+``RAY_ADDRESS=local``) the same call starts a throwaway local instance.
+We therefore init with no explicit address and never shut the cluster
+down — ``ray.shutdown()`` here only disconnects this driver. When the
+driver calling us (tests, the correctness harness) already initialised
+Ray, we reuse its session untouched.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _connect() -> bool:
+    """Join the ambient Ray cluster (job runtime / RAY_ADDRESS) or start
+    a local one. Returns True when this process owns the connection and
+    should disconnect on exit."""
+    import ray
+
+    if ray.is_initialized():
+        return False
+    ray.init(include_dashboard=False, logging_level="ERROR")
+    return True
+
+
+def _emit(obj: dict) -> None:
+    print(json.dumps(obj), flush=True)
+
+
+def _cmd_build(args) -> int:
+    from .build import IndexConfig, build_index, index_stats
+
+    if args.corpus:
+        corpus = args.corpus
+    else:
+        from .corpus import corpus_parquet
+
+        corpus = corpus_parquet(args.synth_files, seed=args.synth_seed)
+    cfg = IndexConfig(
+        num_parts=args.num_parts,
+        store_positions=not args.no_positions,
+        hot_df_threshold=args.hot_df_threshold,
+        serving_buckets=args.serving_buckets,
+        exchange_backend=args.exchange_backend,
+    )
+    t0 = time.perf_counter()
+    build_index(corpus, args.index_dir, cfg, resume=args.resume)
+    wall = time.perf_counter() - t0
+    st = index_stats(args.index_dir)
+    _emit({
+        "job": "build",
+        "index_dir": args.index_dir,
+        "wall_s": round(wall, 3),
+        "files_per_sec": round(st["num_docs"] / wall, 1),
+        **st,
+    })
+    return 0
+
+
+def _cmd_query(args) -> int:
+    import numpy as np
+
+    from .query import BM25Engine
+
+    eng = BM25Engine(args.index_dir, num_shards=args.shards)
+    if args.suite_file:
+        with open(args.suite_file) as fh:
+            queries = [ln.rstrip("\n") for ln in fh if ln.strip()]
+    elif args.queries:
+        queries = list(args.queries)
+    else:
+        queries = ["def", "merge window query", '"build_index_segment"']
+    lat: list[float] = []
+    results = {}
+    for _ in range(max(1, args.repeat)):
+        for q in queries:
+            tq = time.perf_counter()
+            df = eng.search(q, top_k=args.top_k)
+            lat.append((time.perf_counter() - tq) * 1000)
+            if q not in results:
+                results[q] = [
+                    {
+                        "doc_id": int(r.doc_id),
+                        "score": float(r.score),
+                        "path": getattr(r, "path", None),
+                    }
+                    for r in df.itertuples(index=False)
+                ]
+    eng.close()
+    _emit({
+        "job": "query",
+        "index_dir": args.index_dir,
+        "n_queries": len(queries),
+        "repeat": args.repeat,
+        "p50_ms": round(float(np.percentile(lat, 50)), 2),
+        "p99_ms": round(float(np.percentile(lat, 99)), 2),
+        "results": results,
+    })
+    return 0
+
+
+def _cmd_pipeline(args) -> int:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    q = entrymod.queries()
+    if args.name not in q:
+        print(
+            f"unknown pipeline {args.name!r}; have: {', '.join(sorted(q))}",
+            file=sys.stderr,
+        )
+        return 2
+    t0 = time.perf_counter()
+    res = q[args.name](args.sf_dir)
+    out_rows = None
+    if args.output:
+        import ray.data
+
+        if isinstance(res, ray.data.Dataset):
+            # stream straight to partitioned parquet — no driver collect
+            res.write_parquet(args.output)
+        else:
+            t = res if isinstance(res, pa.Table) else pa.Table.from_pandas(res)
+            out_rows = t.num_rows
+            import os
+
+            os.makedirs(args.output, exist_ok=True)
+            pq.write_table(t, f"{args.output}/part-00000.parquet")
+    if out_rows is None:
+        out_rows = (
+            res.count() if hasattr(res, "count") and not hasattr(res, "shape")
+            else len(res)
+        )
+    _emit({
+        "job": "pipeline",
+        "name": args.name,
+        "sf_dir": args.sf_dir,
+        "rows": int(out_rows),
+        "wall_s": round(time.perf_counter() - t0, 3),
+        "output": args.output,
+    })
+    return 0
+
+
+def _parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="python -m ck_ray.job")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the inverted index")
+    b.add_argument("--corpus", help="corpus parquet dir (repo,path,commit,lang,content)")
+    b.add_argument("--synth-files", type=int, default=10_000,
+                   help="when --corpus is absent: synthesize N files")
+    b.add_argument("--synth-seed", type=int, default=11)
+    b.add_argument("--index-dir", required=True)
+    b.add_argument("--num-parts", type=int, default=16)
+    b.add_argument("--no-positions", action="store_true")
+    b.add_argument("--hot-df-threshold", type=int, default=None)
+    b.add_argument("--serving-buckets", type=int, default=16)
+    b.add_argument("--exchange-backend", choices=("fs", "actor"), default=None)
+    b.add_argument("--resume", action="store_true")
+    b.set_defaults(fn=_cmd_build)
+
+    q = sub.add_parser("query", help="run BM25 queries against an index")
+    q.add_argument("queries", nargs="*", help="query strings")
+    q.add_argument("--index-dir", required=True)
+    q.add_argument("--shards", type=int, default=4)
+    q.add_argument("--top-k", type=int, default=10)
+    q.add_argument("--repeat", type=int, default=1,
+                   help="latency sampling: run the suite N times")
+    q.add_argument("--suite-file", help="file with one query per line")
+    q.set_defaults(fn=_cmd_query)
+
+    pl = sub.add_parser("pipeline", help="run a queries() pipeline entry")
+    pl.add_argument("--name", required=True)
+    pl.add_argument("--sf-dir", required=True)
+    pl.add_argument("--output", help="parquet output dir (Datasets stream here)")
+    pl.set_defaults(fn=_cmd_pipeline)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _parser().parse_args(argv)
+    owned = _connect()
+    try:
+        return args.fn(args)
+    finally:
+        if owned:
+            import ray
+
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

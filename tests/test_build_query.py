@@ -181,3 +181,51 @@ def test_engine_matches_committed_goldens(engine):
         assert scores.view(np.uint32).tolist() == g["score_bits"], (
             f"{query}: score bits drifted"
         )
+
+
+def test_binary_sniff_skips_nul_rows(ray_session, tmp_path):
+    """Reference is_text_file (ck-index/src/lib.rs:1598-1625): a NUL in
+    the first 8 KiB skips the row at index time; a NUL past 8 KiB (and
+    empty content) still indexes."""
+    import ray.data
+
+    rows = {
+        "repo": ["r"] * 4,
+        "path": ["text.py", "blob.bin", "late.py", "empty.py"],
+        "commit": ["c"] * 4,
+        "lang": ["python"] * 4,
+        "content": [
+            "def alpha_marker(): pass",
+            "beta_marker \x00\x01\x02 elf header",
+            ("x " * 5000) + " gamma_marker",  # NUL after the sniff window:
+            "",
+        ],
+    }
+    rows["content"][2] += "\x00"
+    t = pa.table(rows)
+    idx = str(tmp_path / "idx")
+    ckb.build_index(ray.data.from_arrow(t), idx, ckb.IndexConfig(num_parts=2))
+    st = ckb.index_stats(idx)
+    assert st["num_docs"] == 3  # blob.bin sniffed out
+    eng = BM25Engine(idx, num_shards=1)
+    try:
+        assert len(eng.search_raw("alpha_marker", 5)[0]) == 1
+        assert len(eng.search_raw("beta_marker", 5)[0]) == 0
+        assert len(eng.search_raw("gamma_marker", 5)[0]) == 1
+    finally:
+        eng.close()
+
+
+def test_binary_sniff_can_be_disabled(ray_session, tmp_path):
+    import ray.data
+
+    t = pa.table({
+        "repo": ["r"], "path": ["blob.bin"], "commit": ["c"],
+        "lang": [""], "content": ["keep\x00me binary_kept_marker"],
+    })
+    idx = str(tmp_path / "idx")
+    ckb.build_index(
+        ray.data.from_arrow(t), idx,
+        ckb.IndexConfig(num_parts=1, skip_binary=False),
+    )
+    assert ckb.index_stats(idx)["num_docs"] == 1

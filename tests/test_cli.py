@@ -27,7 +27,7 @@ def cli_env(tmp_path_factory):
     return corpus, idx
 
 
-def run(args, timeout=300):
+def run(args, timeout=900):  # each run boots a fresh Ray; generous under host contention
     return subprocess.run(
         [sys.executable, "-m", "ck_ray.cli", *args],
         capture_output=True, text=True, cwd=REPO, timeout=timeout,

@@ -1,0 +1,73 @@
+"""`python -m ck_ray.job` — the ray-job-submit entrypoints (build / query /
+pipeline), run in-process against the session Ray so each subcommand's
+single-JSON-line contract and metrics are exercised end to end."""
+
+import json
+
+import pytest
+
+from ck_ray import job
+from ck_ray.corpus import corpus_parquet
+
+SF = "/root/testdata/sf0.001"
+
+
+def _last_json(capsys) -> dict:
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+@pytest.fixture(scope="module")
+def built_index(ray_session, tmp_path_factory):
+    corpus = corpus_parquet(300, seed=7)
+    idx = str(tmp_path_factory.mktemp("jobidx") / "idx")
+    rc = job.main([
+        "build", "--corpus", corpus, "--index-dir", idx, "--num-parts", "4",
+    ])
+    assert rc == 0
+    return idx
+
+
+def test_build_emits_metrics(ray_session, tmp_path, capsys):
+    corpus = corpus_parquet(100, seed=9)
+    idx = str(tmp_path / "idx")
+    rc = job.main([
+        "build", "--corpus", corpus, "--index-dir", idx, "--num-parts", "2",
+    ])
+    assert rc == 0
+    b = _last_json(capsys)
+    assert b["job"] == "build"
+    assert b["num_docs"] >= 100 and b["files_per_sec"] > 0
+    assert b["n_postings"] > 0 and b["wall_s"] > 0
+
+
+def test_query_subcommand(built_index, capsys):
+    rc = job.main([
+        "query", "--index-dir", built_index, "--top-k", "5", "--repeat", "2",
+        "def", "merge",
+    ])
+    assert rc == 0
+    q = _last_json(capsys)
+    assert q["job"] == "query" and q["n_queries"] == 2
+    assert q["p50_ms"] > 0 and q["p99_ms"] >= q["p50_ms"]
+    hits = q["results"]["def"]
+    assert 0 < len(hits) <= 5
+    assert {"doc_id", "score", "path"} <= set(hits[0])
+
+
+def test_pipeline_subcommand_writes_parquet(ray_session, tmp_path, capsys):
+    out_dir = str(tmp_path / "out")
+    rc = job.main([
+        "pipeline", "--name", "corpus_stats", "--sf-dir", SF,
+        "--output", out_dir,
+    ])
+    assert rc == 0
+    p = _last_json(capsys)
+    assert p["rows"] > 0
+    import pyarrow.dataset as pads
+
+    assert pads.dataset(out_dir).count_rows() == p["rows"]
+
+
+def test_pipeline_unknown_name(ray_session, capsys):
+    rc = job.main(["pipeline", "--name", "nope", "--sf-dir", SF])
+    assert rc == 2
