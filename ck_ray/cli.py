@@ -81,6 +81,11 @@ def _build_parser() -> argparse.ArgumentParser:
         help="remove the index directory (refuses non-index dirs)",
     )
     p.add_argument(
+        "--compact", action="store_true",
+        help="merge the index's epoch chain into one epoch (posting-level"
+             " merge; drops superseded/deleted postings)",
+    )
+    p.add_argument(
         "--inspect", metavar="FILE",
         help="print one corpus file's doc metadata + token stats",
     )
@@ -279,6 +284,19 @@ def main(argv: list[str] | None = None) -> int:
             )
             if not args.pattern:
                 return 0
+
+        if args.compact:
+            from .compact import compact_index
+
+            if not args.index_dir:
+                print("--compact needs --index-dir", file=sys.stderr)
+                return 2
+            root = compact_index(args.index_dir)
+            print(
+                f"compacted {len(root['compacted_from'])} epoch(s) -> "
+                f"{root['epoch']} ({root['num_docs']} docs)"
+            )
+            return 0
 
         if args.clean:
             import os

@@ -81,6 +81,22 @@ def _cmd_build(args) -> int:
     return 0
 
 
+def _cmd_compact(args) -> int:
+    from .compact import compact_index
+
+    t0 = time.perf_counter()
+    root = compact_index(args.index_dir)
+    _emit({
+        "job": "compact",
+        "index_dir": args.index_dir,
+        "wall_s": round(time.perf_counter() - t0, 3),
+        "epoch": root["epoch"],
+        "compacted_from": root["compacted_from"],
+        "num_docs": root["num_docs"],
+    })
+    return 0
+
+
 def _cmd_query(args) -> int:
     import numpy as np
 
@@ -185,6 +201,12 @@ def _parser() -> argparse.ArgumentParser:
     b.add_argument("--exchange-backend", choices=("fs", "actor"), default=None)
     b.add_argument("--resume", action="store_true")
     b.set_defaults(fn=_cmd_build)
+
+    c = sub.add_parser(
+        "compact", help="merge the index's epoch chain into one epoch"
+    )
+    c.add_argument("--index-dir", required=True)
+    c.set_defaults(fn=_cmd_compact)
 
     q = sub.add_parser("query", help="run BM25 queries against an index")
     q.add_argument("queries", nargs="*", help="query strings")

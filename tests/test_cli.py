@@ -212,3 +212,12 @@ def test_rerank_flag(cli_env):
              "--rerank", "--topk", "5"])
     assert r.returncode == 0
     assert len(r.stdout.strip().splitlines()) == 5
+
+
+def test_compact_flag(cli_env):
+    _, idx = cli_env
+    r = run(["--compact", "--index-dir", idx])
+    assert r.returncode == 0, r.stderr
+    assert "compacted" in r.stdout
+    r = run(["merge", "--lex", "--index-dir", idx, "--topk", "3"])
+    assert r.returncode == 0, r.stderr

@@ -71,3 +71,14 @@ def test_pipeline_subcommand_writes_parquet(ray_session, tmp_path, capsys):
 def test_pipeline_unknown_name(ray_session, capsys):
     rc = job.main(["pipeline", "--name", "nope", "--sf-dir", SF])
     assert rc == 2
+
+
+def test_compact_subcommand(built_index, capsys):
+    # compaction is query-identical, so mutating the shared index is safe
+    rc = job.main(["compact", "--index-dir", built_index])
+    assert rc == 0
+    c = _last_json(capsys)
+    assert c["job"] == "compact" and c["compacted_from"] == ["epoch-0001"]
+    rc = job.main(["query", "--index-dir", built_index, "--top-k", "3", "def"])
+    assert rc == 0
+    assert len(_last_json(capsys)["results"]["def"]) > 0
