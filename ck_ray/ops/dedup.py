@@ -129,7 +129,10 @@ class MinHasher:
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "sig": pa.array(list(sigs), pa.list_(pa.uint64(), self.n_perm)),
+                # zero-copy fixed-size-list build (no per-row Python)
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sigs.ravel()), self.n_perm
+                ),
             }
         )
 
@@ -155,8 +158,10 @@ def minhash_lsh_pairs(
     )
 
     def to_bands(t: pa.Table) -> pa.Table:
-        sig = np.stack(
-            [np.asarray(x, dtype=np.uint64) for x in t["sig"].to_pylist()]
+        # fixed-size-list values view: (n, n_perm) without touching rows
+        sl = t["sig"].combine_chunks()
+        sig = sl.values.to_numpy(zero_copy_only=False).reshape(
+            len(sl), n_perm
         )
         n = len(sig)
         out_doc, out_band, out_bh = [], [], []
