@@ -256,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis extras
         "langid": text.langid,
         "fingerprints": text.fingerprints,
+        "bigram_counts": text.bigram_counts,
         # --- semantic + multimodal (semantic's stand-in embedder is
         # integer mixing + exact dyadic sums, replicated term-for-term in
         # the SQL oracle; multimodal's fake decode is sha256-derived and
@@ -591,6 +592,20 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.fp::BIGINT, b.fp::BIGINT)) <= 3
 ORDER BY doc_a, doc_b
+""",
+        "bigram_counts": """
+WITH toksb AS (
+  SELECT doc_id, string_split(text, ' ') AS a FROM documents
+),
+pairs AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1]))
+           AS bigram
+  FROM toksb
+)
+SELECT bigram, count(*)::BIGINT AS cf, count(DISTINCT doc_id)::BIGINT AS df
+FROM pairs GROUP BY bigram
+ORDER BY cf DESC, bigram ASC LIMIT 100
 """,
         "fingerprints": f"""
 WITH {_TOKS_POS},

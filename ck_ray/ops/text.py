@@ -271,3 +271,59 @@ def lang_source_counts(sf_dir: str) -> pd.DataFrame:
     for c in ("n_docs", "sum_chars", "min_chars", "max_chars"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["lang", "source"]).reset_index(drop=True)
+
+
+def bigram_counts(sf_dir: str, top_n: int = 100) -> pd.DataFrame:
+    """Top-N word bigrams: (bigram, cf, df) — the n-gram LM / benchmark-
+    contamination statistic of a training-data pipeline.
+
+    Vectorized per batch: one split over the whole column, adjacent-token
+    join on the flat values buffer (masking doc boundaries via the list
+    offsets), then a per-batch groupby partial. Each doc lives in exactly
+    one batch row, so per-batch distinct-doc counts SUM exactly to the
+    global df — the shuffle moves (bigram, cf, df) partials, never
+    tokens. Space-split semantics match the SQL oracle's
+    ``string_split(text, ' ')`` exactly (empty tokens included)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        la = pc.split_pattern(t["text"].combine_chunks(), " ")
+        offs = la.offsets.to_numpy(zero_copy_only=False)
+        vals = la.values
+        n = len(vals)
+        if n < 2:
+            return pa.table({
+                "bigram": pa.array([], pa.string()),
+                "cf": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64()),
+            })
+        doc_of = np.repeat(
+            np.arange(len(la), dtype=np.int64), np.diff(offs)
+        )
+        same = pa.array(doc_of[:-1] == doc_of[1:])
+        left = vals.slice(0, n - 1).filter(same)
+        right = vals.slice(1, n - 1).filter(same)
+        bg = pc.binary_join_element_wise(left, right, " ")
+        docs = t["doc_id"].combine_chunks().take(
+            pa.array(doc_of[:-1][doc_of[:-1] == doc_of[1:]], pa.int64())
+        )
+        g = pa.TableGroupBy(
+            pa.table({"bigram": bg, "doc": docs}), ["bigram"],
+            use_threads=False,
+        ).aggregate([("doc", "count"), ("doc", "count_distinct")])
+        return pa.table({
+            "bigram": g["bigram"],
+            "cf": g["doc_count"].cast(pa.int64()),
+            "df": g["doc_count_distinct"].cast(pa.int64()),
+        })
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("cf", alias_name="cf"), Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    out["cf"] = out["cf"].astype("int64")
+    out["df"] = out["df"].astype("int64")
+    out = out.sort_values(["cf", "bigram"], ascending=[False, True]).head(top_n)
+    return out.reset_index(drop=True)
