@@ -120,3 +120,29 @@ def test_compact_single_epoch_noop_shape(ray_session, tiny_corpus, tmp_path):
         da, sa = eng.search_raw(q, 20)
         assert np.array_equal(da, db) and np.array_equal(sa, sb), q
     eng.close()
+
+
+def test_compact_rides_actor_exchange(ray_session, tiny_corpus, tmp_path):
+    """Compaction over the shared-nothing ActorExchange (multi-node
+    transport): same bitwise results as the fs-backend compact."""
+    import ray.data
+
+    d = str(tmp_path / "idx")
+    ckb.build_index(
+        ray.data.from_arrow(tiny_corpus), d,
+        ckb.IndexConfig(num_parts=4, batch_size=64),
+    )
+    eng = BM25Engine(d, num_shards=2)
+    before = {q: eng.search_raw(q, 20) for q in ("merge", "def", "the merge")}
+    man = ckb.load_manifest(d)
+    compact_index(d, ckb.IndexConfig(
+        num_parts=man["num_parts"],
+        store_positions=man["store_positions"],
+        serving_buckets=man["num_serving_buckets"],
+        exchange_backend="actor",
+    ))
+    assert ckb.load_manifest(d)["epochs"] == ["epoch-0002"]
+    for q, (db, sb) in before.items():
+        da, sa = eng.search_raw(q, 20)
+        assert np.array_equal(da, db) and np.array_equal(sa, sb), q
+    eng.close()
