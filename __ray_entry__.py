@@ -228,6 +228,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": relational.events_sliding,
         "top_orders_per_customer": relational.top_orders_per_customer,
         "user_sessions": relational.user_sessions,
+        # --- temporal custom operators (shapes Ray Data lacks natively:
+        # as-of join, range join, exact grouped percentiles — each one
+        # vectorized kernel per exchange partition)
+        "events_asof_prev_purchase": relational.events_asof_prev_purchase,
+        "error_click_window_counts": relational.error_click_window_counts,
+        "event_value_quantiles": relational.event_value_quantiles,
         # --- tokenizer / index stats over documents
         "term_df_top": text.term_df_top,
         "corpus_stats": text.corpus_stats,
@@ -389,6 +395,39 @@ SELECT e.user_id, count(*) AS n_events,
        CAST(max(epoch_us(e.ts)) - min(epoch_us(e.ts)) AS BIGINT) AS span_us,
        CAST(coalesce((SELECT max(gap) FROM gaps g WHERE g.user_id = e.user_id), 0) AS BIGINT) AS max_gap_us
 FROM events e GROUP BY e.user_id ORDER BY e.user_id
+""",
+        "events_asof_prev_purchase": """
+SELECT e.event_type,
+       count(*) AS n_events,
+       count(p.pts) AS n_matched,
+       CAST(coalesce(sum(epoch_us(e.ts) - p.pts), 0) AS BIGINT) AS sum_gap_us
+FROM events e
+LEFT JOIN LATERAL (
+    SELECT epoch_us(max(ts)) AS pts
+    FROM events p
+    WHERE p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts < e.ts
+) p ON true
+GROUP BY 1 ORDER BY 1
+""",
+        "error_click_window_counts": """
+SELECT e.user_id, count(*) AS n_errors,
+       CAST(sum(CASE WHEN c.cnt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS errors_with_click,
+       CAST(sum(c.cnt) AS BIGINT) AS total_clicks_5m
+FROM events e
+LEFT JOIN LATERAL (
+    SELECT count(*) AS cnt FROM events c
+    WHERE c.user_id = e.user_id AND c.event_type = 'click'
+      AND c.ts >= e.ts - INTERVAL 5 MINUTE AND c.ts < e.ts
+) c ON true
+WHERE e.event_type = 'error'
+GROUP BY 1 ORDER BY 1
+""",
+        "event_value_quantiles": """
+SELECT event_type, count(*) AS n,
+       quantile_disc(CAST(round(value * 1000000) AS BIGINT), 0.5)  AS p50_e6,
+       quantile_disc(CAST(round(value * 1000000) AS BIGINT), 0.9)  AS p90_e6,
+       quantile_disc(CAST(round(value * 1000000) AS BIGINT), 0.99) AS p99_e6
+FROM events GROUP BY 1 ORDER BY 1
 """,
         "term_df_top": f"""
 WITH {_TOKS}

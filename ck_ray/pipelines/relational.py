@@ -607,6 +607,303 @@ def top_orders_per_customer(sf_dir: str, k: int = 3) -> pd.DataFrame:
     return out.sort_values(["o_custkey", "rank"]).reset_index(drop=True)
 
 
+def _str_key_hash(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Deterministic uint64 hash of a string column (sha1-derived per
+    UNIQUE value, then broadcast) — exchange keys for low-cardinality
+    string groupbys without hashing every row in Python."""
+    import hashlib
+
+    arr = col.to_numpy(zero_copy_only=False)
+    uniq, inv = np.unique(arr, return_inverse=True)
+    hs = np.array(
+        [
+            int.from_bytes(
+                hashlib.sha1(u.encode("utf-8")).digest()[:8], "little"
+            )
+            for u in uniq
+        ],
+        dtype=np.uint64,
+    )
+    return hs[inv]
+
+
+def events_asof_prev_purchase(sf_dir: str) -> pd.DataFrame:
+    """AS-OF JOIN (an operator Ray Data lacks; brief §custom-operators):
+    each event matched to the SAME USER's most recent ``purchase`` event
+    strictly before it, then rolled up per event type.
+
+    Distributed shape: probes (all events) and sources (purchase events)
+    co-locate per user through the hash exchange; each partition runs ONE
+    vectorized kernel — lexsort by (user, ts, src) with sources after
+    probes at equal ts (strict ``<`` semantics), a cummax over source
+    positions gives every probe its as-of match, user-boundary validity is
+    a single vector compare. No per-group Python, no driver
+    materialization; partition output is a <=#types-row partial.
+
+    Matches the reference's "most recent prior state" lookup shape
+    (ck-index/src/lib.rs:851-906 probes the manifest for the latest
+    indexed state of a file) generalized to event time."""
+    from ..exchange import hash_exchange, int_key_hash
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["user_id", "ts", "event_type"]
+    )
+
+    def map_side(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        ts_us = t["ts"].cast(pa.int64()).to_numpy()
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        is_p = et == "purchase"
+        # probes: every event; sources: a second copy of purchase rows
+        return pa.table(
+            {
+                "user_id": pa.array(np.concatenate((u, u[is_p]))),
+                "ts_us": pa.array(np.concatenate((ts_us, ts_us[is_p]))),
+                "is_src": pa.array(
+                    np.concatenate(
+                        (np.zeros(len(u), np.int8),
+                         np.ones(int(is_p.sum()), np.int8))
+                    )
+                ),
+                "event_type": pa.array(
+                    np.concatenate((et, np.full(int(is_p.sum()), "", object)))
+                , type=pa.string()),
+            }
+        )
+
+    def reduce_part(rows: pa.Table) -> pa.Table:
+        u = rows["user_id"].to_numpy()
+        ts = rows["ts_us"].to_numpy()
+        src = rows["is_src"].to_numpy()
+        et = rows["event_type"].to_numpy(zero_copy_only=False)
+        n = len(u)
+        order = np.lexsort((src, ts, u))  # sources AFTER probes at equal ts
+        u_s, ts_s, src_s, et_s = u[order], ts[order], src[order], et[order]
+        idx = np.where(src_s == 1, np.arange(n), -1)
+        cm = np.maximum.accumulate(idx) if n else idx
+        cm_c = np.clip(cm, 0, max(n - 1, 0))
+        probe = src_s == 0
+        valid = probe & (cm >= 0) & (u_s[cm_c] == u_s)
+        gap = ts_s - ts_s[cm_c]
+        types, inv = np.unique(et_s[probe], return_inverse=True)
+        n_events = np.bincount(inv, minlength=len(types)).astype(np.int64)
+        vm = valid[probe]
+        n_matched = np.bincount(
+            inv[vm], minlength=len(types)
+        ).astype(np.int64)
+        sum_gap = np.zeros(len(types), np.int64)
+        np.add.at(sum_gap, inv[vm], gap[probe][vm])
+        return pa.table(
+            {
+                "event_type": pa.array(types, type=pa.string()),
+                "n_events": pa.array(n_events),
+                "n_matched": pa.array(n_matched),
+                "sum_gap_us": pa.array(sum_gap),
+            }
+        )
+
+    out = hash_exchange(
+        ds.map_batches(map_side, batch_format="pyarrow"),
+        key_fn=lambda t: int_key_hash(t["user_id"].to_numpy()),
+        reducer=reduce_part,
+    )
+    out = (
+        out.groupby("event_type", as_index=False)[
+            ["n_events", "n_matched", "sum_gap_us"]
+        ].sum()
+    )
+    for c in ("n_events", "n_matched", "sum_gap_us"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def error_click_window_counts(sf_dir: str) -> pd.DataFrame:
+    """RANGE JOIN (interval containment — an operator Ray Data lacks):
+    for each ``error`` event, the count of the same user's ``click``
+    events in the window ``[ts - 5min, ts)``, rolled up per user.
+
+    Distributed shape: the classic merge-counting kernel. Each error
+    emits TWO probe rows (window lo, sign -1; window hi, sign +1); clicks
+    ride as point rows. All rows of a user co-locate through the hash
+    exchange; one lexsort per partition puts probes before clicks at
+    equal ts (lo inclusive, hi exclusive — both fall out of the same tie
+    rule), a prefix count of clicks is read off at each probe, and
+    ``sign * prefix`` summed per error id IS the window count. O(n log n)
+    per partition, no per-event scans, no all-pairs."""
+    from ..exchange import hash_exchange, int_key_hash
+
+    W_US = 5 * 60 * 1_000_000
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"),
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+
+    def map_side(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        u = t["user_id"].to_numpy()
+        ts_us = t["ts"].cast(pa.int64()).to_numpy()
+        eid = t["event_id"].to_numpy()
+        ck, er = et == "click", et == "error"
+        n_er = int(er.sum())
+        return pa.table(
+            {
+                "user_id": pa.array(np.concatenate((u[ck], u[er], u[er]))),
+                "ts_us": pa.array(
+                    np.concatenate(
+                        (ts_us[ck], ts_us[er] - W_US, ts_us[er])
+                    )
+                ),
+                # kind: probes (0) sort before clicks (1) at equal ts
+                "kind": pa.array(
+                    np.concatenate(
+                        (np.ones(int(ck.sum()), np.int8),
+                         np.zeros(2 * n_er, np.int8))
+                    )
+                ),
+                "sign": pa.array(
+                    np.concatenate(
+                        (np.zeros(int(ck.sum()), np.int64),
+                         np.full(n_er, -1, np.int64),
+                         np.ones(n_er, np.int64))
+                    )
+                ),
+                "eid": pa.array(
+                    np.concatenate(
+                        (np.full(int(ck.sum()), -1, np.int64),
+                         eid[er], eid[er])
+                    )
+                ),
+            }
+        )
+
+    def reduce_part(rows: pa.Table) -> pa.Table:
+        u = rows["user_id"].to_numpy()
+        ts = rows["ts_us"].to_numpy()
+        kind = rows["kind"].to_numpy()
+        sign = rows["sign"].to_numpy()
+        eid = rows["eid"].to_numpy()
+        order = np.lexsort((kind, ts, u))
+        u_s, kind_s, sign_s, eid_s = (
+            u[order], kind[order], sign[order], eid[order]
+        )
+        is_click = kind_s == 1
+        prefix = np.cumsum(is_click) - is_click  # clicks strictly before i
+        pm = ~is_click
+        ue, inv = np.unique(eid_s[pm], return_inverse=True)
+        cnt = np.zeros(len(ue), np.int64)
+        np.add.at(cnt, inv, sign_s[pm] * prefix[pm])
+        users = np.zeros(len(ue), np.int64)
+        users[inv] = u_s[pm]  # both probes of an eid share the user
+        uu, uinv = np.unique(users, return_inverse=True)
+        n_errors = np.bincount(uinv, minlength=len(uu)).astype(np.int64)
+        with_click = np.zeros(len(uu), np.int64)
+        np.add.at(with_click, uinv, (cnt > 0).astype(np.int64))
+        total = np.zeros(len(uu), np.int64)
+        np.add.at(total, uinv, cnt)
+        return pa.table(
+            {
+                "user_id": pa.array(uu),
+                "n_errors": pa.array(n_errors),
+                "errors_with_click": pa.array(with_click),
+                "total_clicks_5m": pa.array(total),
+            }
+        )
+
+    out = hash_exchange(
+        ds.map_batches(map_side, batch_format="pyarrow"),
+        key_fn=lambda t: int_key_hash(t["user_id"].to_numpy()),
+        reducer=reduce_part,
+    )
+    for c in ("user_id", "n_errors", "errors_with_click", "total_clicks_5m"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def event_value_quantiles(sf_dir: str) -> pd.DataFrame:
+    """EXACT grouped quantiles (percentile_disc shape): p50/p90/p99 of
+    ``value`` (in exact integer micro-units) per event type.
+
+    Distributed shape: map side reduces each batch to (type, value)
+    HISTOGRAM partials (one Arrow groupby per batch — shuffle volume is
+    distinct values, not rows), the exchange co-locates a type's
+    histogram on one partition, and the reducer merges counts, sorts the
+    (small) distinct-value axis once and reads the quantile positions off
+    the cumulative counts. Exactness comes from the discrete definition
+    (``quantile_disc``): the answer IS a data value, so integer compares
+    hold bit-for-bit vs the oracle. At 100 TB with near-unique values the
+    same pipeline degrades gracefully (the reducer sees one partition's
+    rows, already deduplicated per batch); a fixed-width histogram /
+    t-digest swap-in is the approximate path when even that is too big."""
+    from ..exchange import hash_exchange
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["event_type", "value"]
+    )
+
+    def map_side(t: pa.Table) -> pa.Table:
+        v6 = np.round(t["value"].to_numpy() * 1e6).astype(np.int64)
+        part = pa.table(
+            {
+                "event_type": t["event_type"],
+                "value_e6": pa.array(v6),
+                "n": pa.array(np.ones(len(v6), np.int64)),
+            }
+        )
+        return pa.TableGroupBy(
+            part, ["event_type", "value_e6"], use_threads=False
+        ).aggregate([("n", "sum")]).rename_columns(
+            ["event_type", "value_e6", "n"]
+        )
+
+    PS = (("p50_e6", 0.5), ("p90_e6", 0.9), ("p99_e6", 0.99))
+
+    def reduce_part(rows: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            rows, ["event_type", "value_e6"], use_threads=False
+        ).aggregate([("n", "sum")])
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        v = g["value_e6"].to_numpy()
+        cnts = g["n_sum"].to_numpy()
+        order = np.lexsort((v, et))
+        et_s, v_s, c_s = et[order], v[order], cnts[order]
+        starts, ends = _segments(et_s)
+        out = {"event_type": [], "n": []}
+        out.update({name: [] for name, _ in PS})
+        for s, e in zip(starts, ends):  # one iteration per TYPE
+            cum = np.cumsum(c_s[s:e])
+            n_tot = int(cum[-1])
+            out["event_type"].append(et_s[s])
+            out["n"].append(n_tot)
+            for name, p in PS:
+                # DuckDB quantile_disc: element at ceil(p*n), 1-indexed,
+                # with exact-rational boundary handling (9.000000000002
+                # snaps to 9) — mirror via an epsilon before the ceil
+                kpos = int(np.ceil(p * n_tot - 1e-9))
+                out[name].append(
+                    int(v_s[s:e][np.searchsorted(cum, kpos, side="left")])
+                )
+        return pa.table(
+            {
+                "event_type": pa.array(out["event_type"], type=pa.string()),
+                "n": pa.array(np.array(out["n"], np.int64)),
+                **{
+                    name: pa.array(np.array(out[name], np.int64))
+                    for name, _ in PS
+                },
+            }
+        )
+
+    out = hash_exchange(
+        ds.map_batches(map_side, batch_format="pyarrow"),
+        key_fn=lambda t: _str_key_hash(t["event_type"]),
+        reducer=reduce_part,
+    )
+    for c in ("n", "p50_e6", "p90_e6", "p99_e6"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def user_sessions(sf_dir: str) -> pd.DataFrame:
     """Per-user ordered aggregate (event count, span, max inter-event
     gap): int-only (user_id, ts_us) rows co-locate per user through the

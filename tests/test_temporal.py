@@ -1,0 +1,129 @@
+"""Temporal custom operators (as-of join, range join, exact grouped
+quantiles) — planted edge cases the sf corpora can't guarantee to hit:
+equal-timestamp ties on both the as-of and the window boundaries, users
+with no sources, singleton groups. Cross-checked against DuckDB on the
+same crafted table, mirroring the driver gate."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import __ray_entry__ as entrymod
+from ck_ray.pipelines import relational
+
+US = 1_000_000
+
+
+@pytest.fixture(scope="module")
+def crafted_dir(tmp_path_factory):
+    """events.parquet with deliberate ties:
+    - user 1: purchase at t=100s, event (view) ALSO at t=100s (strict <
+      means no match), view at 150s (matches the 100s purchase);
+    - user 2: two purchases at the SAME ts=50s (gap determinism), view
+      at 60s; error at 50s+5min exactly (click at 50s is >= lo: counts);
+    - user 3: click at t=200s, error at t=200s (strict hi: click at the
+      error's own ts must NOT count), error at 200s+299s (counts);
+    - user 4: events but no purchases and no clicks.
+    """
+    d = tmp_path_factory.mktemp("crafted_sf")
+    rows = [
+        # (event_id, ts_sec, user_id, event_type, value)
+        (1, 100, 1, "purchase", 1.25),
+        (2, 100, 1, "view", 2.5),
+        (3, 150, 1, "view", 0.5),
+        (4, 50, 2, "purchase", 3.0),
+        (5, 50, 2, "purchase", 4.0),
+        (6, 60, 2, "view", 1.0),
+        (7, 50, 2, "click", 0.25),
+        (8, 50 + 300, 2, "error", 0.125),
+        (9, 200, 3, "click", 9.0),
+        (10, 200, 3, "error", 8.0),
+        (11, 200 + 299, 3, "error", 7.0),
+        (12, 10, 4, "view", 6.0),
+        (13, 20, 4, "error", 5.0),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                np.array([r[1] for r in rows], np.int64) * US,
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def crafted_con(crafted_dir):
+    c = duckdb.connect()
+    c.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{os.path.join(crafted_dir, 'events.parquet')}'"
+    )
+    return c
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "events_asof_prev_purchase",
+        "error_click_window_counts",
+        "event_value_quantiles",
+    ],
+)
+def test_crafted_ties_match_oracle(ray_session, crafted_dir, crafted_con, name):
+    ours = entrymod.queries()[name](crafted_dir)
+    theirs = crafted_con.sql(entrymod.oracle_sql()[name]).df()
+    pd.testing.assert_frame_equal(
+        _norm(ours), _norm(theirs), check_dtype=False, atol=0, rtol=0
+    )
+
+
+def test_asof_strictness_planted(ray_session, crafted_dir):
+    """Hand-computed expectations for the planted ties (guards the SQL
+    and the kernel together from agreeing on the wrong semantics)."""
+    out = relational.events_asof_prev_purchase(crafted_dir)
+    byt = out.set_index("event_type")
+    # user-1 view@100 does NOT match purchase@100 (strict); view@150 does
+    # (gap 50s). user-2 view@60 matches purchase@50 (gap 10s). user-4
+    # view@10 has no source.
+    assert int(byt.loc["view", "n_events"]) == 4
+    assert int(byt.loc["view", "n_matched"]) == 2
+    assert int(byt.loc["view", "sum_gap_us"]) == (50 + 10) * US
+    # the purchase@100 (user 1) has no earlier purchase; user-2's two
+    # same-ts purchases match nothing (strict <)
+    assert int(byt.loc["purchase", "n_matched"]) == 0
+
+
+def test_range_window_boundaries_planted(ray_session, crafted_dir):
+    out = relational.error_click_window_counts(crafted_dir).set_index(
+        "user_id"
+    )
+    # user 2: error@350s, window [50s, 350s): click@50s == lo -> counts
+    assert int(out.loc[2, "total_clicks_5m"]) == 1
+    # user 3: error@200s excludes click@200s (hi strict); error@499s
+    # includes it (499-299=200 >= lo)
+    assert int(out.loc[3, "n_errors"]) == 2
+    assert int(out.loc[3, "total_clicks_5m"]) == 1
+    assert int(out.loc[3, "errors_with_click"]) == 1
+    # user 4 has an error but no clicks at all
+    assert int(out.loc[4, "total_clicks_5m"]) == 0
