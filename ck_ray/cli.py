@@ -193,7 +193,8 @@ def main(argv: list[str] | None = None) -> int:
 
     import ray
 
-    if not ray.is_initialized():
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
         ray.init(
             address="local", include_dashboard=False, logging_level="ERROR"
         )
@@ -505,7 +506,9 @@ def main(argv: list[str] | None = None) -> int:
     finally:
         import ray
 
-        if ray.is_initialized():
+        # shut down only a Ray session WE started: in-process callers
+        # (tests, library embedding) keep their own session alive
+        if owns_ray and ray.is_initialized():
             ray.shutdown()
 
 

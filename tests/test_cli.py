@@ -1,10 +1,18 @@
-"""CLI integration tests (subprocess, like the reference's
-``ck-cli/tests/integration_tests.rs`` — spawn, assert stdout + exit code)."""
+"""CLI integration tests, mirroring the reference's
+``ck-cli/tests/integration_tests.rs`` (drive argv, assert stdout + exit
+code). Most tests call ``cli.main(argv)`` in-process against the shared
+pytest Ray session — same argv surface, same output contract, ~50x less
+wall time than booting a fresh Ray per invocation; one true subprocess
+round-trip (``test_subprocess_end_to_end``) keeps the spawn/exit-code
+path honest."""
 
+import io
 import json
 import os
 import subprocess
 import sys
+from contextlib import redirect_stderr, redirect_stdout
+from types import SimpleNamespace
 
 import pytest
 
@@ -12,7 +20,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.fixture(scope="module")
-def cli_env(tmp_path_factory):
+def cli_env(tmp_path_factory, ray_session):
     """A corpus parquet + built index, shared by the CLI tests."""
     import pyarrow.parquet as pq
 
@@ -23,15 +31,44 @@ def cli_env(tmp_path_factory):
     os.makedirs(corpus)
     pq.write_table(generate_corpus(300, seed=21), os.path.join(corpus, "part-0.parquet"))
     idx = str(d / "idx")
-    run(["--index", "--corpus", corpus, "--index-dir", idx, "--num-parts", "4"])
+    r = run(["--index", "--corpus", corpus, "--index-dir", idx, "--num-parts", "4"])
+    assert r.returncode == 0, r.stderr
     return corpus, idx
 
 
-def run(args, timeout=900):  # each run boots a fresh Ray; generous under host contention
+def run(args):
+    """In-process CLI invocation: returns (returncode, stdout, stderr)
+    shaped like subprocess.CompletedProcess."""
+    from ck_ray import cli
+
+    out, err = io.StringIO(), io.StringIO()
+    try:
+        with redirect_stdout(out), redirect_stderr(err):
+            code = cli.main([str(a) for a in args])
+    except SystemExit as e:  # argparse errors
+        code = int(e.code or 0)
+    return SimpleNamespace(
+        returncode=code, stdout=out.getvalue(), stderr=err.getvalue()
+    )
+
+
+def run_subprocess(args, timeout=900):
     return subprocess.run(
         [sys.executable, "-m", "ck_ray.cli", *args],
         capture_output=True, text=True, cwd=REPO, timeout=timeout,
     )
+
+
+def test_subprocess_end_to_end(cli_env):
+    """One real spawn: fresh interpreter, fresh Ray, search the shared
+    index, grep-style exit codes."""
+    _, idx = cli_env
+    r = run_subprocess(["--lex", "uq0000042marker", "--index-dir", idx,
+                        "--topk", "5"])
+    assert r.returncode == 0, r.stderr
+    assert len(r.stdout.strip().splitlines()) == 1
+    miss = run_subprocess(["--lex", "zz_absent_zz", "--index-dir", idx])
+    assert miss.returncode == 1 and miss.stdout.strip() == ""
 
 
 def test_index_and_status(cli_env):
