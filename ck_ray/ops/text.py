@@ -283,7 +283,16 @@ def bigram_counts(sf_dir: str, top_n: int = 100) -> pd.DataFrame:
     one batch row, so per-batch distinct-doc counts SUM exactly to the
     global df — the shuffle moves (bigram, cf, df) partials, never
     tokens. Space-split semantics match the SQL oracle's
-    ``string_split(text, ' ')`` exactly (empty tokens included)."""
+    ``string_split(text, ' ')`` exactly (empty tokens included).
+
+    The partials ride the hash exchange keyed by fnv64(bigram): every
+    bigram's total lands in exactly ONE partition, so the per-partition
+    reducer's top-N is exact and the driver merges only P*N candidate
+    rows — no global sort-based groupby over the (huge) bigram
+    vocabulary."""
+    from ..exchange import hash_exchange
+    from ..ids import term_hash
+
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -317,12 +326,33 @@ def bigram_counts(sf_dir: str, top_n: int = 100) -> pd.DataFrame:
             "df": g["doc_count_distinct"].cast(pa.int64()),
         })
 
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("bigram")
-        .aggregate(Sum("cf", alias_name="cf"), Sum("df", alias_name="df"))
-        .to_pandas()
+    def reduce_part(rows: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(rows, ["bigram"], use_threads=False).aggregate(
+            [("cf", "sum"), ("df", "sum")]
+        )
+        g = pa.table({
+            "bigram": g["bigram"],
+            "cf": g["cf_sum"].cast(pa.int64()),
+            "df": g["df_sum"].cast(pa.int64()),
+        })
+        idx = pc.sort_indices(
+            g, sort_keys=[("cf", "descending"), ("bigram", "ascending")]
+        )
+        return g.take(idx.slice(0, top_n))
+
+    out = hash_exchange(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        key_fn=lambda t: term_hash(
+            t["bigram"], np.zeros(t.num_rows, np.uint64)
+        ),
+        reducer=reduce_part,
     )
+    if out.empty:
+        return pd.DataFrame(
+            {"bigram": pd.Series([], dtype=str),
+             "cf": pd.Series([], dtype="int64"),
+             "df": pd.Series([], dtype="int64")}
+        )
     out["cf"] = out["cf"].astype("int64")
     out["df"] = out["df"].astype("int64")
     out = out.sort_values(["cf", "bigram"], ascending=[False, True]).head(top_n)
