@@ -102,6 +102,54 @@ _LANG_MARKERS_SQL = {
 }
 
 
+def _shingle_cte(k: int, distinct: bool) -> str:
+    """``sh(doc_id, s)`` CTE of token k-gram string shingles (one row per
+    POSITION unless ``distinct``) — assumes ``tokp`` is in scope."""
+    joins = "".join(
+        f"\n  JOIN tokp t{j} ON t0.doc_id = t{j}.doc_id"
+        f" AND t{j}.pos = t0.pos + {j}"
+        for j in range(1, k)
+    )
+    concat = " || chr(1) || ".join(f"t{j}.term" for j in range(k))
+    d = "DISTINCT " if distinct else ""
+    return f"""
+sh AS (
+  SELECT {d}t0.doc_id, {concat} AS s
+  FROM tokp t0{joins}
+)
+"""
+
+
+_MD5_DOCKEY = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT"
+)
+
+
+def _stratified_sample_sql() -> str:
+    """Same exact-integer md5 thresholds the Ray operator applies."""
+    from ck_ray.ops.curation import (
+        DEFAULT_RATE_OTHER,
+        DEFAULT_RATES,
+        _thresholds,
+    )
+
+    th = _thresholds(DEFAULT_RATES, DEFAULT_RATE_OTHER)
+
+    def pred(v: int) -> str:  # rate 1.0 -> 2^64 -> unconditionally kept
+        return "TRUE" if v >= 1 << 64 else f"({_MD5_DOCKEY} < {v}::UBIGINT)"
+
+    cases = " ".join(
+        f"WHEN lang = '{lang}' THEN {pred(v)}"
+        for lang, v in th.items()
+        if lang != "__other__"
+    )
+    return f"""
+SELECT doc_id, lang, source FROM documents
+WHERE CASE {cases} ELSE {pred(th["__other__"])} END
+ORDER BY doc_id
+"""
+
+
 def _simhash_fp_sql() -> str:
     """fp = 63-bit simhash per doc from md5-u64 token hashes (tf-weighted
     bit votes), matching ck_ray.ops.dedup.SimHasher bit-for-bit."""
@@ -132,7 +180,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from ck_ray.ops import ann, dedup, text
+    from ck_ray.ops import ann, curation, dedup, text
     from ck_ray.pipelines import docsearch, relational
 
     def semantic_topk(sf_dir: str):
@@ -270,6 +318,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_topk": semantic_topk,
         "multimodal_features": multimodal,
         "code_index_stats": code_index_stats,
+        # --- corpus curation (decontamination, span-level dup stats,
+        # deterministic sampling/quota — the post-dedup steps of a
+        # training-data pipeline; all md5/shingle math SQL-replicated)
+        "decontaminate": curation.decontaminate,
+        "dup_ngram_spans": curation.dup_ngram_spans,
+        "stratified_sample": curation.stratified_sample,
+        "source_quota_cap": curation.source_quota_cap,
     }
 
 
@@ -883,5 +938,56 @@ sc AS (SELECT doc_id, chunk_id, sum(cu.u * qu.u) AS s
 topk AS (SELECT * FROM sc ORDER BY s DESC, doc_id, chunk_id LIMIT 20)
 SELECT CAST(doc_id AS BIGINT) AS doc_id, chunk_id, round(s, 4) AS score
 FROM topk ORDER BY round(s, 4) DESC, doc_id, chunk_id
+""",
+        # eval set = docs with doc_id % 17 = 0; a corpus doc is
+        # contaminated iff it shares any distinct token 5-gram with it
+        "decontaminate": f"""
+WITH {_TOKS_POS},
+{_shingle_cte(5, distinct=True).strip()},
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 17 = 0),
+sz AS (
+  SELECT doc_id, count(*) AS n_shingles FROM sh
+  WHERE doc_id % 17 <> 0 GROUP BY doc_id
+),
+hits AS (
+  SELECT doc_id, count(*) AS n_overlap
+  FROM sh JOIN ev USING (s)
+  WHERE doc_id % 17 <> 0 GROUP BY doc_id
+)
+SELECT h.doc_id,
+       CAST(h.n_overlap AS BIGINT) AS n_overlap,
+       CAST(z.n_shingles AS BIGINT) AS n_shingles,
+       round(h.n_overlap * 1.0 / z.n_shingles, 4) AS overlap_frac
+FROM hits h JOIN sz z USING (doc_id)
+ORDER BY doc_id
+""",
+        # per-doc positions whose 5-gram occurs in >= 2 DISTINCT docs
+        "dup_ngram_spans": f"""
+WITH {_TOKS_POS},
+{_shingle_cte(5, distinct=False).strip()},
+per AS (SELECT doc_id, s, count(*) AS cnt FROM sh GROUP BY 1, 2),
+df AS (SELECT s, count(DISTINCT doc_id) AS df FROM sh GROUP BY s)
+SELECT p.doc_id,
+       CAST(sum(p.cnt) AS BIGINT) AS total_ngrams,
+       CAST(sum(CASE WHEN d.df >= 2 THEN p.cnt ELSE 0 END) AS BIGINT)
+         AS dup_ngrams,
+       round(sum(CASE WHEN d.df >= 2 THEN p.cnt ELSE 0 END) * 1.0
+             / sum(p.cnt), 4) AS dup_frac
+FROM per p JOIN df d USING (s)
+GROUP BY p.doc_id ORDER BY p.doc_id
+""",
+        "stratified_sample": _stratified_sample_sql(),
+        "source_quota_cap": f"""
+WITH k AS (
+  SELECT doc_id, source, {_MD5_DOCKEY} AS key FROM documents
+),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY key, doc_id)
+           AS rnk
+  FROM k
+)
+SELECT doc_id, source, CAST(rnk AS BIGINT) AS "rank"
+FROM r WHERE rnk <= 12 ORDER BY doc_id
 """,
     }

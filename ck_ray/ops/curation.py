@@ -1,0 +1,367 @@
+"""Corpus-curation operators for training-data pipelines.
+
+The four post-dedup steps every large-scale pretraining pipeline runs
+after near-dup removal (reference scope: ck indexes a corpus, these
+prepare one — SURVEY.md §2.7/§2.9 extensions):
+
+- **decontaminate**: flag corpus documents whose token n-grams overlap a
+  benchmark/eval set. The eval set is orders of magnitude smaller than
+  the corpus, so its distinct shingle hashes are collected once,
+  ``ray.put`` as ONE sorted uint64 array, and every corpus batch probes
+  it with a vectorized ``searchsorted`` — a broadcast semi-join, zero
+  shuffle of corpus data.
+- **dup_ngram_spans**: per-document count of n-gram positions whose
+  n-gram appears in >= 2 distinct documents (the substring-level dup
+  statistic behind "deduplicating training data makes LMs better"-style
+  span dedup). One hash exchange keyed by shingle hash computes global
+  df and folds it back to per-doc counts; only (hash, doc_id, count)
+  triples ever shuffle, never text.
+- **stratified_sample**: deterministic per-stratum downsampling — keep a
+  document iff ``md5_u64(str(doc_id)) < rate[stratum] * 2^64``. Pure
+  map-side filter (no shuffle, no RNG state); the same row set falls out
+  of any executor at any parallelism, and the SQL oracle recomputes the
+  identical md5 threshold test.
+- **source_quota_cap**: keep at most Q documents per source, priority =
+  ascending ``md5_u64(str(doc_id))`` (a deterministic uniform "random"
+  order). Hash exchange on source -> one vectorized segmented-rank
+  kernel per partition (lexsort + run-start subtraction), the same
+  pattern as the window pipelines in relational.py.
+
+All heavy stages are ``map_batches`` over zero-copy Arrow batches; the
+only exchange is dup_ngram_spans' single shingle-keyed one.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..exchange import hash_exchange, int_key_hash
+from ..ids import md5_u64_of_terms
+from .dedup import _shingle_hashes
+
+_MASK63 = np.uint64(0x7FFF_FFFF_FFFF_FFFF)
+
+
+def _docs(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns
+    )
+
+
+def _distinct_doc_shingles(t: pa.Table, n: int):
+    """Vectorized distinct (row, shingle-hash) pairs for one batch.
+
+    Returns (row_idx, hashes, per_row_distinct_counts)."""
+    starts, sh = _shingle_hashes(t, n)
+    counts = np.diff(starts)
+    row = np.repeat(np.arange(t.num_rows), counts)
+    if len(row) == 0:
+        return row, sh, np.zeros(t.num_rows, np.int64)
+    order = np.lexsort((sh, row))
+    r2, s2 = row[order], sh[order]
+    keep = np.concatenate(([True], (r2[1:] != r2[:-1]) | (s2[1:] != s2[:-1])))
+    r2, s2 = r2[keep], s2[keep]
+    return r2, s2, np.bincount(r2, minlength=t.num_rows).astype(np.int64)
+
+
+# ---------------------------------------------------------- decontaminate
+
+
+def decontaminate(
+    sf_dir: str, n: int = 5, eval_mod: int = 17
+) -> pd.DataFrame:
+    """Flag corpus docs sharing any token n-gram with the eval set.
+
+    Eval set = docs with ``doc_id % eval_mod == 0`` (a deterministic
+    stand-in for a benchmark suite; the operator takes any (doc_id,
+    text) dataset via ``decontaminate_over``). Returns one row per
+    CONTAMINATED non-eval doc: (doc_id, n_overlap distinct shared
+    shingles, n_shingles distinct shingles, overlap_frac).
+
+    Scale: the eval side is small by definition (benchmarks are MBs,
+    corpora are TBs), so its distinct shingle hashes are gathered to the
+    driver once and broadcast via ``ray.put``; the corpus side is a
+    stateless ``map_batches`` probe with ``searchsorted`` — no corpus
+    shuffle at all. 100 TB cost = one streaming pass.
+    """
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    is_eval = lambda ids: ids % eval_mod == 0  # noqa: E731
+    return decontaminate_over(ds, is_eval, n)
+
+
+def decontaminate_over(ds, is_eval, n: int) -> pd.DataFrame:
+    def eval_shingles(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        sub = t.filter(pa.array(is_eval(ids)))
+        _, sh, _ = _distinct_doc_shingles(sub, n)
+        return pa.table({"sh": pa.array(np.unique(sh))})
+
+    # small side: distinct eval shingle hashes -> one sorted broadcast
+    ev = ds.map_batches(eval_shingles, batch_format="pyarrow").to_pandas()
+    eval_sorted = np.unique(ev["sh"].to_numpy().astype(np.uint64))
+    eval_ref = ray.put(eval_sorted)
+
+    def probe(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        sub = t.filter(pa.array(~is_eval(ids)))
+        row, sh, sizes = _distinct_doc_shingles(sub, n)
+        ev_arr = ray.get(eval_ref)
+        if len(sh):
+            pos = np.searchsorted(ev_arr, sh)
+            pos[pos == len(ev_arr)] = 0
+            hit = ev_arr[pos] == sh if len(ev_arr) else np.zeros(len(sh), bool)
+            n_overlap = np.bincount(
+                row[hit], minlength=sub.num_rows
+            ).astype(np.int64)
+        else:
+            n_overlap = np.zeros(sub.num_rows, np.int64)
+        keep = n_overlap >= 1
+        return pa.table(
+            {
+                "doc_id": pa.array(sub["doc_id"].to_numpy()[keep]),
+                "n_overlap": pa.array(n_overlap[keep]),
+                "n_shingles": pa.array(sizes[keep]),
+                "overlap_frac": pa.array(
+                    np.round(
+                        n_overlap[keep] / np.maximum(sizes[keep], 1), 4
+                    )
+                ),
+            }
+        )
+
+    out = ds.map_batches(probe, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# -------------------------------------------------------- dup_ngram_spans
+
+
+def dup_ngram_spans(sf_dir: str, n: int = 5) -> pd.DataFrame:
+    """Per-doc duplicate n-gram span statistics.
+
+    For every document with >= 1 token n-gram: (doc_id, total_ngrams =
+    n-gram POSITIONS, dup_ngrams = positions whose n-gram occurs in >= 2
+    DISTINCT docs, dup_frac). The df test is on distinct documents, so
+    a doc's internal repetition alone never marks it duplicated.
+
+    Shape: map emits distinct (shingle, doc_id, position-count) triples;
+    ONE hash exchange keyed by shingle co-locates each shingle's rows,
+    and the reducer folds them to per-doc (total, dup) partials — its
+    output is bounded by #docs x #partitions, summed on the driver.
+    Text never shuffles; only 24-byte triples do. At 100 TB the final
+    driver sum becomes a second (tiny, doc-keyed) exchange; the shingle
+    exchange is the whole cost — exactly one pass + one shuffle of
+    hashes.
+    """
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def doc_shingle_counts(t: pa.Table) -> pa.Table:
+        starts, sh = _shingle_hashes(t, n)
+        counts = np.diff(starts)
+        row = np.repeat(np.arange(t.num_rows), counts)
+        if len(row) == 0:
+            return pa.table(
+                {
+                    "sh": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((sh, row))
+        r2, s2 = row[order], sh[order]
+        new = np.concatenate(
+            ([True], (r2[1:] != r2[:-1]) | (s2[1:] != s2[:-1]))
+        )
+        grp_start = np.nonzero(new)[0]
+        grp_len = np.diff(np.concatenate((grp_start, [len(r2)])))
+        ids = t["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "sh": pa.array(
+                    (s2[grp_start] & _MASK63).astype(np.int64)
+                ),
+                "doc_id": pa.array(ids[r2[grp_start]]),
+                "cnt": pa.array(grp_len.astype(np.int64)),
+            }
+        )
+
+    def fold(rows: pa.Table) -> pa.Table:
+        """One shingle partition -> per-doc (total, dup) partials."""
+        sh = rows["sh"].to_numpy()
+        ids = rows["doc_id"].to_numpy()
+        cnt = rows["cnt"].to_numpy()
+        order = np.argsort(sh, kind="stable")
+        sh, ids, cnt = sh[order], ids[order], cnt[order]
+        new = np.concatenate(([True], sh[1:] != sh[:-1]))
+        seg = np.cumsum(new) - 1  # shingle group id per row
+        # rows are distinct per (sh, doc) already, so group size = df
+        df = np.bincount(seg)
+        dup = cnt * (df[seg] >= 2)
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids),
+                    "total": pa.array(cnt),
+                    "dup": pa.array(dup),
+                }
+            ),
+            "doc_id",
+            use_threads=False,
+        ).aggregate([("total", "sum"), ("dup", "sum")])
+        return g
+
+    part = hash_exchange(
+        ds.map_batches(doc_shingle_counts, batch_format="pyarrow"),
+        key_fn=lambda t: int_key_hash(t["sh"].to_numpy()),
+        reducer=fold,
+    )
+    if len(part) == 0:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "total_ngrams": pd.Series([], dtype="int64"),
+                "dup_ngrams": pd.Series([], dtype="int64"),
+                "dup_frac": pd.Series([], dtype="float64"),
+            }
+        )
+    out = (
+        part.groupby("doc_id", as_index=False)
+        .agg(total_ngrams=("total_sum", "sum"), dup_ngrams=("dup_sum", "sum"))
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out["dup_frac"] = np.round(out["dup_ngrams"] / out["total_ngrams"], 4)
+    return out
+
+
+# ------------------------------------------------------- stratified_sample
+
+# md5_u64 thresholds as EXACT integers so the SQL oracle can inline the
+# same literals (floats would round differently across engines)
+_U64 = 1 << 64
+DEFAULT_RATES = {"en": 0.1}  # downsample the dominant stratum
+DEFAULT_RATE_OTHER = 0.5
+
+
+def _thresholds(rates: dict[str, float], other: float) -> dict[str, int]:
+    th = {k: int(v * _U64) for k, v in rates.items()}
+    th["__other__"] = int(other * _U64)
+    return th
+
+
+def stratified_sample(
+    sf_dir: str,
+    rates: dict[str, float] | None = None,
+    rate_other: float = DEFAULT_RATE_OTHER,
+) -> pd.DataFrame:
+    """Deterministic stratified sampling by ``lang``.
+
+    Keep a doc iff ``md5_u64(str(doc_id)) < rate[lang] * 2^64`` — a
+    content-independent uniform hash test, so the sample is identical
+    under any parallelism / retry / row order (no RNG state to seed per
+    worker) and exactly reproducible in SQL. Returns the kept
+    (doc_id, lang, source) rows.
+
+    Scale: stateless map-side filter — no shuffle, no driver state; the
+    rate table rides the closure (bytes). 100 TB cost = one pass that
+    prunes at the read (3 columns only).
+    """
+    th = _thresholds(rates or DEFAULT_RATES, rate_other)
+
+    def keep_batch(t: pa.Table) -> pa.Table:
+        key = md5_u64_of_terms(pc.cast(t["doc_id"], pa.string()))
+        # vocabulary-bounded threshold lookup, vectorized scatter;
+        # rate 1.0 -> threshold 2^64 exceeds uint64: carried as keep-all
+        enc = pc.dictionary_encode(t["lang"].combine_chunks())
+        uth = [
+            th.get(g, th["__other__"]) for g in enc.dictionary.to_pylist()
+        ]
+        nu = len(enc.dictionary)
+        lim = np.fromiter(
+            (min(v, _U64 - 1) for v in uth), dtype=np.uint64, count=nu
+        )
+        keep_all = np.fromiter(
+            (v >= _U64 for v in uth), dtype=bool, count=nu
+        )
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((key < lim[idx]) | keep_all[idx]))
+
+    out = (
+        _docs(sf_dir, ["doc_id", "lang", "source"])
+        .map_batches(keep_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ------------------------------------------------------- source_quota_cap
+
+
+def source_quota_cap(sf_dir: str, quota: int = 12) -> pd.DataFrame:
+    """Keep at most ``quota`` docs per source (deterministic priority).
+
+    Priority = ascending ``md5_u64(str(doc_id))`` with doc_id tiebreak —
+    a uniform "random" Q-subset that is stable across runs. Returns
+    (doc_id, source, rank 1..quota).
+
+    Shape: hash exchange keyed by source; each partition ranks its
+    sources with ONE vectorized kernel (lexsort + run-start subtraction
+    — no per-group Python, the relational.py window pattern), so cost
+    scales with rows, not groups. Only (doc_id, source-hash, key)
+    triples + the source string shuffle. Skewed sources are bounded by
+    the quota on output; input skew within one source lands on one
+    partition — at 100 TB a per-batch pre-cap (keep the Q smallest keys
+    per batch per source, a strict superset of the winners) bounds that
+    partition's input too.
+    """
+    ds = _docs(sf_dir, ["doc_id", "source"])
+
+    def add_key(t: pa.Table) -> pa.Table:
+        key = md5_u64_of_terms(pc.cast(t["doc_id"], pa.string()))
+        # bit-cast so the full 64-bit ordering survives the int64 column
+        return t.append_column("key", pa.array(key.view(np.int64)))
+
+    def rank_part(rows: pa.Table) -> pa.Table:
+        src = pc.dictionary_encode(rows["source"].combine_chunks())
+        codes = src.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = rows["doc_id"].to_numpy()
+        key = rows["key"].to_numpy().view(np.uint64)  # undo the bit-cast
+        order = np.lexsort((ids, key, codes))
+        c2 = codes[order]
+        run_start = np.nonzero(
+            np.concatenate(([True], c2[1:] != c2[:-1]))
+        )[0]
+        pos = np.arange(len(c2)) - np.repeat(
+            run_start, np.diff(np.concatenate((run_start, [len(c2)])))
+        )
+        keep = pos < quota
+        sel = order[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[sel]),
+                "source": rows["source"].take(pa.array(sel)),
+                "rank": pa.array((pos[keep] + 1).astype(np.int64)),
+            }
+        )
+
+    out = hash_exchange(
+        ds.map_batches(add_key, batch_format="pyarrow"),
+        key_fn=lambda t: md5_u64_of_terms(t["source"]),
+        reducer=rank_part,
+    )
+    if len(out) == 0:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "source": pd.Series([], dtype="object"),
+                "rank": pd.Series([], dtype="int64"),
+            }
+        )
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -1,0 +1,101 @@
+"""Curation operators: decontamination flags exactly the overlapping
+docs, dup-span stats ignore internal repetition, sampling/quota are
+deterministic md5 tests reproducible by hand."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from ck_ray.ids import md5_u64
+
+
+@pytest.fixture(scope="module")
+def curation_docs_dir(tmp_path_factory):
+    """doc 17 is an eval doc (17 % 17 == 0 ... doc 0 too); doc 3 copies a
+    5-gram run from doc 17; doc 5 repeats ITS OWN 5-gram twice but shares
+    nothing across docs; docs 6/7 are identical."""
+    texts = {
+        0: "zero eval holdout benchmark row one",
+        17: "the quick brown fox jumps over the lazy dog tonight",
+        3: "prefix words then the quick brown fox jumps over something",
+        5: "aa bb cc dd ee ff aa bb cc dd ee ff",
+        6: "identical twin document body with enough tokens here",
+        7: "identical twin document body with enough tokens here",
+        9: "completely unrelated text nothing shared at all everywhere",
+    }
+    ids = sorted(texts)
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([texts[i] for i in ids]),
+            # aligned with sorted ids [0, 3, 5, 6, 7, 9, 17]
+            "lang": pa.array(["en", "de", "en", "en", "en", "fr", "de"]),
+            "source": pa.array(["a", "a", "a", "b", "b", "b", "a"]),
+            "n_chars": pa.array([len(texts[i]) for i in ids], pa.int64()),
+        }
+    )
+    d = tmp_path_factory.mktemp("curation")
+    pq.write_table(t, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_decontaminate_flags_overlap_only(ray_session, curation_docs_dir):
+    from ck_ray.ops.curation import decontaminate
+
+    out = decontaminate(curation_docs_dir, n=5, eval_mod=17)
+    assert out["doc_id"].tolist() == [3]
+    row = out.iloc[0]
+    # doc 3 has 6 distinct 5-grams (10 tokens), 2 of them from doc 17:
+    # "the quick brown fox jumps" and "quick brown fox jumps over"
+    assert row["n_shingles"] == 6
+    assert row["n_overlap"] == 2
+    assert row["overlap_frac"] == round(2 / 6, 4)
+
+
+def test_dup_ngram_spans_cross_doc_only(ray_session, curation_docs_dir):
+    from ck_ray.ops.curation import dup_ngram_spans
+
+    out = dup_ngram_spans(curation_docs_dir, n=5).set_index("doc_id")
+    # the identical pair: every position duplicated
+    assert out.loc[6, "dup_frac"] == 1.0
+    assert out.loc[7, "dup_frac"] == 1.0
+    assert out.loc[6, "total_ngrams"] == out.loc[6, "dup_ngrams"] == 4
+    # internal repetition alone (doc 5) is NOT cross-doc duplication
+    assert out.loc[5, "dup_ngrams"] == 0
+    assert out.loc[5, "total_ngrams"] == 8
+    # doc 3 shares two 5-gram positions with doc 17
+    assert out.loc[3, "dup_ngrams"] == 2
+    assert out.loc[17, "dup_ngrams"] == 2
+    assert out.loc[9, "dup_ngrams"] == 0
+
+
+def test_stratified_sample_md5_threshold(ray_session, curation_docs_dir):
+    from ck_ray.ops.curation import _U64, stratified_sample
+
+    rates = {"en": 1.0, "de": 0.0}
+    out = stratified_sample(curation_docs_dir, rates=rates, rate_other=0.5)
+    # every en doc kept, every de doc dropped, fr by hash
+    assert set(out[out["lang"] == "en"]["doc_id"]) == {0, 5, 6, 7}
+    assert (out["lang"] != "de").all()
+    fr_kept = set(out[out["lang"] == "fr"]["doc_id"])
+    expect_fr = {
+        i for i in [9] if md5_u64(str(i)) < int(0.5 * _U64)
+    }
+    assert fr_kept == expect_fr
+    # deterministic across runs
+    again = stratified_sample(curation_docs_dir, rates=rates, rate_other=0.5)
+    assert out.equals(again)
+
+
+def test_source_quota_cap_priority(ray_session, curation_docs_dir):
+    from ck_ray.ops.curation import source_quota_cap
+
+    out = source_quota_cap(curation_docs_dir, quota=2)
+    by_src = out.groupby("source")["doc_id"].apply(list).to_dict()
+    # expected winners: the 2 smallest md5_u64(str(doc_id)) per source
+    for src, members in {"a": [0, 3, 5, 17], "b": [6, 7, 9]}.items():
+        want = sorted(sorted(members, key=lambda i: (md5_u64(str(i)), i))[:2])
+        assert sorted(by_src[src]) == want
+    assert out.groupby("source")["rank"].max().le(2).all()
+    assert out.groupby("source")["rank"].min().eq(1).all()
