@@ -44,7 +44,10 @@ import ray.data
 
 from ..exchange import hash_exchange, int_key_hash
 from ..ids import md5_u64_of_terms
-from .dedup import _shingle_hashes
+from .dedup import (
+    _batch_distinct_shingles as _distinct_doc_shingles,
+    _shingle_hashes,
+)
 
 _MASK63 = np.uint64(0x7FFF_FFFF_FFFF_FFFF)
 
@@ -53,22 +56,6 @@ def _docs(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
     return ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=columns
     )
-
-
-def _distinct_doc_shingles(t: pa.Table, n: int):
-    """Vectorized distinct (row, shingle-hash) pairs for one batch.
-
-    Returns (row_idx, hashes, per_row_distinct_counts)."""
-    starts, sh = _shingle_hashes(t, n)
-    counts = np.diff(starts)
-    row = np.repeat(np.arange(t.num_rows), counts)
-    if len(row) == 0:
-        return row, sh, np.zeros(t.num_rows, np.int64)
-    order = np.lexsort((sh, row))
-    r2, s2 = row[order], sh[order]
-    keep = np.concatenate(([True], (r2[1:] != r2[:-1]) | (s2[1:] != s2[:-1])))
-    r2, s2 = r2[keep], s2[keep]
-    return r2, s2, np.bincount(r2, minlength=t.num_rows).astype(np.int64)
 
 
 # ---------------------------------------------------------- decontaminate

@@ -106,6 +106,23 @@ def _shingle_hashes(t: pa.Table, k: int) -> tuple[np.ndarray, np.ndarray]:
     return sh_starts, acc
 
 
+def _batch_distinct_shingles(
+    t: pa.Table, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized DISTINCT (row, shingle-hash) pairs for one batch:
+    (row_idx, uint64 hashes, per-row distinct counts)."""
+    starts, sh = _shingle_hashes(t, k)
+    counts = np.diff(starts)
+    row = np.repeat(np.arange(t.num_rows), counts)
+    if len(row) == 0:
+        return row, sh[:0], np.zeros(t.num_rows, np.int64)
+    order = np.lexsort((sh, row))
+    r2, s2 = row[order], sh[order]
+    keep = np.concatenate(([True], (r2[1:] != r2[:-1]) | (s2[1:] != s2[:-1])))
+    r2, s2 = r2[keep], s2[keep]
+    return r2, s2, np.bincount(r2, minlength=t.num_rows).astype(np.int64)
+
+
 class MinHasher:
     """Actor-pool stage: permutation params built once per actor."""
 
@@ -268,27 +285,187 @@ def minhash_lsh_pairs(
 
 
 def ngram_jaccard_pairs(
-    sf_dir: str, n: int = 3, threshold: float = 0.5
+    sf_dir: str, n: int = 3, threshold: float = 0.5,
+    prefix_filter: bool = True,
 ) -> pd.DataFrame:
     """EXACT all-pairs token n-gram Jaccard >= threshold, distributed.
 
-    Shape (only ids + 64-bit shingle hashes ever shuffle, never text):
+    Default path (``prefix_filter=True``) is ppjoin-style prefix
+    filtering (Xiao et al., WWW'08), which is EXACT: order every doc's
+    distinct shingles by a global (df, hash) total order and keep only
+    the first ``s - ceil(t*s) + 1`` — any pair with J >= t provably
+    shares its smallest common shingle inside BOTH prefixes, so pairing
+    only prefix entries loses nothing. Stop-shingles (huge df) sort
+    LAST, so they fall outside almost every prefix and their O(df^2)
+    bucket blowup — the 100 TB killer of the direct path — never
+    happens. Survivor pairs get the full-set exact verify (the MinHash
+    verify engine), then an inner join back to the candidate set
+    restores exact output parity with the direct path (tested equal).
+
+    Direct path (``prefix_filter=False``), also exact:
 
     1. per batch: DISTINCT (doc_id, shingle) rows + the doc's distinct-
        shingle count carried on every row (vectorized ``_shingle_hashes``);
     2. ``groupby(shingle-prefix)``: co-occurring (a < b) pairs emitted per
-       exact shingle bucket, carrying (size_a, size_b) — buckets resolved
-       vectorized inside a coarse group, same pattern as LSH banding;
+       exact shingle bucket, carrying (size_a, size_b);
     3. ``groupby(a, b).aggregate(Count, Min(sa), Min(sb))`` -> |A∩B| and
        sizes in one shuffle, J = inter / (|A| + |B| - inter), filter.
 
-    At 100 TB step 2 needs prefix filtering (keep each doc's rarest
-    shingles by global df before pairing) to bound the blowup of stop-
-    shingle buckets; the J arithmetic is unchanged. DuckDB oracle:
-    identical pipeline over string shingles (``__ray_entry__``)."""
+    Scale note: the df table (pass 1 of the prefix path) is collected
+    as the SHARED shingles only (df >= 2) and broadcast via ``ray.put``;
+    at extreme scale it instead stays distributed and annotates doc
+    shingle rows through a shingle-keyed exchange join — the prefix
+    selection kernel is unchanged. DuckDB oracle: identical pipeline
+    over string shingles (``__ray_entry__``)."""
     docs_path = os.path.join(sf_dir, "documents.parquet")
     ds = ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
-    return _exact_jaccard_over(ds, n, threshold)
+    if not prefix_filter:
+        return _exact_jaccard_over(ds, n, threshold)
+    return _prefix_filtered_jaccard(docs_path, n, threshold)
+
+
+def _prefix_filtered_jaccard(
+    docs_path: str, n: int, threshold: float,
+    stats_out: dict | None = None,
+) -> pd.DataFrame:
+    from ..exchange import hash_exchange, int_key_hash
+
+    _EMPTY = pd.DataFrame(
+        {
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "jaccard": pd.Series([], dtype="float64"),
+        }
+    )
+
+    def ds_docs():
+        return ray.data.read_parquet(
+            docs_path, columns=["doc_id", "text"]
+        )
+
+    # ---- pass 1: global df of SHARED shingles (df >= 2). One doc never
+    # splits across batches, so distinct-(doc, sh) rows count df exactly.
+    def distinct_sh(t: pa.Table) -> pa.Table:
+        _, sh, _ = _batch_distinct_shingles(t, n)
+        return pa.table(
+            {"sh": pa.array(sh.view(np.int64))}
+        )
+
+    def df_reduce(rows: pa.Table) -> pa.Table:
+        sh = rows["sh"].to_numpy()
+        sh = np.sort(sh)
+        starts = np.nonzero(np.concatenate(([True], sh[1:] != sh[:-1])))[0]
+        cnt = np.diff(np.concatenate((starts, [len(sh)])))
+        keep = cnt >= 2
+        return pa.table(
+            {
+                "sh": pa.array(sh[starts][keep]),
+                "df": pa.array(cnt[keep].astype(np.int64)),
+            }
+        )
+
+    dfs = hash_exchange(
+        ds_docs().map_batches(distinct_sh, batch_format="pyarrow"),
+        key_fn=lambda t: int_key_hash(t["sh"].to_numpy()),
+        reducer=df_reduce,
+    )
+    if len(dfs) == 0:
+        return _EMPTY
+    order = np.argsort(dfs["sh"].to_numpy())
+    shared_ref = ray.put(
+        (dfs["sh"].to_numpy()[order], dfs["df"].to_numpy()[order])
+    )
+
+    # ---- pass 2: per-doc prefix selection, emit only prefix entries
+    # that are shared (df=1 prefix entries can never form a pair)
+    def prefix_rows(t: pa.Table) -> pa.Table:
+        row, sh, sizes = _batch_distinct_shingles(t, n)
+        shs = sh.view(np.int64)
+        sh_shared, df_shared = ray.get(shared_ref)
+        if len(shs):
+            pos = np.clip(
+                np.searchsorted(sh_shared, shs), 0, len(sh_shared) - 1
+            )
+            hit = sh_shared[pos] == shs
+            df = np.where(hit, df_shared[pos], 1)
+        else:
+            df = np.zeros(0, np.int64)
+        # global order = (df asc, hash asc); within-doc rank
+        o = np.lexsort((shs, df, row))
+        r2 = row[o]
+        run = np.nonzero(np.concatenate(([True], r2[1:] != r2[:-1])))[0]
+        rank = np.arange(len(r2)) - np.repeat(
+            run, np.diff(np.concatenate((run, [len(r2)])))
+        )
+        s = sizes[r2]
+        p = s - np.ceil(threshold * s - 1e-9).astype(np.int64) + 1
+        keep = (rank < np.maximum(p, 1)) & (df[o] >= 2)
+        sel = o[keep]
+        ids = t["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "sh": pa.array(shs[sel]),
+                "doc_id": pa.array(ids[row[sel]]),
+            }
+        )
+
+    def bucket_pairs(rows: pa.Table) -> pa.Table:
+        sh = rows["sh"].to_numpy()
+        ids = rows["doc_id"].to_numpy()
+        o = np.lexsort((ids, sh))
+        sh, ids = sh[o], ids[o]
+        starts = np.nonzero(np.concatenate(([True], sh[1:] != sh[:-1])))[0]
+        ends = np.concatenate((starts[1:], [len(sh)]))
+        out_a, out_b = [], []
+        for st, e in zip(starts, ends):
+            if e - st < 2:
+                continue
+            ai, bi = np.triu_indices(e - st, 1)
+            out_a.append(ids[st:e][ai])
+            out_b.append(ids[st:e][bi])
+        if not out_a:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()),
+                 "doc_b": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"doc_a": pa.array(np.concatenate(out_a)),
+             "doc_b": pa.array(np.concatenate(out_b))}
+        )
+
+    cand = hash_exchange(
+        ds_docs().map_batches(prefix_rows, batch_format="pyarrow"),
+        key_fn=lambda t: int_key_hash(t["sh"].to_numpy()),
+        reducer=bucket_pairs,
+    )
+    if stats_out is not None:
+        stats_out["n_shared_shingles"] = len(dfs)
+        stats_out["n_candidate_pairs"] = len(cand)
+    if len(cand) == 0:
+        return _EMPTY
+    cand = cand.drop_duplicates().astype({"doc_a": "int64", "doc_b": "int64"})
+
+    # ---- full-set exact verify over candidate docs only (broadcast
+    # semi-join, same engine as the MinHash verify), then inner-join back
+    # to the candidate pairs: by the prefix theorem every true pair IS a
+    # candidate, so this equals the direct path's output exactly.
+    need = np.sort(
+        np.union1d(
+            cand["doc_a"].to_numpy(np.int64), cand["doc_b"].to_numpy(np.int64)
+        )
+    )
+    nref = ray.put(need)
+
+    def only_cand(t: pa.Table) -> pa.Table:
+        arr = ray.get(nref)
+        ids = t["doc_id"].to_numpy()
+        pos = np.clip(np.searchsorted(arr, ids), 0, max(len(arr) - 1, 0))
+        return t.filter(pa.array(arr[pos] == ids))
+
+    sub = ds_docs().map_batches(only_cand, batch_format="pyarrow")
+    exact = _exact_jaccard_over(sub, n, threshold)
+    out = exact.merge(cand, on=["doc_a", "doc_b"], how="inner")
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 def _exact_jaccard_over(

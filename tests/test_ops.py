@@ -38,6 +38,52 @@ def planted_docs_dir(tmp_path_factory):
     return str(d)
 
 
+def test_ngram_jaccard_prefix_equals_direct(ray_session, planted_docs_dir):
+    from ck_ray.ops.dedup import ngram_jaccard_pairs
+
+    direct = ngram_jaccard_pairs(planted_docs_dir, prefix_filter=False)
+    pref = ngram_jaccard_pairs(planted_docs_dir, prefix_filter=True)
+    assert direct.equals(pref)
+    pairs = set(zip(pref["doc_a"], pref["doc_b"]))
+    assert (82, 83) in pairs  # planted exact dup survives the filter
+
+
+def test_ngram_prefix_prunes_stop_shingles(ray_session, tmp_path):
+    """60 docs all share one hot 5-gram run (df=60 stop shingles); the
+    direct path's stop buckets imply ~60*59/2 internal pairs per stop
+    shingle, the prefix filter must emit candidates near zero while
+    keeping the planted exact-dup pair."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ck_ray.ops.dedup import _prefix_filtered_jaccard, ngram_jaccard_pairs
+
+    stop = "common header boilerplate license line"
+    texts = [
+        f"{stop} unique{w} body{w} tail{w} word{w} mix{w} suffix{w}"
+        for w in range(60)
+    ]
+    texts += [f"{stop} dupbody dupbody2 dupbody3 dupbody4 dupbody5"] * 2
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    stats: dict = {}
+    out = _prefix_filtered_jaccard(
+        str(tmp_path / "documents.parquet"), 5, 0.8, stats_out=stats
+    )
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (60, 61) in pairs and len(pairs) == 1
+    # candidates bounded by the dup pair's shingles, NOT the 60*59/2
+    # all-pairs of the shared stop shingles
+    assert stats["n_candidate_pairs"] < 20
+    direct = ngram_jaccard_pairs(str(tmp_path), 5, 0.8, prefix_filter=False)
+    assert out.equals(direct)
+
+
 def test_minhash_finds_planted_near_dup(ray_session, planted_docs_dir):
     from ck_ray.ops.dedup import minhash_lsh_pairs
 
