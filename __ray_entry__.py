@@ -125,8 +125,9 @@ _MD5_DOCKEY = (
 )
 
 
-def _stratified_sample_sql() -> str:
-    """Same exact-integer md5 thresholds the Ray operator applies."""
+def _stratified_pred_sql() -> str:
+    """Boolean SQL predicate over (doc_id, lang) applying the same
+    exact-integer md5 thresholds the Ray operator uses."""
     from ck_ray.ops.curation import (
         DEFAULT_RATE_OTHER,
         DEFAULT_RATES,
@@ -143,9 +144,13 @@ def _stratified_sample_sql() -> str:
         for lang, v in th.items()
         if lang != "__other__"
     )
+    return f"CASE {cases} ELSE {pred(th['__other__'])} END"
+
+
+def _stratified_sample_sql() -> str:
     return f"""
 SELECT doc_id, lang, source FROM documents
-WHERE CASE {cases} ELSE {pred(th["__other__"])} END
+WHERE {_stratified_pred_sql()}
 ORDER BY doc_id
 """
 
@@ -325,6 +330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_spans": curation.dup_ngram_spans,
         "stratified_sample": curation.stratified_sample,
         "source_quota_cap": curation.source_quota_cap,
+        "corpus_clean": curation.corpus_clean,
     }
 
 
@@ -977,6 +983,60 @@ FROM per p JOIN df d USING (s)
 GROUP BY p.doc_id ORDER BY p.doc_id
 """,
         "stratified_sample": _stratified_sample_sql(),
+        # the composed pipeline: near-dup keepers (recursive closure over
+        # exact 5-gram Jaccard >= 0.6 — subsumes exact dedup at J = 1) ->
+        # eval holdout + decontamination -> stratified sample -> source
+        # quota ranked among SURVIVORS
+        "corpus_clean": f"""
+WITH RECURSIVE {_TOKS_POS.strip().lstrip()},
+{_shingle_cte(5, distinct=True).strip()},
+sz AS (SELECT doc_id, count(*) AS size FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+  WHERE round(i * 1.0 / (sa.size + sb.size - i), 4) >= 0.6
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT u FROM edges),
+reach(src, dst) AS (
+  SELECT u, u FROM nodes
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+),
+losers AS (
+  SELECT src AS doc_id FROM reach GROUP BY src
+  HAVING src <> min(dst)
+),
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 17 = 0),
+cont AS (
+  SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (s)
+  WHERE sh.doc_id % 17 <> 0
+),
+surv AS (
+  SELECT d.doc_id, d.lang, d.source FROM documents d
+  WHERE d.doc_id % 17 <> 0
+    AND d.doc_id NOT IN (SELECT doc_id FROM losers)
+    AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+    AND {_stratified_pred_sql()}
+),
+ranked AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY source ORDER BY {_MD5_DOCKEY}, doc_id
+         ) AS rnk
+  FROM surv
+)
+SELECT doc_id, lang, source FROM ranked WHERE rnk <= 12 ORDER BY doc_id
+""",
         "source_quota_cap": f"""
 WITH k AS (
   SELECT doc_id, source, {_MD5_DOCKEY} AS key FROM documents

@@ -291,24 +291,20 @@ def stratified_sample(
 # ------------------------------------------------------- source_quota_cap
 
 
-def source_quota_cap(sf_dir: str, quota: int = 12) -> pd.DataFrame:
-    """Keep at most ``quota`` docs per source (deterministic priority).
-
-    Priority = ascending ``md5_u64(str(doc_id))`` with doc_id tiebreak —
-    a uniform "random" Q-subset that is stable across runs. Returns
-    (doc_id, source, rank 1..quota).
+def _quota_over(
+    ds: ray.data.Dataset, quota: int, carry_cols: tuple[str, ...]
+) -> pd.DataFrame:
+    """Per-source top-``quota`` by ascending md5_u64(str(doc_id)) over an
+    arbitrary (doc_id, source, *carry_cols) dataset — the shared engine
+    of ``source_quota_cap`` and ``corpus_clean``.
 
     Shape: hash exchange keyed by source; each partition ranks its
     sources with ONE vectorized kernel (lexsort + run-start subtraction
     — no per-group Python, the relational.py window pattern), so cost
-    scales with rows, not groups. Only (doc_id, source-hash, key)
-    triples + the source string shuffle. Skewed sources are bounded by
-    the quota on output; input skew within one source lands on one
-    partition — at 100 TB a per-batch pre-cap (keep the Q smallest keys
-    per batch per source, a strict superset of the winners) bounds that
-    partition's input too.
-    """
-    ds = _docs(sf_dir, ["doc_id", "source"])
+    scales with rows, not groups. Skewed sources are bounded by the
+    quota on output; at 100 TB a per-batch pre-cap (keep the Q smallest
+    keys per batch per source — a strict superset of the winners)
+    bounds the hot partition's input too."""
 
     def add_key(t: pa.Table) -> pa.Table:
         key = md5_u64_of_terms(pc.cast(t["doc_id"], pa.string()))
@@ -329,14 +325,12 @@ def source_quota_cap(sf_dir: str, quota: int = 12) -> pd.DataFrame:
             run_start, np.diff(np.concatenate((run_start, [len(c2)])))
         )
         keep = pos < quota
-        sel = order[keep]
-        return pa.table(
-            {
-                "doc_id": pa.array(ids[sel]),
-                "source": rows["source"].take(pa.array(sel)),
-                "rank": pa.array((pos[keep] + 1).astype(np.int64)),
-            }
-        )
+        sel = pa.array(order[keep])
+        cols = {"doc_id": pa.array(ids[order[keep]])}
+        for c in carry_cols:
+            cols[c] = rows[c].take(sel)
+        cols["rank"] = pa.array((pos[keep] + 1).astype(np.int64))
+        return pa.table(cols)
 
     out = hash_exchange(
         ds.map_batches(add_key, batch_format="pyarrow"),
@@ -344,11 +338,101 @@ def source_quota_cap(sf_dir: str, quota: int = 12) -> pd.DataFrame:
         reducer=rank_part,
     )
     if len(out) == 0:
-        return pd.DataFrame(
-            {
-                "doc_id": pd.Series([], dtype="int64"),
-                "source": pd.Series([], dtype="object"),
-                "rank": pd.Series([], dtype="int64"),
-            }
-        )
+        cols = {"doc_id": pd.Series([], dtype="int64")}
+        for c in carry_cols:
+            cols[c] = pd.Series([], dtype="object")
+        cols["rank"] = pd.Series([], dtype="int64")
+        return pd.DataFrame(cols)
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def source_quota_cap(sf_dir: str, quota: int = 12) -> pd.DataFrame:
+    """Keep at most ``quota`` docs per source (deterministic priority).
+
+    Priority = ascending ``md5_u64(str(doc_id))`` with doc_id tiebreak —
+    a uniform "random" Q-subset that is stable across runs. Returns
+    (doc_id, source, rank 1..quota). See ``_quota_over`` for the shape.
+    """
+    return _quota_over(
+        _docs(sf_dir, ["doc_id", "source"]), quota, ("source",)
+    )
+
+
+# ----------------------------------------------------------- corpus_clean
+
+
+def corpus_clean(
+    sf_dir: str,
+    jaccard_threshold: float = 0.6,
+    n: int = 5,
+    eval_mod: int = 17,
+    rates: dict[str, float] | None = None,
+    rate_other: float = DEFAULT_RATE_OTHER,
+    quota: int = 12,
+) -> pd.DataFrame:
+    """The composed training-data curation pipeline, end to end:
+
+    1. near-dup removal: connected components over exact 5-gram Jaccard
+       >= threshold; keep only each component's keeper (min doc_id).
+       Exact duplicates have J = 1, so this subsumes exact dedup.
+    2. eval holdout + decontamination: drop the eval docs themselves
+       (doc_id % eval_mod == 0) and every doc sharing an n-gram with
+       them.
+    3. stratified sampling: the deterministic per-lang md5 threshold.
+    4. source quotas: top-``quota`` per source by md5 priority — ranked
+       among the SURVIVORS of 1-3, not the raw corpus.
+
+    Returns the kept (doc_id, lang, source) rows, ordered by doc_id.
+
+    Scale shape: stages 1-2 produce DROP sets that are small by nature
+    (duplicates + contaminated docs are the exceptional rows) — they are
+    union'd into one sorted id array, ``ray.put`` once, and applied
+    together with the stage-3 hash predicate in a single stateless
+    ``map_batches`` pass; stage 4 is the one exchange. So the whole
+    pipeline is: the dedup/decontaminate passes (which shuffle only
+    hashes), plus ONE streaming filter pass over ids+metadata, plus one
+    source-keyed exchange bounded by quota x sources on output.
+    """
+    from .dedup import near_dup_groups
+
+    comp = near_dup_groups(sf_dir, jaccard_threshold=jaccard_threshold)
+    losers = comp.loc[
+        comp["doc_id"] != comp["group_keeper"], "doc_id"
+    ].to_numpy(np.int64)
+    cont = decontaminate(sf_dir, n=n, eval_mod=eval_mod)[
+        "doc_id"
+    ].to_numpy(np.int64)
+    drop_sorted = np.union1d(losers, cont)  # sorted unique
+    dref = ray.put(drop_sorted)
+    th = _thresholds(rates or DEFAULT_RATES, rate_other)
+
+    def survive(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        drop = ray.get(dref)
+        if len(drop):
+            pos = np.clip(np.searchsorted(drop, ids), 0, len(drop) - 1)
+            dead = drop[pos] == ids
+        else:
+            dead = np.zeros(len(ids), bool)
+        dead |= ids % eval_mod == 0
+        key = md5_u64_of_terms(pc.cast(t["doc_id"], pa.string()))
+        enc = pc.dictionary_encode(t["lang"].combine_chunks())
+        uth = [
+            th.get(g, th["__other__"]) for g in enc.dictionary.to_pylist()
+        ]
+        nu = len(enc.dictionary)
+        lim = np.fromiter(
+            (min(v, _U64 - 1) for v in uth), dtype=np.uint64, count=nu
+        )
+        keep_all = np.fromiter(
+            (v >= _U64 for v in uth), dtype=bool, count=nu
+        )
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        sampled = (key < lim[idx]) | keep_all[idx]
+        return t.filter(pa.array(~dead & sampled))
+
+    survivors = _docs(sf_dir, ["doc_id", "lang", "source"]).map_batches(
+        survive, batch_format="pyarrow"
+    )
+    out = _quota_over(survivors, quota, ("lang", "source"))
+    return out[["doc_id", "lang", "source"]].reset_index(drop=True)

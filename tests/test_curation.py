@@ -88,6 +88,34 @@ def test_stratified_sample_md5_threshold(ray_session, curation_docs_dir):
     assert out.equals(again)
 
 
+def test_corpus_clean_composition(ray_session, curation_docs_dir):
+    from ck_ray.ops.curation import _U64, corpus_clean
+
+    out = corpus_clean(
+        curation_docs_dir,
+        rates={"en": 1.0},
+        rate_other=0.5,
+        quota=12,
+    )
+    # eval holdout drops 0 and 17; contamination drops 3; the identical
+    # pair (6, 7) keeps only keeper 6; sampling: en kept at rate 1.0,
+    # de/fr (docs 9) by md5 hash at 0.5
+    expect = {5, 6}
+    if md5_u64(str(9)) < int(0.5 * _U64):
+        expect.add(9)
+    assert set(out["doc_id"]) == expect
+    assert list(out.columns) == ["doc_id", "lang", "source"]
+    # quota ranked among survivors: with quota=1, source b keeps its
+    # smallest-md5 survivor, NOT the raw corpus's
+    capped = corpus_clean(
+        curation_docs_dir, rates={"en": 1.0}, rate_other=0.5, quota=1
+    )
+    b_surv = [i for i in sorted(expect) if i in (6, 7, 9)]
+    want_b = min(b_surv, key=lambda i: (md5_u64(str(i)), i))
+    got_b = capped[capped["source"] == "b"]["doc_id"].tolist()
+    assert got_b == [want_b]
+
+
 def test_source_quota_cap_priority(ray_session, curation_docs_dir):
     from ck_ray.ops.curation import source_quota_cap
 
