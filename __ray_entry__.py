@@ -266,6 +266,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = ann.ivf_hyperplane_topk(sf_dir, q, k=10)
         return out[["vec_id", "score"]]
 
+    def ann_ivf_persisted(sf_dir: str):
+        """Same IVF family over the PERSISTED cell layout: vectors are
+        written once as cell-partitioned parquet and the query opens only
+        its probed cells' files (pruning at the read — the 100 TB step).
+        Row-identical to ann_ivf_topk, so the same SQL oracle gates it."""
+        import tempfile
+
+        q = ann.query_vector_from(sf_dir, vec_id=0)
+        idx = tempfile.mkdtemp(prefix="ck_ivf_")
+        ann.build_ivf_index(sf_dir, idx)
+        out = ann.ivf_persisted_topk(idx, q, k=10)
+        return out[["vec_id", "score"]]
+
     return {
         # --- relational core (map/filter/agg/join/sort/limit/distinct)
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -311,6 +324,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search
         "ann_cosine_topk": ann_cosine_topk,
         "ann_ivf_topk": ann_ivf_topk,  # hyperplane-cell IVF: hash-exact
+        "ann_ivf_persisted": ann_ivf_persisted,  # cell-partitioned
+        # parquet layout, probed cells opened by path (prune-at-read)
         # (the k-means-cell variant stays recall-gated in pytest)
         # --- text analysis extras
         "langid": text.langid,
@@ -335,6 +350,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_base()
+    # the persisted-IVF entry is row-identical to the in-memory scan by
+    # construction (same cells, probe rule, arithmetic) — same oracle
+    d["ann_ivf_persisted"] = d["ann_ivf_topk"]
+    return d
+
+
+def _oracle_sql_base() -> dict[str, str]:
     qterms = ", ".join(f"('{t}')" for t in _BM25_QUERY_TERMS)
     return {
         "q1_pricing_summary": """

@@ -217,6 +217,126 @@ def ivf_hyperplane_topk(
     return out.reset_index(drop=True)
 
 
+def _cells_of(raw: np.ndarray, n_bits: int) -> np.ndarray:
+    """Deterministic hyperplane cell id = sign bits of the first n_bits
+    dims — a pure function of the vector (no trained state)."""
+    return (
+        (raw[:, :n_bits] > 0).astype(np.int64)
+        * (1 << np.arange(n_bits))[None, :]
+    ).sum(axis=1)
+
+
+def build_ivf_index(
+    sf_dir: str, index_dir: str, n_bits: int = 4
+) -> dict:
+    """Persist the hyperplane IVF layout: vectors land in one parquet
+    directory PER CELL (``cell=C/``), so a query later reads only its
+    probed cells' files — pruning at the READ, which is the step that
+    makes IVF pay at 100 TB (the in-memory variants above still stream
+    every vector and prune in compute). Partitioned output doubles as
+    the resumable layout: a re-run can skip cells already written.
+
+    Returns {"n_cells": ..., "n_vectors": ...}."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    def assign(t: pa.Table) -> pa.Table:
+        raw = _emb_matrix(t)
+        return t.append_column("cell", pa.array(_cells_of(raw, n_bits)))
+
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["cell"]
+    )
+    cells = [
+        d for d in os.listdir(index_dir) if d.startswith("cell=")
+    ]
+    n_vec = ray.data.read_parquet(index_dir).count()
+    return {"n_cells": len(cells), "n_vectors": int(n_vec)}
+
+
+def ivf_persisted_topk(
+    index_dir: str,
+    queries: np.ndarray,
+    k: int = 10,
+    n_bits: int = 4,
+    max_hamming: int = 1,
+) -> pd.DataFrame:
+    """Probe-only search over a ``build_ivf_index`` layout: the probed
+    cell directories are opened BY PATH, so unprobed cells' bytes never
+    leave storage (structural partition pruning, not a post-read
+    filter). Row-for-row identical to ``ivf_hyperplane_topk`` on the
+    same vectors (tested), hence covered by the same SQL oracle."""
+    Q = _unit(np.atleast_2d(np.asarray(queries, np.float64)))
+    raw_q = np.atleast_2d(np.asarray(queries, np.float64))
+    qcell = _cells_of(raw_q, n_bits)
+    # union of every query's probe set -> the only dirs we read
+    all_cells = np.arange(1 << n_bits)
+    probe_sets = []
+    for qi in range(len(Q)):
+        x = np.bitwise_xor(all_cells, qcell[qi]).astype(np.uint8)
+        ham = np.unpackbits(x[:, None], axis=1).sum(axis=1)
+        probe_sets.append(set(all_cells[ham <= max_hamming].tolist()))
+    union_cells = sorted(set().union(*probe_sets))
+    paths = [
+        os.path.join(p, f)
+        for c in union_cells
+        if os.path.isdir(p := os.path.join(index_dir, f"cell={c}"))
+        for f in sorted(os.listdir(p))
+        if f.endswith(".parquet")
+    ]
+    if not paths:
+        return pd.DataFrame(
+            {"query_id": pd.Series([], dtype="int64"),
+             "vec_id": pd.Series([], dtype="int64"),
+             "score": pd.Series([], dtype="float64")}
+        )
+    qref = ray.put((Q, probe_sets))
+
+    def partial(t: pa.Table) -> pa.Table:
+        Qm, probes = ray.get(qref)
+        raw = _emb_matrix(t)
+        emb = _unit(raw)
+        ids = t["vec_id"].to_numpy()
+        # cell is a pure function of the vector: recompute instead of
+        # carrying the partition column through the read
+        cell = _cells_of(raw, n_bits)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(Qm)):
+            mask = np.isin(cell, list(probes[qi]))
+            if not mask.any():
+                continue
+            sims = emb[mask] @ Qm[qi]
+            sub_ids = ids[mask]
+            kk = min(k, len(sims))
+            idx = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.append(np.full(kk, qi, np.int64))
+            out_v.append(sub_ids[idx])
+            out_s.append(sims[idx])
+        if not out_q:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "score": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    ds = ray.data.read_parquet(paths)
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.sort_values(["query_id", "score", "vec_id"],
+                          ascending=[True, False, True])
+        .groupby("query_id", as_index=False)
+        .head(k)
+    )
+    out["score"] = out["score"].round(4)
+    return out.reset_index(drop=True)
+
+
 def query_vector_from(sf_dir: str, vec_id: int = 0) -> np.ndarray:
     """Deterministic query vector: the embedding of a fixed vec_id."""
     import pyarrow.dataset as pads

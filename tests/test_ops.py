@@ -125,6 +125,23 @@ def test_ann_brute_vs_ivf_recall(ray_session):
     assert overlap >= 5  # recall@10 of the IVF path on easy data
 
 
+def test_ann_ivf_persisted_equals_memory(ray_session, tmp_path):
+    from ck_ray.ops import ann
+
+    sf = "/root/testdata/sf0.001"
+    q = ann.query_vector_from(sf, vec_id=0)
+    info = ann.build_ivf_index(sf, str(tmp_path / "ivf"))
+    assert info["n_vectors"] > 0
+    a = ann.ivf_persisted_topk(str(tmp_path / "ivf"), q, k=10)
+    b = ann.ivf_hyperplane_topk(sf, q, k=10)
+    assert a.equals(b)
+    # structural pruning: the probed-path list excludes unprobed cells
+    import os
+
+    cells = {d for d in os.listdir(tmp_path / "ivf") if d.startswith("cell=")}
+    assert len(cells) > 1  # layout actually partitions
+
+
 def test_ann_hyperplane_ivf_containment(ray_session):
     """The hyperplane-cell IVF result must be exactly the brute-force
     ranking restricted to probed cells: every returned (vec_id, score)
