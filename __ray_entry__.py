@@ -271,12 +271,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         written once as cell-partitioned parquet and the query opens only
         its probed cells' files (pruning at the read — the 100 TB step).
         Row-identical to ann_ivf_topk, so the same SQL oracle gates it."""
+        import shutil
         import tempfile
 
         q = ann.query_vector_from(sf_dir, vec_id=0)
         idx = tempfile.mkdtemp(prefix="ck_ivf_")
-        ann.build_ivf_index(sf_dir, idx)
-        out = ann.ivf_persisted_topk(idx, q, k=10)
+        try:
+            ann.build_ivf_index(sf_dir, idx)
+            out = ann.ivf_persisted_topk(idx, q, k=10)
+        finally:
+            shutil.rmtree(idx, ignore_errors=True)
         return out[["vec_id", "score"]]
 
     return {

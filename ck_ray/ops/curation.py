@@ -26,9 +26,13 @@ prepare one — SURVEY.md §2.7/§2.9 extensions):
   order). Hash exchange on source -> one vectorized segmented-rank
   kernel per partition (lexsort + run-start subtraction), the same
   pattern as the window pipelines in relational.py.
+- **corpus_clean**: the four stages composed end to end (near-dup
+  removal -> eval holdout + decontamination -> sampling -> quotas
+  ranked among survivors), one streaming filter pass + one exchange.
 
 All heavy stages are ``map_batches`` over zero-copy Arrow batches; the
-only exchange is dup_ngram_spans' single shingle-keyed one.
+only exchanges are dup_ngram_spans' shingle-keyed one and the quota
+rank's source-keyed one.
 """
 
 from __future__ import annotations
@@ -436,3 +440,38 @@ def corpus_clean(
     )
     out = _quota_over(survivors, quota, ("lang", "source"))
     return out[["doc_id", "lang", "source"]].reset_index(drop=True)
+
+
+def corpus_clean_write(
+    sf_dir: str, out_dir: str, **clean_kwargs
+) -> dict:
+    """Materialize the cleaned corpus: run ``corpus_clean`` for the kept
+    id set, then stream the full document rows (text included) through a
+    broadcast semi-join filter into ``out_dir`` as parquet partitioned
+    by ``source`` — one directory per source, so a failed run resumes by
+    skipping finished partitions and downstream readers prune by source
+    at the read. The kept-id broadcast is bounded by the post-quota
+    corpus (quota x sources rows), not the input.
+
+    Returns {"n_kept": ..., "partitions": [...]}."""
+    kept = corpus_clean(sf_dir, **clean_kwargs)
+    keep_ids = np.sort(kept["doc_id"].to_numpy(np.int64))
+    kref = ray.put(keep_ids)
+
+    def only_kept(t: pa.Table) -> pa.Table:
+        arr = ray.get(kref)
+        ids = t["doc_id"].to_numpy()
+        if not len(arr):
+            return t.slice(0, 0)
+        pos = np.clip(np.searchsorted(arr, ids), 0, len(arr) - 1)
+        return t.filter(pa.array(arr[pos] == ids))
+
+    (
+        ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+        .map_batches(only_kept, batch_format="pyarrow")
+        .write_parquet(out_dir, partition_cols=["source"])
+    )
+    parts = sorted(
+        d for d in os.listdir(out_dir) if d.startswith("source=")
+    )
+    return {"n_kept": int(len(keep_ids)), "partitions": parts}

@@ -116,6 +116,45 @@ def test_corpus_clean_composition(ray_session, curation_docs_dir):
     assert got_b == [want_b]
 
 
+def test_curation_ops_on_actor_exchange(
+    ray_session, curation_docs_dir, monkeypatch
+):
+    """The new exchange-riding ops must be transport-agnostic: identical
+    results over the shared-nothing ActorExchange (multi-node path) as
+    over fs run files."""
+    from ck_ray.ops.curation import dup_ngram_spans, source_quota_cap
+    from ck_ray.ops.dedup import ngram_jaccard_pairs
+
+    fs_spans = dup_ngram_spans(curation_docs_dir)
+    fs_quota = source_quota_cap(curation_docs_dir, quota=2)
+    fs_pairs = ngram_jaccard_pairs(curation_docs_dir, prefix_filter=True)
+    monkeypatch.setenv("CK_EXCHANGE_BACKEND", "actor")
+    assert dup_ngram_spans(curation_docs_dir).equals(fs_spans)
+    assert source_quota_cap(curation_docs_dir, quota=2).equals(fs_quota)
+    assert ngram_jaccard_pairs(
+        curation_docs_dir, prefix_filter=True
+    ).equals(fs_pairs)
+
+
+def test_corpus_clean_write_partitioned(ray_session, curation_docs_dir, tmp_path):
+    import pyarrow.dataset as pads
+
+    from ck_ray.ops.curation import corpus_clean, corpus_clean_write
+
+    out = str(tmp_path / "cleaned")
+    info = corpus_clean_write(
+        curation_docs_dir, out, rates={"en": 1.0}, rate_other=0.5
+    )
+    kept = corpus_clean(
+        curation_docs_dir, rates={"en": 1.0}, rate_other=0.5
+    )
+    assert info["n_kept"] == len(kept)
+    assert all(p.startswith("source=") for p in info["partitions"])
+    back = pads.dataset(out, partitioning="hive").to_table()
+    assert sorted(back["doc_id"].to_pylist()) == sorted(kept["doc_id"])
+    assert "text" in back.column_names  # full rows, not just ids
+
+
 def test_source_quota_cap_priority(ray_session, curation_docs_dir):
     from ck_ray.ops.curation import source_quota_cap
 
