@@ -184,6 +184,31 @@ def _cmd_pipeline(args) -> int:
     return 0
 
 
+def _cmd_curate(args) -> int:
+    """Materialize the cleaned corpus (corpus_clean_write): near-dup
+    removal + decontamination + stratified sampling + source quotas,
+    written as source-partitioned parquet."""
+    from .ops.curation import corpus_clean_write
+
+    t0 = time.perf_counter()
+    info = corpus_clean_write(
+        args.sf_dir,
+        args.output,
+        jaccard_threshold=args.jaccard_threshold,
+        eval_mod=args.eval_mod,
+        quota=args.quota,
+    )
+    _emit({
+        "job": "curate",
+        "sf_dir": args.sf_dir,
+        "output": args.output,
+        "wall_s": round(time.perf_counter() - t0, 3),
+        "n_kept": info["n_kept"],
+        "n_partitions": len(info["partitions"]),
+    })
+    return 0
+
+
 def _parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="python -m ck_ray.job")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -223,6 +248,18 @@ def _parser() -> argparse.ArgumentParser:
     pl.add_argument("--sf-dir", required=True)
     pl.add_argument("--output", help="parquet output dir (Datasets stream here)")
     pl.set_defaults(fn=_cmd_pipeline)
+
+    cu = sub.add_parser(
+        "curate",
+        help="write the cleaned corpus (dedup+decontaminate+sample+quota)",
+    )
+    cu.add_argument("--sf-dir", required=True)
+    cu.add_argument("--output", required=True,
+                    help="source-partitioned parquet output dir")
+    cu.add_argument("--jaccard-threshold", type=float, default=0.6)
+    cu.add_argument("--eval-mod", type=int, default=17)
+    cu.add_argument("--quota", type=int, default=12)
+    cu.set_defaults(fn=_cmd_curate)
     return p
 
 

@@ -82,3 +82,18 @@ def test_compact_subcommand(built_index, capsys):
     rc = job.main(["query", "--index-dir", built_index, "--top-k", "3", "def"])
     assert rc == 0
     assert len(_last_json(capsys)["results"]["def"]) > 0
+
+
+def test_curate_subcommand(ray_session, tmp_path, capsys):
+    out_dir = str(tmp_path / "cleaned")
+    rc = job.main([
+        "curate", "--sf-dir", SF, "--output", out_dir, "--quota", "5",
+    ])
+    assert rc == 0
+    c = _last_json(capsys)
+    assert c["job"] == "curate" and c["n_kept"] > 0
+    import pyarrow.dataset as pads
+
+    back = pads.dataset(out_dir, partitioning="hive").to_table()
+    assert back.num_rows == c["n_kept"]
+    assert c["n_partitions"] >= 1
