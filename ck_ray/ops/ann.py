@@ -33,6 +33,14 @@ def _emb_matrix(t: pa.Table) -> np.ndarray:
     return flat.reshape(len(col), -1).astype(np.float64)
 
 
+def _topk_idx(sims: np.ndarray, ids: np.ndarray, kk: int) -> np.ndarray:
+    """Top-kk indices by (score desc, vec_id asc) with a FULL tiebreak,
+    so a per-batch partial never drops a global winner when scores tie
+    at the k boundary (duplicate embeddings tie exactly; the driver
+    merge breaks ties by vec_id, so partials must too)."""
+    return np.lexsort((ids, -sims))[:kk]
+
+
 def cosine_topk(
     sf_dir: str, queries: np.ndarray, k: int = 10
 ) -> pd.DataFrame:
@@ -52,8 +60,8 @@ def cosine_topk(
         kk = min(k, nb)
         out_q, out_v, out_s = [], [], []
         for qi in range(nq):
-            # partial top-k within the batch (vectorized argpartition)
-            idx = np.argpartition(-sims[qi], kk - 1)[:kk]
+            # partial top-k within the batch, full (score, id) tiebreak
+            idx = _topk_idx(sims[qi], ids, kk)
             out_q.append(np.full(kk, qi, np.int64))
             out_v.append(ids[idx])
             out_s.append(sims[qi][idx])
@@ -116,7 +124,7 @@ def ivf_topk(
             sims = emb[mask] @ Qm[qi]
             sub_ids = ids[mask]
             kk = min(k, len(sims))
-            idx = np.argpartition(-sims, kk - 1)[:kk]
+            idx = _topk_idx(sims, sub_ids, kk)
             out_q.append(np.full(kk, qi, np.int64))
             out_v.append(sub_ids[idx])
             out_s.append(sims[idx])
@@ -188,7 +196,7 @@ def ivf_hyperplane_topk(
             sims = emb[mask] @ Qm[qi]
             sub_ids = ids[mask]
             kk = min(k, len(sims))
-            idx = np.argpartition(-sims, kk - 1)[:kk]
+            idx = _topk_idx(sims, sub_ids, kk)
             out_q.append(np.full(kk, qi, np.int64))
             out_v.append(sub_ids[idx])
             out_s.append(sims[idx])
@@ -233,11 +241,21 @@ def build_ivf_index(
     directory PER CELL (``cell=C/``), so a query later reads only its
     probed cells' files — pruning at the READ, which is the step that
     makes IVF pay at 100 TB (the in-memory variants above still stream
-    every vector and prune in compute). Partitioned output doubles as
-    the resumable layout: a re-run can skip cells already written.
+    every vector and prune in compute). An existing ``index_dir`` is
+    REPLACED wholesale (a rerun after partial failure must not append
+    duplicate rows to surviving cell dirs); a production-scale resume
+    would skip finished cells via per-cell lineage markers, the way
+    ``build.py`` does for index partitions.
 
     Returns {"n_cells": ..., "n_vectors": ...}."""
+    if not 1 <= n_bits <= 8:  # uint8 Hamming math in the probe rule
+        raise ValueError("n_bits must be in 1..8")
+    if os.path.isdir(index_dir):
+        import shutil
+
+        shutil.rmtree(index_dir)
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n_vec = ds.count()  # parquet metadata, no scan
 
     def assign(t: pa.Table) -> pa.Table:
         raw = _emb_matrix(t)
@@ -249,7 +267,6 @@ def build_ivf_index(
     cells = [
         d for d in os.listdir(index_dir) if d.startswith("cell=")
     ]
-    n_vec = ray.data.read_parquet(index_dir).count()
     return {"n_cells": len(cells), "n_vectors": int(n_vec)}
 
 
@@ -307,7 +324,7 @@ def ivf_persisted_topk(
             sims = emb[mask] @ Qm[qi]
             sub_ids = ids[mask]
             kk = min(k, len(sims))
-            idx = np.argpartition(-sims, kk - 1)[:kk]
+            idx = _topk_idx(sims, sub_ids, kk)
             out_q.append(np.full(kk, qi, np.int64))
             out_v.append(sub_ids[idx])
             out_s.append(sims[idx])

@@ -247,6 +247,24 @@ def _thresholds(rates: dict[str, float], other: float) -> dict[str, int]:
     return th
 
 
+def _sample_mask(t: pa.Table, th: dict[str, int]) -> np.ndarray:
+    """Boolean keep-mask of the md5-threshold stratified sample for one
+    (doc_id, lang, ...) batch — the ONE place the rate arithmetic lives
+    (shared by ``stratified_sample`` and ``corpus_clean``). Rate 1.0
+    (threshold 2^64, beyond uint64) is carried as a keep-all flag;
+    lookup is vocabulary-bounded via dictionary encode."""
+    key = md5_u64_of_terms(pc.cast(t["doc_id"], pa.string()))
+    enc = pc.dictionary_encode(t["lang"].combine_chunks())
+    uth = [th.get(g, th["__other__"]) for g in enc.dictionary.to_pylist()]
+    nu = len(enc.dictionary)
+    lim = np.fromiter(
+        (min(v, _U64 - 1) for v in uth), dtype=np.uint64, count=nu
+    )
+    keep_all = np.fromiter((v >= _U64 for v in uth), dtype=bool, count=nu)
+    idx = enc.indices.to_numpy(zero_copy_only=False)
+    return (key < lim[idx]) | keep_all[idx]
+
+
 def stratified_sample(
     sf_dir: str,
     rates: dict[str, float] | None = None,
@@ -267,22 +285,7 @@ def stratified_sample(
     th = _thresholds(rates or DEFAULT_RATES, rate_other)
 
     def keep_batch(t: pa.Table) -> pa.Table:
-        key = md5_u64_of_terms(pc.cast(t["doc_id"], pa.string()))
-        # vocabulary-bounded threshold lookup, vectorized scatter;
-        # rate 1.0 -> threshold 2^64 exceeds uint64: carried as keep-all
-        enc = pc.dictionary_encode(t["lang"].combine_chunks())
-        uth = [
-            th.get(g, th["__other__"]) for g in enc.dictionary.to_pylist()
-        ]
-        nu = len(enc.dictionary)
-        lim = np.fromiter(
-            (min(v, _U64 - 1) for v in uth), dtype=np.uint64, count=nu
-        )
-        keep_all = np.fromiter(
-            (v >= _U64 for v in uth), dtype=bool, count=nu
-        )
-        idx = enc.indices.to_numpy(zero_copy_only=False)
-        return t.filter(pa.array((key < lim[idx]) | keep_all[idx]))
+        return t.filter(pa.array(_sample_mask(t, th)))
 
     out = (
         _docs(sf_dir, ["doc_id", "lang", "source"])
@@ -376,9 +379,10 @@ def corpus_clean(
 ) -> pd.DataFrame:
     """The composed training-data curation pipeline, end to end:
 
-    1. near-dup removal: connected components over exact 5-gram Jaccard
-       >= threshold; keep only each component's keeper (min doc_id).
-       Exact duplicates have J = 1, so this subsumes exact dedup.
+    1. near-dup removal: connected components over exact token n-gram
+       Jaccard >= threshold (the same ``n`` as stage 2); keep only each
+       component's keeper (min doc_id). Exact duplicates have J = 1, so
+       this subsumes exact dedup.
     2. eval holdout + decontamination: drop the eval docs themselves
        (doc_id % eval_mod == 0) and every doc sharing an n-gram with
        them.
@@ -399,7 +403,7 @@ def corpus_clean(
     """
     from .dedup import near_dup_groups
 
-    comp = near_dup_groups(sf_dir, jaccard_threshold=jaccard_threshold)
+    comp = near_dup_groups(sf_dir, jaccard_threshold=jaccard_threshold, n=n)
     losers = comp.loc[
         comp["doc_id"] != comp["group_keeper"], "doc_id"
     ].to_numpy(np.int64)
@@ -419,21 +423,7 @@ def corpus_clean(
         else:
             dead = np.zeros(len(ids), bool)
         dead |= ids % eval_mod == 0
-        key = md5_u64_of_terms(pc.cast(t["doc_id"], pa.string()))
-        enc = pc.dictionary_encode(t["lang"].combine_chunks())
-        uth = [
-            th.get(g, th["__other__"]) for g in enc.dictionary.to_pylist()
-        ]
-        nu = len(enc.dictionary)
-        lim = np.fromiter(
-            (min(v, _U64 - 1) for v in uth), dtype=np.uint64, count=nu
-        )
-        keep_all = np.fromiter(
-            (v >= _U64 for v in uth), dtype=bool, count=nu
-        )
-        idx = enc.indices.to_numpy(zero_copy_only=False)
-        sampled = (key < lim[idx]) | keep_all[idx]
-        return t.filter(pa.array(~dead & sampled))
+        return t.filter(pa.array(~dead & _sample_mask(t, th)))
 
     survivors = _docs(sf_dir, ["doc_id", "lang", "source"]).map_batches(
         survive, batch_format="pyarrow"
@@ -448,12 +438,19 @@ def corpus_clean_write(
     """Materialize the cleaned corpus: run ``corpus_clean`` for the kept
     id set, then stream the full document rows (text included) through a
     broadcast semi-join filter into ``out_dir`` as parquet partitioned
-    by ``source`` — one directory per source, so a failed run resumes by
-    skipping finished partitions and downstream readers prune by source
-    at the read. The kept-id broadcast is bounded by the post-quota
-    corpus (quota x sources rows), not the input.
+    by ``source`` — one directory per source, so downstream readers
+    prune by source at the read. An existing ``out_dir`` is REPLACED
+    wholesale (appending after a partial failure would duplicate rows);
+    a production-scale resume would skip finished ``source=`` dirs via
+    per-partition lineage markers, the way ``build.py`` does. The
+    kept-id broadcast is bounded by the post-quota corpus
+    (quota x sources rows), not the input.
 
     Returns {"n_kept": ..., "partitions": [...]}."""
+    if os.path.isdir(out_dir):
+        import shutil
+
+        shutil.rmtree(out_dir)
     kept = corpus_clean(sf_dir, **clean_kwargs)
     keep_ids = np.sort(kept["doc_id"].to_numpy(np.int64))
     kref = ray.put(keep_ids)

@@ -663,14 +663,14 @@ def connected_components(pairs: pd.DataFrame) -> pd.DataFrame:
 
 
 def near_dup_groups(
-    sf_dir: str, jaccard_threshold: float = 0.6, **kw
+    sf_dir: str, jaccard_threshold: float = 0.6, n: int = 5, **kw
 ) -> pd.DataFrame:
-    """Connected components over the EXACT 5-gram Jaccard pair graph:
-    (doc_id, group_keeper) for every doc in a near-dup cluster, keeper =
-    min doc_id of the component (min-label propagation, see
+    """Connected components over the EXACT token n-gram Jaccard pair
+    graph: (doc_id, group_keeper) for every doc in a near-dup cluster,
+    keeper = min doc_id of the component (min-label propagation, see
     ``connected_components``). DuckDB oracle: recursive transitive
     closure over the same exact pairs."""
-    pairs = ngram_jaccard_pairs(sf_dir, n=5, threshold=jaccard_threshold)
+    pairs = ngram_jaccard_pairs(sf_dir, n=n, threshold=jaccard_threshold)
     return connected_components(pairs)
 
 

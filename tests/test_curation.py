@@ -153,6 +153,12 @@ def test_corpus_clean_write_partitioned(ray_session, curation_docs_dir, tmp_path
     back = pads.dataset(out, partitioning="hive").to_table()
     assert sorted(back["doc_id"].to_pylist()) == sorted(kept["doc_id"])
     assert "text" in back.column_names  # full rows, not just ids
+    # rerun replaces, never appends duplicates
+    info2 = corpus_clean_write(
+        curation_docs_dir, out, rates={"en": 1.0}, rate_other=0.5
+    )
+    back2 = pads.dataset(out, partitioning="hive").to_table()
+    assert back2.num_rows == info2["n_kept"] == info["n_kept"]
 
 
 def test_source_quota_cap_priority(ray_session, curation_docs_dir):

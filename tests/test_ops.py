@@ -142,6 +142,38 @@ def test_ann_ivf_persisted_equals_memory(ray_session, tmp_path):
     assert len(cells) > 1  # layout actually partitions
 
 
+def test_ann_tiebreak_and_rebuild_idempotence(ray_session, tmp_path):
+    """Duplicate embeddings tie exactly on cosine: the smallest vec_ids
+    must win the k boundary (partials tiebreak like the driver merge),
+    and rebuilding a persisted index must replace, not append."""
+    import numpy as np
+
+    from ck_ray.ops import ann
+
+    vecs = [[1.0, 0.0, 0.0, 0.0]] * 6 + [[0.0, 1.0, 0.0, 0.0]] * 2
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(8), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([0] * 8, pa.int32()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    q = np.array([1.0, 0.0, 0.0, 0.0])
+    out = ann.cosine_topk(str(tmp_path), q, k=3)
+    assert out["vec_id"].tolist() == [0, 1, 2]
+    idx = str(tmp_path / "ivf")
+    ann.build_ivf_index(str(tmp_path), idx)
+    info2 = ann.build_ivf_index(str(tmp_path), idx)  # rerun: replaces
+    assert info2["n_vectors"] == 8
+    a = ann.ivf_persisted_topk(idx, q, k=3)
+    assert a["vec_id"].tolist() == [0, 1, 2]
+    assert a["vec_id"].is_unique  # no duplicate rows from the rerun
+    assert a.equals(ann.ivf_hyperplane_topk(str(tmp_path), q, k=3))
+    with pytest.raises(ValueError):
+        ann.build_ivf_index(str(tmp_path), str(tmp_path / "bad"), n_bits=10)
+
+
 def test_ann_hyperplane_ivf_containment(ray_session):
     """The hyperplane-cell IVF result must be exactly the brute-force
     ranking restricted to probed cells: every returned (vec_id, score)
