@@ -125,6 +125,12 @@ _MD5_DOCKEY = (
 )
 
 
+def _token_budget() -> int:
+    from ck_ray.ops.curation import DEFAULT_TOKEN_BUDGET
+
+    return DEFAULT_TOKEN_BUDGET
+
+
 def _stratified_pred_sql() -> str:
     """Boolean SQL predicate over (doc_id, lang) applying the same
     exact-integer md5 thresholds the Ray operator uses."""
@@ -349,6 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_spans": curation.dup_ngram_spans,
         "stratified_sample": curation.stratified_sample,
         "source_quota_cap": curation.source_quota_cap,
+        "token_budget_sample": curation.token_budget_sample,
         "corpus_clean": curation.corpus_clean,
     }
 
@@ -1010,6 +1017,25 @@ FROM per p JOIN df d USING (s)
 GROUP BY p.doc_id ORDER BY p.doc_id
 """,
         "stratified_sample": _stratified_sample_sql(),
+        # longest md5-key-ordered prefix of docs whose cumulative token
+        # count stays within the budget
+        "token_budget_sample": f"""
+WITH {_TOKS},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+tc AS (
+  SELECT d.doc_id, coalesce(dl.dl, 0) AS n_tokens, {_MD5_DOCKEY} AS key
+  FROM documents d LEFT JOIN dl USING (doc_id)
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (
+           ORDER BY key, doc_id ROWS UNBOUNDED PRECEDING
+         ) AS c
+  FROM tc
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM cum WHERE c <= {_token_budget()} ORDER BY doc_id
+""",
         # the composed pipeline: near-dup keepers (recursive closure over
         # exact 5-gram Jaccard >= 0.6 — subsumes exact dedup at J = 1) ->
         # eval holdout + decontamination -> stratified sample -> source

@@ -432,6 +432,51 @@ def corpus_clean(
     return out[["doc_id", "lang", "source"]].reset_index(drop=True)
 
 
+DEFAULT_TOKEN_BUDGET = 15_000  # truncates even at sf0.01 (~27k tokens)
+
+
+def token_budget_sample(
+    sf_dir: str, budget: int = DEFAULT_TOKEN_BUDGET
+) -> pd.DataFrame:
+    """Deterministic sample up to a TOKEN budget: order docs by
+    ``md5_u64(str(doc_id))`` (a uniform "random" order, ties by doc_id)
+    and keep the longest prefix whose cumulative token count stays
+    <= budget — the "fill the training mix to N tokens" selection.
+    Returns the kept (doc_id, n_tokens) rows ordered by doc_id.
+
+    Shape: per-doc token counts come from one stateless ``map_batches``
+    pass (the tokenizer kernel); only (doc_id, count) pairs reach the
+    driver, where the cumsum cutoff runs over ids. At 10^12 docs the
+    cutoff becomes a threshold search instead (sample the key
+    distribution, binary-search the key threshold whose predicted
+    cumulative tokens hit the budget, then one exact correction pass) —
+    the per-doc counting pass is unchanged. SQL oracle: the identical
+    cumulative-sum window over the same md5 key order."""
+    from ..tokenizer import tokenize_array
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        tb = tokenize_array(t["text"])
+        n = np.bincount(tb.row_index, minlength=t.num_rows)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    df = ds.map_batches(counts, batch_format="pyarrow").to_pandas()
+    key = md5_u64_of_terms(
+        pc.cast(pa.array(df["doc_id"].to_numpy()), pa.string())
+    )
+    order = np.lexsort((df["doc_id"].to_numpy(), key))
+    cum = np.cumsum(df["n_tokens"].to_numpy()[order])
+    kept = order[cum <= budget]
+    out = df.iloc[kept][["doc_id", "n_tokens"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def corpus_clean_write(
     sf_dir: str, out_dir: str, **clean_kwargs
 ) -> dict:

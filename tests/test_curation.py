@@ -116,6 +116,27 @@ def test_corpus_clean_composition(ray_session, curation_docs_dir):
     assert got_b == [want_b]
 
 
+def test_token_budget_sample_prefix(ray_session, curation_docs_dir):
+    import pyarrow.parquet as pq_
+
+    from ck_ray.ops.curation import token_budget_sample
+
+    t = pq_.read_table(curation_docs_dir + "/documents.parquet")
+    docs = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    order = sorted(docs, key=lambda i: (md5_u64(str(i)), i))
+    for budget in (0, 15, 40, 10_000):
+        out = token_budget_sample(curation_docs_dir, budget=budget)
+        expect, cum = [], 0
+        for i in order:
+            cum += len(docs[i].split())  # fixture words are plain alnum
+            if cum > budget:
+                break
+            expect.append(i)
+        assert sorted(out["doc_id"]) == sorted(expect), budget
+        got = dict(zip(out["doc_id"], out["n_tokens"]))
+        assert all(got[i] == len(docs[i].split()) for i in expect)
+
+
 def test_curation_ops_on_actor_exchange(
     ray_session, curation_docs_dir, monkeypatch
 ):
