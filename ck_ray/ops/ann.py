@@ -37,8 +37,17 @@ def _topk_idx(sims: np.ndarray, ids: np.ndarray, kk: int) -> np.ndarray:
     """Top-kk indices by (score desc, vec_id asc) with a FULL tiebreak,
     so a per-batch partial never drops a global winner when scores tie
     at the k boundary (duplicate embeddings tie exactly; the driver
-    merge breaks ties by vec_id, so partials must too)."""
-    return np.lexsort((ids, -sims))[:kk]
+    merge breaks ties by vec_id, so partials must too). O(n) partition
+    + a lexsort over only the rows at/above the boundary score — the
+    full-sort cost is paid only when everything ties."""
+    n = len(sims)
+    if kk >= n:
+        return np.lexsort((ids, -sims))
+    part = np.argpartition(-sims, kk - 1)[:kk]
+    thresh = sims[part].min()
+    cand = np.nonzero(sims >= thresh)[0]
+    order = np.lexsort((ids[cand], -sims[cand]))
+    return cand[order[:kk]]
 
 
 def cosine_topk(
@@ -241,19 +250,18 @@ def build_ivf_index(
     directory PER CELL (``cell=C/``), so a query later reads only its
     probed cells' files — pruning at the READ, which is the step that
     makes IVF pay at 100 TB (the in-memory variants above still stream
-    every vector and prune in compute). An existing ``index_dir`` is
-    REPLACED wholesale (a rerun after partial failure must not append
-    duplicate rows to surviving cell dirs); a production-scale resume
-    would skip finished cells via per-cell lineage markers, the way
-    ``build.py`` does for index partitions.
+    every vector and prune in compute). A rebuild writes to a temp
+    sibling and swaps in only on success, so an existing index is
+    replaced wholesale and a failed rerun leaves it untouched; a
+    production-scale resume would skip finished cells via per-cell
+    lineage markers, the way ``build.py`` does for index partitions.
 
     Returns {"n_cells": ..., "n_vectors": ...}."""
     if not 1 <= n_bits <= 8:  # uint8 Hamming math in the probe rule
         raise ValueError("n_bits must be in 1..8")
-    if os.path.isdir(index_dir):
-        import shutil
+    import shutil
+    import uuid
 
-        shutil.rmtree(index_dir)
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     n_vec = ds.count()  # parquet metadata, no scan
 
@@ -261,9 +269,18 @@ def build_ivf_index(
         raw = _emb_matrix(t)
         return t.append_column("cell", pa.array(_cells_of(raw, n_bits)))
 
-    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
-        index_dir, partition_cols=["cell"]
-    )
+    # write to a sibling temp dir, swap in only after success — a failed
+    # rebuild must never destroy the previous working index
+    tmp = f"{index_dir.rstrip('/')}.tmp-{uuid.uuid4().hex[:6]}"
+    try:
+        ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+            tmp, partition_cols=["cell"]
+        )
+        if os.path.isdir(index_dir):
+            shutil.rmtree(index_dir)
+        os.rename(tmp, index_dir)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     cells = [
         d for d in os.listdir(index_dir) if d.startswith("cell=")
     ]

@@ -484,18 +484,18 @@ def corpus_clean_write(
     id set, then stream the full document rows (text included) through a
     broadcast semi-join filter into ``out_dir`` as parquet partitioned
     by ``source`` — one directory per source, so downstream readers
-    prune by source at the read. An existing ``out_dir`` is REPLACED
-    wholesale (appending after a partial failure would duplicate rows);
-    a production-scale resume would skip finished ``source=`` dirs via
-    per-partition lineage markers, the way ``build.py`` does. The
+    prune by source at the read. The write lands in a temp sibling and
+    swaps in only on success, so an existing ``out_dir`` is replaced
+    wholesale and a failed run leaves it untouched; a production-scale
+    resume would skip finished ``source=`` dirs via per-partition
+    lineage markers, the way ``build.py`` does. The
     kept-id broadcast is bounded by the post-quota corpus
     (quota x sources rows), not the input.
 
     Returns {"n_kept": ..., "partitions": [...]}."""
-    if os.path.isdir(out_dir):
-        import shutil
+    import shutil
+    import uuid
 
-        shutil.rmtree(out_dir)
     kept = corpus_clean(sf_dir, **clean_kwargs)
     keep_ids = np.sort(kept["doc_id"].to_numpy(np.int64))
     kref = ray.put(keep_ids)
@@ -508,11 +508,20 @@ def corpus_clean_write(
         pos = np.clip(np.searchsorted(arr, ids), 0, len(arr) - 1)
         return t.filter(pa.array(arr[pos] == ids))
 
-    (
-        ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
-        .map_batches(only_kept, batch_format="pyarrow")
-        .write_parquet(out_dir, partition_cols=["source"])
-    )
+    # write to a sibling temp dir, swap in only after success — a failed
+    # run must never destroy the previous materialized corpus
+    tmp = f"{out_dir.rstrip('/')}.tmp-{uuid.uuid4().hex[:6]}"
+    try:
+        (
+            ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+            .map_batches(only_kept, batch_format="pyarrow")
+            .write_parquet(tmp, partition_cols=["source"])
+        )
+        if os.path.isdir(out_dir):
+            shutil.rmtree(out_dir)
+        os.rename(tmp, out_dir)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     parts = sorted(
         d for d in os.listdir(out_dir) if d.startswith("source=")
     )
