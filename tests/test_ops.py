@@ -48,6 +48,41 @@ def test_ngram_jaccard_prefix_equals_direct(ray_session, planted_docs_dir):
     assert (82, 83) in pairs  # planted exact dup survives the filter
 
 
+@pytest.mark.parametrize("seed,thr", [(0, 0.3), (1, 0.5), (2, 0.8)])
+def test_ngram_prefix_equals_direct_fuzz(ray_session, tmp_path, seed, thr):
+    """Randomized corpora with a tiny vocabulary (dense shared shingles,
+    the prefix filter's hardest regime): the ppjoin path must match the
+    direct path bit-for-bit at every threshold."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ck_ray.ops.dedup import ngram_jaccard_pairs
+
+    rng = np.random.RandomState(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [
+        " ".join(rng.choice(vocab, rng.randint(6, 40)))
+        for _ in range(50)
+    ]
+    for i in range(0, 40, 7):  # inject near-dups at varying overlap
+        texts[i + 1] = texts[i] + " " + " ".join(rng.choice(vocab, 3))
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    d = tmp_path / f"fuzz{seed}"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    direct = ngram_jaccard_pairs(str(d), n=3, threshold=thr,
+                                 prefix_filter=False)
+    pref = ngram_jaccard_pairs(str(d), n=3, threshold=thr,
+                               prefix_filter=True)
+    assert direct.equals(pref)
+
+
 def test_ngram_prefix_prunes_stop_shingles(ray_session, tmp_path):
     """60 docs all share one hot 5-gram run (df=60 stop shingles); the
     direct path's stop buckets imply ~60*59/2 internal pairs per stop
