@@ -341,6 +341,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": text.langid,
         "fingerprints": text.fingerprints,
         "bigram_counts": text.bigram_counts,
+        "repetition_stats": text.repetition_stats,
+        "tfidf_top_terms": text.tfidf_top_terms,
+        "events_props_stats": relational.events_props_stats,
         # --- semantic + multimodal (semantic's stand-in embedder is
         # integer mixing + exact dyadic sums, replicated term-for-term in
         # the SQL oracle; multimodal's fake decode is sha256-derived and
@@ -357,6 +360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_quota_cap": curation.source_quota_cap,
         "token_budget_sample": curation.token_budget_sample,
         "corpus_clean": curation.corpus_clean,
+        "pack_sequences": curation.pack_sequences,
     }
 
 
@@ -1102,5 +1106,116 @@ r AS (
 )
 SELECT doc_id, source, CAST(rnk AS BIGINT) AS "rank"
 FROM r WHERE rnk <= 12 ORDER BY doc_id
+""",
+        # Gopher-style in-doc repetition signals: max token count, max
+        # bigram count, trigram positions occurring >= 2x — all ints
+        "repetition_stats": f"""
+WITH {_TOKS_POS},
+ow AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+  FROM tokp
+),
+topw AS (
+  SELECT doc_id, max(c) AS twc FROM (
+    SELECT doc_id, term, count(*) AS c FROM tokp GROUP BY doc_id, term
+  ) GROUP BY doc_id
+),
+bg AS (
+  SELECT o1.doc_id, o1.term || ' ' || o2.term AS b
+  FROM ow o1 JOIN ow o2 ON o1.doc_id = o2.doc_id AND o2.rn = o1.rn + 1
+),
+topb AS (
+  SELECT doc_id, max(c) AS tbc FROM (
+    SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b
+  ) GROUP BY doc_id
+),
+tg AS (
+  SELECT o1.doc_id, o1.term || ' ' || o2.term || ' ' || o3.term AS g
+  FROM ow o1
+  JOIN ow o2 ON o2.doc_id = o1.doc_id AND o2.rn = o1.rn + 1
+  JOIN ow o3 ON o3.doc_id = o1.doc_id AND o3.rn = o1.rn + 2
+),
+dupt AS (
+  SELECT doc_id, sum(c) AS dtp FROM (
+    SELECT doc_id, g, count(*) AS c FROM tg GROUP BY doc_id, g
+  ) WHERE c >= 2 GROUP BY doc_id
+),
+nt AS (SELECT doc_id, count(*) AS n FROM tokp GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(nt.n, 0) AS BIGINT)    AS n_tokens,
+       CAST(coalesce(topw.twc, 0) AS BIGINT) AS top_word_count,
+       CAST(coalesce(topb.tbc, 0) AS BIGINT) AS top_bigram_count,
+       CAST(coalesce(dupt.dtp, 0) AS BIGINT) AS dup_trigram_positions
+FROM documents d
+LEFT JOIN nt USING (doc_id)
+LEFT JOIN topw USING (doc_id)
+LEFT JOIN topb USING (doc_id)
+LEFT JOIN dupt USING (doc_id)
+ORDER BY d.doc_id
+""",
+        # per-doc top-3 terms by tf * ln(N/df); ties: score desc, term asc
+        "tfidf_top_terms": f"""
+WITH {_TOKS},
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks2 GROUP BY term
+),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * ln(n.n::DOUBLE / df.df) AS s,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * ln(n.n::DOUBLE / df.df) DESC, tf.term ASC
+         ) AS rnk
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, CAST(rnk AS BIGINT) AS "rank", term,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       round(s, 4) AS score
+FROM scored WHERE rnk <= 3 ORDER BY doc_id, rnk
+""",
+        # greedy per-source sequence packing under a 128-token budget;
+        # the recursive CTE replays the sequential fill row by row
+        "pack_sequences": f"""
+WITH RECURSIVE {_TOKS},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+nt AS (
+  SELECT d.doc_id, d.source, CAST(coalesce(dl.dl, 0) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id)
+           AS rn
+  FROM documents d LEFT JOIN dl USING (doc_id)
+),
+pack AS (
+  SELECT doc_id, source, n, rn,
+         CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_offset
+  FROM nt WHERE rn = 1
+  UNION ALL
+  SELECT nt.doc_id, nt.source, nt.n, nt.rn,
+         CASE WHEN p.seq_offset + p.n + nt.n > 128
+              THEN p.seq_id + 1 ELSE p.seq_id END,
+         CASE WHEN p.seq_offset + p.n + nt.n > 128
+              THEN CAST(0 AS BIGINT) ELSE p.seq_offset + p.n END
+  FROM pack p JOIN nt ON nt.source = p.source AND nt.rn = p.rn + 1
+)
+SELECT doc_id, source, n AS n_tokens, seq_id, seq_offset
+FROM pack ORDER BY doc_id
+""",
+        # JSON scalar extraction (props ->> k) + grouped stats
+        "events_props_stats": r"""
+WITH x AS (
+  SELECT event_type,
+         CAST(nullif(regexp_extract(props, '"k":\s*(\d+)', 1), '')
+              AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       count(*)::BIGINT AS n, count(k)::BIGINT AS n_k,
+       sum(k)::BIGINT AS sum_k, min(k)::BIGINT AS min_k,
+       max(k)::BIGINT AS max_k
+FROM x GROUP BY event_type ORDER BY event_type
 """,
     }

@@ -526,3 +526,95 @@ def corpus_clean_write(
         d for d in os.listdir(out_dir) if d.startswith("source=")
     )
     return {"n_kept": int(len(keep_ids)), "partitions": parts}
+
+
+DEFAULT_PACK_BUDGET = 128
+
+
+def pack_sequences(
+    sf_dir: str, budget: int = DEFAULT_PACK_BUDGET
+) -> pd.DataFrame:
+    """Greedy sequence packing for training-data prep: concatenate
+    documents (in doc_id order, independently per ``source``) into
+    training sequences of at most ``budget`` tokens; a document that
+    would overflow the current sequence starts the next one (a document
+    longer than the whole budget gets a sequence of its own).
+
+    Returns (doc_id, source, n_tokens, seq_id, seq_offset): which
+    sequence each document landed in and at which token offset — the
+    exact layout a sequence-packing writer needs.
+
+    Scale shape: packing is sequential *within* a source but independent
+    *across* sources, so the kernel rides the source-keyed hash exchange
+    (same partitioning as ``source_quota_cap``). Per partition the
+    reducer runs ONE vectorized pass per source: cumulative token sums +
+    a ``searchsorted`` jump per produced sequence — O(log n) per
+    sequence, not O(1) per document, so cost scales with OUTPUT
+    sequences (total_tokens / budget), not with documents.
+    """
+    from ..tokenizer import tokenize_array
+
+    ds = _docs(sf_dir, ["doc_id", "source", "text"])
+
+    def with_len(t: pa.Table) -> pa.Table:
+        tb = tokenize_array(t["text"])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "source": t["source"],
+                "n_tokens": pa.array(tb.doc_len.astype(np.int64)),
+            }
+        )
+
+    def pack_part(rows: pa.Table) -> pa.Table:
+        src = pc.dictionary_encode(rows["source"].combine_chunks())
+        codes = src.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = rows["doc_id"].to_numpy()
+        n = rows["n_tokens"].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, codes))
+        c2, n2 = codes[order], n[order]
+        starts = np.nonzero(
+            np.concatenate(([True], c2[1:] != c2[:-1]))
+        )[0]
+        ends = np.concatenate((starts[1:], [len(c2)]))
+        seq_id = np.empty(len(c2), np.int64)
+        seq_off = np.empty(len(c2), np.int64)
+        for s, e in zip(starts, ends):  # one iteration per SOURCE
+            csum = np.cumsum(n2[s:e])
+            i, base, sq = 0, 0, 0
+            while i < e - s:  # one iteration per produced SEQUENCE
+                j = int(np.searchsorted(csum, base + budget, side="right"))
+                j = max(j, i + 1)  # an over-budget doc packs alone
+                seq_id[s + i : s + j] = sq
+                prev = np.concatenate(([base], csum[i : j - 1]))
+                seq_off[s + i : s + j] = prev - base
+                base = csum[j - 1]
+                i, sq = j, sq + 1
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order]),
+                "source": rows["source"].take(pa.array(order)),
+                "n_tokens": pa.array(n2),
+                "seq_id": pa.array(seq_id),
+                "seq_offset": pa.array(seq_off),
+            }
+        )
+
+    out = hash_exchange(
+        ds.map_batches(with_len, batch_format="pyarrow"),
+        key_fn=lambda t: md5_u64_of_terms(t["source"]),
+        reducer=pack_part,
+    )
+    if len(out) == 0:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "source": pd.Series([], dtype="object"),
+                "n_tokens": pd.Series([], dtype="int64"),
+                "seq_id": pd.Series([], dtype="int64"),
+                "seq_offset": pd.Series([], dtype="int64"),
+            }
+        )
+    for c in ("n_tokens", "seq_id", "seq_offset"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -357,3 +357,210 @@ def bigram_counts(sf_dir: str, top_n: int = 100) -> pd.DataFrame:
     out["df"] = out["df"].astype("int64")
     out = out.sort_values(["cf", "bigram"], ascending=[False, True]).head(top_n)
     return out.reset_index(drop=True)
+
+
+def repetition_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-doc repetition signals (the Gopher-rule family): count of the
+    most frequent token, count of the most frequent word bigram, and the
+    number of trigram positions whose trigram occurs >= 2 times within
+    the document — the "fraction of characters in duplicated n-grams"
+    filters every pretraining pipeline applies.
+
+    All integers (ratios are derivable downstream; integers survive the
+    driver's value-hash compare exactly). Fully map-side: every document
+    lives in one batch row, so the statistics are per-row local — one
+    streaming ``map_batches`` pass, no shuffle at any scale.
+    Vectorized: one tokenizer pass, adjacent-token joins on the flat
+    token stream (bigram/trigram), ``TableGroupBy`` for the in-doc
+    counts, segmented max/sum via ``np.maximum.at``/``np.add.at``.
+    """
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _top_count_per_row(rows: np.ndarray, grams, n_rows: int) -> np.ndarray:
+        """max over (row, gram) group sizes, per row; 0 when no grams."""
+        if len(rows) == 0:
+            return np.zeros(n_rows, np.int64)
+        g = pa.TableGroupBy(
+            pa.table({"row": pa.array(rows), "g": grams}),
+            ["row", "g"],
+            use_threads=False,
+        ).aggregate([("g", "count")])
+        out = np.zeros(n_rows, np.int64)
+        np.maximum.at(
+            out,
+            g["row"].to_numpy(),
+            g["g_count"].to_numpy().astype(np.int64),
+        )
+        return out
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        tb = tokenize_array(t["text"])
+        n = t.num_rows
+        terms = tb.term.combine_chunks() if isinstance(
+            tb.term, pa.ChunkedArray
+        ) else tb.term
+        rows = tb.row_index
+        top_word = _top_count_per_row(rows, terms, n)
+
+        nt = len(rows)
+        # adjacent kept tokens within the same row -> bigrams/trigrams
+        if nt >= 2:
+            same2 = rows[:-1] == rows[1:]
+            bg = pc.binary_join_element_wise(
+                terms.slice(0, nt - 1).filter(pa.array(same2)),
+                terms.slice(1, nt - 1).filter(pa.array(same2)),
+                " ",
+            )
+            top_bigram = _top_count_per_row(rows[:-1][same2], bg, n)
+        else:
+            top_bigram = np.zeros(n, np.int64)
+
+        dup_tri = np.zeros(n, np.int64)
+        if nt >= 3:
+            same3 = (rows[:-2] == rows[1:-1]) & (rows[:-2] == rows[2:])
+            tg = pc.binary_join_element_wise(
+                terms.slice(0, nt - 2).filter(pa.array(same3)),
+                terms.slice(1, nt - 2).filter(pa.array(same3)),
+                terms.slice(2, nt - 2).filter(pa.array(same3)),
+                " ",
+            )
+            trows = rows[:-2][same3]
+            if len(trows):
+                g = pa.TableGroupBy(
+                    pa.table({"row": pa.array(trows), "g": tg}),
+                    ["row", "g"],
+                    use_threads=False,
+                ).aggregate([("g", "count")])
+                cnt = g["g_count"].to_numpy().astype(np.int64)
+                dup = cnt >= 2
+                np.add.at(dup_tri, g["row"].to_numpy()[dup], cnt[dup])
+
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(tb.doc_len.astype(np.int64)),
+                "top_word_count": pa.array(top_word),
+                "top_bigram_count": pa.array(top_bigram),
+                "dup_trigram_positions": pa.array(dup_tri),
+            }
+        )
+
+    return (
+        ds.map_batches(per_doc, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Per-doc top-``k`` terms by tf-idf (idf = ln(N / df), the plain
+    textbook form), deterministic tie-break (score desc, term asc) —
+    the keyword-extraction / relevance-feature operator.
+
+    Two passes, both map-side partial first:
+    1. global df: per-batch distinct (term, doc) counts (each doc lives
+       in one batch, so per-batch ``count_distinct`` partials SUM to the
+       exact global df) ride the hash exchange keyed by term — only
+       (term, df) partials shuffle. The resulting vocabulary table is
+       broadcast once via ``ray.put`` (sorted term array + df array;
+       searchsorted probe). At 100 TB vocabulary scale the broadcast
+       becomes a semi-join through the same exchange — the scoring pass
+       keys by term instead of probing.
+    2. scoring: per-batch tf via ``TableGroupBy``, vectorized df probe,
+       one lexsort + run-start subtraction for the per-doc top-k (the
+       ``_quota_over`` segmented-rank kernel — no per-group Python).
+    """
+    from ..exchange import hash_exchange
+    from ..ids import term_hash
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        tb = tokenize_array(t["text"])
+        g = pa.TableGroupBy(
+            pa.table({"term": tb.term, "row": pa.array(tb.row_index)}),
+            ["term"],
+            use_threads=False,
+        ).aggregate([("row", "count_distinct")])
+        return pa.table(
+            {"term": g["term"], "df": g["row_count_distinct"].cast(pa.int64())}
+        )
+
+    def df_reduce(rows: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(rows, ["term"], use_threads=False).aggregate(
+            [("df", "sum")]
+        )
+        return pa.table(
+            {"term": g["term"], "df": g["df_sum"].cast(pa.int64())}
+        )
+
+    dfs = hash_exchange(
+        ds.map_batches(df_partial, batch_format="pyarrow"),
+        key_fn=lambda t: term_hash(
+            t["term"], np.zeros(t.num_rows, np.uint64)
+        ),
+        reducer=df_reduce,
+    )
+    n_docs = _docs(sf_dir, ["doc_id"]).count()
+    if dfs.empty:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "rank": pd.Series([], dtype="int64"),
+                "term": pd.Series([], dtype=str),
+                "tf": pd.Series([], dtype="int64"),
+                "df": pd.Series([], dtype="int64"),
+                "score": pd.Series([], dtype="float64"),
+            }
+        )
+    vocab = np.array(sorted(dfs["term"]), dtype=str)
+    df_of = (
+        dfs.set_index("term").loc[vocab, "df"].to_numpy(np.int64)
+    )
+    vocab_ref = ray.put((vocab, df_of, int(n_docs)))
+
+    def score(t: pa.Table) -> pa.Table:
+        tb = tokenize_array(t["text"])
+        g = pa.TableGroupBy(
+            pa.table({"row": pa.array(tb.row_index), "term": tb.term}),
+            ["row", "term"],
+            use_threads=False,
+        ).aggregate([("term", "count")])
+        rows = g["row"].to_numpy()
+        terms = np.array(g["term"].to_pylist(), dtype=str)
+        tf = g["term_count"].to_numpy().astype(np.int64)
+        voc, dfo, nn = ray.get(vocab_ref)
+        pos = np.searchsorted(voc, terms)
+        dfv = dfo[pos]  # every term in a doc is in the global vocabulary
+        sc = tf * np.log(nn / dfv)
+        # top-k per row: lexsort (term asc within equal -score) + run ranks
+        order = np.lexsort((terms, -sc, rows))
+        r2 = rows[order]
+        run_start = np.nonzero(
+            np.concatenate(([True], r2[1:] != r2[:-1]))
+        )[0]
+        posr = np.arange(len(r2)) - np.repeat(
+            run_start, np.diff(np.concatenate((run_start, [len(r2)])))
+        )
+        keep = posr < k
+        sel = order[keep]
+        ids = t["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[rows[sel]]),
+                "rank": pa.array((posr[keep] + 1).astype(np.int64)),
+                "term": pa.array(terms[sel].astype(str)),
+                "tf": pa.array(tf[sel]),
+                "df": pa.array(dfv[sel]),
+                "score": pa.array(np.round(sc[sel], 4)),
+            }
+        )
+
+    out = (
+        ds.map_batches(score, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    return out

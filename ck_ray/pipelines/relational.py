@@ -953,3 +953,60 @@ def user_sessions(sf_dir: str) -> pd.DataFrame:
     for c in ("user_id", "n_events", "span_us", "max_gap_us"):
         out[c] = out[c].astype("int64")
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def events_props_stats(sf_dir: str) -> pd.DataFrame:
+    """JSON scalar extraction + grouped stats over events.props — the
+    semi-structured-column shape (SURVEY §2.8 scalar-function family):
+    pull the integer ``k`` out of the ``props`` JSON string with ONE
+    vectorized RE2 kernel (``pc.extract_regex`` — no per-row json.loads)
+    and aggregate per event_type.
+
+    Map-side partials (count/sum/min/max per type, <= |types| rows per
+    batch) merge on the driver — no shuffle; at any scale this is one
+    streaming pass over two pruned columns.
+    """
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["event_type", "props"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(
+            t["props"].combine_chunks(), r'"k":\s*(?P<v>\d+)'
+        )
+        k = pc.struct_field(ex, "v").cast(pa.int64())
+        g = pa.TableGroupBy(
+            pa.table({"event_type": t["event_type"], "k": k}),
+            ["event_type"],
+            use_threads=False,
+        ).aggregate(
+            [("k", "count", pc.CountOptions(mode="all")),
+             ("k", "count", pc.CountOptions(mode="only_valid")),
+             ("k", "sum"), ("k", "min"), ("k", "max")]
+        )
+        # the two count aggregates share the name "k_count" -> by index
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "n": g.column(1).cast(pa.int64()),
+                "n_k": g.column(2).cast(pa.int64()),
+                "sum_k": g["k_sum"].cast(pa.int64()),
+                "min_k": g["k_min"].cast(pa.int64()),
+                "max_k": g["k_max"].cast(pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.groupby("event_type", as_index=False)
+        .agg(
+            n=("n", "sum"),
+            n_k=("n_k", "sum"),
+            sum_k=("sum_k", "sum"),
+            min_k=("min_k", "min"),
+            max_k=("max_k", "max"),
+        )
+    )
+    for c in ("n", "n_k", "sum_k", "min_k", "max_k"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)

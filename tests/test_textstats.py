@@ -1,0 +1,181 @@
+"""Repetition stats, tf-idf keyword extraction, sequence packing and
+JSON-props extraction: every expectation below is computed by hand from
+the planted fixtures."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def rep_docs_dir(tmp_path_factory):
+    texts = [
+        "a a a b c",          # top word 3x, top bigram "a a" 2x, no dup tri
+        "x y x y x y",        # bigram "x y" 3x; trigrams repeat (2+2)
+        "solo",               # single token edges
+        "",                   # empty doc
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    d = tmp_path_factory.mktemp("repdocs")
+    pq.write_table(t, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_repetition_stats_planted(ray_session, rep_docs_dir):
+    from ck_ray.ops.text import repetition_stats
+
+    out = repetition_stats(rep_docs_dir).set_index("doc_id")
+    assert out.loc[0].tolist() == [5, 3, 2, 0]
+    # doc 1: trigrams = x y x, y x y, x y x, y x y -> both appear twice,
+    # so 4 of the 4 trigram positions are duplicated
+    assert out.loc[1].tolist() == [6, 3, 3, 4]
+    assert out.loc[2].tolist() == [1, 1, 0, 0]
+    assert out.loc[3].tolist() == [0, 0, 0, 0]
+
+
+@pytest.fixture(scope="module")
+def tfidf_docs_dir(tmp_path_factory):
+    texts = [
+        "apple apple banana",
+        "banana cherry",
+        "cherry cherry cherry date",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    d = tmp_path_factory.mktemp("tfidfdocs")
+    pq.write_table(t, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_tfidf_top_terms_planted(ray_session, tfidf_docs_dir):
+    from ck_ray.ops.text import tfidf_top_terms
+
+    out = tfidf_top_terms(tfidf_docs_dir, k=3)
+    # df: apple 1, banana 2, cherry 2, date 1; N = 3
+    by_doc = {d: g for d, g in out.groupby("doc_id")}
+    assert by_doc[0]["term"].tolist() == ["apple", "banana"]
+    assert by_doc[0]["tf"].tolist() == [2, 1]
+    assert by_doc[0]["score"].tolist() == [
+        round(2 * math.log(3 / 1), 4),
+        round(1 * math.log(3 / 2), 4),
+    ]
+    # doc 1: banana and cherry tie exactly -> term-asc breaks it
+    assert by_doc[1]["term"].tolist() == ["banana", "cherry"]
+    assert by_doc[1]["rank"].tolist() == [1, 2]
+    # doc 2: 3*ln(1.5) = 1.2164 beats 1*ln(3) = 1.0986
+    assert by_doc[2]["term"].tolist() == ["cherry", "date"]
+
+
+@pytest.fixture(scope="module")
+def pack_docs_dir(tmp_path_factory):
+    # source a: doc 0 (6 tokens), doc 3 (10), doc 17 (10)
+    # source b: doc 5 (12), doc 6 (8), doc 7 (8), doc 9 (8)
+    texts = {
+        0: "one two three four five six",
+        3: "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10",
+        17: "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10",
+        5: "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12",
+        6: "c1 c2 c3 c4 c5 c6 c7 c8",
+        7: "d1 d2 d3 d4 d5 d6 d7 d8",
+        9: "e1 e2 e3 e4 e5 e6 e7 e8",
+    }
+    ids = sorted(texts)
+    src = {0: "a", 3: "a", 17: "a", 5: "b", 6: "b", 7: "b", 9: "b"}
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([texts[i] for i in ids]),
+            "lang": pa.array(["en"] * len(ids)),
+            "source": pa.array([src[i] for i in ids]),
+            "n_chars": pa.array([len(texts[i]) for i in ids], pa.int64()),
+        }
+    )
+    d = tmp_path_factory.mktemp("packdocs")
+    pq.write_table(t, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_pack_sequences_greedy(ray_session, pack_docs_dir):
+    from ck_ray.ops.curation import pack_sequences
+
+    out = pack_sequences(pack_docs_dir, budget=16).set_index("doc_id")
+    # source a in doc_id order: 0(6) -> seq0@0; 3(10): 6+10=16 fits ->
+    # seq0@6; 17(10): 16+10 > 16 -> seq1@0
+    assert out.loc[0, ["seq_id", "seq_offset"]].tolist() == [0, 0]
+    assert out.loc[3, ["seq_id", "seq_offset"]].tolist() == [0, 6]
+    assert out.loc[17, ["seq_id", "seq_offset"]].tolist() == [1, 0]
+    # source b: 5(12) seq0@0; 6(8): 12+8 > 16 -> seq1@0; 7(8): 8+8 = 16
+    # fits -> seq1@8; 9(8): 16+8 > 16 -> seq2@0
+    assert out.loc[5, ["seq_id", "seq_offset"]].tolist() == [0, 0]
+    assert out.loc[6, ["seq_id", "seq_offset"]].tolist() == [1, 0]
+    assert out.loc[7, ["seq_id", "seq_offset"]].tolist() == [1, 8]
+    assert out.loc[9, ["seq_id", "seq_offset"]].tolist() == [2, 0]
+    assert out["n_tokens"].sum() == 62
+
+
+def test_pack_sequences_overbudget_doc_packs_alone(
+    ray_session, pack_docs_dir
+):
+    from ck_ray.ops.curation import pack_sequences
+
+    out = pack_sequences(pack_docs_dir, budget=10).set_index("doc_id")
+    # doc 5 (12 tokens > budget 10) still gets placed, alone, at offset 0
+    assert out.loc[5, ["seq_id", "seq_offset"]].tolist() == [0, 0]
+    # and the next source-b doc starts a fresh sequence
+    assert out.loc[6, ["seq_id", "seq_offset"]].tolist() == [1, 0]
+
+
+@pytest.fixture(scope="module")
+def props_events_dir(tmp_path_factory):
+    t = pa.table(
+        {
+            "event_id": pa.array(range(5), pa.int64()),
+            "ts": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "user_id": pa.array([1, 1, 2, 2, 3], pa.int64()),
+            "event_type": pa.array(
+                ["click", "click", "error", "error", "click"]
+            ),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0]),
+            "props": pa.array(
+                [
+                    '{"k": 10}',
+                    '{"k": 3}',
+                    '{"k": 7}',
+                    '{"other": 1}',  # no k -> excluded from k-stats
+                    '{"k": 100}',
+                ]
+            ),
+        }
+    )
+    d = tmp_path_factory.mktemp("propsevents")
+    pq.write_table(t, str(d / "events.parquet"))
+    return str(d)
+
+
+def test_events_props_stats_planted(ray_session, props_events_dir):
+    from ck_ray.pipelines.relational import events_props_stats
+
+    out = events_props_stats(props_events_dir).set_index("event_type")
+    assert out.loc["click"].tolist() == [3, 3, 113, 3, 100]
+    # the k-less error row counts in n but not in the k aggregates
+    assert out.loc["error", "n"] == 2
+    assert out.loc["error", "n_k"] == 1
+    assert out.loc["error", "sum_k"] == 7

@@ -44,6 +44,9 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = entrymod.oracle_sql()
     queries = entrymod.queries()
+    only = set(sys.argv[2:])  # optional: restrict to named entries
+    if only:
+        queries = {k: v for k, v in queries.items() if k in only}
     results: dict[str, dict] = {}
     n_bad = 0
     for name in sorted(queries):
