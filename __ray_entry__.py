@@ -361,6 +361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_sample": curation.token_budget_sample,
         "corpus_clean": curation.corpus_clean,
         "pack_sequences": curation.pack_sequences,
+        "dup_span_scrub": curation.dup_span_scrub,
     }
 
 
@@ -1203,6 +1204,53 @@ pack AS (
 )
 SELECT doc_id, source, n AS n_tokens, seq_id, seq_offset
 FROM pack ORDER BY doc_id
+""",
+        # span-level dedup WRITER: drop tokens covered by a cross-doc
+        # duplicate 5-gram; scrub_key = first 60 bits of md5(rewritten
+        # text) proves the rewrite itself, not just the counts
+        "dup_span_scrub": f"""
+WITH {_TOKS_POS},
+shp AS (
+  SELECT t0.doc_id, t0.pos,
+         {" || chr(1) || ".join(f"t{j}.term" for j in range(5))} AS s
+  FROM tokp t0{"".join(
+      f" JOIN tokp t{j} ON t0.doc_id = t{j}.doc_id"
+      f" AND t{j}.pos = t0.pos + {j}" for j in range(1, 5))}
+),
+df AS (SELECT s, count(DISTINCT doc_id) AS df FROM shp GROUP BY s),
+dup AS (
+  SELECT p.doc_id, p.pos FROM shp p JOIN df USING (s) WHERE df.df >= 2
+),
+cov AS (
+  SELECT DISTINCT t.doc_id, t.pos
+  FROM tokp t JOIN dup d ON d.doc_id = t.doc_id
+   AND t.pos BETWEEN d.pos AND d.pos + 4
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.term
+  FROM tokp t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+  WHERE c.pos IS NULL
+),
+ka AS (
+  SELECT doc_id, count(*) AS kept_tokens,
+         string_agg(term, ' ' ORDER BY pos) AS s
+  FROM kept GROUP BY doc_id
+),
+nt AS (SELECT doc_id, count(*) AS n FROM tokp GROUP BY doc_id),
+dp AS (SELECT doc_id, count(*) AS dps FROM dup GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(nt.n, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(dp.dps, 0) AS BIGINT) AS dup_positions,
+       CAST(coalesce(nt.n, 0) - coalesce(ka.kept_tokens, 0) AS BIGINT)
+         AS covered_tokens,
+       CAST(coalesce(ka.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       CAST(('0x' || substr(md5(coalesce(ka.s, '')), 1, 15))::UBIGINT
+            AS BIGINT) AS scrub_key
+FROM documents d
+LEFT JOIN nt USING (doc_id)
+LEFT JOIN dp USING (doc_id)
+LEFT JOIN ka USING (doc_id)
+ORDER BY d.doc_id
 """,
         # JSON scalar extraction (props ->> k) + grouped stats
         "events_props_stats": r"""

@@ -618,3 +618,130 @@ def pack_sequences(
     for c in ("n_tokens", "seq_id", "seq_offset"):
         out[c] = out[c].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def dup_span_scrub(sf_dir: str, n: int = 5) -> pd.DataFrame:
+    """Span-level deduplication WRITER: remove from every document the
+    token positions covered by a cross-doc duplicate n-gram (an n-gram
+    appearing in >= 2 distinct documents), and prove the rewrite with an
+    md5 key of the scrubbed text — the "deduplicating training data"
+    span-removal transform, not just the statistic
+    (``dup_ngram_spans`` reports; this one rewrites).
+
+    Returns per doc: (doc_id, n_tokens, dup_positions, covered_tokens,
+    kept_tokens, scrub_key) where scrub_key is the first 60 bits of
+    md5(' '-join of surviving tokens) — bit-identical to the SQL
+    oracle's ``md5(string_agg(term, ' ' ORDER BY pos))``.
+
+    Scale shape: pass 1 computes global distinct-doc df per shingle hash
+    through the hash exchange (only (hash, partial-df) shuffles) and
+    keeps ONLY the df >= 2 hashes — duplicated shingles are the
+    exceptional rows, so the set is broadcast-sized (same argument as
+    ``corpus_clean``'s drop set); pass 2 is one stateless streaming
+    ``map_batches``: searchsorted probe, interval-union coverage via a
+    +1/-1 delta cumsum over the flat token stream, Arrow list rebuild +
+    ``binary_join`` for the rewritten text. No text ever shuffles.
+    """
+    from ..ids import md5_u64_of_terms as _md5_terms
+    from ..tokenizer import tokenize_array
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        _, sh, _ = _distinct_doc_shingles(t, n)
+        u, c = np.unique(sh, return_counts=True)
+        return pa.table(
+            {
+                "sh": pa.array(u.view(np.int64)),
+                "df": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    def df_reduce(rows: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(rows, ["sh"], use_threads=False).aggregate(
+            [("df", "sum")]
+        )
+        dup = pc.greater_equal(g["df_sum"], 2)
+        return pa.table({"sh": g["sh"].filter(dup)})
+
+    dup_df = hash_exchange(
+        ds.map_batches(df_partial, batch_format="pyarrow"),
+        key_fn=lambda t: t["sh"].to_numpy().view(np.uint64),
+        reducer=df_reduce,
+    )
+    dup_sorted = (
+        np.sort(dup_df["sh"].to_numpy().view(np.uint64))
+        if len(dup_df)
+        else np.empty(0, np.uint64)
+    )
+    dup_ref = ray.put(dup_sorted)
+
+    def scrub(t: pa.Table) -> pa.Table:
+        tb = tokenize_array(t["text"])
+        starts, acc = _shingle_hashes(t, n, tb=tb)
+        n_rows = t.num_rows
+        counts = np.bincount(tb.row_index, minlength=n_rows)
+        tok_starts = np.concatenate(([0], np.cumsum(counts)))
+        total_tok = int(tok_starts[-1])
+        valid_len = np.diff(starts)
+        win_row = np.repeat(np.arange(n_rows), valid_len)
+        win_ord = np.arange(len(acc)) - np.repeat(starts[:-1], valid_len)
+        win_base = tok_starts[:-1][win_row] + win_ord  # global token idx
+
+        dup_set = ray.get(dup_ref)
+        if len(dup_set) and len(acc):
+            pos = np.clip(np.searchsorted(dup_set, acc), 0, len(dup_set) - 1)
+            dup = dup_set[pos] == acc
+        else:
+            dup = np.zeros(len(acc), bool)
+
+        covered = np.zeros(total_tok, bool)
+        if dup.any():
+            delta = np.zeros(total_tok + 1, np.int64)
+            np.add.at(delta, win_base[dup], 1)
+            np.add.at(delta, win_base[dup] + n, -1)
+            covered = np.cumsum(delta[:-1]) > 0
+
+        keep = ~covered
+        kept_counts = np.bincount(
+            tb.row_index[keep], minlength=n_rows
+        ).astype(np.int64)
+        terms = (
+            tb.term.combine_chunks()
+            if isinstance(tb.term, pa.ChunkedArray)
+            else tb.term
+        )
+        kept_terms = terms.filter(pa.array(keep))
+        offsets = np.concatenate(([0], np.cumsum(kept_counts))).astype(
+            np.int32
+        )
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets), kept_terms), " "
+        )
+        key = (_md5_terms(joined) >> np.uint64(4)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(tb.doc_len.astype(np.int64)),
+                "dup_positions": pa.array(
+                    np.bincount(win_row[dup], minlength=n_rows).astype(
+                        np.int64
+                    )
+                ),
+                "covered_tokens": pa.array(
+                    np.bincount(
+                        tb.row_index[covered], minlength=n_rows
+                    ).astype(np.int64)
+                ),
+                "kept_tokens": pa.array(kept_counts),
+                "scrub_key": pa.array(key),
+            }
+        )
+
+    out = (
+        ds.map_batches(scrub, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out

@@ -80,9 +80,14 @@ def _perm_params(n_perm: int, seed: int = 42):
     return a, b
 
 
-def _shingle_hashes(t: pa.Table, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """Per batch: (row_starts, shingle token-ngram hashes) vectorized."""
-    tb = tokenize_array(t["text"])
+def _shingle_hashes(
+    t: pa.Table, k: int, tb=None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per batch: (row_starts, shingle token-ngram hashes) vectorized.
+    Pass ``tb`` (a TokenizedBatch of t["text"]) to reuse one tokenizer
+    pass when the caller needs the tokens too."""
+    if tb is None:
+        tb = tokenize_array(t["text"])
     n = t.num_rows
     th = term_hash(tb.term, np.zeros(len(tb.row_index), dtype=np.int64))
     counts = np.bincount(tb.row_index, minlength=n)

@@ -193,3 +193,33 @@ def test_source_quota_cap_priority(ray_session, curation_docs_dir):
         assert sorted(by_src[src]) == want
     assert out.groupby("source")["rank"].max().le(2).all()
     assert out.groupby("source")["rank"].min().eq(1).all()
+
+
+def test_dup_span_scrub_rewrites_exactly(ray_session, curation_docs_dir):
+    """Hand-walked coverage: docs 17/3 share two 5-grams; 6/7 are fully
+    covered; 5's repetition is internal-only (df = 1) so nothing is cut."""
+    import hashlib
+
+    from ck_ray.ops.curation import dup_span_scrub
+
+    out = dup_span_scrub(curation_docs_dir, n=5).set_index("doc_id")
+
+    def key_of(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    # doc 17: dup windows at pos 1,2 cover tokens 1-6 -> kept 7-10
+    assert out.loc[17, "dup_positions"] == 2
+    assert out.loc[17, "covered_tokens"] == 6
+    assert out.loc[17, "kept_tokens"] == 4
+    assert out.loc[17, "scrub_key"] == key_of("the lazy dog tonight")
+    # doc 3: dup windows at pos 4,5 cover 4-9 -> kept 1-3 and 10
+    assert out.loc[3, "scrub_key"] == key_of("prefix words then something")
+    # identical twins 6/7: every token covered -> empty rewrite
+    for d in (6, 7):
+        assert out.loc[d, "kept_tokens"] == 0
+        assert out.loc[d, "scrub_key"] == key_of("")
+    # doc 5 repeats its own 5-grams but shares none cross-doc: untouched
+    assert out.loc[5, "dup_positions"] == 0
+    assert out.loc[5, "kept_tokens"] == out.loc[5, "n_tokens"] == 12
+    # unrelated docs unscathed
+    assert out.loc[9, "covered_tokens"] == 0
