@@ -538,7 +538,11 @@ def pack_sequences(
     documents (in doc_id order, independently per ``source``) into
     training sequences of at most ``budget`` tokens; a document that
     would overflow the current sequence starts the next one (a document
-    longer than the whole budget gets a sequence of its own).
+    longer than the whole budget gets a sequence of its own). Precise
+    rule (engine, SQL oracle and fuzz reference agree): a doc starts a
+    new sequence iff the running total including it would exceed the
+    budget AND it is not the sequence's first doc — zero-token docs
+    consume a slot but no budget.
 
     Returns (doc_id, source, n_tokens, seq_id, seq_offset): which
     sequence each document landed in and at which token offset — the

@@ -223,3 +223,108 @@ def test_dup_span_scrub_rewrites_exactly(ray_session, curation_docs_dir):
     assert out.loc[5, "kept_tokens"] == out.loc[5, "n_tokens"] == 12
     # unrelated docs unscathed
     assert out.loc[9, "covered_tokens"] == 0
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_pack_sequences_fuzz_vs_python(ray_session, tmp_path, seed):
+    """Random corpora: the exchange kernel must equal a plain sequential
+    greedy packer, doc by doc."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ck_ray.ops.curation import pack_sequences
+
+    rng = np.random.RandomState(seed)
+    n_docs = int(rng.randint(20, 60))
+    budget = int(rng.randint(5, 40))
+    words = ["w%d" % i for i in range(8)]
+    texts = [
+        " ".join(rng.choice(words, rng.randint(0, 20))) for _ in range(n_docs)
+    ]
+    srcs = [str(rng.choice(["a", "b", "c"])) for _ in range(n_docs)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * n_docs),
+            "source": pa.array(srcs),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    out = pack_sequences(str(d), budget=budget).set_index("doc_id")
+
+    # sequential reference. Rule (matches engine AND SQL oracle): a doc
+    # overflows when the sequence total including it would exceed the
+    # budget, unless it is the sequence's FIRST doc — so a zero-token
+    # doc can open a sequence that an over-budget doc then won't share.
+    state = {}
+    for i in range(n_docs):
+        n = len([w for w in texts[i].split() if w])
+        sq, off, cnt = state.get(srcs[i], (0, 0, 0))
+        if cnt > 0 and off + n > budget:
+            sq, off, cnt = sq + 1, 0, 0
+        assert out.loc[i, "seq_id"] == sq, (i, seed)
+        assert out.loc[i, "seq_offset"] == off, (i, seed)
+        assert out.loc[i, "n_tokens"] == n
+        state[srcs[i]] = (sq, off + n, cnt + 1)
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_dup_span_scrub_fuzz_vs_python(ray_session, tmp_path, seed):
+    """Random small-vocab corpora (lots of colliding n-grams): the
+    distributed scrub must equal a brute-force python rewrite."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ck_ray.ops.curation import dup_span_scrub
+
+    rng = np.random.RandomState(seed)
+    n, k = int(rng.randint(15, 40)), 3
+    words = ["a", "b", "c", "d"]
+    texts = [
+        " ".join(rng.choice(words, rng.randint(0, 15))) for _ in range(n)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["s"] * n),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    out = dup_span_scrub(str(d), n=k).set_index("doc_id")
+
+    toks = [[w for w in s.split() if w] for s in texts]
+    df = {}
+    for i, tk in enumerate(toks):
+        for g in {tuple(tk[j : j + k]) for j in range(len(tk) - k + 1)}:
+            df.setdefault(g, set()).add(i)
+    for i, tk in enumerate(toks):
+        dup_pos = [
+            j
+            for j in range(max(len(tk) - k + 1, 0))
+            if len(df[tuple(tk[j : j + k])]) >= 2
+        ]
+        covered = set()
+        for j in dup_pos:
+            covered.update(range(j, j + k))
+        kept = [tk[j] for j in range(len(tk)) if j not in covered]
+        assert out.loc[i, "n_tokens"] == len(tk)
+        assert out.loc[i, "dup_positions"] == len(dup_pos)
+        assert out.loc[i, "covered_tokens"] == len(covered)
+        assert out.loc[i, "kept_tokens"] == len(kept)
+        want = int(
+            hashlib.md5(" ".join(kept).encode()).hexdigest()[:15], 16
+        )
+        assert out.loc[i, "scrub_key"] == want, (i, seed)
