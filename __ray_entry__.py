@@ -343,6 +343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_counts": text.bigram_counts,
         "repetition_stats": text.repetition_stats,
         "tfidf_top_terms": text.tfidf_top_terms,
+        "unigram_logprob": text.unigram_logprob,
         "events_props_stats": relational.events_props_stats,
         # --- semantic + multimodal (semantic's stand-in embedder is
         # integer mixing + exact dyadic sums, replicated term-for-term in
@@ -1178,6 +1179,29 @@ SELECT doc_id, CAST(rnk AS BIGINT) AS "rank", term,
        CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
        round(s, 4) AS score
 FROM scored WHERE rnk <= 3 ORDER BY doc_id, rnk
+""",
+        # unigram-LM surprisal: per-term log-probs floored to integer
+        # micro-nats BEFORE the per-doc sum, so the score is an exact
+        # BIGINT on both sides (floor has no tie rule; ln is libm both
+        # sides)
+        "unigram_logprob": f"""
+WITH {_TOKS},
+cf AS (SELECT term, count(*) AS cf FROM toks2 GROUP BY term),
+tot AS (SELECT count(*) AS t FROM toks2),
+lp AS (
+  SELECT term,
+         CAST(floor(ln(cf::DOUBLE / t) * 1000000) AS BIGINT) AS lp6
+  FROM cf CROSS JOIN tot
+),
+per AS (
+  SELECT tk.doc_id, count(*) AS n, -sum(l.lp6) AS nll
+  FROM toks2 tk JOIN lp l USING (term) GROUP BY tk.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(per.n, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(per.nll, 0) AS BIGINT) AS nll_e6
+FROM documents d LEFT JOIN per USING (doc_id)
+ORDER BY d.doc_id
 """,
         # greedy per-source sequence packing under a 128-token budget;
         # the recursive CTE replays the sequential fill row by row

@@ -564,3 +564,98 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
         .reset_index(drop=True)
     )
     return out
+
+
+def unigram_logprob(sf_dir: str) -> pd.DataFrame:
+    """Unigram-LM quality score per doc: the corpus-trained language-
+    model surprisal filter (docs whose tokens are improbable under the
+    corpus unigram distribution are boilerplate/noise candidates).
+
+    nll_e6 = -sum over token occurrences of floor(ln(cf/T) * 1e6) —
+    per-term log-probs are floored to integer micro-nats BEFORE the
+    per-doc sum, so the document score is an exact BIGINT on both the
+    Ray and SQL sides (no float-summation-order hazard; floor, unlike
+    round, has no tie rule to disagree on). The ln itself is computed
+    with libm (``math.log``) on the vocabulary-sized driver table,
+    matching DuckDB's ``ln`` bit-for-bit.
+
+    Shape: per-batch (term, count) partials ride the term-keyed hash
+    exchange (only partials shuffle); the (term, lp_e6) vocabulary is
+    broadcast once; scoring is one stateless streaming pass with a
+    searchsorted probe + integer ``np.add.at`` per-doc sum.
+    """
+    import math
+
+    from ..exchange import hash_exchange
+    from ..ids import term_hash
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def cf_partial(t: pa.Table) -> pa.Table:
+        tb = tokenize_array(t["text"])
+        g = pa.TableGroupBy(
+            pa.table({"term": tb.term}), ["term"], use_threads=False
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {"term": g["term"], "cf": g["count_all"].cast(pa.int64())}
+        )
+
+    def cf_reduce(rows: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(rows, ["term"], use_threads=False).aggregate(
+            [("cf", "sum")]
+        )
+        return pa.table(
+            {"term": g["term"], "cf": g["cf_sum"].cast(pa.int64())}
+        )
+
+    cfs = hash_exchange(
+        ds.map_batches(cf_partial, batch_format="pyarrow"),
+        key_fn=lambda t: term_hash(
+            t["term"], np.zeros(t.num_rows, np.uint64)
+        ),
+        reducer=cf_reduce,
+    )
+    if cfs.empty:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_tokens": pd.Series([], dtype="int64"),
+                "nll_e6": pd.Series([], dtype="int64"),
+            }
+        )
+    total = int(cfs["cf"].sum())
+    # libm log on the vocabulary-sized table (matches DuckDB ln exactly)
+    lp_e6 = np.array(
+        [
+            math.floor(math.log(c / total) * 1_000_000)
+            for c in cfs["cf"].to_numpy(np.int64)
+        ],
+        dtype=np.int64,
+    )
+    ref = ray.put((pa.array(cfs["term"], pa.string()), lp_e6))
+
+    def score(t: pa.Table) -> pa.Table:
+        tb = tokenize_array(t["text"])
+        n = t.num_rows
+        voc, lp = ray.get(ref)
+        nll = np.zeros(n, np.int64)
+        if len(tb.row_index):
+            # every corpus token is in the vocabulary by construction
+            pos = pc.index_in(tb.term, value_set=voc).to_numpy(
+                zero_copy_only=False
+            )
+            np.add.at(nll, tb.row_index, -lp[pos])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(tb.doc_len.astype(np.int64)),
+                "nll_e6": pa.array(nll),
+            }
+        )
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )

@@ -179,3 +179,31 @@ def test_events_props_stats_planted(ray_session, props_events_dir):
     assert out.loc["error", "n"] == 2
     assert out.loc["error", "n_k"] == 1
     assert out.loc["error", "sum_k"] == 7
+
+
+def test_unigram_logprob_planted(ray_session, tmp_path):
+    import math
+
+    from ck_ray.ops.text import unigram_logprob
+
+    texts = ["a a b", "b c"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(2), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 2),
+            "source": pa.array(["s"] * 2),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    out = unigram_logprob(str(d)).set_index("doc_id")
+    # cf: a=2 b=2 c=1, T=5; per-term lp floored to micro-nats first
+    lp = {w: math.floor(math.log(c / 5) * 1_000_000)
+          for w, c in {"a": 2, "b": 2, "c": 1}.items()}
+    assert out.loc[0, "n_tokens"] == 3
+    assert out.loc[0, "nll_e6"] == -(2 * lp["a"] + lp["b"])
+    assert out.loc[1, "nll_e6"] == -(lp["b"] + lp["c"])
