@@ -307,6 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- temporal custom operators (shapes Ray Data lacks natively:
         # as-of join, range join, exact grouped percentiles — each one
         # vectorized kernel per exchange partition)
+        "churned_customers": relational.churned_customers,
         "events_asof_prev_purchase": relational.events_asof_prev_purchase,
         "error_click_window_counts": relational.error_click_window_counts,
         "event_value_quantiles": relational.event_value_quantiles,
@@ -1179,6 +1180,18 @@ SELECT doc_id, CAST(rnk AS BIGINT) AS "rank", term,
        CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
        round(s, 4) AS score
 FROM scored WHERE rnk <= 3 ORDER BY doc_id, rnk
+""",
+        # distributed anti-join: customers with no orders on/after the
+        # cutoff (churn shape); both sides co-partition on custkey
+        "churned_customers": """
+SELECT c.c_custkey, c.c_name, c.c_acctbal
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= DATE '2000-01-01'
+)
+ORDER BY c.c_custkey
 """,
         # unigram-LM surprisal: per-term log-probs floored to integer
         # micro-nats BEFORE the per-doc sum, so the score is an exact

@@ -1010,3 +1010,104 @@ def events_props_stats(sf_dir: str) -> pd.DataFrame:
     for c in ("n", "n_k", "sum_k", "min_k", "max_k"):
         out[c] = out[c].astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def churned_customers(
+    sf_dir: str, cutoff: str = "2000-01-01"
+) -> pd.DataFrame:
+    """Distributed ANTI-JOIN: customers with NO orders on/after
+    ``cutoff`` (the churn/retention shape). Completes the join family —
+    broadcast joins and shuffle equi-joins exist elsewhere; this is the
+    exchange-based anti-join for when NEITHER side fits in memory.
+
+    Both sides shuffle only what the join needs: customers ship
+    (key, name, acctbal), the orders side is pre-filtered by the cutoff
+    AND reduced to per-batch DISTINCT custkeys before the exchange (an
+    order row can only confirm activity once, so batch-level dedup cuts
+    the shuffle to <= |active customers| rows per batch). Each partition
+    then runs one vectorized mask: keep side-0 rows whose key misses the
+    partition's side-1 key set (hash partitioning guarantees both sides
+    of a key land together).
+    """
+    from ..exchange import hash_exchange, int_key_hash
+
+    cut = np.datetime64(cutoff)
+
+    cust = ray.data.read_parquet(
+        _p(sf_dir, "customer"),
+        columns=["c_custkey", "c_name", "c_acctbal"],
+    )
+    orders = ray.data.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_custkey", "o_orderdate"]
+    )
+
+    def cust_side(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t["c_custkey"].cast(pa.int64()),
+                "side": pa.array(
+                    np.zeros(t.num_rows, np.int8), pa.int8()
+                ),
+                "c_name": t["c_name"],
+                "c_acctbal": t["c_acctbal"],
+            }
+        )
+
+    def order_side(t: pa.Table) -> pa.Table:
+        ts = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        keys = t["o_custkey"].to_numpy(zero_copy_only=False)[
+            ts >= cut
+        ]
+        keys = np.unique(keys).astype(np.int64)
+        n = len(keys)
+        return pa.table(
+            {
+                "key": pa.array(keys),
+                "side": pa.array(np.ones(n, np.int8), pa.int8()),
+                "c_name": pa.nulls(n, pa.string()),
+                "c_acctbal": pa.nulls(n, pa.float64()),
+            }
+        )
+
+    both = cust.map_batches(cust_side, batch_format="pyarrow").union(
+        orders.map_batches(order_side, batch_format="pyarrow")
+    )
+
+    def anti(rows: pa.Table) -> pa.Table:
+        side = rows["side"].to_numpy(zero_copy_only=False)
+        keys = rows["key"].to_numpy(zero_copy_only=False)
+        active = np.unique(keys[side == 1])
+        is_cust = side == 0
+        ck = keys[is_cust]
+        if len(active):
+            pos = np.clip(np.searchsorted(active, ck), 0, len(active) - 1)
+            dead = active[pos] != ck
+        else:
+            dead = np.ones(len(ck), bool)
+        sel = np.nonzero(is_cust)[0][dead]
+        out = rows.take(pa.array(sel))
+        return pa.table(
+            {
+                "c_custkey": out["key"],
+                "c_name": out["c_name"],
+                "c_acctbal": out["c_acctbal"],
+            }
+        )
+
+    out = hash_exchange(
+        both,
+        key_fn=lambda t: int_key_hash(
+            t["key"].to_numpy(zero_copy_only=False)
+        ),
+        reducer=anti,
+    )
+    if len(out) == 0:
+        return pd.DataFrame(
+            {
+                "c_custkey": pd.Series([], dtype="int64"),
+                "c_name": pd.Series([], dtype="object"),
+                "c_acctbal": pd.Series([], dtype="float64"),
+            }
+        )
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    return out.sort_values("c_custkey").reset_index(drop=True)

@@ -207,3 +207,39 @@ def test_unigram_logprob_planted(ray_session, tmp_path):
     assert out.loc[0, "n_tokens"] == 3
     assert out.loc[0, "nll_e6"] == -(2 * lp["a"] + lp["b"])
     assert out.loc[1, "nll_e6"] == -(lp["b"] + lp["c"])
+
+
+def test_churned_customers_anti_join(ray_session, tmp_path):
+    from ck_ray.pipelines.relational import churned_customers
+
+    cust = pa.table(
+        {
+            "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "c_name": pa.array(["a", "b", "c", "d"]),
+            "c_nationkey": pa.array([0, 0, 0, 0], pa.int32()),
+            "c_acctbal": pa.array([10.0, 20.0, 30.0, 40.0]),
+            "c_mktsegment": pa.array(["X"] * 4),
+        }
+    )
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([100, 101, 102], pa.int64()),
+            "o_custkey": pa.array([1, 2, 1], pa.int64()),
+            # cust 1 active after cutoff; cust 2 only before; 3/4 never
+            "o_orderdate": pa.array(
+                np.array(
+                    ["2000-05-01", "1999-01-01", "2001-01-01"],
+                    dtype="datetime64[us]",
+                )
+            ),
+            "o_totalprice": pa.array([1.0, 2.0, 3.0]),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(cust, str(d / "customer.parquet"))
+    pq.write_table(orders, str(d / "orders.parquet"))
+
+    out = churned_customers(str(d), cutoff="2000-01-01")
+    assert out["c_custkey"].tolist() == [2, 3, 4]
+    assert out["c_acctbal"].tolist() == [20.0, 30.0, 40.0]
