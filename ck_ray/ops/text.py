@@ -514,11 +514,10 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
                 "score": pd.Series([], dtype="float64"),
             }
         )
-    vocab = np.array(sorted(dfs["term"]), dtype=str)
-    df_of = (
-        dfs.set_index("term").loc[vocab, "df"].to_numpy(np.int64)
-    )
-    vocab_ref = ray.put((vocab, df_of, int(n_docs)))
+    srt = dfs.sort_values("term").reset_index(drop=True)
+    vocab_arr = pa.array(srt["term"], pa.string())  # sorted lexicographic
+    df_of = srt["df"].to_numpy(np.int64)
+    vocab_ref = ray.put((vocab_arr, df_of, int(n_docs)))
 
     def score(t: pa.Table) -> pa.Table:
         tb = tokenize_array(t["text"])
@@ -528,14 +527,17 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
             use_threads=False,
         ).aggregate([("term", "count")])
         rows = g["row"].to_numpy()
-        terms = np.array(g["term"].to_pylist(), dtype=str)
         tf = g["term_count"].to_numpy().astype(np.int64)
         voc, dfo, nn = ray.get(vocab_ref)
-        pos = np.searchsorted(voc, terms)
-        dfv = dfo[pos]  # every term in a doc is in the global vocabulary
+        # every term in a doc is in the global vocabulary; the vocab is
+        # sorted, so the index doubles as the lexicographic tiebreak key
+        pos = pc.index_in(g["term"], value_set=voc).to_numpy(
+            zero_copy_only=False
+        )
+        dfv = dfo[pos]
         sc = tf * np.log(nn / dfv)
         # top-k per row: lexsort (term asc within equal -score) + run ranks
-        order = np.lexsort((terms, -sc, rows))
+        order = np.lexsort((pos, -sc, rows))
         r2 = rows[order]
         run_start = np.nonzero(
             np.concatenate(([True], r2[1:] != r2[:-1]))
@@ -550,7 +552,7 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
             {
                 "doc_id": pa.array(ids[rows[sel]]),
                 "rank": pa.array((posr[keep] + 1).astype(np.int64)),
-                "term": pa.array(terms[sel].astype(str)),
+                "term": voc.take(pa.array(pos[sel])),
                 "tf": pa.array(tf[sel]),
                 "df": pa.array(dfv[sel]),
                 "score": pa.array(np.round(sc[sel], 4)),
