@@ -618,11 +618,14 @@ def unigram_logprob(sf_dir: str) -> pd.DataFrame:
         reducer=cf_reduce,
     )
     if cfs.empty:
+        # zero-token corpus: still one row per doc (the SQL LEFT JOIN
+        # emits every document with n_tokens = 0, nll_e6 = 0)
+        ids = _docs(sf_dir, ["doc_id"]).to_pandas().sort_values("doc_id")
         return pd.DataFrame(
             {
-                "doc_id": pd.Series([], dtype="int64"),
-                "n_tokens": pd.Series([], dtype="int64"),
-                "nll_e6": pd.Series([], dtype="int64"),
+                "doc_id": ids["doc_id"].to_numpy(np.int64),
+                "n_tokens": np.zeros(len(ids), np.int64),
+                "nll_e6": np.zeros(len(ids), np.int64),
             }
         )
     total = int(cfs["cf"].sum())

@@ -980,16 +980,15 @@ def events_props_stats(sf_dir: str) -> pd.DataFrame:
             ["event_type"],
             use_threads=False,
         ).aggregate(
-            [("k", "count", pc.CountOptions(mode="all")),
+            [([], "count_all"),  # total rows -> distinct name from k_count
              ("k", "count", pc.CountOptions(mode="only_valid")),
              ("k", "sum"), ("k", "min"), ("k", "max")]
         )
-        # the two count aggregates share the name "k_count" -> by index
         return pa.table(
             {
                 "event_type": g["event_type"],
-                "n": g.column(1).cast(pa.int64()),
-                "n_k": g.column(2).cast(pa.int64()),
+                "n": g["count_all"].cast(pa.int64()),
+                "n_k": g["k_count"].cast(pa.int64()),
                 "sum_k": g["k_sum"].cast(pa.int64()),
                 "min_k": g["k_min"].cast(pa.int64()),
                 "max_k": g["k_max"].cast(pa.int64()),
@@ -1007,8 +1006,19 @@ def events_props_stats(sf_dir: str) -> pd.DataFrame:
             max_k=("max_k", "max"),
         )
     )
-    for c in ("n", "n_k", "sum_k", "min_k", "max_k"):
+    # groups whose rows carry no k at all: SQL sum/min/max are NULL
+    none = out["n_k"] == 0
+    out.loc[none, ["sum_k", "min_k", "max_k"]] = np.nan
+    for c in ("n", "n_k"):
         out[c] = out[c].astype("int64")
+    for c in ("sum_k", "min_k", "max_k"):
+        # mirror DuckDB's pandas conversion: BIGINT stays int64 unless a
+        # NULL forces the column to float64
+        out[c] = (
+            out[c].astype("float64")
+            if out[c].isna().any()
+            else out[c].astype("int64")
+        )
     return out.sort_values("event_type").reset_index(drop=True)
 
 

@@ -147,13 +147,13 @@ def test_pack_sequences_overbudget_doc_packs_alone(
 def props_events_dir(tmp_path_factory):
     t = pa.table(
         {
-            "event_id": pa.array(range(5), pa.int64()),
-            "ts": pa.array([0, 1, 2, 3, 4], pa.int64()),
-            "user_id": pa.array([1, 1, 2, 2, 3], pa.int64()),
+            "event_id": pa.array(range(6), pa.int64()),
+            "ts": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+            "user_id": pa.array([1, 1, 2, 2, 3, 3], pa.int64()),
             "event_type": pa.array(
-                ["click", "click", "error", "error", "click"]
+                ["click", "click", "error", "error", "click", "view"]
             ),
-            "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0]),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0]),
             "props": pa.array(
                 [
                     '{"k": 10}',
@@ -161,6 +161,7 @@ def props_events_dir(tmp_path_factory):
                     '{"k": 7}',
                     '{"other": 1}',  # no k -> excluded from k-stats
                     '{"k": 100}',
+                    '{"other": 2}',  # a whole type with no k anywhere
                 ]
             ),
         }
@@ -179,6 +180,13 @@ def test_events_props_stats_planted(ray_session, props_events_dir):
     assert out.loc["error", "n"] == 2
     assert out.loc["error", "n_k"] == 1
     assert out.loc["error", "sum_k"] == 7
+    # a type with NO k anywhere: SQL-NULL stats -> NaN (float column,
+    # mirroring DuckDB's BIGINT-with-NULL pandas conversion)
+    assert out.loc["view", "n"] == 1
+    assert out.loc["view", "n_k"] == 0
+    assert np.isnan(out.loc["view", "sum_k"])
+    assert np.isnan(out.loc["view", "min_k"])
+    assert out["sum_k"].dtype == np.float64
 
 
 def test_unigram_logprob_planted(ray_session, tmp_path):

@@ -46,6 +46,10 @@ def main() -> int:
     queries = entrymod.queries()
     only = set(sys.argv[2:])  # optional: restrict to named entries
     if only:
+        unknown = only - set(queries)
+        if unknown:
+            print(f"unknown entries: {sorted(unknown)}", file=sys.stderr)
+            return 2
         queries = {k: v for k, v in queries.items() if k in only}
     results: dict[str, dict] = {}
     n_bad = 0
