@@ -342,6 +342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": text.langid,
         "fingerprints": text.fingerprints,
         "bigram_counts": text.bigram_counts,
+        "bigram_pmi": text.bigram_pmi,
         "repetition_stats": text.repetition_stats,
         "tfidf_top_terms": text.tfidf_top_terms,
         "unigram_logprob": text.unigram_logprob,
@@ -1109,6 +1110,42 @@ r AS (
 )
 SELECT doc_id, source, CAST(rnk AS BIGINT) AS "rank"
 FROM r WHERE rnk <= 12 ORDER BY doc_id
+""",
+        # collocations: PMI over adjacent token bigrams, floored to
+        # integer micro-nats; one closed-form libm expression per top-N
+        # row on both sides (no float summation anywhere)
+        "bigram_pmi": f"""
+WITH {_TOKS_POS},
+ow AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+  FROM tokp
+),
+bg AS (
+  SELECT o1.term || ' ' || o2.term AS bigram, o1.term AS a, o2.term AS b
+  FROM ow o1 JOIN ow o2 ON o1.doc_id = o2.doc_id AND o2.rn = o1.rn + 1
+),
+cfab AS (
+  SELECT bigram, min(a) AS a, min(b) AS b, count(*) AS cfab
+  FROM bg GROUP BY bigram
+),
+cf AS (SELECT term, count(*) AS cf FROM tokp GROUP BY term),
+tot AS (SELECT count(*) AS t FROM tokp),
+btot AS (SELECT count(*) AS b FROM bg),
+top AS (
+  SELECT bigram, a, b, cfab FROM cfab
+  ORDER BY cfab DESC, bigram ASC LIMIT 100
+)
+SELECT t0.bigram, CAST(t0.cfab AS BIGINT) AS cf,
+       CAST(floor(ln(
+         (t0.cfab::DOUBLE / btot.b)
+         / ((ca.cf::DOUBLE / tot.t) * (cb.cf::DOUBLE / tot.t))
+       ) * 1000000) AS BIGINT) AS pmi_e6
+FROM top t0
+JOIN cf ca ON ca.term = t0.a
+JOIN cf cb ON cb.term = t0.b
+CROSS JOIN tot CROSS JOIN btot
+ORDER BY cf DESC, bigram ASC
 """,
         # Gopher-style in-doc repetition signals: max token count, max
         # bigram count, trigram positions occurring >= 2x — all ints

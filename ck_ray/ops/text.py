@@ -664,3 +664,142 @@ def unigram_logprob(sf_dir: str) -> pd.DataFrame:
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+def bigram_pmi(sf_dir: str, top_n: int = 100) -> pd.DataFrame:
+    """Collocation extraction: pointwise mutual information over adjacent
+    token bigrams — PMI(a,b) = ln( (cf_ab / B) / ((cf_a/T) * (cf_b/T)) )
+    with T = total tokens, B = total bigram positions. High-PMI pairs
+    are multiword expressions; the standard phrase-mining signal for
+    tokenizer/vocab construction over a training corpus.
+
+    Exactness contract: the per-bigram PMI is ONE closed-form libm
+    expression evaluated on the driver for the top-N rows only and
+    floored to integer micro-nats (pmi_e6) — no float summation anywhere,
+    so the BIGINT matches DuckDB's identical expression bit-for-bit.
+
+    Shape: one tokenizer pass emits per-batch bigram-count partials AND
+    (term, cf) / (T, B) partials; bigram totals ride the hash exchange
+    keyed by fnv64(bigram) (each bigram lands in exactly one partition,
+    so per-partition top-N by cf is exact and the driver merges P*N
+    candidate rows). The unigram cf table is collected on the driver —
+    only the <= 2*top_n terms inside winning bigrams are probed; at
+    100 TB vocabulary scale that probe becomes a semi-join through the
+    same exchange.
+    """
+    import math
+
+    from ..exchange import hash_exchange
+    from ..ids import term_hash
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        tb = tokenize_array(t["text"])
+        nt = len(tb.row_index)
+        if nt < 2:
+            return pa.table(
+                {
+                    "bigram": pa.array([], pa.string()),
+                    "cf": pa.array([], pa.int64()),
+                }
+            )
+        terms = (
+            tb.term.combine_chunks()
+            if isinstance(tb.term, pa.ChunkedArray)
+            else tb.term
+        )
+        same = tb.row_index[:-1] == tb.row_index[1:]
+        bg = pc.binary_join_element_wise(
+            terms.slice(0, nt - 1).filter(pa.array(same)),
+            terms.slice(1, nt - 1).filter(pa.array(same)),
+            " ",
+        )
+        g = pa.TableGroupBy(
+            pa.table({"bigram": bg}), ["bigram"], use_threads=False
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "bigram": g["bigram"],
+                "cf": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    def bigram_reduce(rows: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(rows, ["bigram"], use_threads=False).aggregate(
+            [("cf", "sum")]
+        )
+        g = pa.table(
+            {"bigram": g["bigram"], "cf": g["cf_sum"].cast(pa.int64())}
+        )
+        idx = pc.sort_indices(
+            g, sort_keys=[("cf", "descending"), ("bigram", "ascending")]
+        )
+        return g.take(idx.slice(0, top_n))
+
+    top = hash_exchange(
+        ds.map_batches(bigram_partial, batch_format="pyarrow"),
+        key_fn=lambda t: term_hash(
+            t["bigram"], np.zeros(t.num_rows, np.uint64)
+        ),
+        reducer=bigram_reduce,
+    )
+    empty = pd.DataFrame(
+        {
+            "bigram": pd.Series([], dtype=str),
+            "cf": pd.Series([], dtype="int64"),
+            "pmi_e6": pd.Series([], dtype="int64"),
+        }
+    )
+    if top.empty:
+        return empty
+
+    # unigram cf + totals (same partial-then-sum shape as unigram_logprob)
+    def cf_partial(t: pa.Table) -> pa.Table:
+        tb = tokenize_array(t["text"])
+        g = pa.TableGroupBy(
+            pa.table({"term": tb.term}), ["term"], use_threads=False
+        ).aggregate([([], "count_all")])
+        dl = tb.doc_len.astype(np.int64)
+        return pa.table(
+            {
+                "term": pa.concat_arrays(
+                    [g["term"].combine_chunks(), pa.array(["#T#", "#B#"])]
+                ),
+                "cf": pa.concat_arrays(
+                    [
+                        g["count_all"].cast(pa.int64()).combine_chunks(),
+                        pa.array(
+                            [int(dl.sum()), int(np.maximum(dl - 1, 0).sum())],
+                            pa.int64(),
+                        ),
+                    ]
+                ),
+            }
+        )
+
+    cfs = (
+        ds.map_batches(cf_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("term", as_index=False)["cf"]
+        .sum()
+    )
+    cf_map = dict(zip(cfs["term"], cfs["cf"].astype(int)))
+    # "#" never appears in tokenizer output, so the sentinel rows
+    # cannot collide with a real term
+    T = cf_map.pop("#T#", 0)
+    B = cf_map.pop("#B#", 0)
+    if B == 0:
+        return empty
+
+    out = top.sort_values(
+        ["cf", "bigram"], ascending=[False, True]
+    ).head(top_n).reset_index(drop=True)
+    out["cf"] = out["cf"].astype("int64")
+    pmi = []
+    for bgm, cf_ab in zip(out["bigram"], out["cf"]):
+        a, b = bgm.split(" ", 1)
+        val = (cf_ab / B) / ((cf_map[a] / T) * (cf_map[b] / T))
+        pmi.append(math.floor(math.log(val) * 1_000_000))
+    out["pmi_e6"] = pd.Series(pmi, dtype="int64")
+    return out[["bigram", "cf", "pmi_e6"]]

@@ -251,3 +251,35 @@ def test_churned_customers_anti_join(ray_session, tmp_path):
     out = churned_customers(str(d), cutoff="2000-01-01")
     assert out["c_custkey"].tolist() == [2, 3, 4]
     assert out["c_acctbal"].tolist() == [20.0, 30.0, 40.0]
+
+
+def test_bigram_pmi_planted(ray_session, tmp_path):
+    from ck_ray.ops.text import bigram_pmi
+
+    texts = ["new york new york", "new york city"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(2), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 2),
+            "source": pa.array(["s"] * 2),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    out = bigram_pmi(str(d)).set_index("bigram")
+    # T = 7 tokens, B = 5 bigram positions; cf(new)=3, cf(york)=3, cf(city)=1
+    assert out.loc["new york", "cf"] == 3
+    want = math.floor(
+        math.log((3 / 5) / ((3 / 7) * (3 / 7))) * 1_000_000
+    )
+    assert out.loc["new york", "pmi_e6"] == want
+    # "york city": cf 1 -> ln((1/5)/((3/7)*(1/7)))
+    want2 = math.floor(
+        math.log((1 / 5) / ((3 / 7) * (1 / 7))) * 1_000_000
+    )
+    assert out.loc["york city", "pmi_e6"] == want2
+    assert len(out) == 3  # new york, york new, york city
