@@ -194,6 +194,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ck_ray.ops import ann, curation, dedup, text
     from ck_ray.pipelines import docsearch, relational
 
+    def dir_walk_corpus(sf_dir: str):
+        """The filesystem SOURCE, oracle-gated end-to-end: materialize
+        documents as a real source tree (one file per doc under
+        ``{source}/doc_{id}.txt``, plus a root .gitignore excluding ids
+        ending in 7), read it back with the gitignore-aware directory
+        source (reference collect_files, ck-index/src/lib.rs:211-262 —
+        walk, ignore rules, binary sniff, parallel content reads), and
+        fingerprint what survived. The oracle recomputes the same
+        (survivors, lengths, md5) from the documents table directly."""
+        import hashlib
+        import os
+
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data
+
+        from ck_ray.sources import read_code_dir
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "source", "text"],
+        ).to_pandas()
+        tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+        root = f"/tmp/ck_ray_dirsrc_{tag}_{len(docs)}"
+        done = os.path.join(root, ".done")
+        if not os.path.exists(done):
+            for src, grp in docs.groupby("source"):
+                d = os.path.join(root, str(src))
+                os.makedirs(d, exist_ok=True)
+                for did, txt in zip(grp["doc_id"], grp["text"]):
+                    with open(
+                        os.path.join(d, f"doc_{did}.txt"), "w",
+                        encoding="utf-8",
+                    ) as f:
+                        f.write(txt)
+            with open(os.path.join(root, ".gitignore"), "w") as f:
+                f.write("doc_*7.txt\n")
+            with open(done, "w") as f:
+                f.write("ok\n")
+        t = pa.Table.from_pandas(read_code_dir(root).to_pandas())
+        contents = t["content"].to_pylist()
+        out = pd.DataFrame(
+            {
+                "doc_id": [
+                    int(p.rsplit("doc_", 1)[1][:-4])
+                    for p in t["path"].to_pylist()
+                ],
+                "n_chars": [len(c) for c in contents],
+                "content_md5": [
+                    hashlib.md5(c.encode("utf-8")).hexdigest()[:16]
+                    for c in contents
+                ],
+            }
+        )
+        return (
+            out.sort_values("doc_id")
+            .reset_index(drop=True)
+            .astype({"doc_id": "int64", "n_chars": "int64"})
+        )
+
     def semantic_topk(sf_dir: str):
         """documents -> line-window chunks -> actor-pool pseudo-embed ->
         brute-force cosine top-k (the reference's semantic mode shape)."""
@@ -311,6 +371,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_prev_purchase": relational.events_asof_prev_purchase,
         "error_click_window_counts": relational.error_click_window_counts,
         "event_value_quantiles": relational.event_value_quantiles,
+        # --- filesystem source (gitignore walk + sniff, oracle-gated)
+        "dir_walk_corpus": dir_walk_corpus,
         # --- tokenizer / index stats over documents
         "term_df_top": text.term_df_top,
         "corpus_stats": text.corpus_stats,
@@ -531,6 +593,18 @@ SELECT event_type, count(*) AS n,
        quantile_disc(CAST(round(value * 1000000) AS BIGINT), 0.9)  AS p90_e6,
        quantile_disc(CAST(round(value * 1000000) AS BIGINT), 0.99) AS p99_e6
 FROM events GROUP BY 1 ORDER BY 1
+""",
+        # the directory-source round trip: survivors of the walk are the
+        # docs whose filename doc_{id}.txt escapes the `doc_*7.txt`
+        # gitignore rule (decimal id not ending in 7); length/md5 prove
+        # the content read back byte-identical
+        "dir_walk_corpus": """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       substr(md5(text), 1, 16) AS content_md5
+FROM documents
+WHERE doc_id % 10 <> 7
+ORDER BY doc_id
 """,
         "term_df_top": f"""
 WITH {_TOKS}

@@ -28,6 +28,16 @@ def _build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="ck_ray", description=__doc__)
     p.add_argument("pattern", nargs="?", help="query / regex pattern")
     p.add_argument("--corpus", help="corpus parquet dir (repo,path,commit,lang,content)")
+    p.add_argument(
+        "--corpus-dir", metavar="DIR",
+        help="use a source tree as the corpus (gitignore-aware walk, "
+             "binary sniff, extension lang detection — reference "
+             "collect_files)",
+    )
+    p.add_argument(
+        "--corpus-jsonl", metavar="FILE",
+        help="use a newline-delimited-JSON corpus (path/content rows)",
+    )
     p.add_argument("--index-dir", help="index directory")
     mode = p.add_mutually_exclusive_group()
     mode.add_argument("--lex", action="store_true", help="BM25 lexical search")
@@ -165,13 +175,17 @@ def _glob_to_re2(glob: str) -> str:
     return "^" + "".join(parts) + "$"
 
 
-def _corpus_ds(corpus: str, excludes: list[str]):
+def _corpus_ds(corpus, excludes: list[str]):
     """Corpus dataset with --exclude globs applied as an Arrow predicate
-    at the read (pruning before any other work)."""
+    at the read (pruning before any other work). Accepts a parquet path
+    or an already-built Dataset (--corpus-dir / --corpus-jsonl)."""
     import pyarrow.compute as pc
     import ray.data
 
-    ds = ray.data.read_parquet(corpus)
+    ds = (
+        corpus if isinstance(corpus, ray.data.Dataset)
+        else ray.data.read_parquet(corpus)
+    )
     if excludes:
         pats = [_glob_to_re2(g) for g in excludes]
 
@@ -201,6 +215,19 @@ def main(argv: list[str] | None = None) -> int:
         from ray.data import DataContext
 
         DataContext.get_current().enable_progress_bars = False
+
+    # Alternate corpus sources resolve to a Dataset; every downstream
+    # consumer accepts str | Dataset.
+    if args.corpus_dir and not args.corpus:
+        from .sources import read_code_dir
+
+        args.corpus = read_code_dir(
+            args.corpus_dir, extra_excludes=tuple(args.exclude)
+        )
+    elif args.corpus_jsonl and not args.corpus:
+        from .sources import read_corpus_jsonl
+
+        args.corpus = read_corpus_jsonl(args.corpus_jsonl)
 
     try:
         if args.list_models:
