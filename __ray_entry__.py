@@ -408,6 +408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": text.repetition_stats,
         "tfidf_top_terms": text.tfidf_top_terms,
         "unigram_logprob": text.unigram_logprob,
+        "approx_distinct_terms": text.approx_distinct_terms,
         "events_props_stats": relational.events_props_stats,
         # --- semantic + multimodal (semantic's stand-in embedder is
         # integer mixing + exact dyadic sums, replicated term-for-term in
@@ -1308,6 +1309,46 @@ ORDER BY c.c_custkey
         # micro-nats BEFORE the per-doc sum, so the score is an exact
         # BIGINT on both sides (floor has no tie rule; ln is libm both
         # sides)
+        # HyperLogLog distinct-term sketch, replicated register-for-
+        # register: md5-u64 token hash, j = top 12 bits, rho = 53 -
+        # bit_length of the low 52 (bin() is minimal-width, so
+        # length(bin(w)) IS bit_length); S2 = sum 2^(53-rho) stays an
+        # exact HUGEINT and the estimate is one closed-form double
+        # expression floored to micro-counts (the bigram_pmi trick).
+        # The '*' row is the merged (elementwise-max) corpus sketch.
+        "approx_distinct_terms": f"""
+WITH {_TOKS},
+tl AS (SELECT DISTINCT d.lang, t.term
+       FROM toks2 t JOIN documents d USING (doc_id)),
+hh AS (SELECT lang,
+              ('0x' || substr(md5(term), 1, 16))::UBIGINT AS h FROM tl),
+ww AS (SELECT lang, CAST(h >> 52 AS BIGINT) AS j,
+              (h & 4503599627370495::UBIGINT) AS w FROM hh),
+reg AS (SELECT lang, j,
+               max(CASE WHEN w = 0::UBIGINT THEN 53
+                        ELSE 53 - length(bin(w)) END) AS rho
+        FROM ww GROUP BY lang, j),
+regu AS (SELECT * FROM reg
+         UNION ALL
+         SELECT '*' AS lang, j, max(rho) FROM reg GROUP BY j),
+agg AS (SELECT lang, count(*) AS nset,
+               sum((1::HUGEINT << CAST(53 - rho AS INTEGER))) AS s_hit
+        FROM regu GROUP BY lang),
+est AS (SELECT lang, nset,
+               s_hit + (4096 - nset)::HUGEINT * (1::HUGEINT << 53) AS s2,
+               4096 - nset AS v
+        FROM agg)
+SELECT lang, CAST(nset AS BIGINT) AS registers_set,
+  CASE WHEN ((0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+             * 9007199254740992.0 / CAST(s2 AS DOUBLE)) <= 10240.0
+            AND v > 0
+       THEN CAST(floor((4096.0 * ln(4096.0 / v)) * 1000000.0) AS BIGINT)
+       ELSE CAST(floor(((0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0
+                        * 4096.0 * 9007199254740992.0
+                        / CAST(s2 AS DOUBLE)) * 1000000.0) AS BIGINT)
+  END AS approx_distinct_e6
+FROM est ORDER BY lang
+""",
         "unigram_logprob": f"""
 WITH {_TOKS},
 cf AS (SELECT term, count(*) AS cf FROM toks2 GROUP BY term),

@@ -803,3 +803,122 @@ def bigram_pmi(sf_dir: str, top_n: int = 100) -> pd.DataFrame:
         pmi.append(math.floor(math.log(val) * 1_000_000))
     out["pmi_e6"] = pd.Series(pmi, dtype="int64")
     return out[["bigram", "cf", "pmi_e6"]]
+
+
+def approx_distinct_terms(sf_dir: str, p: int = 12) -> pd.DataFrame:
+    """Approximate distinct-term count per language (plus a merged ``*``
+    corpus row) via a HyperLogLog sketch — the cardinality estimator a
+    100 TB pipeline uses where an exact ``count(DISTINCT term)`` would
+    be a full term shuffle.
+
+    Sketch math (p=12, m=4096 registers): token hash = md5-u64 (the
+    SQL-replicable hash); register j = top 12 bits; rho = leading-zero
+    rank of the low 52 bits (1..53). All register state is integer; the
+    per-batch partial is a (lang, j, max rho) table of <= langs x 4096
+    rows, so ONLY sketch partials ride the exchange — the corpus-sized
+    token stream never shuffles, which is the whole point of the sketch
+    at scale. The global row is an elementwise register max (HLL merge).
+
+    The estimate itself is made SQL-exact the same way bigram_pmi's PMI
+    is: S = sum_j 2^(-M_j) is carried as the exact integer
+    S2 = sum_j 2^(53 - M_j) (HUGEINT in the oracle, Python int here),
+    and the HLL / linear-counting estimate is ONE closed-form double
+    expression over (S2, V) evaluated identically on both sides, floored
+    to integer micro-counts (approx_distinct_e6). Standard HLL small-
+    range correction: raw <= 2.5m with empty registers falls back to
+    linear counting m*ln(m/V).
+
+    rho's bit-length is computed with ``np.frexp`` — exact because the
+    52-bit remainder is always < 2^53 (the double mantissa).
+    """
+    import math
+
+    from ..exchange import hash_exchange
+    from ..ids import md5_u64_of_terms, term_hash
+
+    P, M = p, 1 << p
+    ds = _docs(sf_dir, ["text", "lang"])
+
+    def reg_partial(t: pa.Table) -> pa.Table:
+        tb = tokenize_array(t["text"])
+        lang = t["lang"].combine_chunks().fill_null("").to_numpy(
+            zero_copy_only=False
+        )[tb.row_index]
+        h = md5_u64_of_terms(tb.term)
+        j = (h >> np.uint64(64 - P)).astype(np.int64)
+        w = h & np.uint64((1 << (64 - P)) - 1)
+        rho = ((64 - P) + 1 - np.frexp(w.astype(np.float64))[1]).astype(
+            np.int64
+        )
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "lang": pa.array(lang, pa.string()),
+                    "j": pa.array(j),
+                    "rho": pa.array(rho),
+                }
+            ),
+            ["lang", "j"],
+            use_threads=False,
+        ).aggregate([("rho", "max")])
+        return pa.table(
+            {"lang": g["lang"], "j": g["j"], "rho": g["rho_max"]}
+        )
+
+    def reg_reduce(rows: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(rows, ["lang", "j"], use_threads=False).aggregate(
+            [("rho", "max")]
+        )
+        return pa.table(
+            {"lang": g["lang"], "j": g["j"], "rho": g["rho_max"]}
+        )
+
+    regs = hash_exchange(
+        ds.map_batches(reg_partial, batch_format="pyarrow"),
+        # spread by (lang, register) so no partition owns a whole lang
+        key_fn=lambda t: term_hash(
+            t["lang"], t["j"].to_numpy(zero_copy_only=False)
+        ),
+        reducer=reg_reduce,
+    )
+    if regs.empty:
+        return pd.DataFrame(
+            {
+                "lang": pd.Series([], dtype=str),
+                "registers_set": pd.Series([], dtype=np.int64),
+                "approx_distinct_e6": pd.Series([], dtype=np.int64),
+            }
+        )
+
+    def estimate(grp: pd.DataFrame) -> tuple[int, int]:
+        nset = len(grp)
+        v = M - nset
+        s2 = int(
+            sum(1 << (53 - int(r)) for r in grp["rho"])
+        ) + (v << 53)
+        raw = (
+            (0.7213 / (1.0 + 1.079 / 4096.0))
+            * 4096.0 * 4096.0 * 9007199254740992.0 / float(s2)
+        )
+        if raw <= 10240.0 and v > 0:
+            est = 4096.0 * math.log(4096.0 / v)
+        else:
+            est = raw
+        return nset, math.floor(est * 1000000.0)
+
+    rows = []
+    for lang, grp in regs.groupby("lang"):
+        nset, e6 = estimate(grp)
+        rows.append((lang, nset, e6))
+    # merged corpus sketch: elementwise register max across langs
+    merged = regs.groupby("j", as_index=False)["rho"].max()
+    nset, e6 = estimate(merged)
+    rows.append(("*", nset, e6))
+    return (
+        pd.DataFrame(
+            rows, columns=["lang", "registers_set", "approx_distinct_e6"]
+        )
+        .astype({"registers_set": np.int64, "approx_distinct_e6": np.int64})
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )

@@ -283,3 +283,79 @@ def test_bigram_pmi_planted(ray_session, tmp_path):
     )
     assert out.loc["york city", "pmi_e6"] == want2
     assert len(out) == 3  # new york, york new, york city
+
+
+def _docs_table(texts, langs):
+    return pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(langs),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+
+
+def test_approx_distinct_terms_error_bound(ray_session, tmp_path):
+    """HLL estimate within the m=4096 sketch's error envelope (sigma
+    ~1.6%; assert 5%) against the exact distinct count, per lang and
+    for the merged '*' row."""
+    from ck_ray.ops.text import approx_distinct_terms
+
+    rng = np.random.RandomState(7)
+    texts, langs = [], []
+    vocab_en = [f"en{i}" for i in range(3000)]
+    vocab_de = [f"de{i}" for i in range(800)]
+    for _ in range(200):
+        texts.append(" ".join(rng.choice(vocab_en, 60)))
+        langs.append("en")
+    for _ in range(100):
+        texts.append(" ".join(rng.choice(vocab_de, 40)))
+        langs.append("de")
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(_docs_table(texts, langs), str(d / "documents.parquet"))
+
+    out = approx_distinct_terms(str(d)).set_index("lang")
+    exact = {
+        "en": len({w for t, l in zip(texts, langs) if l == "en"
+                   for w in t.split()}),
+        "de": len({w for t, l in zip(texts, langs) if l == "de"
+                   for w in t.split()}),
+    }
+    exact["*"] = len({w for t in texts for w in t.split()})
+    for lang, ex in exact.items():
+        est = out.loc[lang, "approx_distinct_e6"] / 1e6
+        assert abs(est - ex) / ex < 0.05, (lang, est, ex)
+    # merged sketch can never set fewer registers than any single lang
+    assert out.loc["*", "registers_set"] >= out["registers_set"].drop("*").max()
+
+
+def test_approx_distinct_terms_batch_invariance(ray_session, tmp_path):
+    """Register merging is associative: the sketch is identical no
+    matter how rows are split into batches/blocks."""
+    from ck_ray.ops.text import approx_distinct_terms
+
+    texts = [f"tok{i} tok{i+1} shared" for i in range(50)]
+    d1 = tmp_path / "one"
+    d1.mkdir()
+    pq.write_table(_docs_table(texts, ["en"] * 50),
+                   str(d1 / "documents.parquet"))
+    d2 = tmp_path / "many"
+    d2.mkdir()
+    pq.write_table(_docs_table(texts, ["en"] * 50),
+                   str(d2 / "documents.parquet"), row_group_size=10)
+    a = approx_distinct_terms(str(d1))
+    b = approx_distinct_terms(str(d2))
+    assert a.equals(b)
+
+
+def test_approx_distinct_terms_empty(ray_session, tmp_path):
+    from ck_ray.ops.text import approx_distinct_terms
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(_docs_table([], []), str(d / "documents.parquet"))
+    out = approx_distinct_terms(str(d))
+    assert out.empty
