@@ -409,6 +409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": text.tfidf_top_terms,
         "unigram_logprob": text.unigram_logprob,
         "approx_distinct_terms": text.approx_distinct_terms,
+        "cms_term_counts": text.cms_term_counts,
         "events_props_stats": relational.events_props_stats,
         # --- semantic + multimodal (semantic's stand-in embedder is
         # integer mixing + exact dyadic sums, replicated term-for-term in
@@ -1309,6 +1310,26 @@ ORDER BY c.c_custkey
         # micro-nats BEFORE the per-doc sum, so the score is an exact
         # BIGINT on both sides (floor has no tie rule; ln is libm both
         # sides)
+        # count-min sketch (d=4 x w=4096), all-integer: the four row
+        # indexes are disjoint 12-bit md5 hex slices, cells are plain
+        # sums, the estimate is min over rows — replicated cell-for-cell
+        "cms_term_counts": f"""
+WITH {_TOKS},
+cf AS (SELECT term, count(*) AS cf FROM toks2 GROUP BY term),
+top AS (SELECT term, cf FROM cf ORDER BY cf DESC, term LIMIT 20),
+sl AS (SELECT term, r,
+              ('0x' || substr(md5(term), 1 + 3 * r, 3))::BIGINT AS idx
+       FROM cf CROSS JOIN (VALUES (0), (1), (2), (3)) AS rows(r)),
+cells AS (SELECT s.r, s.idx, sum(c.cf) AS cell
+          FROM sl s JOIN cf c USING (term) GROUP BY s.r, s.idx),
+est AS (SELECT t.term, t.cf, min(ce.cell) AS cms_cf
+        FROM top t
+        JOIN sl s USING (term)
+        JOIN cells ce ON ce.r = s.r AND ce.idx = s.idx
+        GROUP BY t.term, t.cf)
+SELECT term, CAST(cf AS BIGINT) AS cf, CAST(cms_cf AS BIGINT) AS cms_cf
+FROM est ORDER BY cf DESC, term
+""",
         # HyperLogLog distinct-term sketch, replicated register-for-
         # register: md5-u64 token hash, j = top 12 bits, rho = 53 -
         # bit_length of the low 52 (bin() is minimal-width, so

@@ -922,3 +922,135 @@ def approx_distinct_terms(sf_dir: str, p: int = 12) -> pd.DataFrame:
         .sort_values("lang")
         .reset_index(drop=True)
     )
+
+
+def cms_term_counts(sf_dir: str, top_n: int = 20) -> pd.DataFrame:
+    """Count-min-sketch term frequencies, checked against exact counts
+    for the corpus's top-N terms — the heavy-hitter estimator a 100 TB
+    pipeline uses where per-term exact counts would be a vocabulary-
+    sized shuffle.
+
+    Sketch: d=4 rows x w=4096 counters; the four row indexes are four
+    disjoint 12-bit slices of md5(term) (hex chars 1-3, 4-6, 7-9, 10-12
+    — SQL-replicable as ('0x' || substr(md5(term), pos, 3))::INT). The
+    per-batch partial is the (row, idx, count) cell table (<= 16384
+    rows), summed over the exchange — the token stream never shuffles.
+    Estimate = min over the 4 rows (classic CMS upper bound; all-integer
+    end to end, so the oracle is exact with no float contract at all).
+
+    The top-N candidate list is taken from the exact (term, cf) table —
+    at scale candidates come from a sample or the previous epoch's
+    stats; the exact cf here doubles as the oracle's ground-truth column
+    (overestimate_e0 = cms_cf - cf >= 0 is the CMS guarantee, asserted
+    in pytest).
+    """
+    from ..exchange import hash_exchange
+    from ..ids import term_hash
+
+    D, W = 4, 4096
+    ds = _docs(sf_dir, ["text"])
+
+    def _slices(terms: pa.Array) -> np.ndarray:
+        """(n, D) uint32 — the D 12-bit md5 hex slices per term,
+        hashed once per DISTINCT term (vocabulary-bounded loop)."""
+        import hashlib
+
+        enc = pc.dictionary_encode(terms.combine_chunks()
+                                   if isinstance(terms, pa.ChunkedArray)
+                                   else terms)
+        uniq = np.empty((len(enc.dictionary), D), np.uint32)
+        for i, t in enumerate(enc.dictionary.to_pylist()):
+            hx = hashlib.md5(t.encode("utf-8")).hexdigest()
+            for r in range(D):
+                uniq[i, r] = int(hx[3 * r : 3 * r + 3], 16)
+        return uniq[enc.indices.to_numpy(zero_copy_only=False)]
+
+    def cell_partial(t: pa.Table) -> pa.Table:
+        tb = tokenize_array(t["text"])
+        if len(tb.term) == 0:
+            return pa.table(
+                {
+                    "r": pa.array([], pa.int64()),
+                    "idx": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        sl = _slices(tb.term)
+        cells = np.zeros((D, W), np.int64)
+        for r in range(D):
+            np.add.at(cells[r], sl[:, r], 1)
+        r_ix, i_ix = np.nonzero(cells)
+        return pa.table(
+            {
+                "r": pa.array(r_ix.astype(np.int64)),
+                "idx": pa.array(i_ix.astype(np.int64)),
+                "c": pa.array(cells[r_ix, i_ix]),
+            }
+        )
+
+    def cell_reduce(rows: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(rows, ["r", "idx"], use_threads=False).aggregate(
+            [("c", "sum")]
+        )
+        return pa.table(
+            {"r": g["r"], "idx": g["idx"], "c": g["c_sum"].cast(pa.int64())}
+        )
+
+    cells_df = hash_exchange(
+        ds.map_batches(cell_partial, batch_format="pyarrow"),
+        key_fn=lambda t: (
+            t["r"].to_numpy(zero_copy_only=False).astype(np.uint64) * np.uint64(W)
+            + t["idx"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ),
+        reducer=cell_reduce,
+    )
+    if cells_df.empty:
+        return pd.DataFrame(
+            {
+                "term": pd.Series([], dtype=str),
+                "cf": pd.Series([], dtype=np.int64),
+                "cms_cf": pd.Series([], dtype=np.int64),
+            }
+        )
+    cells = np.zeros((D, W), np.int64)
+    cells[cells_df["r"].to_numpy(), cells_df["idx"].to_numpy()] = (
+        cells_df["c"].to_numpy()
+    )
+
+    # exact (term, cf) for the candidate list / ground-truth column
+    def cf_partial(t: pa.Table) -> pa.Table:
+        tb = tokenize_array(t["text"])
+        g = pa.TableGroupBy(
+            pa.table({"term": tb.term}), ["term"], use_threads=False
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {"term": g["term"], "cf": g["count_all"].cast(pa.int64())}
+        )
+
+    def cf_reduce(rows: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(rows, ["term"], use_threads=False).aggregate(
+            [("cf", "sum")]
+        )
+        return pa.table({"term": g["term"], "cf": g["cf_sum"].cast(pa.int64())})
+
+    cfs = hash_exchange(
+        ds.map_batches(cf_partial, batch_format="pyarrow"),
+        key_fn=lambda t: term_hash(
+            t["term"], np.zeros(t.num_rows, np.uint64)
+        ),
+        reducer=cf_reduce,
+    )
+    top = cfs.sort_values(
+        ["cf", "term"], ascending=[False, True]
+    ).head(top_n)
+    sl = _slices(pa.array(top["term"].tolist(), pa.string()))
+    est = np.min(
+        np.stack([cells[r, sl[:, r]] for r in range(D)], axis=1), axis=1
+    )
+    return pd.DataFrame(
+        {
+            "term": top["term"].to_numpy(),
+            "cf": top["cf"].to_numpy(np.int64),
+            "cms_cf": est.astype(np.int64),
+        }
+    ).reset_index(drop=True)

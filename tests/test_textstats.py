@@ -359,3 +359,37 @@ def test_approx_distinct_terms_empty(ray_session, tmp_path):
     pq.write_table(_docs_table([], []), str(d / "documents.parquet"))
     out = approx_distinct_terms(str(d))
     assert out.empty
+
+
+def test_cms_term_counts_guarantee(ray_session, tmp_path):
+    """CMS never underestimates; with a vocabulary far below the cell
+    count and d=4 rows, collisions vanish and estimates are exact."""
+    from ck_ray.ops.text import cms_term_counts
+
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = [" ".join(rng.choice(vocab, 30)) for _ in range(40)]
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(_docs_table(texts, ["en"] * 40),
+                   str(d / "documents.parquet"))
+
+    out = cms_term_counts(str(d), top_n=10)
+    assert len(out) == 10
+    assert (out["cms_cf"] >= out["cf"]).all()  # one-sided error
+    assert (out["cms_cf"] == out["cf"]).all()  # tiny vocab: no collisions
+    # exact ground truth
+    from collections import Counter
+
+    c = Counter(w for t in texts for w in t.split())
+    for term, cf in zip(out["term"], out["cf"]):
+        assert c[term] == cf
+
+
+def test_cms_term_counts_empty(ray_session, tmp_path):
+    from ck_ray.ops.text import cms_term_counts
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(_docs_table([], []), str(d / "documents.parquet"))
+    assert cms_term_counts(str(d)).empty
