@@ -368,6 +368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # as-of join, range join, exact grouped percentiles — each one
         # vectorized kernel per exchange partition)
         "churned_customers": relational.churned_customers,
+        "late_ship_priority_counts": relational.late_ship_priority_counts,
         "events_asof_prev_purchase": relational.events_asof_prev_purchase,
         "error_click_window_counts": relational.error_click_window_counts,
         "event_value_quantiles": relational.event_value_quantiles,
@@ -1305,6 +1306,18 @@ WHERE NOT EXISTS (
     AND o.o_orderdate >= DATE '2000-01-01'
 )
 ORDER BY c.c_custkey
+""",
+        # distributed EXISTS semi-join between two fact tables (TPC-H q4
+        # shape); lineitem pre-aggregates to per-order max shipdate
+        "late_ship_priority_counts": """
+SELECT o.o_orderpriority, count(*) AS late_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate
+)
+GROUP BY 1 ORDER BY 1
 """,
         # unigram-LM surprisal: per-term log-probs floored to integer
         # micro-nats BEFORE the per-doc sum, so the score is an exact

@@ -1121,3 +1121,126 @@ def churned_customers(
         )
     out["c_custkey"] = out["c_custkey"].astype("int64")
     return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def late_ship_priority_counts(sf_dir: str) -> pd.DataFrame:
+    """Distributed EXISTS SEMI-JOIN between two fact tables (the TPC-H
+    q4 shape): per order priority, how many orders have at least one
+    line item shipped after the order date. Completes the join family —
+    broadcast joins, shuffle equi-joins and the exchange anti-join
+    (``churned_customers``) exist; this is the exchange semi-join for
+    when NEITHER side fits in memory.
+
+    EXISTS(l_shipdate > o_orderdate) == (max l_shipdate > o_orderdate),
+    so the lineitem side pre-aggregates each batch to one
+    (orderkey, max shipdate) row before the exchange — the shuffle
+    carries <= |distinct orderkeys| rows per batch, never line items.
+    Each partition merges the partial maxes, probes orders by
+    searchsorted, and emits per-priority PARTIAL counts; the driver sums
+    a priority-cardinality table.
+    """
+    from ..exchange import hash_exchange, int_key_hash
+
+    orders = ray.data.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    items = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate"]
+    )
+
+    def order_side(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t["o_orderkey"].cast(pa.int64()),
+                "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+                "prio": t["o_orderpriority"],
+                "ts": pa.array(
+                    t["o_orderdate"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype("datetime64[us]")
+                    .view(np.int64)
+                ),
+            }
+        )
+
+    def item_side(t: pa.Table) -> pa.Table:
+        keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        ship = (
+            t["l_shipdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .view(np.int64)
+        )
+        g = pa.TableGroupBy(
+            pa.table({"key": pa.array(keys), "ts": pa.array(ship)}),
+            ["key"],
+            use_threads=False,
+        ).aggregate([("ts", "max")])
+        n = g.num_rows
+        return pa.table(
+            {
+                "key": g["key"].cast(pa.int64()),
+                "side": pa.array(np.ones(n, np.int8), pa.int8()),
+                "prio": pa.nulls(n, pa.string()),
+                "ts": g["ts_max"],
+            }
+        )
+
+    both = orders.map_batches(order_side, batch_format="pyarrow").union(
+        items.map_batches(item_side, batch_format="pyarrow")
+    )
+
+    def semi(rows: pa.Table) -> pa.Table:
+        side = rows["side"].to_numpy(zero_copy_only=False)
+        keys = rows["key"].to_numpy(zero_copy_only=False)
+        ts = rows["ts"].to_numpy(zero_copy_only=False)
+        # merge the per-batch partial maxes for this partition's keys
+        ik = keys[side == 1]
+        its = ts[side == 1]
+        order = np.argsort(ik, kind="stable")
+        ik, its = ik[order], its[order]
+        uk, start = np.unique(ik, return_index=True)
+        umax = np.maximum.reduceat(its, start) if len(ik) else its
+        ok = keys[side == 0]
+        ots = ts[side == 0]
+        if len(uk):
+            pos = np.clip(np.searchsorted(uk, ok), 0, len(uk) - 1)
+            late = (uk[pos] == ok) & (umax[pos] > ots)
+        else:
+            late = np.zeros(len(ok), bool)
+        sel = np.nonzero(side == 0)[0][late]
+        g = pa.TableGroupBy(
+            pa.table({"prio": rows.take(pa.array(sel))["prio"]}),
+            ["prio"],
+            use_threads=False,
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "o_orderpriority": g["prio"],
+                "late_orders": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    out = hash_exchange(
+        both,
+        key_fn=lambda t: int_key_hash(
+            t["key"].to_numpy(zero_copy_only=False)
+        ),
+        reducer=semi,
+    )
+    if len(out) == 0:
+        return pd.DataFrame(
+            {
+                "o_orderpriority": pd.Series([], dtype="object"),
+                "late_orders": pd.Series([], dtype="int64"),
+            }
+        )
+    return (
+        out.groupby("o_orderpriority", as_index=False)["late_orders"]
+        .sum()
+        .astype({"late_orders": "int64"})
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )

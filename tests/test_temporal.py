@@ -127,3 +127,58 @@ def test_range_window_boundaries_planted(ray_session, crafted_dir):
     assert int(out.loc[3, "errors_with_click"]) == 1
     # user 4 has an error but no clicks at all
     assert int(out.loc[4, "total_clicks_5m"]) == 0
+
+
+def test_late_ship_priority_counts_planted(ray_session, tmp_path):
+    """EXISTS semi-join: an order is late iff ANY line item ships after
+    the order date; orders with no items never match."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ck_ray.pipelines.relational import late_ship_priority_counts
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    day = np.datetime64("2024-01-10", "us")
+
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "o_custkey": pa.array([1] * 4, pa.int64()),
+            "o_orderstatus": pa.array(["O"] * 4),
+            "o_totalprice": pa.array([1.0] * 4),
+            "o_orderdate": pa.array([day] * 4, pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT", "1-URGENT",
+                                         "2-HIGH", "2-HIGH"]),
+        }
+    )
+    late = day + np.timedelta64(5, "D").astype("timedelta64[us]")
+    early = day - np.timedelta64(5, "D").astype("timedelta64[us]")
+    items = pa.table(
+        {
+            "l_orderkey": pa.array([1, 1, 2, 4, 4, 4], pa.int64()),
+            "l_partkey": pa.array([1] * 6, pa.int64()),
+            "l_suppkey": pa.array([1] * 6, pa.int64()),
+            "l_linenumber": pa.array([1, 2, 1, 1, 2, 3], pa.int64()),
+            "l_quantity": pa.array([1.0] * 6),
+            "l_extendedprice": pa.array([1.0] * 6),
+            "l_discount": pa.array([0.0] * 6),
+            "l_tax": pa.array([0.0] * 6),
+            "l_returnflag": pa.array(["N"] * 6),
+            "l_linestatus": pa.array(["O"] * 6),
+            # order 1: one early + one LATE; order 2: early only (not
+            # late); order 3: no items; order 4: early, early, LATE
+            "l_shipdate": pa.array(
+                [early, late, early, early, early, late],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(orders, str(d / "orders.parquet"))
+    pq.write_table(items, str(d / "lineitem.parquet"))
+
+    out = late_ship_priority_counts(str(d)).set_index("o_orderpriority")
+    assert out.loc["1-URGENT", "late_orders"] == 1  # order 1 only
+    assert out.loc["2-HIGH", "late_orders"] == 1    # order 4 only
+    assert len(out) == 2
