@@ -386,6 +386,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_chunks": docsearch.code_chunks,
         "regex_match_docs": docsearch.regex_match_docs,
         "hybrid_rrf": docsearch.hybrid_rrf,
+        # retrieval-quality harness: Recall@10 / MRR@10 of the BM25
+        # engine vs phrase-containment ground truth (the reference's
+        # benchmarks/swe-bench Recall@K shape)
+        "retrieval_quality": docsearch.retrieval_quality,
         # --- dedup family
         "exact_dedup": dedup.exact_dedup,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # rows-only: LSH
@@ -442,7 +446,12 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _oracle_sql_base() -> dict[str, str]:
+    from ck_ray.pipelines.docsearch import QUALITY_QUERIES
+
     qterms = ", ".join(f"('{t}')" for t in _BM25_QUERY_TERMS)
+    qual_map = ", ".join(
+        f"('{q}', '{t}')" for q in QUALITY_QUERIES for t in q.split()
+    )
     return {
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
@@ -734,6 +743,71 @@ ORDER BY score DESC, doc_id
 SELECT doc_id FROM documents
 WHERE regexp_matches(text, '{_REGEX_PATTERN}')
 ORDER BY doc_id
+""",
+        # retrieval-quality harness: BM25 ranking (same in-SQL scorer as
+        # bm25_topk, ranks on 4dp-rounded scores with doc_id-asc tiebreak)
+        # vs phrase-containment relevance; Recall@10 and MRR@10 per query
+        "retrieval_quality": f"""
+WITH {_TOKS},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+qmap AS (SELECT * FROM (VALUES {qual_map}) AS q(query, term)),
+qs AS (SELECT DISTINCT query FROM qmap),
+rel AS (
+  SELECT q.query, d.doc_id
+  FROM qs q JOIN documents d ON d.text LIKE '%' || q.query || '%'
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN (SELECT term FROM qmap) GROUP BY term
+),
+scores AS (
+  SELECT qm.query, tf.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * ((tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) ), 4)
+           AS score
+  FROM qmap qm
+  JOIN tf ON tf.term = qm.term
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qm.query, tf.doc_id
+),
+ranked AS (
+  SELECT query, doc_id,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM scores
+),
+topk AS (SELECT * FROM ranked WHERE rnk <= 10),
+m AS (
+  SELECT q.query,
+         (SELECT count(*) FROM rel r WHERE r.query = q.query) AS n_relevant,
+         (SELECT count(*) FROM topk t JOIN rel r
+            ON r.query = t.query AND r.doc_id = t.doc_id
+          WHERE t.query = q.query) AS hits_at_k,
+         coalesce((SELECT min(t.rnk) FROM topk t JOIN rel r
+                     ON r.query = t.query AND r.doc_id = t.doc_id
+                   WHERE t.query = q.query), 0) AS first_rank
+  FROM qs q
+)
+SELECT query,
+       CAST(n_relevant AS BIGINT) AS n_relevant,
+       CAST(hits_at_k AS BIGINT) AS hits_at_k,
+       CAST(first_rank AS BIGINT) AS first_rank,
+       CASE WHEN n_relevant > 0
+            THEN round(CAST(hits_at_k AS DOUBLE) / n_relevant, 6)
+            ELSE 0.0 END AS recall_at_k,
+       CASE WHEN first_rank > 0
+            THEN round(1.0 / first_rank, 6)
+            ELSE 0.0 END AS mrr_at_k
+FROM m ORDER BY query
 """,
         "exact_dedup": """
 SELECT CAST(min(doc_id) AS BIGINT) AS keeper_doc_id, count(*) AS n_copies

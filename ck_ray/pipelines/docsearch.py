@@ -142,6 +142,104 @@ def bm25_boolean(
     return bm25_topk(sf_dir, query=query, k=k)
 
 
+# Fixed evaluation set for the retrieval-quality harness (the reference's
+# benchmarks/swe-bench/run.py Recall@K shape, re-expressed over the driver's
+# documents table: each query IS the phrase whose containment defines its
+# relevant set). Two single-token words per phrase by construction.
+QUALITY_QUERIES = (
+    "big table",
+    "customer order",
+    "hash join",
+    "merge window",
+    "scan filter",
+    "slow query",
+    "sort merge",
+    "stream agg",
+)
+
+
+def retrieval_quality(
+    sf_dir: str,
+    queries: tuple[str, ...] = QUALITY_QUERIES,
+    k: int = 10,
+) -> pd.DataFrame:
+    """Retrieval-quality harness: Recall@K and MRR@K of the BM25 engine
+    against deterministic phrase-containment ground truth (the reference's
+    only end-to-end quality metric, ``benchmarks/swe-bench/run.py`` —
+    there: did the patched file appear in the top-K; here: did the docs
+    containing the literal phrase).
+
+    Ground truth is a DISTRIBUTED vectorized substring scan (one
+    ``match_substring`` kernel per query per batch — the (query, doc)
+    pairs that leave the scan number ~tens, never the corpus). Ranking is
+    the real engine path (doc-partitioned shard actors, float64), and
+    ranks are taken on 4-decimal-rounded scores with the doc_id-asc
+    tiebreak so the ordering is exactly the one the ``bm25_topk`` oracle
+    already proves score-identical in SQL."""
+    import pyarrow.compute as _pc
+
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2, dtype=np.float64)
+    try:
+        ranked: dict[str, pd.DataFrame] = {}
+        for q in queries:
+            df = eng.search(q, top_k=10**9, with_metadata=True)
+            r = pd.DataFrame(
+                {
+                    "doc_id": df["path"].astype("int64"),
+                    "score": df["score"].astype("float64").round(4),
+                }
+            ).sort_values(["score", "doc_id"], ascending=[False, True])
+            r["rank"] = np.arange(1, len(r) + 1)
+            ranked[q] = r.reset_index(drop=True)
+    finally:
+        eng.close()
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    qlist = list(queries)
+
+    def rel_scan(t: pa.Table) -> pa.Table:
+        qs: list[pa.Array] = []
+        ids: list[pa.Array] = []
+        for qi, phrase in enumerate(qlist):
+            m = _pc.match_substring(t["text"], phrase)
+            hit = t.filter(m)["doc_id"]
+            qs.append(pa.array(np.full(len(hit), qi, np.int32)))
+            ids.append(hit.combine_chunks().cast(pa.int64()))
+        return pa.table(
+            {"query_id": pa.concat_arrays(qs), "doc_id": pa.concat_arrays(ids)}
+        )
+
+    rel = ds.map_batches(rel_scan, batch_format="pyarrow").to_pandas()
+    if "query_id" not in rel.columns:  # no phrase matched anywhere
+        rel = pd.DataFrame({"query_id": pd.Series([], dtype="int32"),
+                            "doc_id": pd.Series([], dtype="int64")})
+    rows = []
+    for qi, q in enumerate(qlist):
+        relevant = set(rel.loc[rel["query_id"] == qi, "doc_id"].tolist())
+        top = ranked[q].head(k)
+        hit_ranks = top.loc[top["doc_id"].isin(relevant), "rank"]
+        hits = int(len(hit_ranks))
+        first = int(hit_ranks.min()) if hits else 0
+        n_rel = len(relevant)
+        rows.append(
+            {
+                "query": q,
+                "n_relevant": n_rel,
+                "hits_at_k": hits,
+                "first_rank": first,
+                "recall_at_k": round(hits / n_rel, 6) if n_rel else 0.0,
+                "mrr_at_k": round(1.0 / first, 6) if first else 0.0,
+            }
+        )
+    out = pd.DataFrame(rows).sort_values("query").reset_index(drop=True)
+    for c in ("n_relevant", "hits_at_k", "first_rank"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def regex_match_docs(sf_dir: str, pattern: str = "merge.*window.*batch") -> pd.DataFrame:
     """doc_ids whose text matches an RE2 pattern — vectorized scan."""
     ds = ray.data.read_parquet(
