@@ -349,6 +349,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             shutil.rmtree(idx, ignore_errors=True)
         return out[["vec_id", "score"]]
 
+    def _orders_sorted_ranks(sf_dir: str):
+        """Sampled-range global sort of orders by (price cents, orderkey):
+        sorted range-partitioned parquet is written and the returned rows
+        are the global-rank stride sample that proves the order."""
+        from ck_ray.sort import orders_sorted_ranks
+
+        return orders_sorted_ranks(sf_dir)
+
     return {
         # --- relational core (map/filter/agg/join/sort/limit/distinct)
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -372,6 +380,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_prev_purchase": relational.events_asof_prev_purchase,
         "error_click_window_counts": relational.error_click_window_counts,
         "event_value_quantiles": relational.event_value_quantiles,
+        # --- distributed global sort (sampled-range TeraSort over the
+        # exchange; sorted partitioned parquet + rank-stride order proof)
+        "orders_sorted_ranks": _orders_sorted_ranks,
         # --- filesystem source (gitignore walk + sniff, oracle-gated)
         "dir_walk_corpus": dir_walk_corpus,
         # --- tokenizer / index stats over documents
@@ -1380,6 +1391,26 @@ WHERE NOT EXISTS (
     AND o.o_orderdate >= DATE '2000-01-01'
 )
 ORDER BY c.c_custkey
+""",
+        # global sort proof: the engine's sampled-range sort must place
+        # every row at exactly the rank row_number() assigns; the stride
+        # sample (step = max(1, n // 200)) is hash-compared
+        "orders_sorted_ranks": """
+WITH k AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders
+),
+n AS (SELECT greatest(1, count(*) // 200) AS step FROM k),
+r AS (
+  SELECT o_orderkey, price_c,
+         row_number() OVER (ORDER BY price_c, o_orderkey) AS rn
+  FROM k
+)
+SELECT CAST(rn AS BIGINT) AS rn,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       price_c
+FROM r, n WHERE rn % n.step = 0 ORDER BY rn
 """,
         # distributed EXISTS semi-join between two fact tables (TPC-H q4
         # shape); lineitem pre-aggregates to per-order max shipdate
