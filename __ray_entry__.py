@@ -322,6 +322,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = ann.cosine_topk(sf_dir, q, k=10)
         return out[["vec_id", "score"]]
 
+    def ann_multi_topk(sf_dir: str):
+        """Batched exact ANN: FOUR query vectors ship as ONE broadcast
+        matrix (`ray.put` once), every batch answers all queries with a
+        single (nq x nb) matmul — the amortized shape real retrieval
+        serving uses. query_id = the query's source vec_id (0..3)."""
+        import numpy as np
+
+        Q = np.stack(
+            [ann.query_vector_from(sf_dir, vec_id=i) for i in range(4)]
+        )
+        out = ann.cosine_topk(sf_dir, Q, k=10)
+        return out[["query_id", "vec_id", "score"]]
+
     def ann_ivf_topk(sf_dir: str):
         """IVF probe-subset scan with the deterministic hyperplane coarse
         quantizer — cell assignment and probe rule are pure functions of
@@ -360,6 +373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- relational core (map/filter/agg/join/sort/limit/distinct)
         "q1_pricing_summary": relational.q1_pricing_summary,
+        "q6_revenue": relational.q6_revenue,
         "q3_top_revenue_orders": relational.q3_top_revenue_orders,
         "q5_revenue_by_nation": relational.q5_revenue_by_nation,
         "top_customers": relational.top_customers,
@@ -412,6 +426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": dedup.embedding_near_dups,  # rows-only
         # --- similarity search
         "ann_cosine_topk": ann_cosine_topk,
+        "ann_multi_topk": ann_multi_topk,  # broadcast query MATRIX
         "ann_ivf_topk": ann_ivf_topk,  # hyperplane-cell IVF: hash-exact
         "ann_ivf_persisted": ann_ivf_persisted,  # cell-partitioned
         # parquet layout, probed cells opened by path (prune-at-read)
@@ -478,6 +493,18 @@ FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
+""",
+        # TPC-H q6 shape: scan-filter-aggregate with shipdate/quantity
+        # predicates pushed into the parquet read; integer-exact revenue
+        "q6_revenue": """
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_e4,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= DATE '2000-01-01' AND l_shipdate < DATE '2001-01-01'
+  AND l_quantity < 24
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 2 AND 4
 """,
         "q3_top_revenue_orders": """
 SELECT l_orderkey,
@@ -1038,6 +1065,28 @@ SELECT doc_id,
             + 256 * ('0x' || substr(sha256(text), 3, 2))::UBIGINT
             AS BIGINT) AS feat0_u16
 FROM documents ORDER BY doc_id
+""",
+        # batched ANN: same exact cosine, four queries at once; query_id
+        # is the query's source vec_id
+        "ann_multi_topk": """
+WITH qs AS (
+  SELECT vec_id AS query_id, embedding AS qe
+  FROM embeddings WHERE vec_id < 4
+),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS score
+  FROM embeddings e, qs q
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rn
+  FROM sims
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, vec_id,
+       round(score, 4) AS score
+FROM ranked WHERE rn <= 10 ORDER BY query_id, vec_id
 """,
         "ann_cosine_topk": """
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

@@ -1244,3 +1244,52 @@ def late_ship_priority_counts(sf_dir: str) -> pd.DataFrame:
         .sort_values("o_orderpriority")
         .reset_index(drop=True)
     )
+
+
+def q6_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H q6 shape — the pure scan-filter-aggregate probe: forecast
+    revenue from discounted small-quantity line items shipped in 2000.
+
+    Demonstrates prune-at-the-read both ways: only two columns are
+    projected, and the shipdate/quantity predicates are pushed into the
+    parquet read as Arrow dataset filters (row groups outside the date
+    range never leave storage). The discount-band test runs on exact
+    integer cents inside the batch kernel, and revenue is summed as
+    BIGINT cents x discount-cents so both sides are integer-exact."""
+    import datetime
+
+    flt = (
+        (pc.field("l_shipdate") >= datetime.datetime(2000, 1, 1))
+        & (pc.field("l_shipdate") < datetime.datetime(2001, 1, 1))
+        & (pc.field("l_quantity") < 24.0)
+    )
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_extendedprice", "l_discount"],
+        filter=flt,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        price_c = np.round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        disc_c = np.round(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        keep = (disc_c >= 2) & (disc_c <= 4)
+        return pa.table(
+            {
+                "revenue_e4": pa.array(
+                    [int((price_c[keep] * disc_c[keep]).sum())], pa.int64()
+                ),
+                "n_items": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {
+            "revenue_e4": [int(parts["revenue_e4"].sum())],
+            "n_items": [int(parts["n_items"].sum())],
+        }
+    ).astype("int64")
