@@ -303,6 +303,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return multimodal_features(sf_dir)
 
+    def image_resize(sf_dir: str):
+        """Actor-pool nearest-neighbor RESIZE over binary payloads: the
+        raster view is synthetic (no decoders in this container) but the
+        sampling arithmetic is the real NN resize; all-integer pixels."""
+        from ck_ray.ops.multimodal import image_resize_nn
+
+        return image_resize_nn(sf_dir)
+
+    def frame_sample(sf_dir: str):
+        """Actor-pool stride FRAME-SAMPLING (the video shape): payload ->
+        fixed-length frames -> keep every 4th; one row per sampled frame
+        with its md5 (flat-map stage)."""
+        from ck_ray.ops.multimodal import video_frame_sample
+
+        return video_frame_sample(sf_dir)
+
     def code_index_stats(sf_dir: str):
         """Full SPIMI build over the documents corpus via the real engine
         path, reporting index_stats — exercises tokenize/shuffle/encode/
@@ -448,6 +464,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle-checked)
         "semantic_topk": semantic_topk,
         "multimodal_features": multimodal,
+        "image_resize_nn": image_resize,
+        "video_frame_sample": frame_sample,
         "code_index_stats": code_index_stats,
         # --- corpus curation (decontamination, span-level dup stats,
         # deterministic sampling/quota — the post-dedup steps of a
@@ -1065,6 +1083,55 @@ SELECT doc_id,
             + 256 * ('0x' || substr(sha256(text), 3, 2))::UBIGINT
             AS BIGINT) AS feat0_u16
 FROM documents ORDER BY doc_id
+""",
+        # nearest-neighbor resize over the synthetic raster (row-major
+        # bytes at width 64, zero-padded): out pixel (r,c) reads byte
+        # (r*in_h)//8 * 64 + (c*64)//8; ASCII corpus => ord == byte
+        "image_resize_nn": """
+WITH d AS (
+  SELECT doc_id, text, strlen(text) AS n,
+         greatest(1, CAST(ceil(strlen(text) / 64.0) AS BIGINT)) AS in_h
+  FROM documents
+),
+cells AS (
+  SELECT r.range AS r, c.range AS c FROM range(8) r, range(8) c
+),
+px AS (
+  SELECT d.doc_id, d.n, cells.r, cells.c,
+         CASE WHEN ((cells.r * d.in_h) // 8) * 64 + ((cells.c * 64) // 8)
+                   < d.n
+              THEN ord(substr(
+                     d.text,
+                     CAST(((cells.r * d.in_h) // 8) * 64
+                          + ((cells.c * 64) // 8) + 1 AS BIGINT),
+                     1))
+              ELSE 0 END AS v
+  FROM d, cells
+)
+SELECT doc_id,
+       CAST(max(n) AS BIGINT) AS n_bytes,
+       CAST(sum(v) AS BIGINT) AS px_sum,
+       CAST(sum(CASE WHEN r = 0 AND c = 0 THEN v ELSE 0 END) AS BIGINT)
+         AS px00,
+       CAST(sum(CASE WHEN r = 7 AND c = 7 THEN v ELSE 0 END) AS BIGINT)
+         AS px77
+FROM px GROUP BY doc_id ORDER BY doc_id
+""",
+        # stride frame sampling: 256-byte frames, keep every 4th; md5 of
+        # the exact frame bytes proves the slicing
+        "video_frame_sample": """
+WITH d AS (SELECT doc_id, text, strlen(text) AS n FROM documents),
+f AS (
+  SELECT d.doc_id, g.range AS frame_idx, d.n, d.text
+  FROM d, range(0, 4096, 4) g
+  WHERE g.range * 256 < d.n
+)
+SELECT doc_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(least(256, n - frame_idx * 256) AS BIGINT) AS frame_bytes,
+       substr(md5(substr(text, CAST(frame_idx * 256 + 1 AS BIGINT), 256)),
+              1, 16) AS frame_md5
+FROM f ORDER BY doc_id, frame_idx
 """,
         # batched ANN: same exact cosine, four queries at once; query_id
         # is the query's source vec_id

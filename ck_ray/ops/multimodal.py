@@ -114,3 +114,125 @@ def multimodal_features(sf_dir: str) -> pd.DataFrame:
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+class ImageResizer:
+    """Actor-pool RESIZE stage (the brief's decode -> resize step).
+
+    Real decoders aren't in this container, so the raster is a synthetic
+    but deterministic view of the payload: bytes laid out row-major at a
+    fixed ``in_w``, zero-padded to full rows. The resize itself is REAL
+    nearest-neighbor sampling — output pixel (r, c) reads input pixel
+    (r*in_h // out, c*in_w // out) — the same index arithmetic a real
+    grayscale NN resize uses, so swapping the synthetic raster for a
+    decoded one changes nothing downstream."""
+
+    def __init__(self, in_w: int = 64, out: int = 8):
+        self.in_w = in_w
+        self.out = out
+        rr = np.arange(out)
+        self.rows = rr  # out-row index template
+        self.cols = (np.arange(out) * in_w) // out  # fixed per in_w
+
+    def _resize_one(self, payload: bytes) -> np.ndarray:
+        buf = np.frombuffer(payload, np.uint8)
+        n = len(buf)
+        in_h = max(1, -(-n // self.in_w))
+        src_r = (self.rows * in_h) // self.out
+        idx = src_r[:, None] * self.in_w + self.cols[None, :]
+        px = np.zeros((self.out, self.out), np.int64)
+        m = idx < n
+        px[m] = buf[idx[m]]
+        return px
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        grids = [
+            self._resize_one(p) for p in t["payload"].to_pylist()
+        ]
+        px = (
+            np.stack(grids)
+            if grids else np.zeros((0, self.out, self.out), np.int64)
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bytes": t["n_bytes"],
+                "px_sum": pa.array(px.sum(axis=(1, 2)), pa.int64()),
+                "px00": pa.array(px[:, 0, 0], pa.int64()),
+                "px77": pa.array(px[:, -1, -1], pa.int64()),
+            }
+        )
+
+
+class FrameSampler:
+    """Actor-pool FRAME-SAMPLE stage (the brief's video step): the
+    payload is a sequence of fixed-length frames; keep every ``stride``-th
+    one. Emits one row per SAMPLED frame with its md5 — the flat-map
+    shape (one input row -> many output rows) real frame extraction has.
+    """
+
+    def __init__(self, frame_len: int = 256, stride: int = 4):
+        self.frame_len = frame_len
+        self.stride = stride
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, fidx, fbytes, fmd5 = [], [], [], []
+        for doc_id, p in zip(
+            t["doc_id"].to_pylist(), t["payload"].to_pylist()
+        ):
+            n = len(p)
+            n_frames = -(-n // self.frame_len)
+            for j in range(0, n_frames, self.stride):
+                chunk = p[j * self.frame_len : (j + 1) * self.frame_len]
+                ids.append(doc_id)
+                fidx.append(j)
+                fbytes.append(len(chunk))
+                fmd5.append(hashlib.md5(chunk).hexdigest()[:16])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int64()),
+                "frame_bytes": pa.array(fbytes, pa.int64()),
+                "frame_md5": pa.array(fmd5, pa.string()),
+            }
+        )
+
+
+def _payloads(sf_dir: str) -> ray.data.Dataset:
+    import os
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return ds.map_batches(attach_binary_payload, batch_format="pyarrow")
+
+
+def image_resize_nn(sf_dir: str) -> pd.DataFrame:
+    """payloads -> actor-pool nearest-neighbor resize; integer pixels."""
+    out = (
+        _payloads(sf_dir)
+        .map_batches(
+            ImageResizer, batch_format="pyarrow", batch_size=128,
+            concurrency=(1, 2),
+        )
+        .to_pandas()
+    )
+    cols = ["doc_id", "n_bytes", "px_sum", "px00", "px77"]
+    return out[cols].astype("int64").sort_values("doc_id").reset_index(
+        drop=True
+    )
+
+
+def video_frame_sample(sf_dir: str) -> pd.DataFrame:
+    """payloads -> actor-pool stride frame sampling (flat-map stage)."""
+    out = (
+        _payloads(sf_dir)
+        .map_batches(
+            FrameSampler, batch_format="pyarrow", batch_size=128,
+            concurrency=(1, 2),
+        )
+        .to_pandas()
+    )
+    for c in ("doc_id", "frame_idx", "frame_bytes"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)

@@ -161,3 +161,64 @@ def test_search_many_batch(ray_session, tiny_corpus, tmp_path):
             assert np.array_equal(bs, ss)
     finally:
         eng.close()
+
+
+def test_image_resize_nn_planted(ray_session, tmp_path):
+    """NN resize over a crafted payload: byte value == position % 251, so
+    every sampled pixel is computable by the same index arithmetic."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ck_ray.ops.multimodal import image_resize_nn
+
+    n = 64 * 20 + 13  # 21 rows, ragged tail
+    text = "".join(chr(32 + (i % 90)) for i in range(n))
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": pa.array([text]),
+                  "lang": pa.array(["en"])}),
+        str(d / "documents.parquet"),
+    )
+    out = image_resize_nn(str(d))
+    assert len(out) == 1 and int(out.loc[0, "n_bytes"]) == n
+    in_h = -(-n // 64)  # 21
+    exp = np.zeros((8, 8), np.int64)
+    for r in range(8):
+        for c in range(8):
+            idx = ((r * in_h) // 8) * 64 + (c * 64) // 8
+            exp[r, c] = 32 + (idx % 90) if idx < n else 0
+    assert int(out.loc[0, "px00"]) == exp[0, 0]
+    assert int(out.loc[0, "px77"]) == exp[7, 7]
+    assert int(out.loc[0, "px_sum"]) == int(exp.sum())
+
+
+def test_video_frame_sample_planted(ray_session, tmp_path):
+    """Stride sampling keeps frames 0,4,8,... and the md5 is of the exact
+    frame bytes (short tail frame included)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ck_ray.ops.multimodal import video_frame_sample
+
+    text = "ab" * 1200  # 2400 bytes -> 10 frames of 256 (last = 96)
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([7], pa.int64()),
+                  "text": pa.array([text]),
+                  "lang": pa.array(["en"])}),
+        str(d / "documents.parquet"),
+    )
+    out = video_frame_sample(str(d))
+    assert list(out["frame_idx"]) == [0, 4, 8]
+    raw = text.encode()
+    for _, row in out.iterrows():
+        j = int(row["frame_idx"])
+        chunk = raw[j * 256 : (j + 1) * 256]
+        assert int(row["frame_bytes"]) == len(chunk)
+        assert row["frame_md5"] == hashlib.md5(chunk).hexdigest()[:16]
