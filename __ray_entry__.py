@@ -423,6 +423,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_counts": text.lang_source_counts,
         # --- search modes (reference parity)
         "bm25_topk": docsearch.bm25_topk,
+        # stored-snippet field: top-k plus the reference's 3-line preview
+        # served from the DocShard actors (no corpus access at query time)
+        "bm25_snippets": docsearch.bm25_snippets,
         "bm25_boolean": docsearch.bm25_boolean,
         "code_chunks": docsearch.code_chunks,
         "regex_match_docs": docsearch.regex_match_docs,
@@ -754,6 +757,50 @@ topk AS (
   ORDER BY score DESC, doc_id LIMIT {_BM25_K}
 )
 SELECT doc_id, round(score, 4) AS score FROM topk
+ORDER BY score DESC, doc_id
+""",
+        # stored-snippet parity: identical BM25 scores (wrapping changes
+        # no token), snippet = first 3 lines of the 7-token line-wrapped
+        # text — the same RE2 rewrite + extract the Ray side stores in
+        # the index's serving `preview` field at build time
+        "bm25_snippets": f"""
+WITH {_TOKS},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+qterms AS (SELECT * FROM (VALUES {qterms}) AS q(term)),
+df AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * ((tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) ) AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+topk AS (
+  SELECT doc_id, score FROM scores
+  ORDER BY score DESC, doc_id LIMIT {_BM25_K}
+),
+wrapped AS (
+  SELECT doc_id,
+         regexp_replace(text, '((?:\\S+ ){{6}}\\S+) ', '\\1' || chr(10), 'g')
+           AS wtext
+  FROM documents
+)
+SELECT t.doc_id, round(t.score, 4) AS score,
+       regexp_extract(w.wtext, '^([^\\n]*(\\n[^\\n]*){{0,2}})', 1) AS snippet
+FROM topk t JOIN wrapped w USING (doc_id)
 ORDER BY score DESC, doc_id
 """,
         "bm25_boolean": f"""

@@ -168,6 +168,8 @@ class _TriplesBatcher:
             mask = text_rows_mask(batch["content"])
             if not pc.all(mask).as_py():
                 batch = batch.filter(mask)
+        from .corpus import preview_column
+
         doc_ids = doc_id_column(batch["repo"], batch["path"], batch["commit"])
         doc_ids_np = doc_ids.to_numpy()
         pieces = []
@@ -226,6 +228,11 @@ class _TriplesBatcher:
                     "commit": batch["commit"],
                     "lang": batch["lang"],
                     "content_sha256": sha256_hex_column(batch["content"]),
+                    # stored snippet field: the reference serves a 3-line
+                    # preview with every lexical hit (ck-engine/src/
+                    # lib.rs:794-798) — emitted here so queries never
+                    # touch the corpus
+                    "preview": preview_column(batch["content"]),
                     "n_bytes": pc.binary_length(batch["content"]).cast(pa.int64()),
                     "dl_content": pa.array(
                         dl_per_field["content"].astype(np.int64)
@@ -976,6 +983,7 @@ def build_index(
         "num_docs": n_docs,
         "num_parts": cfg.num_parts,
         "num_serving_buckets": cfg.serving_buckets,
+        "doc_preview": True,
         "store_positions": cfg.store_positions,
         "fields": {
             "content": {

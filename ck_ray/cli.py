@@ -68,6 +68,18 @@ def _build_parser() -> argparse.ArgumentParser:
         help="emit one JSON object per line",
     )
     p.add_argument(
+        "--json-v1", action="store_const", const="json_v1", dest="as_json",
+        help='emit {"version": 1, "results": [...]} (legacy envelope)',
+    )
+    p.add_argument(
+        "--no-snippet", action="store_true",
+        help="exclude the 3-line snippet from lexical JSON/JSONL output",
+    )
+    p.add_argument(
+        "--scores", action="store_true",
+        help="include raw BM25 scores in lexical text output",
+    )
+    p.add_argument(
         "--exclude", action="append", default=[], metavar="GLOB",
         help="exclude paths matching the glob (repeatable)",
     )
@@ -151,6 +163,10 @@ def _build_parser() -> argparse.ArgumentParser:
 def _emit(df, as_json: str | None, cols: list[str]) -> None:
     if as_json == "json":
         print(json.dumps(df.to_dict("records"), default=str))
+    elif as_json == "json_v1":
+        print(json.dumps(
+            {"version": 1, "results": df.to_dict("records")}, default=str
+        ))
     elif as_json == "jsonl":
         for rec in df.to_dict("records"):
             print(json.dumps(rec, default=str))
@@ -428,7 +444,14 @@ def main(argv: list[str] | None = None) -> int:
                 )
             finally:
                 eng.close()
-            _emit(df, args.as_json, ["path", "normalized_score", "doc_id"])
+            # snippet rides JSON outputs by default (reference
+            # JsonlSearchResult.snippet); --no-snippet drops it
+            if args.no_snippet and "preview" in df.columns:
+                df = df.drop(columns=["preview"])
+            cols = ["path", "normalized_score", "doc_id"]
+            if args.scores:
+                cols.insert(2, "score")
+            _emit(df, args.as_json, cols)
             return 0 if len(df) else 1
 
         if args.sem or args.hybrid:

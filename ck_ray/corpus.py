@@ -199,3 +199,29 @@ def text_rows_mask(content) -> pa.Array:
         else content
     head = pc.binary_slice(arr.cast(pa.binary()), 0, 8192)
     return pc.invert(pc.match_substring(head, "\x00"))
+
+
+def preview_column(content, n_lines: int = 3):
+    """First ``n_lines`` lines of each string, Rust ``str::lines`` exact:
+    split at ``\\n`` with terminator semantics (a trailing ``\\n`` yields
+    no final empty line) and ONE trailing ``\\r`` stripped per line —
+    the reference's lexical-result snippet
+    (``content_text.lines().take(3).join("\\n")``,
+    ck-engine/src/lib.rs:794-798; carried to clients as
+    ``JsonlSearchResult.snippet``, ck-core/src/lib.rs:264-374).
+    Fully vectorized: one RE2 extract + two fix-up kernels."""
+    import pyarrow.compute as pc
+
+    arr = content.combine_chunks() if isinstance(content, pa.ChunkedArray) \
+        else content
+    pat = r"^(?P<p>[^\n]*(?:\n[^\n]*){0,%d})" % max(n_lines - 1, 0)
+    p = pc.struct_field(pc.extract_regex(arr, pat), "p")
+    # a trailing \n is a terminator (no empty final line) — but ONLY when
+    # the extract consumed the whole string; otherwise a trailing \n in
+    # the window is a legitimate empty n-th line
+    whole = pc.equal(pc.utf8_length(p), pc.utf8_length(arr))
+    p = pc.if_else(whole, pc.replace_substring_regex(p, r"\n$", ""), p)
+    # each line sheds one trailing \r: interior ones pair with their \n,
+    # the final line's sits at end-of-string
+    p = pc.replace_substring(p, "\r\n", "\n")
+    return pc.replace_substring_regex(p, r"\r$", "")

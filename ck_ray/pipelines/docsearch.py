@@ -49,29 +49,56 @@ def _doc_corpus(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(to_corpus, batch_format="pyarrow")
 
 
-def documents_index(sf_dir: str) -> str:
-    """Build (once, cached per sf_dir) the BM25 index over documents."""
-    key = os.path.abspath(sf_dir)
+def _wrap_lines(text: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Deterministically wrap space-separated text into 7-token lines
+    (every 7th space becomes ``\\n``). The tokenizer splits on any
+    non-alnum byte, so wrapping changes NO term, tf, dl or score — only
+    the stored preview; the DuckDB oracle applies the identical RE2
+    rewrite in SQL."""
+    arr = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+    return pc.replace_substring_regex(
+        arr, r"((?:\S+ ){6}\S+) ", "\\1\n"
+    )
+
+
+def documents_index(sf_dir: str, wrapped: bool = False) -> str:
+    """Build (once, cached per sf_dir) the BM25 index over documents.
+
+    ``wrapped=True`` builds a second index whose content is the 7-token
+    line-wrapped rendering (same scores — see ``_wrap_lines``), used by
+    the stored-snippet entry so previews are genuinely multi-line."""
+    key = os.path.abspath(sf_dir) + ("#wrapped" if wrapped else "")
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
     idx_dir = os.path.join(
-        "/tmp/ck_ray_doc_index", key.strip("/").replace("/", "_")
+        "/tmp/ck_ray_doc_index",
+        key.strip("/").replace("/", "_").replace("#", "_"),
     )
     man_path = os.path.join(idx_dir, "manifest.json")
     if os.path.exists(man_path):
         import json
 
-        if "num_serving_buckets" not in json.load(open(man_path)):
+        man = json.load(open(man_path))
+        if "num_serving_buckets" not in man or "doc_preview" not in man:
             import shutil
 
-            shutil.rmtree(idx_dir)  # stale pre-serving-layout cache
+            shutil.rmtree(idx_dir)  # stale pre-serving/pre-snippet cache
     if not os.path.exists(os.path.join(idx_dir, "manifest.json")):
         if os.path.exists(idx_dir):
             import shutil
 
             shutil.rmtree(idx_dir)
+        corpus = _doc_corpus(sf_dir)
+        if wrapped:
+            corpus = corpus.map_batches(
+                lambda t: t.set_column(
+                    t.schema.get_field_index("content"), "content",
+                    _wrap_lines(t["content"]),
+                ),
+                batch_format="pyarrow",
+            )
         build_index(
-            _doc_corpus(sf_dir), idx_dir, IndexConfig(num_parts=8, batch_size=512)
+            corpus, idx_dir, IndexConfig(num_parts=8, batch_size=512)
         )
     _INDEX_CACHE[key] = idx_dir
     return idx_dir
@@ -99,6 +126,38 @@ def bm25_topk(
         {
             "doc_id": df["path"].astype("int64"),
             "score": df["score"].astype("float64").round(4),
+        }
+    )
+    return out.sort_values(["score", "doc_id"], ascending=[False, True]).reset_index(
+        drop=True
+    )
+
+
+def bm25_snippets(
+    sf_dir: str, query: str = "merge window batch", k: int = 20
+) -> pd.DataFrame:
+    """Top-k BM25 with the reference's per-hit SNIPPET: the first 3 lines
+    of the stored document (``JsonlSearchResult.snippet``,
+    ck-core/src/lib.rs:264-374; preview rule ck-engine/src/lib.rs:794-798).
+    The snippet is served from the index's stored ``preview`` field inside
+    the DocShard actors — the corpus is never touched at query time.
+    Runs over the line-wrapped twin index (identical scores to
+    ``bm25_topk``; see ``_wrap_lines``) so previews are real 3-line cuts."""
+    idx = documents_index(sf_dir, wrapped=True)
+    eng = BM25Engine(idx, num_shards=2, dtype=np.float64)
+    try:
+        df = eng.search(query, top_k=k, with_metadata=True)
+    finally:
+        eng.close()
+    if len(df) == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64"),
+                             "snippet": pd.Series([], dtype="object")})
+    out = pd.DataFrame(
+        {
+            "doc_id": df["path"].astype("int64"),
+            "score": df["score"].astype("float64").round(4),
+            "snippet": df["preview"],
         }
     )
     return out.sort_values(["score", "doc_id"], ascending=[False, True]).reset_index(

@@ -532,11 +532,13 @@ class LocalIndex:
             )
         return dead
 
-    _META_COLS = ("repo", "path", "lang", "content_sha256")
+    _META_COLS = ("repo", "path", "lang", "content_sha256", "preview")
 
     def _load_meta(self) -> None:
         """Live doc metadata of this shard's buckets, sorted by doc_id —
-        top-k metadata lookups are a local searchsorted, no table scan."""
+        top-k metadata lookups are a local searchsorted, no table scan.
+        Columns absent from an epoch's layout (e.g. ``preview`` on an
+        index built before the stored-snippet field) load as nulls."""
         id_parts, tabs = [], []
         for ei, e in enumerate(self.epochs):
             droot = os.path.join(self.index_dir, e, "serving", "docs")
@@ -544,11 +546,18 @@ class LocalIndex:
             for b in self.buckets:
                 bdir = os.path.join(droot, f"bucket={b}")
                 if os.path.isdir(bdir):
-                    epoch_tabs.append(
-                        pads.dataset(bdir).to_table(
-                            columns=["doc_id", *self._META_COLS]
-                        )
+                    dset = pads.dataset(bdir)
+                    have = set(dset.schema.names)
+                    t = dset.to_table(
+                        columns=["doc_id",
+                                 *[c for c in self._META_COLS if c in have]]
                     )
+                    for c in self._META_COLS:
+                        if c not in t.column_names:
+                            t = t.append_column(
+                                c, pa.nulls(t.num_rows, pa.string())
+                            )
+                    epoch_tabs.append(t.select(["doc_id", *self._META_COLS]))
             if not epoch_tabs:
                 continue
             t = pa.concat_tables(epoch_tabs)

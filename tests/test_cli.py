@@ -86,6 +86,31 @@ def test_lexical_search(cli_env):
     assert len(r.stdout.strip().splitlines()) == 1  # unique marker -> 1 hit
 
 
+def test_lexical_snippet_flags(cli_env):
+    """--jsonl carries the 3-line snippet (`preview`) by default;
+    --no-snippet drops it; --scores adds the raw BM25 score to text
+    output; --json-v1 wraps in the versioned envelope."""
+    _, idx = cli_env
+    r = run(["--lex", "uq0000042marker", "--index-dir", idx,
+             "--topk", "5", "--jsonl"])
+    assert r.returncode == 0
+    rec = json.loads(r.stdout.strip().splitlines()[0])
+    assert rec.get("preview") and "\n" in rec["preview"]
+    assert len(rec["preview"].split("\n")) <= 3
+    r2 = run(["--lex", "uq0000042marker", "--index-dir", idx,
+              "--topk", "5", "--jsonl", "--no-snippet"])
+    rec2 = json.loads(r2.stdout.strip().splitlines()[0])
+    assert "preview" not in rec2
+    r3 = run(["--lex", "uq0000042marker", "--index-dir", idx,
+              "--topk", "5", "--scores"])
+    parts = r3.stdout.strip().splitlines()[0].split(":")
+    assert len(parts) == 4 and float(parts[2]) > 0  # path:norm:score:doc_id
+    r4 = run(["--lex", "uq0000042marker", "--index-dir", idx,
+              "--topk", "5", "--json-v1"])
+    env = json.loads(r4.stdout)
+    assert env["version"] == 1 and len(env["results"]) == 1
+
+
 def test_regex_modes_and_exit_codes(cli_env):
     corpus, _ = cli_env
     hit = run(["getUserById", "--corpus", corpus, "--topk", "3"])
