@@ -124,6 +124,23 @@ def _build_parser() -> argparse.ArgumentParser:
         help="incremental update of the index from --corpus before anything else",
     )
     p.add_argument(
+        "--clean-orphans", action="store_true", dest="clean_orphans",
+        help="tombstone index docs absent from --corpus without reindexing "
+             "anything (reference --clean-orphans)",
+    )
+    p.add_argument(
+        "--no-ignore", action="store_true", dest="no_ignore",
+        help="ignore .gitignore files when walking --corpus-dir",
+    )
+    p.add_argument(
+        "--no-ckignore", action="store_true", dest="no_ckignore",
+        help="ignore .ckignore files when walking --corpus-dir",
+    )
+    p.add_argument(
+        "--no-default-excludes", action="store_true", dest="no_default_excludes",
+        help="descend into .git/node_modules/target/… when walking --corpus-dir",
+    )
+    p.add_argument(
         "--switch-model", metavar="NAME", dest="switch_model",
         help="persist a different embedding model for this index "
              "(validated against the registry; semantic mode reads it)",
@@ -238,7 +255,11 @@ def main(argv: list[str] | None = None) -> int:
         from .sources import read_code_dir
 
         args.corpus = read_code_dir(
-            args.corpus_dir, extra_excludes=tuple(args.exclude)
+            args.corpus_dir,
+            respect_gitignore=not args.no_ignore,
+            respect_ckignore=not args.no_ckignore,
+            default_excludes=not args.no_default_excludes,
+            extra_excludes=tuple(args.exclude),
         )
     elif args.corpus_jsonl and not args.corpus:
         from .sources import read_corpus_jsonl
@@ -299,12 +320,12 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(st, indent=1))
             return 0
 
-        if args.add or args.reindex:
+        if args.add or args.reindex or args.clean_orphans:
             from .incremental import incremental_update
 
             if not (args.corpus and args.index_dir):
-                print("--add/--reindex need --corpus and --index-dir",
-                      file=sys.stderr)
+                print("--add/--reindex/--clean-orphans need --corpus and "
+                      "--index-dir", file=sys.stderr)
                 return 2
             ds = _corpus_ds(args.corpus, args.exclude)
             if args.add:
@@ -320,7 +341,9 @@ def main(argv: list[str] | None = None) -> int:
                           file=sys.stderr)
                     return 1
             man = incremental_update(
-                ds, args.index_dir, additive=bool(args.add)
+                ds, args.index_dir,
+                additive=bool(args.add),
+                deletions_only=args.clean_orphans,
             )
             print(
                 f"index now at {man['epoch_dir']} "

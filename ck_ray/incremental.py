@@ -77,6 +77,7 @@ def incremental_update(
     config: IndexConfig | None = None,
     *,
     additive: bool = False,
+    deletions_only: bool = False,
 ) -> dict:
     """Diff the new corpus against the live index and commit one epoch.
 
@@ -84,7 +85,15 @@ def incremental_update(
     (ck-cli/src/main.rs:311): rows present in ``corpus`` are
     added/updated, but docs absent from it are NOT treated as deletions
     — so a single file (or a shard) can be upserted without shipping
-    the whole corpus."""
+    the whole corpus.
+
+    ``deletions_only=True`` is the reference's ``--clean-orphans``
+    (ck-cli/src/main.rs:285): index docs absent from ``corpus`` are
+    tombstoned, but nothing is (re)indexed — content changes in
+    still-present docs are ignored. Mutually exclusive with
+    ``additive`` (which never deletes)."""
+    if additive and deletions_only:
+        raise ValueError("additive and deletions_only are mutually exclusive")
     man = load_manifest(index_dir)
     epochs = man.get("epochs", [man["epoch_dir"]])
     cfg = config or IndexConfig(
@@ -113,11 +122,14 @@ def incremental_update(
     prev = _live_prev_docs(index_dir, man)
     prev_map = dict(zip(prev["doc_id"], prev["content_sha256"]))
     new_ids = set(new_info["doc_id"])
-    changed = [
-        int(r.doc_id)
-        for r in new_info.itertuples()
-        if prev_map.get(r.doc_id) != r.content_sha256
-    ]
+    if deletions_only:
+        changed = []
+    else:
+        changed = [
+            int(r.doc_id)
+            for r in new_info.itertuples()
+            if prev_map.get(r.doc_id) != r.content_sha256
+        ]
     deleted = [] if additive else sorted(set(prev_map) - new_ids)
     if not changed and not deleted:
         return man
@@ -160,10 +172,14 @@ def incremental_update(
         )
 
     # live docs after this epoch: full-corpus mode replaces the universe
-    # with the new corpus; additive mode only adds genuinely-new ids
-    n_docs = (
-        len(set(prev_map) | new_ids) if additive else len(new_info)
-    )
+    # with the new corpus; additive mode only adds genuinely-new ids;
+    # deletions_only keeps exactly the still-present previously-indexed set
+    if additive:
+        n_docs = len(set(prev_map) | new_ids)
+    elif deletions_only:
+        n_docs = len(set(prev_map) & new_ids)
+    else:
+        n_docs = len(new_info)
     root = dict(man)
     root.update(
         {

@@ -157,6 +157,9 @@ def walk_code_files(
     root: str,
     *,
     respect_ignore: bool = True,
+    respect_gitignore: bool | None = None,
+    respect_ckignore: bool | None = None,
+    default_excludes: bool = True,
     include_hidden: bool = False,
     extra_excludes: tuple[str, ...] = (),
 ) -> list[str]:
@@ -168,8 +171,21 @@ def walk_code_files(
     ties, matching the reference's override layering,
     ck-index/src/lib.rs:113-128). Returns paths relative to ``root``,
     sorted (deterministic docIDs downstream).
+
+    The reference's three independent switches map 1:1
+    (ck-cli/src/main.rs:247-253, build_exclude_patterns :483):
+    ``respect_gitignore``/``respect_ckignore`` (default: follow
+    ``respect_ignore``) disable one ignore-file family each (--no-ignore
+    / --no-ckignore); ``default_excludes=False`` is --no-default-excludes.
+    ``extra_excludes`` (--exclude) always applies, even with every ignore
+    file disabled.
     """
     root = os.path.abspath(root)
+    use_git = respect_ignore if respect_gitignore is None else respect_gitignore
+    use_ck = respect_ignore if respect_ckignore is None else respect_ckignore
+    ignore_names = [
+        n for n, on in ((".gitignore", use_git), (".ckignore", use_ck)) if on
+    ]
     extra = parse_ignore_lines(list(extra_excludes))
     out: list[str] = []
     stack: list[tuple[str, list[_Rule]]] = [("", extra)] if extra else []
@@ -177,14 +193,13 @@ def walk_code_files(
     def visit(dirpath: str, rel_dir: str,
               stack: list[tuple[str, list[_Rule]]]) -> None:
         local = list(stack)
-        if respect_ignore:
-            for name in (".gitignore", ".ckignore"):
-                p = os.path.join(dirpath, name)
-                if os.path.isfile(p):
-                    with open(p, encoding="utf-8", errors="replace") as f:
-                        rules = parse_ignore_lines(f.readlines())
-                    if rules:
-                        local.append((rel_dir, rules))
+        for name in ignore_names:
+            p = os.path.join(dirpath, name)
+            if os.path.isfile(p):
+                with open(p, encoding="utf-8", errors="replace") as f:
+                    rules = parse_ignore_lines(f.readlines())
+                if rules:
+                    local.append((rel_dir, rules))
         try:
             entries = sorted(os.scandir(dirpath), key=lambda e: e.name)
         except OSError:
@@ -194,13 +209,13 @@ def walk_code_files(
             if not include_hidden and e.name.startswith("."):
                 continue
             if e.is_dir(follow_symlinks=False):
-                if e.name in DEFAULT_EXCLUDE_DIRS:
+                if default_excludes and e.name in DEFAULT_EXCLUDE_DIRS:
                     continue
-                if respect_ignore and _ignored(rel, True, local):
+                if local and _ignored(rel, True, local):
                     continue
                 visit(e.path, rel, local)
             elif e.is_file(follow_symlinks=False):
-                if respect_ignore and _ignored(rel, False, local):
+                if local and _ignored(rel, False, local):
                     continue
                 out.append(rel)
 
@@ -236,6 +251,9 @@ def read_code_dir(
     repo: str | None = None,
     commit: str = "WORKTREE",
     respect_ignore: bool = True,
+    respect_gitignore: bool | None = None,
+    respect_ckignore: bool | None = None,
+    default_excludes: bool = True,
     include_hidden: bool = False,
     extra_excludes: tuple[str, ...] = (),
 ):
@@ -250,6 +268,9 @@ def read_code_dir(
     rels = walk_code_files(
         root,
         respect_ignore=respect_ignore,
+        respect_gitignore=respect_gitignore,
+        respect_ckignore=respect_ckignore,
+        default_excludes=default_excludes,
         include_hidden=include_hidden,
         extra_excludes=extra_excludes,
     )

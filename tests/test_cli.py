@@ -256,6 +256,36 @@ def test_add_switch_model_and_status_verbose(cli_env, tmp_path_factory):
     assert sv["parts"] and sv["epochs"]
 
 
+def test_clean_orphans_flag(tmp_path_factory):
+    """--clean-orphans tombstones index docs absent from the corpus but
+    reindexes nothing (reference --clean-orphans, main.rs:285)."""
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("cli_orphans")
+    corpus = str(d / "corpus")
+    os.makedirs(corpus)
+    from ck_ray.corpus import generate_corpus
+
+    base = generate_corpus(40, seed=44)
+    pq.write_table(base, os.path.join(corpus, "part-0.parquet"))
+    idx = str(d / "idx")
+    r = run(["--index", "--corpus", corpus, "--index-dir", idx,
+             "--num-parts", "4"])
+    assert r.returncode == 0, r.stderr
+    gone_path = base["path"][0].as_py()
+
+    # corpus loses its first 10 docs
+    pq.write_table(base.slice(10), os.path.join(corpus, "part-0.parquet"))
+    r = run(["--clean-orphans", "--corpus", corpus, "--index-dir", idx])
+    assert r.returncode == 0, r.stderr
+    st = json.loads(run(["--status", "--index-dir", idx]).stdout)
+    assert st["num_docs"] == base.num_rows - 10
+    # the orphan is gone from lexical results
+    r = run(["--lex", gone_path, "--index-dir", idx, "--topk", "40",
+             "--jsonl"])
+    assert gone_path not in r.stdout
+
+
 def test_no_filename_and_compat_flags(cli_env):
     corpus, idx = cli_env
     plain = run(["uq0000042marker", "--corpus", corpus])

@@ -172,6 +172,53 @@ def test_engine_auto_reload_after_update(ray_session, tiny_corpus, tmp_path):
         pinned.close()
 
 
+def test_clean_orphans_mode(ray_session, tiny_corpus, tmp_path):
+    """deletions_only=True (reference --clean-orphans): docs absent from
+    the corpus are tombstoned, but content changes in still-present docs
+    are IGNORED — nothing is reindexed."""
+    import ray.data
+
+    cfg = ckb.IndexConfig(num_parts=4, batch_size=64)
+    d = str(tmp_path / "idx")
+    ckb.build_index(ray.data.from_arrow(tiny_corpus), d, cfg)
+
+    rows = tiny_corpus.to_pylist()
+    survivors = rows[10:]  # first 10 become orphans
+    v2 = [dict(r) for r in survivors]
+    v2[0]["content"] += "\norphanmode_sentinel line\n"  # change ignored
+    v2.append(  # brand-new doc: also ignored in deletions_only mode
+        dict(rows[0], path="src/new/fresh.py",
+             content="def fresh(): orphanmode_sentinel\n")
+    )
+    v2_t = pa.Table.from_pylist(v2)
+
+    man = incremental_update(
+        ray.data.from_arrow(v2_t), d, cfg, deletions_only=True
+    )
+    assert man["n_deleted"] == 10 and man["n_changed"] == 0
+    assert man["num_docs"] == len(survivors)
+
+    # queries behave exactly like the OLD content restricted to survivors
+    old_survivors = pa.Table.from_pylist(survivors)
+    eng = BM25Engine(d, num_shards=2)
+    oracle = BM25Oracle(old_survivors)
+    try:
+        assert len(eng.search_raw("orphanmode_sentinel", 10)[0]) == 0
+        for q in ("merge", "def"):
+            di, si = eng.search_raw(q, 30)
+            do, so = oracle.search_raw(q, 30)
+            assert di.tolist() == do.tolist()
+            assert np.array_equal(si, so)
+    finally:
+        eng.close()
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        incremental_update(
+            ray.data.from_arrow(v2_t), d, cfg,
+            additive=True, deletions_only=True,
+        )
+
+
 def test_deletion_only_update(ray_session, tiny_corpus, tmp_path):
     import ray.data
 

@@ -77,6 +77,33 @@ class TestWalk:
         rels = walk_code_files(tree, extra_excludes=("*.py",))
         assert "main.py" not in rels and "lib/util.rs" in rels
 
+    def test_gitignore_vs_ckignore_switches(self, tree):
+        # a .ckignore at root excludes *.rs; .gitignore excludes *.log
+        _mk(tree, ".ckignore", "*.rs\n")
+        both = walk_code_files(tree)
+        assert "lib/util.rs" not in both and "lib/debug.log" not in both
+        # --no-ignore: only .ckignore applies
+        no_git = walk_code_files(tree, respect_gitignore=False)
+        assert "lib/util.rs" not in no_git
+        assert "lib/debug.log" in no_git and "secret.txt" in no_git
+        # --no-ckignore: only .gitignore applies
+        no_ck = walk_code_files(tree, respect_ckignore=False)
+        assert "lib/util.rs" in no_ck and "lib/debug.log" not in no_ck
+        # extra_excludes still bite with every ignore file disabled
+        none = walk_code_files(
+            tree, respect_gitignore=False, respect_ckignore=False,
+            extra_excludes=("*.rs",),
+        )
+        assert "lib/util.rs" not in none and "lib/debug.log" in none
+
+    def test_no_default_excludes(self, tree):
+        rels = walk_code_files(
+            tree, respect_ignore=False, default_excludes=False
+        )
+        assert any(r.startswith("node_modules/") for r in rels)
+        # hidden-file rule is independent of default excludes
+        assert ".hidden_file" not in rels
+
     def test_double_star_and_class(self, tmp_path):
         root = str(tmp_path / "r2")
         _mk(root, "a/b/c/deep.tmp", b"t\n")
