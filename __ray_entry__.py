@@ -131,6 +131,19 @@ def _token_budget() -> int:
     return DEFAULT_TOKEN_BUDGET
 
 
+# RE2 class of C0 control chars (minus \t \n) + DEL — shared verbatim by
+# ck_ray.ops.curation._CTRL_RE and the unicode_clean oracle
+_CTRL_SQL = r"[\x00-\x08\x0b-\x1f\x7f]"
+
+
+def _pii_re(name: str) -> str:
+    """The engine's own PII pattern, so oracle and kernel can never
+    drift (both sides are RE2)."""
+    from ck_ray.ops.curation import PII_RULES
+
+    return next(rx for n, rx, _ in PII_RULES if n == name)
+
+
 def _stratified_pred_sql() -> str:
     """Boolean SQL predicate over (doc_id, lang) applying the same
     exact-integer md5 thresholds the Ray operator uses."""
@@ -481,6 +494,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_clean": curation.corpus_clean,
         "pack_sequences": curation.pack_sequences,
         "dup_span_scrub": curation.dup_span_scrub,
+        "pii_scrub": curation.pii_scrub,
+        "unicode_clean": curation.unicode_clean,
     }
 
 
@@ -1756,5 +1771,57 @@ SELECT event_type,
        sum(k)::BIGINT AS sum_k, min(k)::BIGINT AS min_k,
        max(k)::BIGINT AS max_k
 FROM x GROUP BY event_type ORDER BY event_type
+""",
+        # PII redaction writer: planted contact line derived from doc_id
+        # (the synthetic docs carry no PII), counts on the pre-scrub text,
+        # nested RE2 regexp_replace chain applied email -> phone -> ip;
+        # scrub_key = 60 md5 bits of the rewritten text
+        "pii_scrub": f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' Contact user' || doc_id || '@example.com call +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' from 10.' || ((doc_id // 65536) % 256)
+              || '.' || ((doc_id // 256) % 256)
+              || '.' || (doc_id % 256) || '.' AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_pii_re("email")}')) AS BIGINT)
+         AS n_email,
+       CAST(len(regexp_extract_all(t, '{_pii_re("phone")}')) AS BIGINT)
+         AS n_phone,
+       CAST(len(regexp_extract_all(t, '{_pii_re("ip")}')) AS BIGINT)
+         AS n_ip,
+       CAST(('0x' || substr(md5(
+         regexp_replace(regexp_replace(regexp_replace(
+           t, '{_pii_re("email")}', '<EMAIL>', 'g'),
+           '{_pii_re("phone")}', '<PHONE>', 'g'),
+           '{_pii_re("ip")}', '<IP>', 'g')), 1, 15))::UBIGINT AS BIGINT)
+         AS scrub_key
+FROM aug ORDER BY doc_id
+""",
+        # unicode canonicalization writer: planted mess (BEL, decomposed
+        # e+U+0301, space/tab runs) -> NFC -> strip C0/DEL -> collapse
+        # [ \\t]+ -> trim; clean_key = 60 md5 bits of the cleaned text
+        "unicode_clean": f"""
+WITH aug AS (
+  SELECT doc_id,
+         nfc_normalize(text || chr(7) || ' caf' || chr(101) || chr(769)
+              || '  id ' || doc_id || chr(9) || chr(9) || ' end ') AS t
+  FROM documents
+),
+cl AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '{_CTRL_SQL}')) AS n_ctrl,
+         regexp_replace(regexp_replace(regexp_replace(
+           t, '{_CTRL_SQL}', '', 'g'), '[ \t]+', ' ', 'g'),
+           '^ +| +$', '', 'g') AS s
+  FROM aug
+)
+SELECT doc_id, CAST(n_ctrl AS BIGINT) AS n_ctrl,
+       CAST(length(s) AS BIGINT) AS n_chars_clean,
+       CAST(('0x' || substr(md5(s), 1, 15))::UBIGINT AS BIGINT) AS clean_key
+FROM cl ORDER BY doc_id
 """,
     }

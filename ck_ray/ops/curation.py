@@ -749,3 +749,157 @@ def dup_span_scrub(sf_dir: str, n: int = 5) -> pd.DataFrame:
         .reset_index(drop=True)
     )
     return out
+
+
+# --- PII redaction + unicode canonicalization (writer stages) -----------
+# The privacy-scrub and text-normalization passes pretraining pipelines
+# run before hashing/dedup (same rule shapes as CCNet/Dolma-style
+# cleaners). Both are stateless map_batches with RE2 kernels compiled
+# once per pattern by Arrow; no shuffle, text never leaves the task.
+
+_PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE_RE = r"\+\d{1,3}-\d{3}-\d{4}"
+_PII_IP_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", _PII_EMAIL_RE, "<EMAIL>"),
+    ("phone", _PII_PHONE_RE, "<PHONE>"),
+    ("ip", _PII_IP_RE, "<IP>"),
+)
+_CTRL_RE = r"[\x00-\x08\x0b-\x1f\x7f]"
+
+
+def _pii_augmented(t: pa.Table) -> pa.Array:
+    """documents.text plus ONE deterministic planted contact line per doc
+    (derived from doc_id, replicated verbatim by the SQL oracle). The
+    synthetic corpus carries no PII, so the redaction rules need planted
+    matches to prove anything; production runs the same kernel without
+    this stage."""
+    ids = t["doc_id"].to_numpy()
+    sid = pc.cast(t["doc_id"], pa.string())
+    phone = pa.array(np.char.zfill((ids % 10000).astype(str), 4))
+    ip = pa.array(
+        np.char.add(
+            np.char.add(
+                np.char.add("10.", ((ids >> 16) & 255).astype(str)),
+                np.char.add(".", ((ids >> 8) & 255).astype(str)),
+            ),
+            np.char.add(".", (ids & 255).astype(str)),
+        )
+    )
+    col = t["text"]
+    txt = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return pc.binary_join_element_wise(
+        txt, " Contact user", sid, "@example.com call +1-555-", phone,
+        " from ", ip, ".", "",
+    )
+
+
+def pii_scrub(sf_dir: str) -> pd.DataFrame:
+    """PII redaction writer: replace emails / phone numbers / IPv4
+    addresses with <EMAIL>/<PHONE>/<IP> placeholders and count matches
+    per category. Counts are taken on the pre-scrub text (so categories
+    are independent of application order); replacement is sequential in
+    PII_RULES order. Proof = ``scrub_key`` (first 60 md5 bits of the
+    scrubbed text), bit-identical to the DuckDB oracle's nested
+    ``regexp_replace(..., 'g')`` chain — both engines are RE2, so the
+    patterns mean the same thing on both sides.
+
+    Scale shape: one streaming ``map_batches``; per-pattern RE2 automata
+    are compiled once per batch by Arrow's kernel, matching is C-speed
+    over the whole column; only (doc_id, 3 counts, key) leave the task.
+    """
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def scrub(t: pa.Table) -> pa.Table:
+        txt = _pii_augmented(t)
+        out: dict = {"doc_id": t["doc_id"]}
+        scrubbed = txt
+        for name, rx, token in PII_RULES:
+            out[f"n_{name}"] = pa.array(
+                pc.count_substring_regex(txt, pattern=rx)
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            scrubbed = pc.replace_substring_regex(
+                scrubbed, pattern=rx, replacement=token
+            )
+        out["scrub_key"] = pa.array(
+            (md5_u64_of_terms(scrubbed) >> np.uint64(4)).astype(np.int64)
+        )
+        return pa.table(out)
+
+    return (
+        ds.map_batches(scrub, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def unicode_clean(sf_dir: str) -> pd.DataFrame:
+    """Unicode canonicalization writer: NFC-compose, strip C0/DEL
+    control characters (keeping newline and tab), collapse space/tab
+    runs to one space, trim leading/trailing spaces — so byte-different
+    but render-identical documents hash identically in every downstream
+    dedup stage. Proof = ``clean_key`` (60 md5 bits of the cleaned
+    text) vs DuckDB ``nfc_normalize`` + the same RE2 chain.
+
+    NFC goes through ``unicodedata.normalize`` per row ONLY for rows
+    that are not pure ASCII (``pc.string_is_ascii`` fast path — NFC is
+    the identity on ASCII, which dominates web corpora; this build's
+    Arrow ``utf8_normalize`` does not compose combining sequences, so
+    Python supplies the compose step). The regex passes are vectorized
+    RE2. Each doc gets a deterministic planted mess (BEL control char,
+    decomposed ``e`` + U+0301, space/tab runs) so every stage provably
+    fires; the oracle replants it with ``chr()`` arithmetic.
+    """
+    import unicodedata
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def clean(t: pa.Table) -> pa.Table:
+        sid = pc.cast(t["doc_id"], pa.string())
+        col = t["text"]
+        txt = (
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        )
+        aug = pc.binary_join_element_wise(
+            txt, "\x07 café  id ", sid, "\t\t end ", ""
+        )
+        ascii_mask = pc.string_is_ascii(aug)
+        if not pc.all(ascii_mask).as_py():
+            aug = pa.array(
+                [
+                    s if is_a else unicodedata.normalize("NFC", s)
+                    for s, is_a in zip(
+                        aug.to_pylist(), ascii_mask.to_pylist()
+                    )
+                ],
+                pa.string(),
+            )
+        n_ctrl = pc.count_substring_regex(aug, pattern=_CTRL_RE)
+        s = pc.replace_substring_regex(aug, pattern=_CTRL_RE, replacement="")
+        s = pc.replace_substring_regex(s, pattern=r"[ \t]+", replacement=" ")
+        s = pc.replace_substring_regex(s, pattern=r"^ +| +$", replacement="")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_ctrl": pa.array(
+                    n_ctrl.to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "n_chars_clean": pa.array(
+                    pc.utf8_length(s)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                ),
+                "clean_key": pa.array(
+                    (md5_u64_of_terms(s) >> np.uint64(4)).astype(np.int64)
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(clean, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )

@@ -328,3 +328,83 @@ def test_dup_span_scrub_fuzz_vs_python(ray_session, tmp_path, seed):
             hashlib.md5(" ".join(kept).encode()).hexdigest()[:15], 16
         )
         assert out.loc[i, "scrub_key"] == want, (i, seed)
+
+
+@pytest.fixture(scope="module")
+def pii_docs_dir(tmp_path_factory):
+    """Docs with hand-planted PII inside the text body (on top of the
+    operator's own doc_id-derived plant)."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "mail a@b.io and c.d+x@e-f.org now",
+                    "dial +44-123-4567 or visit 192.168.0.1 twice 10.0.0.7",
+                    "no pii here at all",
+                ]
+            ),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["a"] * 3),
+            "n_chars": pa.array([33, 53, 18], pa.int64()),
+        }
+    )
+    d = tmp_path_factory.mktemp("pii")
+    pq.write_table(t, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_pii_scrub_counts_and_rewrite(ray_session, pii_docs_dir):
+    import hashlib
+
+    from ck_ray.ops.curation import PII_RULES, pii_scrub
+
+    out = pii_scrub(pii_docs_dir)
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    # every doc gets the planted contact line (1 email/phone/ip) PLUS
+    # whatever the body carries
+    assert out["n_email"].tolist() == [3, 1, 1]
+    assert out["n_phone"].tolist() == [1, 2, 1]
+    assert out["n_ip"].tolist() == [1, 3, 1]
+
+    # scrub_key matches a pure-python re2-free reference for doc 3
+    import re
+
+    body = "no pii here at all"
+    aug = (
+        f"{body} Contact user3@example.com call +1-555-0003 "
+        "from 10.0.0.3."
+    )
+    for _, rx, token in PII_RULES:
+        aug = re.sub(rx, token, aug)
+    assert "user3@example.com" not in aug and "<EMAIL>" in aug
+    want = int(hashlib.md5(aug.encode()).hexdigest()[:16], 16) >> 4
+    assert int(out["scrub_key"].iloc[2]) == want
+
+
+def test_unicode_clean_composes_and_strips(ray_session, pii_docs_dir):
+    import hashlib
+    import unicodedata
+
+    from ck_ray.ops.curation import unicode_clean
+
+    out = unicode_clean(pii_docs_dir)
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    # exactly one planted BEL per doc
+    assert out["n_ctrl"].tolist() == [1, 1, 1]
+
+    # doc 3 reference: NFC composes e+U+0301, BEL stripped, runs
+    # collapsed, edges trimmed
+    body = "no pii here at all"
+    aug = unicodedata.normalize(
+        "NFC", f"{body}\x07 café  id 3\t\t end "
+    )
+    import re
+
+    s = re.sub(r"[\x00-\x08\x0b-\x1f\x7f]", "", aug)
+    s = re.sub(r"[ \t]+", " ", s)
+    s = re.sub(r"^ +| +$", "", s)
+    assert "é" in s and "\x07" not in s and "  " not in s
+    assert int(out["n_chars_clean"].iloc[2]) == len(s)
+    want = int(hashlib.md5(s.encode()).hexdigest()[:16], 16) >> 4
+    assert int(out["clean_key"].iloc[2]) == want
