@@ -1184,9 +1184,10 @@ FROM px GROUP BY doc_id ORDER BY doc_id
         "video_frame_sample": """
 WITH d AS (SELECT doc_id, text, strlen(text) AS n FROM documents),
 f AS (
-  SELECT d.doc_id, g.range AS frame_idx, d.n, d.text
-  FROM d, range(0, 4096, 4) g
-  WHERE g.range * 256 < d.n
+  SELECT doc_id,
+         unnest(range(0, CAST(ceil(n / 256.0) AS BIGINT), 4)) AS frame_idx,
+         n, text
+  FROM d
 )
 SELECT doc_id,
        CAST(frame_idx AS BIGINT) AS frame_idx,

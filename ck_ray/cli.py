@@ -250,8 +250,18 @@ def main(argv: list[str] | None = None) -> int:
         DataContext.get_current().enable_progress_bars = False
 
     # Alternate corpus sources resolve to a Dataset; every downstream
-    # consumer accepts str | Dataset.
-    if args.corpus_dir and not args.corpus:
+    # consumer accepts str | Dataset. Exactly one source may be given —
+    # silently preferring one would index the wrong corpus.
+    n_sources = sum(
+        1 for v in (args.corpus, args.corpus_dir, args.corpus_jsonl) if v
+    )
+    if n_sources > 1:
+        print("give exactly one of --corpus / --corpus-dir / "
+              "--corpus-jsonl", file=sys.stderr)
+        if owns_ray:
+            ray.shutdown()
+        return 2
+    if args.corpus_dir:
         from .sources import read_code_dir
 
         args.corpus = read_code_dir(
@@ -261,7 +271,12 @@ def main(argv: list[str] | None = None) -> int:
             default_excludes=not args.no_default_excludes,
             extra_excludes=tuple(args.exclude),
         )
-    elif args.corpus_jsonl and not args.corpus:
+        # the walk applied --exclude with gitignore semantics (* and ?
+        # never cross '/'); re-filtering with the glob->RE2 predicate
+        # would over-exclude (its wildcards DO cross '/') and pay a
+        # redundant pass
+        args.exclude = []
+    elif args.corpus_jsonl:
         from .sources import read_corpus_jsonl
 
         args.corpus = read_corpus_jsonl(args.corpus_jsonl)

@@ -220,8 +220,11 @@ def preview_column(content, n_lines: int = 3):
     # the extract consumed the whole string; otherwise a trailing \n in
     # the window is a legitimate empty n-th line
     whole = pc.equal(pc.utf8_length(p), pc.utf8_length(arr))
-    p = pc.if_else(whole, pc.replace_substring_regex(p, r"\n$", ""), p)
-    # each line sheds one trailing \r: interior ones pair with their \n,
-    # the final line's sits at end-of-string
+    # each line sheds one trailing \r ONLY when it pairs with a \n
+    # (Rust lines() keeps a bare trailing \r on the final line — the
+    # std doctest's "baz\r" case)
     p = pc.replace_substring(p, "\r\n", "\n")
-    return pc.replace_substring_regex(p, r"\r$", "")
+    p = pc.if_else(whole, pc.replace_substring_regex(p, r"\n$", ""), p)
+    # when the capture stopped AT a \n (not whole), the window's last
+    # line is \n-terminated in the source, so its trailing \r pairs too
+    return pc.if_else(whole, p, pc.replace_substring_regex(p, r"\r$", ""))

@@ -849,8 +849,12 @@ def unicode_clean(sf_dir: str) -> pd.DataFrame:
     Arrow ``utf8_normalize`` does not compose combining sequences, so
     Python supplies the compose step). The regex passes are vectorized
     RE2. Each doc gets a deterministic planted mess (BEL control char,
-    decomposed ``e`` + U+0301, space/tab runs) so every stage provably
-    fires; the oracle replants it with ``chr()`` arithmetic.
+    an ``é``, space/tab runs): the engine appends it pre-composed (so
+    ASCII corpora keep the vectorized path) while the ORACLE plants the
+    decomposed ``e`` + U+0301 via ``chr()`` arithmetic and normalizes —
+    equality proves the NFC-compose contract end to end, and the plant
+    starts with BEL (a starter) so NFC can't interact across the
+    text/plant boundary.
     """
     import unicodedata
 
@@ -862,20 +866,27 @@ def unicode_clean(sf_dir: str) -> pd.DataFrame:
         txt = (
             col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         )
-        aug = pc.binary_join_element_wise(
-            txt, "\x07 café  id ", sid, "\t\t end ", ""
-        )
-        ascii_mask = pc.string_is_ascii(aug)
-        if not pc.all(ascii_mask).as_py():
-            aug = pa.array(
-                [
-                    s if is_a else unicodedata.normalize("NFC", s)
-                    for s, is_a in zip(
-                        aug.to_pylist(), ascii_mask.to_pylist()
-                    )
-                ],
-                pa.string(),
+        # NFC only the non-ASCII RAW rows (scatter via replace_with_mask)
+        # — on an ASCII-dominant corpus the whole batch stays vectorized.
+        # The planted suffix is appended pre-composed: NFC(text || plant)
+        # == NFC(text) || NFC(plant) because the plant starts with \x07,
+        # a starter — no combining interaction at the boundary. The
+        # ORACLE still plants the decomposed e+U+0301 and normalizes,
+        # so the NFC-compose contract is proven end to end.
+        non_ascii = pc.invert(pc.string_is_ascii(txt))
+        if pc.any(non_ascii).as_py():
+            miss = txt.filter(non_ascii).to_pylist()
+            txt = pc.replace_with_mask(
+                txt,
+                non_ascii,
+                pa.array(
+                    [unicodedata.normalize("NFC", s) for s in miss],
+                    pa.string(),
+                ),
             )
+        aug = pc.binary_join_element_wise(
+            txt, "\x07 café  id ", sid, "\t\t end ", ""
+        )
         n_ctrl = pc.count_substring_regex(aug, pattern=_CTRL_RE)
         s = pc.replace_substring_regex(aug, pattern=_CTRL_RE, replacement="")
         s = pc.replace_substring_regex(s, pattern=r"[ \t]+", replacement=" ")

@@ -890,18 +890,24 @@ def approx_distinct_terms(sf_dir: str, p: int = 12) -> pd.DataFrame:
             }
         )
 
+    # rho ranges 1..WP where WP = (64 - p) + 1; S = sum_j 2^(-rho_j)
+    # is carried exactly as S2 = sum_j 2^(WP - rho_j) (+ V empty
+    # registers at weight 2^WP), all derived from p — p=12 reproduces
+    # the oracle's literal constants (4096, 2^53, 10240)
+    WP = (64 - P) + 1
+
     def estimate(grp: pd.DataFrame) -> tuple[int, int]:
         nset = len(grp)
         v = M - nset
         s2 = int(
-            sum(1 << (53 - int(r)) for r in grp["rho"])
-        ) + (v << 53)
+            sum(1 << (WP - int(r)) for r in grp["rho"])
+        ) + (v << WP)
         raw = (
-            (0.7213 / (1.0 + 1.079 / 4096.0))
-            * 4096.0 * 4096.0 * 9007199254740992.0 / float(s2)
+            (0.7213 / (1.0 + 1.079 / float(M)))
+            * float(M) * float(M) * float(1 << WP) / float(s2)
         )
-        if raw <= 10240.0 and v > 0:
-            est = 4096.0 * math.log(4096.0 / v)
+        if raw <= 2.5 * float(M) and v > 0:
+            est = float(M) * math.log(float(M) / v)
         else:
             est = raw
         return nset, math.floor(est * 1000000.0)

@@ -14,6 +14,7 @@ map back to original ids), builds the SPIMI index once per sf_dir into a
 
 from __future__ import annotations
 
+import math
 import os
 
 import numpy as np
@@ -289,8 +290,16 @@ def retrieval_quality(
                 "n_relevant": n_rel,
                 "hits_at_k": hits,
                 "first_rank": first,
-                "recall_at_k": round(hits / n_rel, 6) if n_rel else 0.0,
-                "mrr_at_k": round(1.0 / first, 6) if first else 0.0,
+                # half-away-from-zero (DuckDB round()), NOT Python's
+                # banker's round — exact-dyadic ties like 1/128 diverge
+                "recall_at_k": (
+                    math.floor(hits / n_rel * 1e6 + 0.5) / 1e6
+                    if n_rel else 0.0
+                ),
+                "mrr_at_k": (
+                    math.floor(1.0 / first * 1e6 + 0.5) / 1e6
+                    if first else 0.0
+                ),
             }
         )
     out = pd.DataFrame(rows).sort_values("query").reset_index(drop=True)

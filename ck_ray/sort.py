@@ -75,7 +75,14 @@ def range_sort_write(
     path, offset) ordered by part; ``offset`` is the number of rows in
     all preceding partitions, so ``offset + local_index + 1`` is a row's
     global 1-based rank. Raises if partition ranges overlap (they cannot,
-    by construction — the assert documents the invariant)."""
+    by construction — the assert documents the invariant).
+
+    Contract: ``out_dir`` is the pipeline's SINK and must be visible to
+    every worker (shared fs / object-store mount) — the same contract as
+    ``Dataset.write_parquet`` to a local path. The exchange backend only
+    covers the shuffle scratch; reducers write their sorted partition to
+    ``out_dir`` directly, and ``sorted_rank_sample`` re-opens those files
+    from other tasks. On this single-node sandbox any /tmp path works."""
 
     def sample_batch(t: pa.Table) -> pa.Table:
         key, tie = key_fn(t)

@@ -190,9 +190,14 @@ def walk_code_files(
     out: list[str] = []
     stack: list[tuple[str, list[_Rule]]] = [("", extra)] if extra else []
 
-    def visit(dirpath: str, rel_dir: str,
-              stack: list[tuple[str, list[_Rule]]]) -> None:
-        local = list(stack)
+    # explicit work stack, not recursion — generated trees can nest
+    # past Python's recursion limit; order is irrelevant (sorted below)
+    work: list[tuple[str, str, list[tuple[str, list[_Rule]]]]] = [
+        (root, "", stack)
+    ]
+    while work:
+        dirpath, rel_dir, rstack = work.pop()
+        local = list(rstack)
         for name in ignore_names:
             p = os.path.join(dirpath, name)
             if os.path.isfile(p):
@@ -203,7 +208,7 @@ def walk_code_files(
         try:
             entries = sorted(os.scandir(dirpath), key=lambda e: e.name)
         except OSError:
-            return
+            continue
         for e in entries:
             rel = f"{rel_dir}/{e.name}" if rel_dir else e.name
             if not include_hidden and e.name.startswith("."):
@@ -213,13 +218,11 @@ def walk_code_files(
                     continue
                 if local and _ignored(rel, True, local):
                     continue
-                visit(e.path, rel, local)
+                work.append((e.path, rel, local))
             elif e.is_file(follow_symlinks=False):
                 if local and _ignored(rel, False, local):
                     continue
                 out.append(rel)
-
-    visit(root, "", stack)
     out.sort()
     return out
 

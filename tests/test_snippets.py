@@ -17,11 +17,17 @@ from ck_ray.query import BM25Engine
 
 def rust_lines_take3(s: str, n: int = 3) -> str:
     """Pure-python reference of Rust ``s.lines().take(n).join("\\n")``:
-    split_terminator('\\n') + strip ONE trailing '\\r' per line."""
+    split_inclusive('\\n'), strip the '\\n', then strip one '\\r' ONLY
+    when a '\\n' was stripped — a bare trailing '\\r' on the final line
+    is kept (std doctest: "foo\\r\\nbar\\n\\nbaz\\r" ends in "baz\\r")."""
     segs = s.split("\n")
+    terminated = [True] * (len(segs) - 1) + [False]
     if segs and segs[-1] == "":
-        segs = segs[:-1]
-    segs = [x[:-1] if x.endswith("\r") else x for x in segs[:n]]
+        segs, terminated = segs[:-1], terminated[:-1]
+    segs = [
+        x[:-1] if term and x.endswith("\r") else x
+        for x, term in zip(segs[:n], terminated[:n])
+    ]
     return "\n".join(segs)
 
 
