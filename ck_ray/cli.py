@@ -174,6 +174,20 @@ def _build_parser() -> argparse.ArgumentParser:
         "--rerank", action="store_true",
         help="rerank semantic top-k with the cross-encoder stage",
     )
+    p.add_argument(
+        "--rerank-model", default=None, metavar="ALIAS",
+        help="rerank model alias or full name (see --list-models)",
+    )
+    p.add_argument(
+        "--force", action="store_true",
+        help="with --index: wipe an existing index dir and rebuild "
+             "(reference --force full rebuild)",
+    )
+    p.add_argument(
+        "--serve", action="store_true",
+        help="run the MCP JSON-RPC server over stdio "
+             "(needs --corpus and --index-dir)",
+    )
     return p
 
 
@@ -285,12 +299,30 @@ def main(argv: list[str] | None = None) -> int:
         if args.list_models:
             from dataclasses import asdict
 
-            from .models import ModelRegistry
+            from .models import ModelRegistry, RerankModelRegistry
 
-            reg = ModelRegistry()
+            reg, rreg = ModelRegistry(), RerankModelRegistry()
             print(json.dumps(
-                {a: asdict(reg.models[a]) for a in reg.aliases()}, indent=1
+                {
+                    "embedding": {
+                        a: asdict(reg.models[a]) for a in reg.aliases()
+                    },
+                    "rerank": {
+                        a: asdict(rreg.models[a]) for a in rreg.aliases()
+                    },
+                },
+                indent=1,
             ))
+            return 0
+
+        if args.serve:
+            from .mcp import serve_stdio
+
+            if not (args.corpus and args.index_dir):
+                print("--serve needs --corpus and --index-dir",
+                      file=sys.stderr)
+                return 2
+            serve_stdio(args.corpus, args.index_dir)
             return 0
 
         if args.switch_model:
@@ -446,11 +478,21 @@ def main(argv: list[str] | None = None) -> int:
             return 0
 
         if args.index:
+            import os
+            import shutil
+
             from .build import IndexConfig, build_index
 
             if not (args.corpus and args.index_dir):
                 print("--index needs --corpus and --index-dir", file=sys.stderr)
                 return 2
+            if args.force and os.path.exists(
+                os.path.join(args.index_dir, "manifest.json")
+            ):
+                # reference --force: clean_index + full index_directory
+                # (ck-index/src/lib.rs:770-776); same manifest guard as
+                # --clean so we never wipe a non-index directory
+                shutil.rmtree(args.index_dir)
             man = build_index(
                 args.corpus,
                 args.index_dir,
@@ -514,6 +556,7 @@ def main(argv: list[str] | None = None) -> int:
                 emb, args.pattern,
                 top_k=args.topk or 10, threshold=args.threshold,
                 model=model, rerank=args.rerank,
+                rerank_model=args.rerank_model,
             )
             if args.sem:
                 _emit(sem, args.as_json, ["doc_id", "line_start", "score"])

@@ -102,6 +102,78 @@ class ModelRegistry:
         )
 
 
+@dataclass
+class RerankModelConfig:
+    name: str
+    provider: str
+    description: str = ""
+
+
+def _default_rerank_models() -> dict[str, RerankModelConfig]:
+    # reference rerank registry (ck-models/src/lib.rs:166-211)
+    return {
+        "jina": RerankModelConfig(
+            "jina-reranker-v1-turbo-en", "fastembed",
+            "Jina Turbo reranker (default) tuned for English code + text "
+            "relevance",
+        ),
+        "bge": RerankModelConfig(
+            "BAAI/bge-reranker-base", "fastembed",
+            "BGE reranker base model for multilingual use cases",
+        ),
+        "mxbai": RerankModelConfig(
+            "mixedbread-ai/mxbai-rerank-xsmall-v1", "mixedbread",
+            "Mixedbread xsmall reranker (quantized) optimized for local "
+            "inference",
+        ),
+    }
+
+
+@dataclass
+class RerankModelRegistry:
+    """Rerank-model aliases (reference ``ck-models/src/lib.rs:166-258``);
+    same alias-or-full-name resolution contract as ``ModelRegistry``."""
+
+    models: dict[str, RerankModelConfig] = field(
+        default_factory=_default_rerank_models
+    )
+    default_model: str = "jina"
+
+    def resolve(
+        self, requested: str | None = None
+    ) -> tuple[str, RerankModelConfig]:
+        key = requested or self.default_model
+        if key in self.models:
+            return key, self.models[key]
+        for alias, cfg in self.models.items():
+            if cfg.name == key:
+                return alias, cfg
+        raise KeyError(
+            f"Unknown rerank model {key!r}. Available models: "
+            + ", ".join(sorted(self.models))
+        )
+
+    def aliases(self) -> list[str]:
+        return sorted(self.models)
+
+
+def create_reranker(
+    model: str | None = None, registry: RerankModelRegistry | None = None
+):
+    """Provider swap point for the rerank stage: alias/name -> reranker.
+
+    Every provider maps to the deterministic ``PseudoReranker`` in this
+    container (no ONNX cross-encoders — reference providers live in
+    ``ck-embed/src/reranker.rs:26-39``); the instance carries the
+    resolved config so a model-loading class drops in unchanged."""
+    from .semantic import PseudoReranker
+
+    alias, cfg = (registry or RerankModelRegistry()).resolve(model)
+    rr = PseudoReranker()
+    rr.model_alias, rr.model_config = alias, cfg
+    return rr
+
+
 def create_embedder(model: str | None = None, registry: ModelRegistry | None = None):
     """Provider swap point: alias/name -> embedder instance.
 

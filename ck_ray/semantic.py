@@ -172,6 +172,7 @@ def semantic_search(
     threshold: float | None = None,
     rerank: bool = False,
     model: str | None = None,
+    rerank_model: str | None = None,
 ) -> pd.DataFrame:
     """Cosine top-k over the chunk table; broadcast query vector, per-batch
     partial top-k, driver merge; threshold keeps the best near-miss
@@ -224,7 +225,9 @@ def semantic_search(
     if rerank and "text" in out.columns:
         # reference rerank stage shape (ck-embed/src/reranker.rs): score the
         # top-N candidate previews with the cross-encoder stand-in, re-sort
-        rr = PseudoReranker()
+        from .models import create_reranker
+
+        rr = create_reranker(rerank_model)
         out["rerank_score"] = rr.rerank(query, out["text"].tolist())
         out = out.sort_values(
             ["rerank_score", "doc_id", "chunk_id"],

@@ -306,6 +306,45 @@ def test_rerank_flag(cli_env):
     assert len(r.stdout.strip().splitlines()) == 5
 
 
+def test_rerank_model_flag(cli_env):
+    corpus, _ = cli_env
+    r = run(["--sem", "merge posting runs", "--corpus", corpus,
+             "--rerank", "--rerank-model", "bge", "--topk", "5"])
+    assert r.returncode == 0, r.stderr
+    assert len(r.stdout.strip().splitlines()) == 5
+
+
+def test_force_rebuild(cli_env, tmp_path_factory):
+    corpus, _ = cli_env
+    idx = str(tmp_path_factory.mktemp("force") / "idx")
+    r = run(["--index", "--corpus", corpus, "--index-dir", idx,
+             "--num-parts", "2"])
+    assert r.returncode == 0, r.stderr
+    # a second plain --index into a committed dir must fail ...
+    r2 = run(["--index", "--corpus", corpus, "--index-dir", idx,
+              "--num-parts", "2"])
+    assert r2.returncode != 0
+    # ... and --force wipes + rebuilds
+    r3 = run(["--index", "--force", "--corpus", corpus, "--index-dir", idx,
+              "--num-parts", "2"])
+    assert r3.returncode == 0, r3.stderr
+    r4 = run(["merge", "--lex", "--index-dir", idx, "--topk", "3"])
+    assert r4.returncode == 0, r4.stderr
+
+
+def test_serve_needs_args():
+    r = run(["--serve"])
+    assert r.returncode == 2
+    assert "--serve needs" in r.stderr
+
+
+def test_conflicting_corpus_sources(cli_env, tmp_path):
+    corpus, _ = cli_env
+    r = run(["--status", "--corpus", corpus, "--corpus-dir", str(tmp_path)])
+    assert r.returncode == 2
+    assert "exactly one" in r.stderr
+
+
 def test_compact_flag(cli_env):
     _, idx = cli_env
     r = run(["--compact", "--index-dir", idx])

@@ -67,4 +67,24 @@ def test_cli_list_models_and_model_flag(tmp_path):
     )
     assert r.returncode == 0
     reg = _json.loads(r.stdout)
-    assert "bge-small" in reg and reg["bge-small"]["dimensions"] == 384
+    emb = reg["embedding"]
+    assert "bge-small" in emb and emb["bge-small"]["dimensions"] == 384
+    assert reg["rerank"]["jina"]["name"] == "jina-reranker-v1-turbo-en"
+
+
+def test_rerank_registry_resolution():
+    import pytest
+
+    from ck_ray.models import RerankModelRegistry, create_reranker
+
+    reg = RerankModelRegistry()
+    assert reg.resolve()[0] == "jina"  # default
+    assert reg.resolve("BAAI/bge-reranker-base")[0] == "bge"  # full name
+    assert reg.aliases() == ["bge", "jina", "mxbai"]
+    with pytest.raises(KeyError):
+        reg.resolve("nope")
+    rr = create_reranker("mxbai")
+    assert rr.model_config.provider == "mixedbread"
+    # stand-in still scores deterministically
+    s = rr.rerank("merge posting", ["merge posting runs", "unrelated"])
+    assert len(s) == 2 and s[0] > s[1]
