@@ -125,6 +125,110 @@ _MD5_DOCKEY = (
 )
 
 
+def _minhash_sql(
+    n_perm: int = 64, bands: int = 16, k: int = 5, thr: float = 0.6
+) -> str:
+    """EXACT SQL replication of ``dedup.minhash_lsh_pairs`` — same
+    algorithm, not a recall bound: FNV-1a token hashes (recursive CTE,
+    seed = (offset ^ field 0) * prime mod 2^64, matching
+    ``ids.term_hash``), the k-gram rolling shingle hash, the 64
+    universal-hash permutation minima ((s*a + b) mod 2^64 mod 2^61-1;
+    (a, b) drawn from the engine's seeded RandomState and inlined as
+    VALUES), the per-band FNV fold mod 2^63, candidate pairs sharing a
+    (band, band_hash) bucket, and the exact string-shingle Jaccard
+    verify — so the oracle reproduces the ENGINE's pair set bit-for-bit,
+    LSH misses included. All arithmetic is integer in HUGEINT (every
+    intermediate < 2^125). Assumes every doc has >= k tokens (true of
+    the test tables; shingle-less docs would carry the engine's
+    uint64-max sentinel signature)."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)  # _perm_params(64, seed=42)
+    a = rng.randint(1, (1 << 61) - 1, n_perm, dtype=np.uint64)
+    b = rng.randint(0, (1 << 61) - 1, n_perm, dtype=np.uint64)
+    perms = ",".join(
+        f"({i},{int(a[i])},{int(b[i])})" for i in range(n_perm)
+    )
+    rpb = n_perm // bands
+    seed_h = (14695981039346656037 ^ 0) * _FP_PRIME % _U64
+    expr = "t0.h::HUGEINT"
+    for j in range(1, k):
+        expr = f"((({expr}) * {_FP_PRIME} + t{j}.h) % {_U64}::HUGEINT)"
+    joins = "".join(
+        f"\n  JOIN tokh t{j} ON t0.doc_id = t{j}.doc_id"
+        f" AND t{j}.pos = t0.pos + {j}"
+        for j in range(1, k)
+    )
+    bexpr = "sl[1]::HUGEINT"
+    for j in range(2, rpb + 1):
+        bexpr = f"((({bexpr}) * {_FP_PRIME} + sl[{j}]) % {_U64}::HUGEINT)"
+    sjoins = "".join(
+        f"\n  JOIN tokp s{j} ON s0.doc_id = s{j}.doc_id"
+        f" AND s{j}.pos = s0.pos + {j}"
+        for j in range(1, k)
+    )
+    sconcat = " || chr(1) || ".join(f"s{j}.term" for j in range(k))
+    return f"""
+WITH RECURSIVE
+{_TOKS_POS.strip()},
+vocab AS (SELECT DISTINCT term FROM tokp),
+fnv AS (
+  SELECT term, to_hex(encode(term)) AS hx, octet_length(encode(term)) AS nb,
+         0 AS i, CAST({seed_h} AS UBIGINT) AS h
+  FROM vocab
+  UNION ALL
+  SELECT term, hx, nb, i + 1,
+         CAST((xor(h, ('0x' || substr(hx, 2*i+1, 2))::UBIGINT)::HUGEINT
+               * {_FP_PRIME}) % {_U64}::HUGEINT AS UBIGINT)
+  FROM fnv WHERE i < nb
+),
+th AS (SELECT term, h FROM fnv WHERE i = nb),
+tokh AS (SELECT t.doc_id, t.pos, f.h FROM tokp t JOIN th f USING (term)),
+shh AS (
+  SELECT DISTINCT t0.doc_id, CAST({expr} AS UBIGINT) AS s
+  FROM tokh t0{joins}
+),
+perms(perm, a, b) AS (VALUES {perms}),
+sig AS (
+  SELECT doc_id, perm,
+         min((((s::HUGEINT * a) % {_U64}::HUGEINT + b) % {_U64}::HUGEINT)
+             % {(1 << 61) - 1}::HUGEINT) AS sg
+  FROM shh, perms GROUP BY 1, 2
+),
+bl AS (
+  SELECT doc_id, perm // {rpb} AS band, list(sg ORDER BY perm) AS sl
+  FROM sig GROUP BY doc_id, perm // {rpb}
+),
+bh AS (
+  SELECT doc_id, band,
+         CAST(({bexpr}) % {1 << 63}::HUGEINT AS BIGINT) AS band_hash
+  FROM bl
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bh x JOIN bh y
+    ON x.band = y.band AND x.band_hash = y.band_hash
+   AND x.doc_id < y.doc_id
+),
+sh AS (SELECT DISTINCT s0.doc_id, {sconcat} AS s FROM tokp s0{sjoins}),
+sz AS (SELECT doc_id, count(*) AS size FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(i * 1.0 / (sa.size + sb.size - i), 4) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE round(i * 1.0 / (sa.size + sb.size - i), 4) >= {thr}
+ORDER BY doc_a, doc_b
+"""
+
+
 def _token_budget() -> int:
     from ck_ray.ops.curation import DEFAULT_TOKEN_BUDGET
 
@@ -449,9 +553,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retrieval_quality": docsearch.retrieval_quality,
         # --- dedup family
         "exact_dedup": dedup.exact_dedup,
-        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # rows-only: LSH
-        # recall < 1 by design; its exact-verified superset is the
-        # oracle-gated ngram_jaccard_pairs
+        # oracle-gated bit-for-bit (_minhash_sql replicates the full
+        # LSH algorithm — signatures, banding, verify — so recall < 1
+        # no longer blocks an exact oracle)
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "simhash_pairs": dedup.simhash_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "near_dup_groups": dedup.near_dup_groups,
@@ -957,6 +1062,9 @@ WHERE n > 0 AND (s = 0 OR s + 4 < n)
 ORDER BY doc_id, chunk_id
 """,
         "ngram_jaccard_pairs": _shingle_sql(3, 0.5),
+        # the full MinHash-LSH algorithm replicated in SQL (exact,
+        # including LSH misses) — see _minhash_sql
+        "minhash_lsh_pairs": _minhash_sql(64, 16, 5, 0.6),
         "near_dup_groups": f"""
 WITH RECURSIVE {_TOKS_POS.strip().lstrip()},
 sh AS (
