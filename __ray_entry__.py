@@ -229,6 +229,117 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _embdup_sql(
+    threshold: float = 0.95, cap: int = 256, seed: int = 42,
+    num_parts: int = 16, dim: int = 64, n_planes: int = 64, step: int = 4,
+) -> str:
+    """EXACT SQL replication of ``dedup.embedding_near_dups`` — the whole
+    adaptive random-hyperplane LSH algorithm, not just its intent: the
+    64 seeded Gaussian hyperplanes are inlined as literals (dim x 64,
+    drawn from the engine's RandomState), sign signatures come from
+    double-precision projections, partition assignment replicates
+    ``exchange.int_key_hash`` (splitmix mix in HUGEINT via 32-bit-split
+    multiplication) mod num_parts, and the adaptive prefix splitting
+    (population cap, +4 bits per level, identical-signature leaves stop)
+    is unrolled as 17 MATERIALIZED CTE levels — enough for any base
+    depth (>= 2 bits) to reach 64 bits. Pair cosines are sums of IEEE
+    double products over the float32-cast unit vectors, matching the
+    engine's float64 leaf matmul, so scores agree bit-for-bit after 4dp
+    rounding. ``dim`` is fixed at the test tables' embedding width (the
+    planes are part of the algorithm's seed contract)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(dim, n_planes)
+    pv = ",".join(
+        f"({d + 1},{c},{planes[d, c]!r})"
+        for d in range(dim) for c in range(n_planes)
+    )
+    pw = ",".join(f"({c},{1 << c})" for c in range(n_planes))
+    maxk = 16
+    lvl = []
+    prev = "v0"
+    for k in range(maxk + 1):
+        bits = f"least(64, (SELECT bits0 FROM par) + {step * k})"
+        pref = "0::UBIGINT" if k == 0 else f"sg >> (64 - ({bits}))"
+        tpref = "0::UBIGINT" if k == 0 else f"t.sg >> (64 - ({bits}))"
+        cond = f"(c <= {cap} OR mn = mx" + (
+            f" OR ({bits}) >= 64)" if k > 0 else ")"
+        )
+        lvl.append(f"""
+g{k} AS MATERIALIZED (
+  SELECT part, {pref} AS pk, count(*) AS c, min(sg) AS mn, max(sg) AS mx
+  FROM {prev} GROUP BY 1, 2),
+j{k} AS MATERIALIZED (
+  SELECT t.*, g{k}.c, g{k}.mn, g{k}.mx
+  FROM {prev} t JOIN g{k}
+    ON g{k}.part = t.part AND g{k}.pk = {tpref}),
+s{k} AS MATERIALIZED (
+  SELECT vec_id, part::VARCHAR || '/' || {k} || '/' ||
+         ({pref})::VARCHAR AS leaf
+  FROM j{k} WHERE {cond}),
+u{k + 1} AS MATERIALIZED (
+  SELECT vec_id, sg, part FROM j{k} WHERE NOT {cond})""")
+        prev = f"u{k + 1}"
+    leaves = " UNION ALL ".join(
+        f"SELECT * FROM s{k}" for k in range(maxk + 1)
+    )
+    return f"""
+WITH
+e AS MATERIALIZED (
+  SELECT vec_id, unnest(embedding) AS ev,
+         generate_subscripts(embedding, 1) AS d
+  FROM embeddings),
+planes(d, c, v) AS (VALUES {pv}),
+pw(c, w) AS (VALUES {pw}),
+proj AS MATERIALIZED (
+  SELECT e.vec_id, p.c, sum(e.ev::DOUBLE * p.v) AS s
+  FROM e JOIN planes p USING (d) GROUP BY 1, 2),
+sig AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(COALESCE(sum(CASE WHEN pr.s > 0 THEN pw.w ELSE 0 END), 0)
+              AS UBIGINT) AS sg
+  FROM proj pr JOIN pw USING (c) GROUP BY 1),
+par AS (SELECT least(greatest(CAST(ceil(log2(greatest(
+              (SELECT count(*) FROM sig), 2) / {cap}.0)) AS INT) + 2, 2), 16)
+          AS bits0),
+v0 AS MATERIALIZED (
+  SELECT vec_id, sg,
+         CAST(xor(x3, x3 >> 27) % {num_parts} AS BIGINT) AS part
+  FROM (
+    SELECT vec_id, sg,
+           CAST(((xor(x1, x1 >> 31)::HUGEINT * 484763065)
+                 + ((((xor(x1, x1 >> 31) % 4294967296)::HUGEINT * 3210233709)
+                    % 4294967296) * 4294967296)) % {_U64}
+                AS UBIGINT) AS x3
+    FROM (
+      SELECT vec_id, sg,
+             CAST(((sg >> (64 - (SELECT bits0 FROM par)))::HUGEINT
+                   * 11400714819323198485) % {_U64} AS UBIGINT) AS x1
+      FROM sig))),
+{",".join(lvl)},
+leaves AS MATERIALIZED ({leaves}),
+nr AS MATERIALIZED (
+  SELECT vec_id, sqrt(sum(ev::DOUBLE * ev::DOUBLE)) AS nrm
+  FROM e GROUP BY 1),
+u AS MATERIALIZED (
+  SELECT e.vec_id, e.d,
+         CAST(CAST(e.ev::DOUBLE / greatest(nr.nrm, 1e-12) AS FLOAT)
+              AS DOUBLE) AS uv
+  FROM e JOIN nr USING (vec_id)),
+cand AS (SELECT a.vec_id AS va, b.vec_id AS vb
+         FROM leaves a JOIN leaves b
+           ON a.leaf = b.leaf AND a.vec_id < b.vec_id),
+cs AS (SELECT c.va, c.vb, sum(ua.uv * ub.uv) AS s
+       FROM cand c
+       JOIN u ua ON ua.vec_id = c.va
+       JOIN u ub ON ub.vec_id = c.vb AND ub.d = ua.d
+       GROUP BY 1, 2)
+SELECT va AS vec_a, vb AS vec_b, round(s, 4) AS cosine
+FROM cs WHERE s >= {threshold} ORDER BY 1, 2
+"""
+
+
 def _token_budget() -> int:
     from ck_ray.ops.curation import DEFAULT_TOKEN_BUDGET
 
@@ -560,7 +671,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": dedup.simhash_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "near_dup_groups": dedup.near_dup_groups,
-        "embedding_near_dups": dedup.embedding_near_dups,  # rows-only
+        # oracle-gated bit-for-bit (_embdup_sql replicates the adaptive
+        # hyperplane-LSH algorithm, partition hash and float contract)
+        "embedding_near_dups": dedup.embedding_near_dups,
         # --- similarity search
         "ann_cosine_topk": ann_cosine_topk,
         "ann_multi_topk": ann_multi_topk,  # broadcast query MATRIX
@@ -1065,6 +1178,10 @@ ORDER BY doc_id, chunk_id
         # the full MinHash-LSH algorithm replicated in SQL (exact,
         # including LSH misses) — see _minhash_sql
         "minhash_lsh_pairs": _minhash_sql(64, 16, 5, 0.6),
+        # the adaptive hyperplane-LSH near-dup algorithm replicated in
+        # SQL (planted-pair parity pytest covers the non-empty case;
+        # the sf tables contain no 0.95-cosine pairs) — see _embdup_sql
+        "embedding_near_dups": _embdup_sql(),
         "near_dup_groups": f"""
 WITH RECURSIVE {_TOKS_POS.strip().lstrip()},
 sh AS (

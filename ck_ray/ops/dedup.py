@@ -859,9 +859,13 @@ def _leaf_pairs(
     """All pairs (vec_a < vec_b) with cosine >= threshold inside one
     leaf; blockwise matmul bounds memory for duplicate-heavy leaves that
     exceeded the cap with identical signatures. Leaf members are sorted
-    by vec_id first so vec_a < vec_b holds by construction."""
+    by vec_id first so vec_a < vec_b holds by construction.
+
+    Similarities are computed in float64 over the float32 unit vectors
+    (same contract as ``cosine_topk``): the DuckDB oracle sums the same
+    IEEE double products, so thresholding and 4dp rounding agree."""
     o = np.argsort(ids)
-    ids, U = ids[o], U[o]
+    ids, U = ids[o], U[o].astype(np.float64)
     out_a, out_b, out_c = [], [], []
     L = len(ids)
     for i0 in range(0, L, block):
