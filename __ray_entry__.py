@@ -141,11 +141,9 @@ def _minhash_sql(
     intermediate < 2^125). Assumes every doc has >= k tokens (true of
     the test tables; shingle-less docs would carry the engine's
     uint64-max sentinel signature)."""
-    import numpy as np
+    from ck_ray.ops.dedup import _perm_params
 
-    rng = np.random.RandomState(42)  # _perm_params(64, seed=42)
-    a = rng.randint(1, (1 << 61) - 1, n_perm, dtype=np.uint64)
-    b = rng.randint(0, (1 << 61) - 1, n_perm, dtype=np.uint64)
+    a, b = _perm_params(n_perm)  # the ENGINE's params — no drift
     perms = ",".join(
         f"({i},{int(a[i])},{int(b[i])})" for i in range(n_perm)
     )
@@ -162,12 +160,6 @@ def _minhash_sql(
     bexpr = "sl[1]::HUGEINT"
     for j in range(2, rpb + 1):
         bexpr = f"((({bexpr}) * {_FP_PRIME} + sl[{j}]) % {_U64}::HUGEINT)"
-    sjoins = "".join(
-        f"\n  JOIN tokp s{j} ON s0.doc_id = s{j}.doc_id"
-        f" AND s{j}.pos = s0.pos + {j}"
-        for j in range(1, k)
-    )
-    sconcat = " || chr(1) || ".join(f"s{j}.term" for j in range(k))
     return f"""
 WITH RECURSIVE
 {_TOKS_POS.strip()},
@@ -210,7 +202,7 @@ cand AS (
     ON x.band = y.band AND x.band_hash = y.band_hash
    AND x.doc_id < y.doc_id
 ),
-sh AS (SELECT DISTINCT s0.doc_id, {sconcat} AS s FROM tokp s0{sjoins}),
+{_shingle_cte(k, distinct=True).strip()},
 sz AS (SELECT doc_id, count(*) AS size FROM sh GROUP BY doc_id),
 inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS i
@@ -244,15 +236,20 @@ def _embdup_sql(
     is unrolled as 17 MATERIALIZED CTE levels — enough for any base
     depth (>= 2 bits) to reach 64 bits. Pair cosines are sums of IEEE
     double products over the float32-cast unit vectors, matching the
-    engine's float64 leaf matmul, so scores agree bit-for-bit after 4dp
-    rounding. ``dim`` is fixed at the test tables' embedding width (the
-    planes are part of the algorithm's seed contract)."""
-    import numpy as np
+    engine's float64 leaf matmul; both sides round half-away at 4dp.
+    Residual float caveat (shared by every float oracle in this file):
+    BLAS blocked accumulation vs SQL sequential summation can differ by
+    ~1 ulp, so a projection within ~1e-15 of zero could in principle
+    flip a signature bit — never observed on the test tables or the
+    planted-pair suite. ``dim`` is fixed at the test tables' embedding
+    width (the planes are part of the algorithm's seed contract)."""
+    from ck_ray.ops.dedup import _hyperplanes
 
-    rng = np.random.RandomState(seed)
-    planes = rng.randn(dim, n_planes)
+    planes = _hyperplanes(dim, seed, n_planes)  # the ENGINE's planes
+    # float() before repr: np.float64.__repr__ is 'np.float64(...)'
+    # under numpy >= 2.0, which would be invalid SQL
     pv = ",".join(
-        f"({d + 1},{c},{planes[d, c]!r})"
+        f"({d + 1},{c},{float(planes[d, c])!r})"
         for d in range(dim) for c in range(n_planes)
     )
     pw = ",".join(f"({c},{1 << c})" for c in range(n_planes))

@@ -251,6 +251,10 @@ def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
     if args.context:
         args.before = args.after = args.context
+    if args.rerank_model:
+        # --rerank-model implies --rerank (silently ignoring the model
+        # would run an unreranked search the user didn't ask for)
+        args.rerank = True
 
     import ray
 
@@ -486,13 +490,30 @@ def main(argv: list[str] | None = None) -> int:
             if not (args.corpus and args.index_dir):
                 print("--index needs --corpus and --index-dir", file=sys.stderr)
                 return 2
-            if args.force and os.path.exists(
-                os.path.join(args.index_dir, "manifest.json")
-            ):
+            if args.force and os.path.isdir(args.index_dir):
                 # reference --force: clean_index + full index_directory
-                # (ck-index/src/lib.rs:770-776); same manifest guard as
-                # --clean so we never wipe a non-index directory
-                shutil.rmtree(args.index_dir)
+                # (ck-index/src/lib.rs:770-776). Guard: only wipe a dir
+                # that LOOKS like an index — a committed manifest OR a
+                # partially-committed build (epoch-*/staging left by a
+                # crash between epoch commit and manifest write), which
+                # is exactly the wedged state --force must recover from
+                import glob
+
+                looks_like_index = (
+                    os.path.exists(os.path.join(args.index_dir,
+                                                "manifest.json"))
+                    or glob.glob(os.path.join(args.index_dir, "epoch-*"))
+                    or glob.glob(os.path.join(args.index_dir,
+                                              "_staging-epoch-*"))
+                )
+                if looks_like_index:
+                    shutil.rmtree(args.index_dir)
+                else:
+                    print(
+                        f"refusing to --force-wipe {args.index_dir}: not "
+                        "an index directory", file=sys.stderr,
+                    )
+                    return 2
             man = build_index(
                 args.corpus,
                 args.index_dir,

@@ -57,23 +57,30 @@ def _default_models() -> dict[str, ModelConfig]:
     }
 
 
+def _resolve_alias_or_name(models: dict, default: str, requested, kind: str):
+    """Alias OR full model name -> (alias, config); unknown raises with
+    the available alias list (reference ``resolve_alias_or_name``) —
+    the one resolution contract shared by both registries."""
+    key = requested or default
+    if key in models:
+        return key, models[key]
+    for alias, cfg in models.items():
+        if cfg.name == key:
+            return alias, cfg
+    raise KeyError(
+        f"Unknown {kind} {key!r}. Available models: "
+        + ", ".join(sorted(models))
+    )
+
+
 @dataclass
 class ModelRegistry:
     models: dict[str, ModelConfig] = field(default_factory=_default_models)
     default_model: str = "bge-small"
 
     def resolve(self, requested: str | None = None) -> tuple[str, ModelConfig]:
-        """Alias OR full model name -> (alias, config); unknown raises
-        with the available alias list (reference ``resolve``)."""
-        key = requested or self.default_model
-        if key in self.models:
-            return key, self.models[key]
-        for alias, cfg in self.models.items():
-            if cfg.name == key:
-                return alias, cfg
-        raise KeyError(
-            f"Unknown model {key!r}. Available models: "
-            + ", ".join(sorted(self.models))
+        return _resolve_alias_or_name(
+            self.models, self.default_model, requested, "model"
         )
 
     def aliases(self) -> list[str]:
@@ -142,15 +149,8 @@ class RerankModelRegistry:
     def resolve(
         self, requested: str | None = None
     ) -> tuple[str, RerankModelConfig]:
-        key = requested or self.default_model
-        if key in self.models:
-            return key, self.models[key]
-        for alias, cfg in self.models.items():
-            if cfg.name == key:
-                return alias, cfg
-        raise KeyError(
-            f"Unknown rerank model {key!r}. Available models: "
-            + ", ".join(sorted(self.models))
+        return _resolve_alias_or_name(
+            self.models, self.default_model, requested, "rerank model"
         )
 
     def aliases(self) -> list[str]:

@@ -74,10 +74,20 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 
 
 def _perm_params(n_perm: int, seed: int = 42):
+    """Seeded universal-hash params. Shared with the SQL oracle builder
+    (``__ray_entry__._minhash_sql``) so seed/draw-order changes can't
+    silently drift the two sides apart."""
     rng = np.random.RandomState(seed)
     a = rng.randint(1, (1 << 61) - 1, n_perm, dtype=np.uint64)
     b = rng.randint(0, (1 << 61) - 1, n_perm, dtype=np.uint64)
     return a, b
+
+
+def _hyperplanes(dim: int, seed: int = 42, n_planes: int = 64) -> np.ndarray:
+    """Seeded Gaussian hyperplanes for the embedding near-dup LSH.
+    Shared with ``__ray_entry__._embdup_sql`` (same anti-drift contract
+    as ``_perm_params``)."""
+    return np.random.RandomState(seed).randn(dim, n_planes)
 
 
 def _shingle_hashes(
@@ -549,7 +559,10 @@ def _exact_jaccard_over(
         ).aggregate([("sa", "count"), ("sa", "min"), ("sb", "min")])
         inter = g["sa_count"].to_numpy().astype(np.int64)
         union = g["sa_min"].to_numpy() + g["sb_min"].to_numpy() - inter
-        jac = np.round(inter / union, 4)
+        # half-away-from-zero like DuckDB round(), not numpy's
+        # half-even — dyadic ties (e.g. 21/32 -> 0.65625) must agree
+        # with the SQL oracles (values are nonnegative here)
+        jac = np.floor(inter / union * 1e4 + 0.5) / 1e4
         keep = jac >= threshold
         return pa.table(
             {
@@ -865,7 +878,9 @@ def _leaf_pairs(
     (same contract as ``cosine_topk``): the DuckDB oracle sums the same
     IEEE double products, so thresholding and 4dp rounding agree."""
     o = np.argsort(ids)
-    ids, U = ids[o], U[o].astype(np.float64)
+    # copy=False: emb_matrix already yields float64 — avoid a second
+    # full copy of the leaf block after the fancy-index copy
+    ids, U = ids[o], U[o].astype(np.float64, copy=False)
     out_a, out_b, out_c = [], [], []
     L = len(ids)
     for i0 in range(0, L, block):
@@ -905,8 +920,7 @@ def embedding_near_dups(
     # base prefix sized so an AVERAGE bucket is ~cap/4 (splitting handles
     # skew); bounded so tiny inputs stay in few buckets
     base_bits = int(np.clip(np.ceil(np.log2(max(n_total, 2) / max(cap, 4))) + 2, 2, 16))
-    rng = np.random.RandomState(seed)
-    planes = rng.randn(dim, 64)
+    planes = _hyperplanes(dim, seed)
     planes_ref = ray.put(planes)
     pow2 = np.uint64(1) << np.arange(64, dtype=np.uint64)
 
@@ -954,7 +968,11 @@ def embedding_near_dups(
             {
                 "vec_a": pa.array(np.concatenate(out_a)),
                 "vec_b": pa.array(np.concatenate(out_b)),
-                "cosine": pa.array(np.round(np.concatenate(out_c), 4)),
+                # half-away rounding: see jaccard_reduce (cosines here
+                # are >= threshold > 0, so floor(x*1e4+0.5) is correct)
+                "cosine": pa.array(
+                    np.floor(np.concatenate(out_c) * 1e4 + 0.5) / 1e4
+                ),
             }
         )
 

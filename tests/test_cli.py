@@ -332,6 +332,31 @@ def test_force_rebuild(cli_env, tmp_path_factory):
     assert r4.returncode == 0, r4.stderr
 
 
+def test_force_recovers_wedged_index(cli_env, tmp_path_factory):
+    """--force must recover a PARTIALLY-committed index (epoch dir
+    present, manifest.json missing — a crash between epoch commit and
+    manifest write), and must refuse to wipe a non-index directory."""
+    corpus, _ = cli_env
+    idx = str(tmp_path_factory.mktemp("wedge") / "idx")
+    r = run(["--index", "--corpus", corpus, "--index-dir", idx,
+             "--num-parts", "2"])
+    assert r.returncode == 0, r.stderr
+    os.remove(os.path.join(idx, "manifest.json"))  # wedge it
+    r2 = run(["--index", "--force", "--corpus", corpus, "--index-dir", idx,
+              "--num-parts", "2"])
+    assert r2.returncode == 0, r2.stderr
+    r3 = run(["merge", "--lex", "--index-dir", idx, "--topk", "3"])
+    assert r3.returncode == 0, r3.stderr
+    # refuse to wipe a directory that is not an index
+    notidx = str(tmp_path_factory.mktemp("notidx"))
+    with open(os.path.join(notidx, "precious.txt"), "w") as f:
+        f.write("keep me")
+    r4 = run(["--index", "--force", "--corpus", corpus,
+              "--index-dir", notidx, "--num-parts", "2"])
+    assert r4.returncode == 2
+    assert os.path.exists(os.path.join(notidx, "precious.txt"))
+
+
 def test_serve_needs_args():
     r = run(["--serve"])
     assert r.returncode == 2
