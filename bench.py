@@ -1,8 +1,11 @@
 """ck_ray benchmark harness (driver contract).
 
 ``python bench.py``            one JSON line: headline = full suite seconds
-``python bench.py --scaling``  same suite at num_cpus=8 and =32 in fresh
+``python bench.py --scaling``  build leg at num_cpus=N and 4N (default 2
+                               and 8, ``CK_SCALING_LEVELS``) in fresh
                                processes; reports both + scaling efficiency
+                               (2->8 because 8->32 on this one box is
+                               memory-bandwidth-capped; see BASELINE.md)
 
 Headline pipelines:
 - ``index_build``: SPIMI inverted-index build (tokenize -> groupby(part)

@@ -204,7 +204,14 @@ class _PartOwner:
     """Owns a subset of partitions: receives their spilled rows over Ray
     RPC, stores them on node-local disk, and reduces them in place. The
     num_cpus=0 reservation keeps owner creation deadlock-free alongside
-    Ray Data stages; reduce work is bursty and OS-scheduled."""
+    Ray Data stages; reduce work is bursty and OS-scheduled.
+
+    Failure semantics (deliberate): NO max_restarts. An owner's state is
+    accumulated spills, not re-derivable from anywhere — a respawned
+    owner would silently serve an empty partition. Owner death must fail
+    the exchange loudly (RayActorError) and the JOB retries, exactly how
+    shuffle systems treat a lost shuffle node (contrast DocShard in
+    query.py, which is read-only-from-disk and so restarts freely)."""
 
     def __init__(self, root: str):
         self.root = root

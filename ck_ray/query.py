@@ -944,7 +944,16 @@ class LocalIndex:
 # idle between them, and a full-CPU reservation can starve Ray Data jobs
 # running while an engine stays open (e.g. the MCP server's hybrid tool
 # on a small cluster — deadlock without this).
-DocShard = ray.remote(num_cpus=0.5)(LocalIndex)
+#
+# Restart policy: a LocalIndex is READ-ONLY after __init__ — every byte
+# of its state is re-derived from index_dir — so when a node dies on a
+# real cluster Ray can transparently respawn the shard elsewhere and
+# re-run the idempotent query method (max_restarts/max_task_retries=-1).
+# Without this, one lost worker bricks an open engine until manual
+# reload. Verified by tests/test_query_ft.py (ray.kill mid-session).
+DocShard = ray.remote(
+    num_cpus=0.5, max_restarts=-1, max_task_retries=-1
+)(LocalIndex)
 
 
 class BM25Engine:

@@ -1,0 +1,51 @@
+"""Serving fault tolerance: DocShard actors restart after a worker
+death. A LocalIndex is read-only after __init__ (every byte re-derived
+from index_dir), so ``max_restarts=-1, max_task_retries=-1`` lets Ray
+respawn a killed shard and transparently retry the idempotent query
+method — on a real cluster one lost node must not brick an open engine
+(reference keeps its tantivy searcher in-process; the distributed
+analogue is shard respawn)."""
+
+import ray
+
+from ck_ray.query import BM25Engine
+
+QUERIES = [
+    "merge_posting_runs",
+    "tokenize stream",
+    '"def merge_posting_runs"',
+    "+parse -stream",
+]
+
+
+def _snapshot(eng, q):
+    ids, scores = eng.search_raw(q, top_k=10)
+    return list(ids), [float(s) for s in scores]
+
+
+def test_shard_killed_then_queries_identical(ray_session, tiny_index):
+    eng = BM25Engine(tiny_index, num_shards=3, auto_reload=False)
+    try:
+        before = [_snapshot(eng, q) for q in QUERIES]
+        # simulate a worker/node death for ONE shard; no_restart=False
+        # leaves Ray's restart policy (max_restarts=-1) in charge
+        ray.kill(eng.shards[0], no_restart=False)
+        after = [_snapshot(eng, q) for q in QUERIES]
+        assert after == before
+        # kill a DIFFERENT shard between two queries of a batch path too
+        ray.kill(eng.shards[-1], no_restart=False)
+        df = eng.search(QUERIES[0], top_k=10)
+        assert df["doc_id"].tolist() == before[0][0]
+    finally:
+        eng.close()
+
+
+def test_all_shards_killed_then_query_recovers(ray_session, tiny_index):
+    eng = BM25Engine(tiny_index, num_shards=2, auto_reload=False)
+    try:
+        before = _snapshot(eng, QUERIES[0])
+        for s in eng.shards:
+            ray.kill(s, no_restart=False)
+        assert _snapshot(eng, QUERIES[0]) == before
+    finally:
+        eng.close()
