@@ -47,14 +47,23 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--index", action="store_true", help="build the index")
     p.add_argument("--status", action="store_true", help="print index stats")
     p.add_argument("-i", "--ignore-case", action="store_true")
-    p.add_argument("-w", "--word", action="store_true")
-    p.add_argument("-F", "--fixed-string", action="store_true")
-    p.add_argument("-A", type=int, default=0, metavar="N", dest="after")
-    p.add_argument("-B", type=int, default=0, metavar="N", dest="before")
-    p.add_argument("-C", type=int, default=0, metavar="N", dest="context")
+    # long names match the reference CLI (ck-cli/src/main.rs): -w is
+    # --word-regexp, -F is --fixed-strings; --word/--fixed-string kept
+    # as hidden aliases for scripts written against earlier versions
+    p.add_argument("-w", "--word-regexp", "--word",
+                   action="store_true", dest="word")
+    p.add_argument("-F", "--fixed-strings", "--fixed-string",
+                   action="store_true", dest="fixed_string")
+    p.add_argument("-A", "--after-context",
+                   type=int, default=0, metavar="N", dest="after")
+    p.add_argument("-B", "--before-context",
+                   type=int, default=0, metavar="N", dest="before")
+    p.add_argument("-C", "--context",
+                   type=int, default=0, metavar="N", dest="context")
     p.add_argument("-l", "--files-with-matches", action="store_true")
     p.add_argument(
-        "-L", "--files-without-match", action="store_true",
+        "-L", "--files-without-matches", "--files-without-match",
+        action="store_true", dest="files_without_match",
         help="print files with NO match (grep -L)",
     )
     p.add_argument("--topk", type=int, default=None)
@@ -188,7 +197,48 @@ def _build_parser() -> argparse.ArgumentParser:
         help="run the MCP JSON-RPC server over stdio "
              "(needs --corpus and --index-dir)",
     )
+    p.add_argument(
+        "-q", "--quiet", action="store_true",
+        help="suppress status messages (results still print; reference "
+             "--quiet semantics)",
+    )
+    p.add_argument(
+        "--print-default-ckignore", action="store_true",
+        help="print the default ignore patterns (reference "
+             "--print-default-ckignore) and exit",
+    )
     return p
+
+
+# Default ignore patterns for a FILESYSTEM corpus walk (--corpus-dir).
+# Same role as the reference's get_default_ckignore_content
+# (ck-core/src/lib.rs:456): binary/media payloads the tokenizer can't
+# use plus build junk. Directory names mirror sources.DEFAULT_EXCLUDE_DIRS
+# so the printed file and the walk's built-in behavior agree.
+def _default_ckignore_content() -> str:
+    from .sources import DEFAULT_EXCLUDE_DIRS
+
+    groups = [
+        ("images", ["*.png", "*.jpg", "*.jpeg", "*.gif", "*.bmp", "*.svg",
+                    "*.ico", "*.webp", "*.tiff"]),
+        ("audio/video", ["*.mp3", "*.wav", "*.ogg", "*.flac", "*.mp4",
+                         "*.avi", "*.mov", "*.mkv", "*.webm"]),
+        ("archives", ["*.zip", "*.tar", "*.gz", "*.bz2", "*.xz", "*.7z",
+                      "*.rar"]),
+        ("compiled", ["*.o", "*.so", "*.a", "*.dylib", "*.dll", "*.exe",
+                      "*.class", "*.pyc", "*.wasm"]),
+        ("data blobs", ["*.parquet", "*.arrow", "*.sqlite", "*.db",
+                        "*.bin", "*.pdf"]),
+        ("build dirs", [f"{d}/" for d in sorted(DEFAULT_EXCLUDE_DIRS)]),
+    ]
+    lines = [
+        "# .ckignore — default patterns (gitignore syntax; ! negates)",
+        "# binary payloads and build junk skipped by the corpus walk",
+    ]
+    for title, pats in groups:
+        lines.append(f"\n# {title}")
+        lines.extend(pats)
+    return "\n".join(lines) + "\n"
 
 
 def _emit(df, as_json: str | None, cols: list[str]) -> None:
@@ -255,6 +305,16 @@ def main(argv: list[str] | None = None) -> int:
         # --rerank-model implies --rerank (silently ignoring the model
         # would run an unreranked search the user didn't ask for)
         args.rerank = True
+    if args.print_default_ckignore:
+        # pure print — no Ray session needed
+        print(_default_ckignore_content(), end="")
+        return 0
+
+    def status(msg: str) -> None:
+        """Post-mutation confirmations ('indexed N docs...'); --quiet
+        suppresses these but never search results or errors."""
+        if not args.quiet:
+            print(msg)
 
     import ray
 
@@ -348,7 +408,7 @@ def main(argv: list[str] | None = None) -> int:
             with open(tmp, "w") as fh:
                 json.dump(man, fh, indent=1)
             os.replace(tmp, os.path.join(args.index_dir, MANIFEST_NAME))
-            print(
+            status(
                 f"switched model to {alias} "
                 f"({spec.dimensions}d, {spec.provider})"
             )
@@ -396,7 +456,7 @@ def main(argv: list[str] | None = None) -> int:
                 additive=bool(args.add),
                 deletions_only=args.clean_orphans,
             )
-            print(
+            status(
                 f"index now at {man['epoch_dir']} "
                 f"({man['num_docs']} docs, {len(man.get('epochs', []))} epochs)"
             )
@@ -410,7 +470,7 @@ def main(argv: list[str] | None = None) -> int:
                 print("--compact needs --index-dir", file=sys.stderr)
                 return 2
             root = compact_index(args.index_dir)
-            print(
+            status(
                 f"compacted {len(root['compacted_from'])} epoch(s) -> "
                 f"{root['epoch']} ({root['num_docs']} docs)"
             )
@@ -430,7 +490,7 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 return 2
             shutil.rmtree(args.index_dir)
-            print(f"removed {args.index_dir}")
+            status(f"removed {args.index_dir}")
             return 0
 
         if args.inspect or args.dump_chunks:
@@ -522,7 +582,7 @@ def main(argv: list[str] | None = None) -> int:
                     store_positions=not args.no_positions,
                 ),
             )
-            print(
+            status(
                 f"indexed {man['num_docs']} docs into {args.index_dir} "
                 f"({man['num_parts']} partitions)"
             )

@@ -377,3 +377,42 @@ def test_compact_flag(cli_env):
     assert "compacted" in r.stdout
     r = run(["merge", "--lex", "--index-dir", idx, "--topk", "3"])
     assert r.returncode == 0, r.stderr
+
+
+def test_long_flag_aliases_match_shorts(cli_env):
+    """Reference long names (--word-regexp, --fixed-strings,
+    --after/before-context, --files-without-matches) behave exactly like
+    the shorts they alias."""
+    corpus, _ = cli_env
+    short = run(["-w", "-F", "uq0000042marker", "--corpus", corpus])
+    long_ = run(["--word-regexp", "--fixed-strings", "uq0000042marker",
+                 "--corpus", corpus])
+    assert short.returncode == 0
+    assert long_.stdout == short.stdout and long_.returncode == 0
+    a = run(["-A", "1", "-B", "1", "uq0000042marker", "--corpus", corpus])
+    b = run(["--after-context", "1", "--before-context", "1",
+             "uq0000042marker", "--corpus", corpus])
+    assert b.stdout == a.stdout
+    c = run(["-L", "uq0000042marker", "--corpus", corpus])
+    d = run(["--files-without-matches", "uq0000042marker",
+             "--corpus", corpus])
+    assert d.stdout == c.stdout
+
+
+def test_quiet_suppresses_status_not_results(cli_env, tmp_path_factory):
+    corpus, _ = cli_env
+    idx = str(tmp_path_factory.mktemp("quiet") / "idx")
+    r = run(["--index", "--corpus", corpus, "--index-dir", idx,
+             "--num-parts", "4", "-q"])
+    assert r.returncode == 0
+    assert r.stdout == ""  # "indexed N docs..." suppressed
+    hit = run(["--lex", "uq0000042marker", "--index-dir", idx, "-q"])
+    assert hit.returncode == 0 and "uq" not in hit.stderr
+    assert hit.stdout.strip()  # results still print under --quiet
+
+
+def test_print_default_ckignore():
+    r = run(["--print-default-ckignore"])
+    assert r.returncode == 0
+    assert "*.png" in r.stdout and "node_modules/" in r.stdout
+    assert r.stdout.startswith("# .ckignore")
