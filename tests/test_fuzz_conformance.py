@@ -89,3 +89,63 @@ def test_random_corpus_rank_identity(ray_session, tmp_path, seed):
             assert dp.tolist() == de.tolist() and np.array_equal(sp, se)
     finally:
         eng.close()
+
+
+# ---------------------------------------------------------------- bool trees
+
+
+def _random_bool_tree(rng: np.random.RandomState, depth: int) -> str:
+    """Random boolean query TREE (the shapes above stop at depth 1):
+    nested parens, AND/OR at every level, occur prefixes on leaves AND
+    on whole groups (+/-/NOT), phrase and path: leaves mixed in."""
+    if depth == 0 or rng.rand() < 0.3:
+        r = rng.randint(6)
+        if r == 0:
+            a, b = rng.randint(0, len(VOCAB), 2)
+            return f'"{VOCAB[a]} {VOCAB[b]}"'
+        if r == 1:
+            return "path:sub"
+        if r == 2:
+            return "-" + VOCAB[rng.randint(len(VOCAB))]
+        if r == 3:
+            return "+" + VOCAB[rng.randint(len(VOCAB))]
+        return VOCAB[rng.randint(len(VOCAB))]
+    op = "AND" if rng.rand() < 0.5 else "OR"
+    a = _random_bool_tree(rng, depth - 1)
+    b = _random_bool_tree(rng, depth - 1)
+    grp = f"({a} {op} {b})"
+    z = rng.rand()
+    if z < 0.15:
+        return "+" + grp
+    if z < 0.25:
+        return "NOT " + grp
+    return grp
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_random_bool_tree_rank_identity(ray_session, tmp_path, seed):
+    import ray.data
+
+    rng = np.random.RandomState(seed)
+    corpus = _random_corpus(rng, int(rng.randint(40, 100)))
+    d = str(tmp_path / f"bidx{seed}")
+    ckb.build_index(
+        ray.data.from_arrow(corpus), d,
+        ckb.IndexConfig(num_parts=4, batch_size=16),
+    )
+    eng = BM25Engine(d, num_shards=3)
+    oracle = BM25Oracle(corpus)
+    try:
+        for _ in range(20):
+            q = _random_bool_tree(rng, int(rng.randint(1, 4)))
+            k = int(rng.choice([1, 5, 50]))
+            de, se = eng.search_raw(q, k, pruning=False)
+            do, so = oracle.search_raw(q, k)
+            assert de.tolist() == do.tolist(), f"seed={seed} q={q!r}"
+            assert np.array_equal(se, so), f"seed={seed} q={q!r} scores"
+            dp, sp = eng.search_raw(q, k, pruning=True)
+            assert dp.tolist() == de.tolist() and np.array_equal(sp, se), (
+                f"seed={seed} q={q!r} pruned path diverged"
+            )
+    finally:
+        eng.close()
