@@ -210,10 +210,22 @@ def run_suite() -> dict:
         eng.search_raw(q, 100)
         lat.append((time.perf_counter() - tq) * 1000)
     timings["bm25_queries"] = round(time.perf_counter() - t0, 3)
-    eng.close()
     extra["bm25_p50_ms"] = round(float(np.percentile(lat, 50)), 2)
     extra["bm25_p99_ms"] = round(float(np.percentile(lat, 99)), 2)
     extra["bm25_cold_p99_ms"] = round(float(np.percentile(cold, 99)), 2)
+
+    # ---- batch throughput (QPS): serving CAPACITY, not round-trip
+    # latency — search_many ships the whole batch in one fan-out round
+    # per shard, so shards score concurrently and per-query driver
+    # overhead amortizes (the agent/MCP bulk-retrieval shape)
+    qps_batch = list(dict.fromkeys(suite)) * 8
+    tq0 = time.perf_counter()
+    res = eng.search_many(qps_batch, top_k=100)
+    qps_dt = time.perf_counter() - tq0
+    assert len(res) == len(qps_batch)
+    timings["bm25_batch"] = round(qps_dt, 3)
+    extra["bm25_batch_qps"] = round(len(qps_batch) / qps_dt, 1)
+    eng.close()
 
     # ---- sf-table pipelines
     from ck_ray.ops import ann, dedup, text
