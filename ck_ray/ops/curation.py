@@ -48,6 +48,7 @@ import ray.data
 
 from ..exchange import hash_exchange, int_key_hash
 from ..ids import md5_u64_of_terms
+from ..scoring import round_half_away
 from .dedup import (
     _batch_distinct_shingles as _distinct_doc_shingles,
     _shingle_hashes,
@@ -120,8 +121,8 @@ def decontaminate_over(ds, is_eval, n: int) -> pd.DataFrame:
                 "n_overlap": pa.array(n_overlap[keep]),
                 "n_shingles": pa.array(sizes[keep]),
                 "overlap_frac": pa.array(
-                    np.round(
-                        n_overlap[keep] / np.maximum(sizes[keep], 1), 4
+                    round_half_away(
+                        n_overlap[keep] / np.maximum(sizes[keep], 1)
                     )
                 ),
             }
@@ -228,7 +229,7 @@ def dup_ngram_spans(sf_dir: str, n: int = 5) -> pd.DataFrame:
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
-    out["dup_frac"] = np.round(out["dup_ngrams"] / out["total_ngrams"], 4)
+    out["dup_frac"] = round_half_away(out["dup_ngrams"] / out["total_ngrams"])
     return out
 
 

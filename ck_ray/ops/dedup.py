@@ -33,6 +33,7 @@ import ray
 import ray.data
 
 from ..ids import term_hash
+from ..scoring import round_half_away
 from ..tokenizer import tokenize_array
 
 # ------------------------------------------------------------------- exact
@@ -561,8 +562,8 @@ def _exact_jaccard_over(
         union = g["sa_min"].to_numpy() + g["sb_min"].to_numpy() - inter
         # half-away-from-zero like DuckDB round(), not numpy's
         # half-even — dyadic ties (e.g. 21/32 -> 0.65625) must agree
-        # with the SQL oracles (values are nonnegative here)
-        jac = np.floor(inter / union * 1e4 + 0.5) / 1e4
+        # with the SQL oracles
+        jac = round_half_away(inter / union)
         keep = jac >= threshold
         return pa.table(
             {
@@ -968,10 +969,10 @@ def embedding_near_dups(
             {
                 "vec_a": pa.array(np.concatenate(out_a)),
                 "vec_b": pa.array(np.concatenate(out_b)),
-                # half-away rounding: see jaccard_reduce (cosines here
-                # are >= threshold > 0, so floor(x*1e4+0.5) is correct)
+                # half-away rounding like every oracle-compared
+                # fixed-decimal column (scoring.round_half_away)
                 "cosine": pa.array(
-                    np.floor(np.concatenate(out_c) * 1e4 + 0.5) / 1e4
+                    round_half_away(np.concatenate(out_c))
                 ),
             }
         )

@@ -17,6 +17,7 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
+from ..scoring import round_half_away
 from ..tokenizer import term_frequencies, tokenize_array
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
@@ -555,7 +556,7 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
                 "term": voc.take(pa.array(pos[sel])),
                 "tf": pa.array(tf[sel]),
                 "df": pa.array(dfv[sel]),
-                "score": pa.array(np.round(sc[sel], 4)),
+                "score": pa.array(round_half_away(sc[sel])),
             }
         )
 

@@ -24,6 +24,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..build import IndexConfig, build_index
+from ..scoring import round_half_away
 from ..query import BM25Engine
 
 _INDEX_CACHE: dict[str, str] = {}
@@ -293,11 +294,11 @@ def retrieval_quality(
                 # half-away-from-zero (DuckDB round()), NOT Python's
                 # banker's round — exact-dyadic ties like 1/128 diverge
                 "recall_at_k": (
-                    math.floor(hits / n_rel * 1e6 + 0.5) / 1e6
+                    float(round_half_away(hits / n_rel, 6))
                     if n_rel else 0.0
                 ),
                 "mrr_at_k": (
-                    math.floor(1.0 / first * 1e6 + 0.5) / 1e6
+                    float(round_half_away(1.0 / first, 6))
                     if first else 0.0
                 ),
             }
@@ -343,7 +344,7 @@ def hybrid_rrf(
         for r, d in enumerate(lst, start=1):
             ranks[d] = ranks.get(d, 0.0) + 1.0 / (rrf_k + r)
     out = pd.DataFrame(
-        {"doc_id": list(ranks), "rrf_score": np.round(list(ranks.values()), 6)}
+        {"doc_id": list(ranks), "rrf_score": round_half_away(list(ranks.values()), 6)}
     )
     out = out.sort_values(["rrf_score", "doc_id"], ascending=[False, True]).head(k)
     out["doc_id"] = out["doc_id"].astype("int64")

@@ -61,3 +61,17 @@ def term_scores(tf, dl, df: int, n_docs: int, avgdl: float, dtype=np.float32):
     """Per-posting score contributions of one term."""
     w = dtype(idf(df, n_docs, dtype=dtype))
     return w * tf_factor(tf, dl, avgdl, dtype=dtype)
+
+
+def round_half_away(x, decimals: int = 4):
+    """Round half AWAY from zero, like DuckDB/SQL ``round()``.
+
+    numpy's ``np.round`` is half-even (banker's), so exact dyadic ties —
+    1/32 = 0.03125, 21/32 = 0.65625 — diverge from every SQL oracle at
+    the rounding boundary. Any ratio-of-small-integers column that an
+    oracle compares at fixed decimals MUST round through this kernel
+    (jaccard, cosine, overlap/dup fractions, recall).
+    """
+    s = 10.0 ** decimals
+    x = np.asarray(x, dtype=np.float64)
+    return np.sign(x) * np.floor(np.abs(x) * s + 0.5) / s

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pyarrow as pa
+import pytest
 import ray.data
 
 from ck_ray.exchange import hash_exchange, int_key_hash
@@ -164,3 +165,24 @@ def test_actor_exchange_ignores_orphan_runs(ray_session):
     want = _truth(keys, vals)
     assert out["k"].tolist() == want["k"].tolist()
     assert out["s"].tolist() == want["s"].tolist()
+
+
+def test_actor_exchange_owner_death_fails_loudly(ray_session):
+    """A _PartOwner's state (accumulated spills) is not re-derivable, so
+    owner death must surface as an error — never a silent empty/partial
+    partition (the deliberate no-max_restarts contract in exchange.py)."""
+    import ray as _ray
+
+    from ck_ray.exchange import ActorExchange, _ipc_bytes
+
+    be = ActorExchange(2)
+    t = pa.table({"k": pa.array([1, 2], pa.int64()),
+                  "v": pa.array([1, 1], pa.int64())})
+    runs = be.write_many([(0, t), (1, t)])
+    _ray.kill(be.owner_of(0))
+    runs_by_part = {}
+    for p, name in runs:
+        runs_by_part.setdefault(p, []).append(name)
+    with pytest.raises(_ray.exceptions.RayActorError):
+        be.reduce_all(runs_by_part, lambda tbl: tbl)
+    be.cleanup()
