@@ -21,12 +21,20 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
 def _build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="ck_ray", description=__doc__)
     p.add_argument("pattern", nargs="?", help="query / regex pattern")
+    p.add_argument(
+        "paths", nargs="*",
+        help="files or directories to search (reference positional "
+             "PATH args: with no --corpus* source they are walked as "
+             "the corpus; with one they filter the corpus by path "
+             "prefix)",
+    )
     p.add_argument("--corpus", help="corpus parquet dir (repo,path,commit,lang,content)")
     p.add_argument(
         "--corpus-dir", metavar="DIR",
@@ -66,7 +74,8 @@ def _build_parser() -> argparse.ArgumentParser:
         action="store_true", dest="files_without_match",
         help="print files with NO match (grep -L)",
     )
-    p.add_argument("--topk", type=int, default=None)
+    p.add_argument("--topk", "--limit", type=int, default=None,
+                   dest="topk")
     p.add_argument("--threshold", type=float, default=None)
     p.add_argument(
         "--json", action="store_const", const="json", dest="as_json",
@@ -298,7 +307,10 @@ def _corpus_ds(corpus, excludes: list[str]):
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = _build_parser().parse_args(argv)
+    # parse_intermixed_args: the reference's `ck "pattern" src/` puts
+    # positional PATHs after optionals — plain parse_args can't split
+    # pattern/paths across option boundaries
+    args = _build_parser().parse_intermixed_args(argv)
     if args.context:
         args.before = args.after = args.context
     if args.rerank_model:
@@ -359,6 +371,67 @@ def main(argv: list[str] | None = None) -> int:
 
         args.corpus = read_corpus_jsonl(args.corpus_jsonl)
 
+    if args.paths and n_sources == 0:
+        # reference positional PATHs with no corpus source: walk them.
+        # `ck "pattern" src/ lib/` == union of the trees' corpora; a
+        # FILE positional narrows its parent's walk to that one file.
+        import pyarrow.compute as pc
+
+        from .sources import read_code_dir
+
+        parts = []
+        for pth in args.paths:
+            if os.path.isdir(pth):
+                parts.append(read_code_dir(
+                    pth,
+                    respect_gitignore=not args.no_ignore,
+                    respect_ckignore=not args.no_ckignore,
+                    default_excludes=not args.no_default_excludes,
+                    extra_excludes=tuple(args.exclude),
+                ))
+            elif os.path.isfile(pth):
+                rel = os.path.basename(pth)
+                one = read_code_dir(
+                    os.path.dirname(os.path.abspath(pth)) or ".",
+                    respect_gitignore=False, respect_ckignore=False,
+                    default_excludes=False,
+                )
+                parts.append(one.map_batches(
+                    lambda t, rel=rel: t.filter(pc.equal(t["path"], rel)),
+                    batch_format="pyarrow",
+                ))
+            else:
+                print(f"no such file or directory: {pth}",
+                      file=sys.stderr)
+                return 2
+        args.corpus = parts[0] if len(parts) == 1 else parts[0].union(
+            *parts[1:]
+        )
+        args.exclude = []
+    elif args.paths:
+        # positional PATHs WITH a corpus source: path-prefix filters on
+        # the corpus `path` column (prune before any other work)
+        import pyarrow.compute as pc
+        import ray.data
+
+        prefixes = [p.rstrip("/") for p in args.paths]
+        base = (
+            args.corpus if isinstance(args.corpus, ray.data.Dataset)
+            else ray.data.read_parquet(args.corpus)
+        )
+
+        def keep_paths(t):
+            keep = None
+            for pref in prefixes:
+                m = pc.or_(
+                    pc.equal(t["path"], pref),
+                    pc.starts_with(t["path"], pref + "/"),
+                )
+                keep = m if keep is None else pc.or_(keep, m)
+            return t.filter(keep)
+
+        args.corpus = base.map_batches(keep_paths, batch_format="pyarrow")
+
     try:
         if args.list_models:
             from dataclasses import asdict
@@ -399,7 +472,6 @@ def main(argv: list[str] | None = None) -> int:
             alias, spec = ModelRegistry().resolve(args.switch_model)
             man = load_manifest(args.index_dir)
             man["model"] = alias
-            import os
             import uuid
 
             tmp = os.path.join(
@@ -477,7 +549,6 @@ def main(argv: list[str] | None = None) -> int:
             return 0
 
         if args.clean:
-            import os
             import shutil
 
             if not args.index_dir:
@@ -542,7 +613,6 @@ def main(argv: list[str] | None = None) -> int:
             return 0
 
         if args.index:
-            import os
             import shutil
 
             from .build import IndexConfig, build_index

@@ -416,3 +416,45 @@ def test_print_default_ckignore():
     assert r.returncode == 0
     assert "*.png" in r.stdout and "node_modules/" in r.stdout
     assert r.stdout.startswith("# .ckignore")
+
+
+def test_positional_paths_walk_as_corpus(ray_session, tmp_path):
+    """Reference `ck "pattern" src/` shape: positional dirs/files become
+    the corpus when no --corpus* source is given."""
+    root = tmp_path / "repo"
+    (root / "src").mkdir(parents=True)
+    (root / "other").mkdir()
+    (root / "src" / "a.py").write_text("def alpha_marker(): pass\n")
+    (root / "other" / "b.py").write_text("def alpha_marker(): pass\n")
+    r = run(["alpha_marker", str(root / "src")])
+    assert r.returncode == 0, r.stderr
+    assert "a.py" in r.stdout and "b.py" not in r.stdout
+    # two positional roots union their trees
+    r2 = run(["alpha_marker", str(root / "src"), str(root / "other")])
+    assert "a.py" in r2.stdout and "b.py" in r2.stdout
+    # a FILE positional narrows to that file
+    r3 = run(["alpha_marker", str(root / "other" / "b.py")])
+    assert "b.py" in r3.stdout and "a.py" not in r3.stdout
+    # nonexistent path: loud usage error
+    r4 = run(["alpha_marker", str(root / "nope")])
+    assert r4.returncode == 2 and "no such file" in r4.stderr
+
+
+def test_positional_paths_filter_parquet_corpus(cli_env):
+    """With a --corpus source, positional paths are prefix filters."""
+    corpus, _ = cli_env
+    everywhere = run(["uq0000042marker", "--corpus", corpus])
+    hit_path = everywhere.stdout.strip().split(":", 1)[0]
+    prefix = hit_path.rsplit("/", 1)[0]
+    kept = run(["uq0000042marker", "--corpus", corpus, prefix])
+    assert kept.stdout == everywhere.stdout
+    dropped = run(["uq0000042marker", "--corpus", corpus,
+                   "definitely/absent/prefix"])
+    assert dropped.stdout.strip() == ""
+
+
+def test_limit_is_topk_alias(cli_env):
+    _, idx = cli_env
+    a = run(["--lex", "def", "--index-dir", idx, "--topk", "3"])
+    b = run(["--lex", "def", "--index-dir", idx, "--limit", "3"])
+    assert a.returncode == 0 and b.stdout == a.stdout
