@@ -250,16 +250,51 @@ def _default_ckignore_content() -> str:
     return "\n".join(lines) + "\n"
 
 
+def _ref_record(rec: dict) -> dict:
+    """Reshape one result row to the reference's documented JSON contract
+    (docs-site/reference/output-formats.md: ``file`` path string,
+    ``line`` 1-indexed int, ``content`` text, ``score`` float) while
+    keeping our richer columns. ``path``/``snippet``/``span`` mirror the
+    serde structs (ck-core/src/lib.rs:252-276 JsonSearchResult /
+    JsonlSearchResult) so both documented spellings parse."""
+    out = dict(rec)
+    text = out.pop("line", None)  # our regex frames: 'line' = TEXT
+    if text is not None:
+        out["content"] = text
+    if "preview" in out:
+        out.setdefault("content", out["preview"])
+    if "content" in out:
+        out.setdefault("snippet", out["content"])
+    if "line_no" in out:
+        n = out.pop("line_no")
+        out["line"] = n
+        out.setdefault("span", {"line_start": n, "line_end": n})
+    if "path" in out:
+        out.setdefault("file", out["path"])
+    if "score" not in out:
+        for alt in ("normalized_score", "rrf_score"):
+            if alt in out:
+                out["score"] = out[alt]
+                break
+    return out
+
+
 def _emit(df, as_json: str | None, cols: list[str]) -> None:
     if as_json == "json":
-        print(json.dumps(df.to_dict("records"), default=str))
+        print(json.dumps(
+            [_ref_record(r) for r in df.to_dict("records")], default=str
+        ))
     elif as_json == "json_v1":
         print(json.dumps(
-            {"version": 1, "results": df.to_dict("records")}, default=str
+            {
+                "version": 1,
+                "results": [_ref_record(r) for r in df.to_dict("records")],
+            },
+            default=str,
         ))
     elif as_json == "jsonl":
         for rec in df.to_dict("records"):
-            print(json.dumps(rec, default=str))
+            print(json.dumps(_ref_record(rec), default=str))
     else:
         for rec in df.to_dict("records"):
             print(":".join(str(rec[c]) for c in cols if c in rec))

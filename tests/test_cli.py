@@ -132,7 +132,17 @@ def test_files_with_matches_and_json(cli_env):
     j = run(["uq0000042marker", "--corpus", corpus, "--json"])
     arr = json.loads(j.stdout)  # --json = one array; --jsonl = lines
     assert isinstance(arr, list)
-    assert {"repo", "path", "line_no", "line"} <= set(arr[0])
+    # reference documented contract (output-formats.md): file/line/content
+    rec = arr[0]
+    assert {"file", "line", "content", "repo", "path"} <= set(rec)
+    assert isinstance(rec["line"], int) and rec["file"] == rec["path"]
+    assert "uq0000042marker" in rec["content"]
+    assert rec["span"]["line_start"] == rec["line"]
+    # JSONL: same schema, one object per line, incl. the Rust-struct
+    # 'snippet' spelling
+    jl = run(["uq0000042marker", "--corpus", corpus, "--jsonl"])
+    lrec = json.loads(jl.stdout.strip().splitlines()[0])
+    assert lrec["snippet"] == lrec["content"] == rec["content"]
 
 
 def test_full_section_flag(cli_env):
