@@ -727,14 +727,32 @@ def main(argv: list[str] | None = None) -> int:
                 print("needs --corpus", file=sys.stderr)
                 return 2
             model = args.model
-            if model is None and args.index_dir:
+            if args.index_dir:
                 # --switch-model persists the choice in the manifest
                 try:
                     from .build import load_manifest
 
-                    model = load_manifest(args.index_dir).get("model")
+                    persisted = load_manifest(args.index_dir).get("model")
                 except OSError:
-                    model = None
+                    persisted = None
+                if model is None:
+                    model = persisted
+                elif persisted is not None and model != persisted:
+                    # reference model-compatibility enforcement
+                    # (changelog 0.7.0): mixing models silently corrupts
+                    # similarity scores — refuse with recovery guidance
+                    from .models import ModelRegistry
+
+                    alias = ModelRegistry().resolve(model)[0]
+                    if alias != persisted:
+                        print(
+                            f"model mismatch: index {args.index_dir} was "
+                            f"built with {persisted!r} but --model asks "
+                            f"for {alias!r}; run --switch-model {alias} "
+                            "(and reindex embeddings) or drop --model",
+                            file=sys.stderr,
+                        )
+                        return 2
             emb = build_chunk_embeddings(
                 args.corpus, model=model
             ).materialize()

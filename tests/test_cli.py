@@ -468,3 +468,22 @@ def test_limit_is_topk_alias(cli_env):
     a = run(["--lex", "def", "--index-dir", idx, "--topk", "3"])
     b = run(["--lex", "def", "--index-dir", idx, "--limit", "3"])
     assert a.returncode == 0 and b.stdout == a.stdout
+
+
+def test_model_mismatch_enforcement(cli_env, tmp_path_factory):
+    """Reference 0.7.0 model-compatibility guard: --sem --model X against
+    an index persisted with model Y refuses with recovery guidance;
+    matching or omitted --model proceeds."""
+    corpus, _ = cli_env
+    idx = str(tmp_path_factory.mktemp("mm") / "idx")
+    r = run(["--index", "--corpus", corpus, "--index-dir", idx,
+             "--num-parts", "4", "-q"])
+    assert r.returncode == 0, r.stderr
+    assert run(["--switch-model", "bge-small", "--index-dir", idx,
+                "-q"]).returncode == 0
+    bad = run(["--sem", "merge", "--corpus", corpus, "--index-dir", idx,
+               "--model", "nomic-v1.5"])
+    assert bad.returncode == 2 and "model mismatch" in bad.stderr
+    ok = run(["--sem", "merge", "--corpus", corpus, "--index-dir", idx,
+              "--model", "bge-small", "--topk", "3"])
+    assert ok.returncode == 0, ok.stderr
