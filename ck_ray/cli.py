@@ -238,6 +238,8 @@ def _default_ckignore_content() -> str:
                       "*.class", "*.pyc", "*.wasm"]),
         ("data blobs", ["*.parquet", "*.arrow", "*.sqlite", "*.db",
                         "*.bin", "*.pdf"]),
+        # reference 0.5.3: config noise excluded from indexing by default
+        ("config noise", ["*.json", "*.yaml", "*.yml", "*.lock"]),
         ("build dirs", [f"{d}/" for d in sorted(DEFAULT_EXCLUDE_DIRS)]),
     ]
     lines = [
@@ -389,6 +391,18 @@ def main(argv: list[str] | None = None) -> int:
     if args.corpus_dir:
         from .sources import read_code_dir
 
+        ck_ignore = os.path.join(args.corpus_dir, ".ckignore")
+        if (
+            args.index and not args.no_ckignore
+            and os.path.isdir(args.corpus_dir)
+            and not os.path.exists(ck_ignore)
+        ):
+            # reference 0.5.3: first index of a tree creates .ckignore
+            # with the defaults, so exclusions persist across searches
+            # without repeating --exclude flags
+            with open(ck_ignore, "w") as fh:
+                fh.write(_default_ckignore_content())
+            status(f"created {ck_ignore} (defaults; edit to taste)")
         args.corpus = read_code_dir(
             args.corpus_dir,
             respect_gitignore=not args.no_ignore,

@@ -487,3 +487,36 @@ def test_model_mismatch_enforcement(cli_env, tmp_path_factory):
     ok = run(["--sem", "merge", "--corpus", corpus, "--index-dir", idx,
               "--model", "bge-small", "--topk", "3"])
     assert ok.returncode == 0, ok.stderr
+
+
+def test_ckignore_auto_created_on_first_dir_index(ray_session, tmp_path):
+    """Reference 0.5.3: first --index of a tree writes .ckignore with the
+    defaults; the walk then honors it (config noise like *.json skipped);
+    --no-ckignore suppresses creation."""
+    root = tmp_path / "tree"
+    root.mkdir()
+    (root / "a.py").write_text("def gamma_probe(): pass\n")
+    (root / "noise.json").write_text('{"gamma_probe": 1}\n')
+    idx = str(tmp_path / "idx")
+    r = run(["--index", "--corpus-dir", str(root), "--index-dir", idx,
+             "--num-parts", "2"])
+    assert r.returncode == 0, r.stderr
+    ck = root / ".ckignore"
+    assert ck.exists() and "*.json" in ck.read_text()
+    hits = run(["--lex", "gamma_probe", "--index-dir", idx])
+    assert "a.py" in hits.stdout and "noise.json" not in hits.stdout
+    # second index run leaves the (user-editable) file alone
+    before = ck.read_text()
+    ck.write_text(before + "# user edit\n")
+    idx2 = str(tmp_path / "idx2")
+    assert run(["--index", "--corpus-dir", str(root), "--index-dir", idx2,
+                "--num-parts", "2"]).returncode == 0
+    assert ck.read_text().endswith("# user edit\n")
+    # --no-ckignore: no auto-creation
+    root2 = tmp_path / "tree2"
+    root2.mkdir()
+    (root2 / "b.py").write_text("x = 1\n")
+    idx3 = str(tmp_path / "idx3")
+    assert run(["--index", "--corpus-dir", str(root2), "--index-dir", idx3,
+                "--num-parts", "2", "--no-ckignore"]).returncode == 0
+    assert not (root2 / ".ckignore").exists()
