@@ -775,9 +775,16 @@ def main(argv: list[str] | None = None) -> int:
                 top_k=args.topk or 10, threshold=args.threshold,
                 model=model, rerank=args.rerank,
                 rerank_model=args.rerank_model,
+                keep_text=args.full_section,
             )
             if args.sem:
-                _emit(sem, args.as_json, ["doc_id", "line_start", "score"])
+                cols = ["doc_id", "line_start", "score"]
+                if args.full_section and "text" in sem.columns:
+                    # reference `--sem --full-section`: the hit's whole
+                    # section (its chunk) instead of a one-line preview
+                    sem = sem.rename(columns={"text": "section"})
+                    cols.append("section")
+                _emit(sem, args.as_json, cols)
                 return 0 if len(sem) else 1
             # hybrid: RRF(regex leg, semantic leg) — reference semantics
             from .regex_search import regex_search

@@ -173,6 +173,7 @@ def semantic_search(
     rerank: bool = False,
     model: str | None = None,
     rerank_model: str | None = None,
+    keep_text: bool = False,
 ) -> pd.DataFrame:
     """Cosine top-k over the chunk table; broadcast query vector, per-batch
     partial top-k, driver merge; threshold keeps the best near-miss
@@ -207,7 +208,9 @@ def semantic_search(
             "line_end": t["line_end"].take(pa.array(idx)),
             "score": pa.array(sims[idx]),
         }
-        if rerank and "text" in t.column_names:
+        if (rerank or keep_text) and "text" in t.column_names:
+            # keep_text: --sem --full-section emits the chunk's full
+            # text (a semantic hit IS a chunk — the section unit)
             cols["text"] = t["text"].take(pa.array(idx))
         return pa.table(cols)
 

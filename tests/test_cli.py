@@ -520,3 +520,16 @@ def test_ckignore_auto_created_on_first_dir_index(ray_session, tmp_path):
     assert run(["--index", "--corpus-dir", str(root2), "--index-dir", idx3,
                 "--num-parts", "2", "--no-ckignore"]).returncode == 0
     assert not (root2 / ".ckignore").exists()
+
+
+def test_sem_full_section(cli_env):
+    """Reference `--sem --full-section`: semantic hits carry the whole
+    containing section (the chunk text), not a one-line preview."""
+    corpus, _ = cli_env
+    r = run(["--sem", "merge posting", "--corpus", corpus,
+             "--full-section", "--topk", "3", "--json"])
+    assert r.returncode == 0, r.stderr
+    rec = json.loads(r.stdout)[0]
+    assert "section" in rec and len(rec["section"].splitlines()) > 1
+    # span bounds cover the section
+    assert rec["line_start"] >= 1
