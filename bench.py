@@ -169,7 +169,12 @@ def run_suite() -> dict:
     extra["index_build_trials"] = trials
 
     # ---- BM25 query latency suite (a short sample in scaling legs)
-    eng = BM25Engine(idx_dir, num_shards=min(8, num_cpus), dtype=np.float32)
+    # replicas multiply batch throughput (each shard set processes its
+    # slice of the batch concurrently); single-query latency unchanged
+    eng = BM25Engine(
+        idx_dir, num_shards=min(8, num_cpus), dtype=np.float32,
+        num_replicas=max(1, num_cpus // 16),
+    )
     if os.environ.get("CK_SCALING_BUILD_ONLY"):
         for q in ("merge", f"uq{n_files//2:07d}marker"):
             eng.search_raw(q, 100)

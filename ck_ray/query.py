@@ -979,16 +979,26 @@ class BM25Engine:
         num_shards: int = 4,
         dtype=np.float32,
         auto_reload: bool = True,
+        num_replicas: int = 1,
     ):
         self.index_dir = index_dir
         self.dtype = dtype
         self._requested_shards = num_shards
+        # num_replicas: R independent full shard sets. Latency of ONE
+        # query is bounded by in-shard work (more shards); THROUGHPUT of
+        # many concurrent queries is bounded by each shard processing
+        # its stream sequentially — replicas multiply that (and survive
+        # the loss of a whole replica's worth of workers). Single-query
+        # searches round-robin; search_many splits the batch.
+        self._requested_replicas = max(1, int(num_replicas))
+        self._rr = 0
         # auto_reload: every search stats the root manifest (one syscall,
         # ~1us vs ~10ms queries) and transparently respawns the shards
         # when an incremental_update / reindex committed new epochs — an
         # open engine never serves a stale epoch set silently.
         self.auto_reload = auto_reload
         self.shards: list = []
+        self.replicas: list[list] = []
         self._load()
 
     def _manifest_stamp(self) -> tuple[int, int]:
@@ -1008,14 +1018,21 @@ class BM25Engine:
             [b for b in range(B) if b % num_shards == s]
             for s in range(num_shards)
         ]
-        old = self.shards
-        self.shards = [
-            DocShard.remote(self.index_dir, a, dtype=self.dtype)
-            for a in assign
+        old = self.replicas if self.replicas else (
+            [self.shards] if self.shards else []
+        )
+        self.replicas = [
+            [
+                DocShard.remote(self.index_dir, a, dtype=self.dtype)
+                for a in assign
+            ]
+            for _ in range(self._requested_replicas)
         ]
-        ray.get([s.ready.remote() for s in self.shards])
-        for s in old:  # swap completed — drop the previous generation
-            ray.kill(s)
+        self.shards = self.replicas[0]
+        ray.get([s.ready.remote() for rep in self.replicas for s in rep])
+        for rep in old:  # swap completed — drop the previous generation
+            for s in rep:
+                ray.kill(s)
         self.epochs = self.manifest.get(
             "epochs", [self.manifest["epoch_dir"]]
         )
@@ -1091,11 +1108,16 @@ class BM25Engine:
         parts = ray.get(
             [
                 s.query_topk.remote(query, k, pruning, df_map)
-                for s in self.shards
+                for s in self._next_replica()
             ]
         )
         self.last_fanout_rows = int(sum(len(p[0]) for p in parts))
         return self._merge_topk(parts, k)
+
+    def _next_replica(self) -> list:
+        rep = self.replicas[self._rr % len(self.replicas)]
+        self._rr += 1
+        return rep
 
     def search(
         self,
@@ -1115,18 +1137,19 @@ class BM25Engine:
         self._maybe_reload()
         k = top_k if top_k is not None else 100
         df_map = self._df_map_for([query])
+        rep = self._next_replica()
         if with_metadata:
             parts = ray.get(
                 [
                     s.query_topk_meta.remote(query, k, True, df_map)
-                    for s in self.shards
+                    for s in rep
                 ]
             )
         else:
             raw = ray.get(
                 [
                     s.query_topk.remote(query, k, True, df_map)
-                    for s in self.shards
+                    for s in rep
                 ]
             )
             parts = [{"doc_id": d, "score": s} for d, s in raw]
@@ -1160,24 +1183,39 @@ class BM25Engine:
         self, queries: list[str], top_k: int | None = None
     ) -> list[tuple[np.ndarray, np.ndarray]]:
         """Batch query evaluation: ONE round trip per shard for the whole
-        batch (plus one int-only df round when epochs/deletions exist)."""
+        batch (plus one int-only df round when epochs/deletions exist).
+        With replicas the batch splits into contiguous slices, one per
+        replica, all in flight at once — in-shard work parallelizes
+        across replica sets instead of serializing in one."""
         self._maybe_reload()
         k = top_k if top_k is not None else 100
         df_map = self._df_map_for(queries)
-        per_shard = ray.get(
-            [
-                s.query_many.remote(queries, k, True, df_map)
-                for s in self.shards
-            ]
-        )
-        out = []
-        for qi in range(len(queries)):
-            out.append(
-                self._merge_topk([ps[qi] for ps in per_shard], k)
-            )
+        R = min(len(self.replicas), max(1, len(queries)))
+        bounds = np.linspace(0, len(queries), R + 1).astype(int)
+        slices = []  # (start, queries, [shard refs]) — all async first
+        for r in range(R):
+            qs = queries[bounds[r]:bounds[r + 1]]
+            if not qs:
+                continue
+            slices.append((
+                int(bounds[r]), qs,
+                [
+                    s.query_many.remote(qs, k, True, df_map)
+                    for s in self.replicas[r]
+                ],
+            ))
+        out: list = [None] * len(queries)
+        for start, qs, refs in slices:
+            per_shard = ray.get(refs)
+            for qi in range(len(qs)):
+                out[start + qi] = self._merge_topk(
+                    [ps[qi] for ps in per_shard], k
+                )
         return out
 
     def close(self):
-        for s in self.shards:
-            ray.kill(s)
+        for rep in (self.replicas or [self.shards]):
+            for s in rep:
+                ray.kill(s)
         self.shards = []
+        self.replicas = []

@@ -49,3 +49,32 @@ def test_all_shards_killed_then_query_recovers(ray_session, tiny_index):
         assert _snapshot(eng, QUERIES[0]) == before
     finally:
         eng.close()
+
+
+def test_replicas_identical_and_batch_split(ray_session, tiny_index):
+    """num_replicas=2: single-query round-robin and the split batch path
+    return exactly what the unreplicated engine returns, in order."""
+    base = BM25Engine(tiny_index, num_shards=2, auto_reload=False)
+    rep = BM25Engine(
+        tiny_index, num_shards=2, auto_reload=False, num_replicas=2
+    )
+    try:
+        want = [base.search_raw(q, 10) for q in QUERIES]
+        # consecutive searches hit BOTH replicas (round-robin)
+        for _ in range(2):
+            for q, (wd, ws) in zip(QUERIES, want):
+                d, s = rep.search_raw(q, 10)
+                assert list(d) == list(wd) and list(s) == list(ws)
+        batch = rep.search_many(QUERIES * 3, top_k=10)
+        assert len(batch) == len(QUERIES) * 3
+        for i, (d, s) in enumerate(batch):
+            wd, ws = want[i % len(QUERIES)]
+            assert list(d) == list(wd) and list(s) == list(ws)
+        # a killed shard in EITHER replica restarts transparently
+        ray.kill(rep.replicas[1][0], no_restart=False)
+        for _ in range(2):
+            d, s = rep.search_raw(QUERIES[0], 10)
+            assert list(d) == list(want[0][0])
+    finally:
+        rep.close()
+        base.close()
