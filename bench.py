@@ -173,7 +173,7 @@ def run_suite() -> dict:
     # slice of the batch concurrently); single-query latency unchanged
     eng = BM25Engine(
         idx_dir, num_shards=min(8, num_cpus), dtype=np.float32,
-        num_replicas=max(1, num_cpus // 16),
+        num_replicas=max(1, num_cpus // 8),
     )
     if os.environ.get("CK_SCALING_BUILD_ONLY"):
         for q in ("merge", f"uq{n_files//2:07d}marker"):
