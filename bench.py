@@ -1,9 +1,10 @@
 """ck_ray benchmark harness (driver contract).
 
 ``python bench.py``            one JSON line: headline = full suite seconds
-``python bench.py --scaling``  build leg at num_cpus=N and 4N (default 2
-                               and 8, ``CK_SCALING_LEVELS``) in fresh
-                               processes; reports both + scaling efficiency
+``python bench.py --scaling``  build + batch-QPS legs at num_cpus=N and 4N
+                               (default 2 and 8, ``CK_SCALING_LEVELS``) in
+                               fresh processes; reports throughput at both
+                               levels + build AND query scaling efficiency
                                (2->8 because 8->32 on this one box is
                                memory-bandwidth-capped; see BASELINE.md)
 
@@ -178,6 +179,26 @@ def run_suite() -> dict:
     if os.environ.get("CK_SCALING_BUILD_ONLY"):
         for q in ("merge", f"uq{n_files//2:07d}marker"):
             eng.search_raw(q, 100)
+        # serving-throughput leg: the same 112-query batch at every CPU
+        # level gives the north rule's QUERY-side scaling evidence
+        # (shards+replicas scale with the level; index identical)
+        qps_batch = [
+            "def", "merge", "snake_case", "parse_request_body",
+            "getUserById", "merge window query", "def return self if",
+            "path:core", f"uq{n_files//2:07d}marker",
+            "posting segment varint delta", '"build_index_segment"',
+            "the merge", "naïve café", "lexical hybrid",
+        ] * 8
+        eng.search_many(qps_batch[:14], top_k=100)  # warm posting cache
+        best_qps = 0.0
+        for _ in range(3):
+            tq0 = time.perf_counter()
+            res = eng.search_many(qps_batch, top_k=100)
+            assert len(res) == len(qps_batch)
+            best_qps = max(
+                best_qps, len(qps_batch) / (time.perf_counter() - tq0)
+            )
+        extra["bm25_batch_qps"] = round(best_qps, 1)
         timings["bm25_queries"] = 0.0
         eng.close()
         total = round(sum(timings.values()), 3)
@@ -304,7 +325,11 @@ def run_scaling() -> dict:
         for _ in range(trials):
             runs.append(run(ncpu))
             quiesce()
-        return min(runs, key=lambda r: r["queries"]["index_build"])
+        out = min(runs, key=lambda r: r["queries"]["index_build"])
+        qps = [r["bm25_batch_qps"] for r in runs if r.get("bm25_batch_qps")]
+        if qps:  # best-of-trials for the QPS leg too
+            out["bm25_batch_qps"] = max(qps)
+        return out
 
     lo = best(n_lo)
     hi = best(n_hi)
@@ -335,6 +360,19 @@ def run_scaling() -> dict:
         f"roofline_sha256_gbs_{n_lo}": cpu_lo,
         f"roofline_sha256_gbs_{n_hi}": cpu_hi,
         "scaling_efficiency_compute_bound_probe": eff_cpu,
+        # query-side scaling: batch QPS against the SAME-size index at
+        # both levels (serving actors scale with the level)
+        f"bm25_batch_qps_{n_lo}": lo.get("bm25_batch_qps"),
+        f"bm25_batch_qps_{n_hi}": hi.get("bm25_batch_qps"),
+        "qps_scaling_efficiency": (
+            round(
+                (hi["bm25_batch_qps"] / lo["bm25_batch_qps"])
+                / (n_hi / n_lo),
+                3,
+            )
+            if lo.get("bm25_batch_qps") and hi.get("bm25_batch_qps")
+            else None
+        ),
         "n_corpus_files": lo["n_corpus_files"],
         "trials_per_level": trials,
     }
