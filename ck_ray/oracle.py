@@ -54,13 +54,14 @@ class BM25Oracle:
         plists = [self.postings[fid].get(t) for t in clause.terms]
         if any(p is None for p in plists):
             return {}
+        b = dtype(clause.boost)
         if len(clause.terms) == 1:
             p = plists[0]
             df = len(p)
             return {
                 d: scoring.term_scores(
                     tf, self.dl[fid][d], df, self.n_docs, avgdl, dtype=dtype
-                )
+                ) * b
                 for d, (tf, _) in p.items()
             }
         # phrase
@@ -79,9 +80,11 @@ class BM25Oracle:
                 if not cand:
                     break
             if cand:
-                out[d] = w * scoring.tf_factor(
-                    len(cand), self.dl[fid][d], avgdl, dtype=dtype
-                )
+                out[d] = (
+                    w * scoring.tf_factor(
+                        len(cand), self.dl[fid][d], avgdl, dtype=dtype
+                    )
+                ) * b
         return out
 
     def _eval_node(self, node) -> dict[int, np.floating] | None:
@@ -111,12 +114,13 @@ class BM25Oracle:
         if not cand:
             return None
         out: dict[int, np.floating] = {}
+        nb = self.dtype(getattr(node, "boost", 1.0))
         for d in cand:
             s = self.dtype(0.0)
             for o, r in results:  # child order == accumulation order
                 if o != MUST_NOT and r is not None and d in r:
                     s = self.dtype(s + r[d])
-            out[d] = s
+            out[d] = s * nb
         return out
 
     def search_raw(self, query: str, top_k: int | None = None):

@@ -114,7 +114,14 @@ def q3_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
     — both sides co-partition on l_orderkey through one union + groupby
     (native Sum/Max aggregates, no per-group Python, no fact broadcast;
     r1 shipped every filtered o_orderkey through ray.put). Customer is a
-    true dimension and stays broadcast for its segment filter."""
+    true dimension and stays broadcast for its segment filter.
+
+    The orders predicates (BUILDING segment x pre-cutoff date) kill ~90%
+    of orders, so a Bloom filter of the SURVIVING orderkeys — built
+    map-side over orders, OR-folded, broadcast once — prunes lineitem
+    rows before the exchange (sideways information passing). No false
+    negatives, so the result is bit-identical: false positives ride the
+    shuffle and die in the reducer's src_max==1 filter as before."""
     cutoff = pd.Timestamp("1995-03-15")
     cust = pq.read_table(
         _p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
@@ -124,6 +131,30 @@ def q3_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
         .to_numpy()
     )
     bref = ray.put(building)
+
+    # ---- bloom of surviving orderkeys (sized by the parquet row count
+    # upper bound — metadata only, no scan): one cheap extra pass over
+    # the pruned 3-column orders table, map-side bitmaps OR-folded
+    from ..bloom import Bloom, bloom_from_dataset, log2_bits_for
+
+    n_orders_ub = pq.read_metadata(_p(sf_dir, "orders")).num_rows
+    blg = log2_bits_for(n_orders_ub, bits_per_key=8)
+
+    def surviving_keys(t: pa.Table) -> np.ndarray:
+        t = t.filter(pc.less(t["o_orderdate"], pa.scalar(cutoff)))
+        _, hit = _lookup(t["o_custkey"].to_numpy(), ray.get(bref),
+                         ray.get(bref))
+        return t["o_orderkey"].to_numpy()[hit]
+
+    bloom = bloom_from_dataset(
+        ray.data.read_parquet(
+            _p(sf_dir, "orders"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        ),
+        surviving_keys,
+        blg,
+    )
+    bloom_words = ray.put(bloom.words)
 
     # orders side: distributed filter -> (key, src=1, revenue_e4=0) rows
     def orders_side(t: pa.Table) -> pa.Table:
@@ -149,6 +180,11 @@ def q3_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
     def line_side(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff)))
         keys = t["l_orderkey"].to_numpy()
+        # pre-shuffle bloom prune: rows whose orderkey cannot be in the
+        # filtered orders side never enter the exchange
+        keep = Bloom(blg, words=ray.get(bloom_words)).contains(keys)
+        t = t.filter(pa.array(keep))
+        keys = keys[keep]
         price_c = np.round(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
         disc_c = np.round(t["l_discount"].to_numpy() * 100).astype(np.int64)
         rev = price_c * (100 - disc_c)

@@ -67,6 +67,7 @@ def _unique_inverse(docs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 class Clause:
     field: str  # "content" | "path"
     terms: list[str]  # len 1 = term query, >1 = phrase query
+    boost: float = 1.0  # tantivy `term^2` / `"phrase"^2` boost
 
     @property
     def is_phrase(self) -> bool:
@@ -86,9 +87,11 @@ class BoolNode:
     child matches, and — when there is no MUST child — at least one SHOULD
     child matches. A node with only MUST_NOT children matches nothing.
     Score = sum of matching MUST/SHOULD children's scores, accumulated in
-    child order (f32, bit-compatible with the oracle)."""
+    child order (f32, bit-compatible with the oracle). ``boost``
+    multiplies the node's accumulated score (tantivy ``(...)^2``)."""
 
     children: list[tuple[int, object]]
+    boost: float = 1.0
 
 
 # ------------------------------------------------------------------ lexer
@@ -146,8 +149,22 @@ def _lex(query: str) -> list[tuple[str, object]]:
             if field is None and word in ("AND", "OR", "NOT"):
                 out.append((word.lower(), None))
                 continue
+            # trailing ^<number> = tantivy boost; also reached as a bare
+            # "^2" word right after a closing quote or paren. Stacked
+            # suffixes ("merge^2^3") strip right-to-left and multiply.
+            boost = None
+            while "^" in word:
+                base, _, suf = word.rpartition("^")
+                try:
+                    v = float(suf)
+                except ValueError:
+                    break
+                boost = v if boost is None else boost * v
+                word = base
             if word:
                 out.append(("word", (field or "content", word, False)))
+            if boost is not None:
+                out.append(("boost", boost))
     return out
 
 
@@ -227,20 +244,31 @@ class _Parser:
             node = self.parse_or()
             if self.peek() == "rp":
                 self.i += 1
-            return node
+            return self._apply_boost(node)
         if t == "word":
             field, text, quoted = self.toks[self.i][1]
             self.i += 1
             toks = tokenize_text(text)
             if not toks:
+                self._apply_boost(None)  # consume a dangling boost token
                 return None
             del quoted  # single-token quoted spans behave like term queries
-            return Clause(field, toks)
+            return self._apply_boost(Clause(field, toks))
         # operator in atom position (dangling) — skip it leniently
         if t is not None:
             self.i += 1
             return None
         return None
+
+    def _apply_boost(self, node):
+        """Fold any ``boost`` tokens following an atom into its boost
+        (tantivy ``literal^2``); stacked boosts multiply, leniently."""
+        while self.peek() == "boost":
+            v = self.toks[self.i][1]
+            self.i += 1
+            if node is not None:
+                node.boost = float(node.boost) * float(v)
+        return node
 
 
 def parse_query(query: str):
@@ -655,6 +683,8 @@ class LocalIndex:
                 v.tfs, v.dls, self._df_of(keys[0], v, df_map),
                 n_docs, avgdl, dtype=self.dtype,
             )
+            if clause.boost != 1.0:
+                contrib = contrib * self.dtype(clause.boost)
             return v.docs, contrib
         # phrase: intersect docs, count adjacency runs via positions
         common = views[0].docs
@@ -700,6 +730,8 @@ class LocalIndex:
         contrib = w * scoring.tf_factor(
             pfreqs[match], dl_common[match], avgdl, dtype=self.dtype
         )
+        if clause.boost != 1.0:
+            contrib = contrib * self.dtype(clause.boost)
         return common[match], contrib
 
     # ----------------------------------------------------- boolean evaluation
@@ -742,16 +774,26 @@ class LocalIndex:
             pos_c = np.clip(pos, 0, max(len(cand) - 1, 0))
             m = cand[pos_c] == d
             acc[pos_c[m]] += s[m]  # unique indices per child -> fancy add
+        if node.boost != 1.0:
+            acc = acc * self.dtype(node.boost)
         return cand, acc
 
     @staticmethod
     def _flat_should_clauses(tree) -> list[Clause] | None:
         """The clause list when the tree is a flat all-SHOULD disjunction
-        of leaves (the MaxScore-prunable shape); else None."""
+        of leaves (the MaxScore-prunable shape); else None. A node boost
+        can't flatten: it multiplies the f32 SUM (s*b), which is not
+        bit-identical to boosting each clause (a*b + b*b), so boosted
+        groups take the exact TAAT path."""
         if isinstance(tree, Clause):
             return [tree]
-        if isinstance(tree, BoolNode) and all(
-            o == SHOULD and isinstance(c, Clause) for o, c in tree.children
+        if (
+            isinstance(tree, BoolNode)
+            and tree.boost == 1.0
+            and all(
+                o == SHOULD and isinstance(c, Clause)
+                for o, c in tree.children
+            )
         ):
             return [c for _, c in tree.children]
         return None
@@ -763,6 +805,7 @@ class LocalIndex:
             len(self.epochs) == 1
             and all(len(d) == 0 for d in self._dead)
             and all(not c.is_phrase for c in clauses)
+            and all(c.boost >= 0.0 for c in clauses)  # U stays an upper bound
             and len(clauses) > 1
         )
 
@@ -800,11 +843,11 @@ class LocalIndex:
                     int(min(sk["min_dl"].min() for sk in skips_list)),
                     avgdl, dtype=self.dtype,
                 )
-            )
+            ) * float(c.boost)
             infos.append(
                 {"ci": ci, "entries": entries, "view": view,
                  "skips_list": skips_list, "U": u, "df": df_g,
-                 "avgdl": avgdl}
+                 "avgdl": avgdl, "boost": float(c.boost)}
             )
         if not infos:
             return np.empty(0, np.uint64), np.empty(0, self.dtype)
@@ -859,6 +902,8 @@ class LocalIndex:
             contrib = scoring.term_scores(
                 tfs, dls, info["df"], n_docs, info["avgdl"], dtype=self.dtype
             )
+            if info["boost"] != 1.0:
+                contrib = contrib * self.dtype(info["boost"])
             contribs.append((info["ci"], docs, contrib))
             # provisional accumulate (float64; steers pruning only)
             merged = np.concatenate((acc_docs, docs))

@@ -106,6 +106,37 @@ def test_lenient_degenerate_queries():
     assert [c.terms for _, c in node.children] == [["merge"], ["and"], ["window"]]
 
 
+
+
+def test_boost_on_term():
+    node = parse_query("merge^2")
+    assert isinstance(node, Clause)
+    assert node.terms == ["merge"] and node.boost == 2.0
+
+
+def test_boost_on_phrase_field_and_group():
+    node = parse_query('"merge window"^0.5')
+    assert isinstance(node, Clause) and node.boost == 0.5
+    node = parse_query("path:core^3")
+    assert node.field == "path" and node.boost == 3.0
+    node = parse_query("(merge OR window)^2 AND batch")
+    inner = node.children[0][1]
+    assert isinstance(inner, BoolNode) and inner.boost == 2.0
+    assert node.children[1][1].boost == 1.0
+
+
+def test_boost_lenient_degenerates():
+    # non-numeric suffix -> not a boost; ^ splits the word into a phrase
+    node = parse_query("x^y")
+    assert isinstance(node, Clause) and node.terms == ["x", "y"]
+    assert node.boost == 1.0
+    # dangling boost with no atom parses to nothing
+    assert parse_query("^2") is None
+    # stacked boosts multiply
+    node = parse_query("merge^2^3")
+    assert node.boost == 6.0
+
+
 # -------------------------------------------------------------- evaluation
 
 BOOL_QUERIES = [
@@ -125,6 +156,10 @@ BOOL_QUERIES = [
     "-merge",  # pure negative -> 0 hits
     "merge -merge",  # self-excluding -> 0 hits
     "merge AND (window OR batch) -stream",
+    "merge^2 window",  # boosted SHOULD reranks
+    'merge AND "the merge"^2',  # boosted phrase in conjunction
+    "(merge OR window)^0.5 AND batch^3",  # group + term boosts
+    "path:core^2 merge",
 ]
 
 

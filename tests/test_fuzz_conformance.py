@@ -97,9 +97,10 @@ def test_random_corpus_rank_identity(ray_session, tmp_path, seed):
 def _random_bool_tree(rng: np.random.RandomState, depth: int) -> str:
     """Random boolean query TREE (the shapes above stop at depth 1):
     nested parens, AND/OR at every level, occur prefixes on leaves AND
-    on whole groups (+/-/NOT), phrase and path: leaves mixed in."""
+    on whole groups (+/-/NOT), phrase and path: leaves mixed in, and
+    tantivy ^boosts on leaves, phrases, and whole groups."""
     if depth == 0 or rng.rand() < 0.3:
-        r = rng.randint(6)
+        r = rng.randint(8)
         if r == 0:
             a, b = rng.randint(0, len(VOCAB), 2)
             return f'"{VOCAB[a]} {VOCAB[b]}"'
@@ -109,6 +110,12 @@ def _random_bool_tree(rng: np.random.RandomState, depth: int) -> str:
             return "-" + VOCAB[rng.randint(len(VOCAB))]
         if r == 3:
             return "+" + VOCAB[rng.randint(len(VOCAB))]
+        if r == 4:
+            b = rng.choice(["2", "0.5", "3.25"])
+            return f"{VOCAB[rng.randint(len(VOCAB))]}^{b}"
+        if r == 5:
+            a, b = rng.randint(0, len(VOCAB), 2)
+            return f'"{VOCAB[a]} {VOCAB[b]}"^2'
         return VOCAB[rng.randint(len(VOCAB))]
     op = "AND" if rng.rand() < 0.5 else "OR"
     a = _random_bool_tree(rng, depth - 1)
@@ -119,6 +126,8 @@ def _random_bool_tree(rng: np.random.RandomState, depth: int) -> str:
         return "+" + grp
     if z < 0.25:
         return "NOT " + grp
+    if z < 0.35:
+        return grp + "^2"
     return grp
 
 
