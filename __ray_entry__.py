@@ -645,6 +645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_stats": text.corpus_stats,
         "token_counts": text.token_counts,
         "quality_metrics": text.quality_metrics,
+        "repetition_metrics": text.repetition_metrics,
         "lang_source_counts": text.lang_source_counts,
         # --- search modes (reference parity)
         "bm25_topk": docsearch.bm25_topk,
@@ -948,6 +949,68 @@ SELECT d.doc_id,
        CAST(coalesce(a.n_stop, 0) AS BIGINT)    AS n_stopwords,
        CAST(coalesce(a.tok_bytes, 0) AS BIGINT) AS token_bytes
 FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+""",
+        # Gopher/MassiveText repetition rules: line metrics over the
+        # 7-token wrap (+ the deterministic every-5th-doc first-line
+        # re-append plant, replicated here), top n-gram coverage over the
+        # raw token stream (tokp pos+1 self-joins); ties break on the
+        # gram string ASC (binary collation, ascii corpus)
+        "repetition_metrics": f"""
+WITH {_TOKS_POS},
+wrapped AS (
+  SELECT doc_id,
+         regexp_replace(text, '((?:\\S+ ){{6}}\\S+) ', '\\1' || chr(10), 'g') AS w
+  FROM documents
+),
+planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN w || chr(10) || regexp_extract(w, '^[^' || chr(10) || ']*')
+              ELSE w END AS w
+  FROM wrapped
+),
+lines AS (
+  SELECT doc_id, unnest(string_split(w, chr(10))) AS line FROM planted
+),
+lg AS (SELECT doc_id, line, count(*) AS c FROM lines GROUP BY doc_id, line),
+lagg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+         count(*) AS n_distinct_lines,
+         CAST(sum((c - 1) * length(line)) AS BIGINT) AS dup_line_chars
+  FROM lg GROUP BY doc_id
+),
+g2c AS (
+  SELECT a.doc_id, a.term || ' ' || b.term AS gram, count(*) AS c
+  FROM tokp a JOIN tokp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY a.doc_id, gram
+),
+t2 AS (SELECT doc_id, gram, c,
+              row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rn
+       FROM g2c),
+g3c AS (
+  SELECT a.doc_id, a.term || ' ' || b.term || ' ' || e.term AS gram,
+         count(*) AS c
+  FROM tokp a
+  JOIN tokp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN tokp e ON a.doc_id = e.doc_id AND e.pos = a.pos + 2
+  GROUP BY a.doc_id, gram
+),
+t3 AS (SELECT doc_id, gram, c,
+              row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rn
+       FROM g3c)
+SELECT d.doc_id,
+       l.n_lines, l.n_distinct_lines, l.dup_line_chars,
+       coalesce(t2.gram, '') AS top2_gram,
+       CAST(coalesce(t2.c, 0) AS BIGINT) AS top2_count,
+       CAST(coalesce(t2.c * (length(t2.gram) - 1), 0) AS BIGINT) AS top2_chars,
+       coalesce(t3.gram, '') AS top3_gram,
+       CAST(coalesce(t3.c, 0) AS BIGINT) AS top3_count,
+       CAST(coalesce(t3.c * (length(t3.gram) - 2), 0) AS BIGINT) AS top3_chars
+FROM documents d
+JOIN lagg l USING (doc_id)
+LEFT JOIN (SELECT * FROM t2 WHERE rn = 1) t2 USING (doc_id)
+LEFT JOIN (SELECT * FROM t3 WHERE rn = 1) t3 USING (doc_id)
 ORDER BY d.doc_id
 """,
         "lang_source_counts": """

@@ -29,6 +29,18 @@ import pyarrow.parquet as pq
 
 GEN_VERSION = 2  # bump when generation logic changes (invalidates caches)
 
+
+def wrap_lines(text: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Deterministically wrap space-separated text into 7-token lines
+    (every 7th space becomes ``\\n``). The tokenizer splits on any
+    non-alnum byte, so wrapping changes NO term, tf, dl or score — only
+    the rendered line structure; DuckDB oracles apply the identical RE2
+    rewrite in SQL (``regexp_replace(text, '((?:\\S+ ){6}\\S+) ', …, 'g')``)."""
+    import pyarrow.compute as pc
+
+    arr = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+    return pc.replace_substring_regex(arr, r"((?:\S+ ){6}\S+) ", "\\1\n")
+
 HOT_TERMS = ["def", "return", "self", "if", "the", "fn", "let"]
 
 SNAKE_IDS = [

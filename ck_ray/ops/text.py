@@ -1061,3 +1061,168 @@ def cms_term_counts(sf_dir: str, top_n: int = 20) -> pd.DataFrame:
             "cms_cf": est.astype(np.int64),
         }
     ).reset_index(drop=True)
+
+
+# --- Gopher-style repetition signals -------------------------------------
+
+
+def _topgram_per_row(
+    tb, t: pa.Table, n: int
+) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """Most frequent word n-gram per row: (gram string, count, covered
+    chars). n-grams are over consecutive KEPT tokens (the analyzer's
+    stream, identical to the oracle's ``tokp`` pos+1 self-join); ties
+    break lexicographically ASC on the joined gram. Covered chars count
+    the gram's token bytes only (no separators): occurrences × (len(gram)
+    − (n−1) spaces) — the "fraction of characters contained within the
+    most frequent n-gram" numerator from the Gopher/MassiveText rules.
+
+    Fully vectorized: one ``binary_join_element_wise`` for the joined
+    grams, one Arrow multi-key sort over the (row, gram) group summary.
+    """
+    n_rows = t.num_rows
+    terms = (
+        tb.term.combine_chunks()
+        if isinstance(tb.term, pa.ChunkedArray)
+        else tb.term
+    )
+    m = len(terms)
+    empty = pa.nulls(n_rows, pa.string()).fill_null("")
+    if m < n:
+        return empty, np.zeros(n_rows, np.int64), np.zeros(n_rows, np.int64)
+    # window i covers kept-stream slots i..i+n-1; valid iff same row
+    valid = tb.row_index[: m - n + 1] == tb.row_index[n - 1 :]
+    widx = np.nonzero(valid)[0]
+    if len(widx) == 0:
+        return empty, np.zeros(n_rows, np.int64), np.zeros(n_rows, np.int64)
+    parts = [terms.take(pa.array(widx + j)) for j in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    rows = tb.row_index[widx]
+    summary = (
+        pa.TableGroupBy(
+            pa.table({"row": pa.array(rows), "gram": grams}),
+            ["row", "gram"],
+            use_threads=False,
+        )
+        .aggregate([("gram", "count")])
+        .rename_columns(["row", "gram", "cnt"])
+    )
+    order = pc.sort_indices(
+        summary,
+        sort_keys=[
+            ("row", "ascending"),
+            ("cnt", "descending"),
+            ("gram", "ascending"),
+        ],
+    )
+    s = summary.take(order)
+    srow = s["row"].to_numpy()
+    first = np.ones(len(srow), bool)
+    first[1:] = srow[1:] != srow[:-1]
+    top = s.filter(pa.array(first))
+    out_gram = [""] * 0
+    gram_col = pa.nulls(n_rows, pa.string()).fill_null("")
+    cnt = np.zeros(n_rows, np.int64)
+    rpos = top["row"].to_numpy()
+    # scatter the winners back to dense row slots
+    gvals = top["gram"]
+    glens = pc.utf8_length(gvals).to_numpy(zero_copy_only=False)
+    gcnts = top["cnt"].to_numpy()
+    chars = np.zeros(n_rows, np.int64)
+    cnt[rpos] = gcnts
+    chars[rpos] = gcnts * (glens - (n - 1))
+    # build the dense gram column via take with nulls for missing rows
+    slot = np.full(n_rows, -1, np.int64)
+    slot[rpos] = np.arange(len(rpos))
+    idx = pa.array([int(s0) if s0 >= 0 else None for s0 in slot], pa.int64())
+    gram_col = gvals.take(idx).fill_null("")
+    return gram_col, cnt, chars
+
+
+def repetition_metrics(sf_dir: str) -> pd.DataFrame:
+    """Per-doc repetition quality signals (the Gopher/MassiveText
+    repetitious-text rules, integer-exact) — complements
+    ``repetition_stats`` (which reports top-token/bigram COUNTS) with the
+    rules' other two dimensions: duplicate-LINE metrics and the
+    character-coverage numerators ("fraction of characters contained in
+    the most frequent n-gram"), plus the winning gram identity:
+
+    - ``n_lines`` / ``n_distinct_lines`` / ``dup_line_chars`` over the
+      deterministic 7-token line rendering (``corpus.wrap_lines``):
+      duplicate-line fraction = 1 − distinct/n, duplicate-line-chars
+      numerator = Σ over repeated lines of (count−1)·len(line);
+    - ``top{2,3}_gram`` + ``_count`` + ``_chars``: the most frequent word
+      2-/3-gram and the characters it covers (ties → lexicographically
+      smallest gram).
+
+    One stateless streaming ``map_batches`` — no shuffle, text never
+    leaves the task; every output is an integer or the winning gram
+    string, so the driver's value-hash compare has no rounding hazard.
+
+    The synthetic corpus never repeats a full 7-token line within one
+    document, so (like ``pii_scrub``'s planted mess) every 5th doc gets
+    its first rendered line deterministically re-appended — the oracle
+    applies the identical plant in SQL — so the duplicate-line branch is
+    genuinely exercised, not vacuously zero. The plant affects the LINE
+    metrics only; the n-gram metrics run over the raw token stream.
+    """
+    from ..corpus import wrap_lines
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        n_rows = t.num_rows
+        wrapped = wrap_lines(t["text"])
+        first = pc.struct_field(
+            pc.extract_regex(wrapped, r"^(?P<p>[^\n]*)"), "p"
+        )
+        planted = pc.binary_join_element_wise(wrapped, first, "\n")
+        ids = (t["doc_id"].combine_chunks()
+               if isinstance(t["doc_id"], pa.ChunkedArray) else t["doc_id"])
+        mod5 = pa.array((ids.to_numpy(zero_copy_only=False) % 5) == 0)
+        wrapped = pc.if_else(mod5, planted, wrapped)
+        lines = pc.split_pattern(wrapped, "\n")
+        vals = pc.list_flatten(lines)
+        parents = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+        n_lines = pc.list_value_length(lines).cast(pa.int64())
+        lsum = (
+            pa.TableGroupBy(
+                pa.table({"row": pa.array(parents), "line": vals}),
+                ["row", "line"],
+                use_threads=False,
+            )
+            .aggregate([("line", "count")])
+            .rename_columns(["row", "line", "cnt"])
+        )
+        srow = lsum["row"].to_numpy()
+        scnt = lsum["cnt"].to_numpy()
+        slen = pc.utf8_length(lsum["line"]).to_numpy(zero_copy_only=False)
+        n_distinct = np.bincount(srow, minlength=n_rows).astype(np.int64)
+        dup_chars = np.bincount(
+            srow, weights=(scnt - 1) * slen, minlength=n_rows
+        ).astype(np.int64)
+
+        tb = tokenize_array(t["text"])
+        g2, c2, ch2 = _topgram_per_row(tb, t, 2)
+        g3, c3, ch3 = _topgram_per_row(tb, t, 3)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_lines": n_lines,
+                "n_distinct_lines": pa.array(n_distinct),
+                "dup_line_chars": pa.array(dup_chars),
+                "top2_gram": g2,
+                "top2_count": pa.array(c2),
+                "top2_chars": pa.array(ch2),
+                "top3_gram": g3,
+                "top3_count": pa.array(c3),
+                "top3_chars": pa.array(ch3),
+            }
+        )
+
+    return (
+        ds.map_batches(per_doc, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )

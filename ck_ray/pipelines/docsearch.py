@@ -51,16 +51,9 @@ def _doc_corpus(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(to_corpus, batch_format="pyarrow")
 
 
-def _wrap_lines(text: pa.ChunkedArray | pa.Array) -> pa.Array:
-    """Deterministically wrap space-separated text into 7-token lines
-    (every 7th space becomes ``\\n``). The tokenizer splits on any
-    non-alnum byte, so wrapping changes NO term, tf, dl or score — only
-    the stored preview; the DuckDB oracle applies the identical RE2
-    rewrite in SQL."""
-    arr = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
-    return pc.replace_substring_regex(
-        arr, r"((?:\S+ ){6}\S+) ", "\\1\n"
-    )
+# shared with the repetition-metrics curation op (same deterministic
+# line rendering both sides of every oracle uses)
+from ..corpus import wrap_lines as _wrap_lines  # noqa: E402
 
 
 def documents_index(sf_dir: str, wrapped: bool = False) -> str:

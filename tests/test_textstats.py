@@ -393,3 +393,27 @@ def test_cms_term_counts_empty(ray_session, tmp_path):
     d.mkdir()
     pq.write_table(_docs_table([], []), str(d / "documents.parquet"))
     assert cms_term_counts(str(d)).empty
+
+
+def test_repetition_metrics_planted(ray_session, rep_docs_dir):
+    from ck_ray.ops.text import repetition_metrics
+
+    out = repetition_metrics(rep_docs_dir).set_index("doc_id")
+    # doc 0 ("a a a b c", 5 tokens -> one rendered line) is doc_id%5==0,
+    # so the plant re-appends the first line: 2 identical lines
+    r0 = out.loc[0]
+    assert [r0.n_lines, r0.n_distinct_lines, r0.dup_line_chars] == [2, 1, 9]
+    assert (r0.top2_gram, r0.top2_count, r0.top2_chars) == ("a a", 2, 4)
+    # trigram tie (all count 1) -> lexicographically smallest wins
+    assert (r0.top3_gram, r0.top3_count, r0.top3_chars) == ("a a a", 1, 3)
+    # doc 1 "x y x y x y": no plant; "x y" 3x; trigram tie at 2 -> "x y x"
+    r1 = out.loc[1]
+    assert [r1.n_lines, r1.n_distinct_lines, r1.dup_line_chars] == [1, 1, 0]
+    assert (r1.top2_gram, r1.top2_count, r1.top2_chars) == ("x y", 3, 6)
+    assert (r1.top3_gram, r1.top3_count, r1.top3_chars) == ("x y x", 2, 6)
+    # doc 2 single token / doc 3 empty: gram slots empty, one line each
+    for d in (2, 3):
+        r = out.loc[d]
+        assert [r.n_lines, r.n_distinct_lines, r.dup_line_chars] == [1, 1, 0]
+        assert (r.top2_gram, r.top2_count, r.top2_chars) == ("", 0, 0)
+        assert (r.top3_gram, r.top3_count, r.top3_chars) == ("", 0, 0)
