@@ -1120,8 +1120,6 @@ def _topgram_per_row(
     first = np.ones(len(srow), bool)
     first[1:] = srow[1:] != srow[:-1]
     top = s.filter(pa.array(first))
-    out_gram = [""] * 0
-    gram_col = pa.nulls(n_rows, pa.string()).fill_null("")
     cnt = np.zeros(n_rows, np.int64)
     rpos = top["row"].to_numpy()
     # scatter the winners back to dense row slots
@@ -1134,7 +1132,7 @@ def _topgram_per_row(
     # build the dense gram column via take with nulls for missing rows
     slot = np.full(n_rows, -1, np.int64)
     slot[rpos] = np.arange(len(rpos))
-    idx = pa.array([int(s0) if s0 >= 0 else None for s0 in slot], pa.int64())
+    idx = pa.array(slot, pa.int64(), mask=slot < 0)
     gram_col = gvals.take(idx).fill_null("")
     return gram_col, cnt, chars
 
