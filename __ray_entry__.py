@@ -653,6 +653,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # served from the DocShard actors (no corpus access at query time)
         "bm25_snippets": docsearch.bm25_snippets,
         "bm25_boolean": docsearch.bm25_boolean,
+        "bm25_phrase": docsearch.bm25_phrase,
+        "bm25_phrase_slop": docsearch.bm25_phrase_slop,
         "code_chunks": docsearch.code_chunks,
         "regex_match_docs": docsearch.regex_match_docs,
         "hybrid_rrf": docsearch.hybrid_rrf,
@@ -1133,6 +1135,84 @@ topk AS (
   ORDER BY score DESC, doc_id LIMIT {_BM25_K}
 )
 SELECT doc_id, round(score, 4) AS score FROM topk
+ORDER BY score DESC, doc_id
+""",
+        # exact-phrase BM25: phrase tf from token positions (greedy pos+1
+        # chain == adjacency at slop 0), phrase idf = sum of member idfs
+        # (tantivy Bm25Weight::for_terms). On this table the analyzer
+        # drops no token, so kept-rank positions == tantivy ordinals.
+        "bm25_phrase": f"""
+WITH {_TOKS_POS},
+dl AS (SELECT doc_id, count(*) AS dl FROM tokp GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tokp
+       WHERE term IN ('merge', 'window') GROUP BY term),
+w AS (SELECT sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))) AS wsum,
+             count(*) AS nterms
+      FROM df CROSS JOIN stats s),
+p0 AS (SELECT doc_id, pos FROM tokp WHERE term = 'merge'),
+p1 AS (SELECT doc_id, pos FROM tokp WHERE term = 'window'),
+chain AS (SELECT p0.doc_id, p0.pos AS q0, min(p1.pos) AS q1
+          FROM p0 JOIN p1 ON p1.doc_id = p0.doc_id AND p1.pos > p0.pos
+          GROUP BY p0.doc_id, p0.pos),
+tfm AS (SELECT doc_id, count(*) AS tf FROM chain
+        WHERE q1 - q0 - 1 <= 0 GROUP BY doc_id),
+scores AS (
+  SELECT t.doc_id,
+         (SELECT wsum FROM w)
+           * ((t.tf * 2.2)
+              / (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl))) AS score
+  FROM tfm t JOIN dl d USING (doc_id) CROSS JOIN stats s
+  WHERE (SELECT nterms FROM w) = 2
+),
+topk AS (SELECT doc_id, round(score, 4) AS score FROM scores
+         ORDER BY round(score, 4) DESC, doc_id LIMIT {_BM25_K})
+SELECT doc_id, score FROM topk
+ORDER BY score DESC, doc_id
+""",
+        # sloppy phrase "merge window batch"~2: the engine's greedy
+        # in-order chain replicated as nested min-position CTEs, total
+        # extra gap q2-q0-2 <= 2 — the slop RULE is oracled, not just
+        # the BM25 arithmetic
+        "bm25_phrase_slop": f"""
+WITH {_TOKS_POS},
+dl AS (SELECT doc_id, count(*) AS dl FROM tokp GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tokp
+       WHERE term IN ('merge', 'window', 'batch') GROUP BY term),
+w AS (SELECT sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))) AS wsum,
+             count(*) AS nterms
+      FROM df CROSS JOIN stats s),
+p0 AS (SELECT doc_id, pos FROM tokp WHERE term = 'merge'),
+p1 AS (SELECT doc_id, pos FROM tokp WHERE term = 'window'),
+p2 AS (SELECT doc_id, pos FROM tokp WHERE term = 'batch'),
+chain1 AS (SELECT p0.doc_id, p0.pos AS q0, min(p1.pos) AS q1
+           FROM p0 JOIN p1 ON p1.doc_id = p0.doc_id AND p1.pos > p0.pos
+           GROUP BY p0.doc_id, p0.pos),
+chain2 AS (SELECT c.doc_id, c.q0, min(p2.pos) AS q2
+           FROM chain1 c JOIN p2 ON p2.doc_id = c.doc_id AND p2.pos > c.q1
+           GROUP BY c.doc_id, c.q0),
+tfm AS (SELECT doc_id, count(*) AS tf FROM chain2
+        WHERE q2 - q0 - 2 <= 2 GROUP BY doc_id),
+scores AS (
+  SELECT t.doc_id,
+         (SELECT wsum FROM w)
+           * ((t.tf * 2.2)
+              / (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl))) AS score
+  FROM tfm t JOIN dl d USING (doc_id) CROSS JOIN stats s
+  WHERE (SELECT nterms FROM w) = 3
+),
+topk AS (SELECT doc_id, round(score, 4) AS score FROM scores
+         ORDER BY round(score, 4) DESC, doc_id LIMIT {_BM25_K})
+SELECT doc_id, score FROM topk
 ORDER BY score DESC, doc_id
 """,
         "regex_match_docs": f"""

@@ -71,18 +71,38 @@ class BM25Oracle:
         w = scoring.phrase_weight(
             [len(p) for p in plists], self.n_docs, dtype=dtype
         )
+        slop = int(getattr(clause, "slop", 0))
         out: dict[int, np.floating] = {}
         for d in common:
-            cand = plists[0][d][1]
-            for j in range(1, len(clause.terms)):
-                nxt = set(plists[j][d][1])
-                cand = [p for p in cand if p + j in nxt]
-                if not cand:
-                    break
-            if cand:
+            if slop == 0:
+                cand = plists[0][d][1]
+                for j in range(1, len(clause.terms)):
+                    nxt = set(plists[j][d][1])
+                    cand = [p for p in cand if p + j in nxt]
+                    if not cand:
+                        break
+                tf = len(cand)
+            else:
+                # independent exists-semantics brute force (no greedy
+                # chain): p0 matches iff SOME increasing tuple over the
+                # remaining terms has span − (n−1) <= slop
+                rest = [plists[j][d][1] for j in range(1, len(clause.terms))]
+                m = len(rest)
+
+                def _exists(prev: int, k: int, p0: int) -> bool:
+                    if k == m:
+                        return prev - p0 - m <= slop
+                    return any(
+                        _exists(p, k + 1, p0)
+                        for p in rest[k]
+                        if p > prev
+                    )
+
+                tf = sum(1 for p0 in plists[0][d][1] if _exists(p0, 0, p0))
+            if tf:
                 out[d] = (
                     w * scoring.tf_factor(
-                        len(cand), self.dl[fid][d], avgdl, dtype=dtype
+                        tf, self.dl[fid][d], avgdl, dtype=dtype
                     )
                 ) * b
         return out

@@ -196,6 +196,65 @@ def bm25_boolean(
     return bm25_topk(sf_dir, query=query, k=k)
 
 
+def _bm25_rounded_cut(sf_dir: str, query: str, k: int) -> pd.DataFrame:
+    """Top-k with the CUT taken on the 4dp-ROUNDED score (doc_id-asc
+    tie-break), so the k boundary is deterministic even when two docs'
+    unrounded doubles differ only at the ulp level between the engine's
+    ``log1p`` and the oracle's ``ln(1+x)`` (sf0.1 exposed exactly such a
+    flip). Overfetches adaptively until the boundary rounded-score group
+    is fully contained, so the rounded cut is exact, never clipped."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2, dtype=np.float64)
+    try:
+        fetch = k + 64
+        while True:
+            df = eng.search(query, top_k=fetch, with_metadata=True)
+            if len(df) < fetch:
+                break  # every match fetched
+            r = df["score"].astype("float64").map(
+                lambda v: round_half_away(v, 4)
+            )
+            if float(r.iloc[-1]) < float(r.iloc[k - 1]):
+                break  # boundary group closed
+            fetch *= 4
+    finally:
+        eng.close()
+    if len(df) == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+    out = pd.DataFrame(
+        {
+            "doc_id": df["path"].astype("int64"),
+            "score": df["score"].astype("float64").round(4),
+        }
+    )
+    return (
+        out.sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def bm25_phrase(
+    sf_dir: str, query: str = '"merge window"', k: int = 20
+) -> pd.DataFrame:
+    """Top-k BM25 for an exact PHRASE query: positional adjacency counting
+    inside the shards (``query.py`` packed-key chain), phrase idf = sum of
+    member-term idfs (tantivy ``Bm25Weight::for_terms``). The DuckDB
+    oracle recomputes phrase tf from token positions (pos+1 chain)."""
+    return _bm25_rounded_cut(sf_dir, query, k)
+
+
+def bm25_phrase_slop(
+    sf_dir: str, query: str = '"merge window batch"~2', k: int = 20
+) -> pd.DataFrame:
+    """Top-k BM25 for a SLOPPY phrase (tantivy ``"a b"~N`` syntax,
+    greedy in-order chain semantics — see ``Clause.slop``). The oracle
+    replicates the greedy chain as nested min-position CTEs, so the slop
+    rule itself is SQL-verified, not just the score arithmetic."""
+    return _bm25_rounded_cut(sf_dir, query, k)
+
+
 # Fixed evaluation set for the retrieval-quality harness (the reference's
 # benchmarks/swe-bench/run.py Recall@K shape, re-expressed over the driver's
 # documents table: each query IS the phrase whose containment defines its

@@ -68,6 +68,15 @@ class Clause:
     field: str  # "content" | "path"
     terms: list[str]  # len 1 = term query, >1 = phrase query
     boost: float = 1.0  # tantivy `term^2` / `"phrase"^2` boost
+    # tantivy ``"a b"~N`` sloppy phrase. Semantics (documented spec, the
+    # reference's own suite never exercises slop): a first-term occurrence
+    # p0 matches iff SOME in-order occurrence tuple (p0 < p1 < … < p_last)
+    # of the remaining terms has total extra gap p_last − p0 − (n−1)
+    # <= slop; tf = number of matching p0. Evaluated by chaining each term
+    # greedily to its smallest position after the previous link — greedy
+    # minimizes p_last for a fixed p0, so greedy-accept == exists-accept.
+    # slop=0 == exact adjacency.
+    slop: int = 0
 
     @property
     def is_phrase(self) -> bool:
@@ -109,6 +118,17 @@ def _lex(query: str) -> list[tuple[str, object]]:
             k = n
         return query[j + 1 : k], min(k + 1, n)
 
+    def read_slop(j: int) -> tuple[int | None, int]:
+        """tantivy ``"…"~N`` suffix right after a closing quote; a bare
+        ``~`` with no digits is left for the word scanner (lenient)."""
+        if j < n and query[j] == "~":
+            k = j + 1
+            while k < n and query[k].isdigit():
+                k += 1
+            if k > j + 1:
+                return int(query[j + 1 : k]), k
+        return None, j
+
     while i < n:
         c = query[i]
         if c.isspace():
@@ -128,6 +148,9 @@ def _lex(query: str) -> list[tuple[str, object]]:
         elif c == '"':
             text, i = read_quoted(i)
             out.append(("word", ("content", text, True)))
+            s, i = read_slop(i)
+            if s is not None:
+                out.append(("slop", s))
         else:
             j = i
             while j < n and not query[j].isspace() and query[j] not in "()\"":
@@ -145,6 +168,9 @@ def _lex(query: str) -> list[tuple[str, object]]:
             if field is not None and word == "" and i < n and query[i] == '"':
                 text, i = read_quoted(i)
                 out.append(("word", (field, text, True)))
+                s, i = read_slop(i)
+                if s is not None:
+                    out.append(("slop", s))
                 continue
             if field is None and word in ("AND", "OR", "NOT"):
                 out.append((word.lower(), None))
@@ -261,13 +287,18 @@ class _Parser:
         return None
 
     def _apply_boost(self, node):
-        """Fold any ``boost`` tokens following an atom into its boost
-        (tantivy ``literal^2``); stacked boosts multiply, leniently."""
-        while self.peek() == "boost":
-            v = self.toks[self.i][1]
+        """Fold any ``boost``/``slop`` tokens following an atom into it
+        (tantivy ``literal^2`` / ``"a b"~2``); stacked boosts multiply,
+        slop on a non-phrase atom is ignored — all leniently."""
+        while self.peek() in ("boost", "slop"):
+            kind, v = self.toks[self.i]
             self.i += 1
-            if node is not None:
+            if node is None:
+                continue
+            if kind == "boost":
                 node.boost = float(node.boost) * float(v)
+            elif isinstance(node, Clause) and node.is_phrase:
+                node.slop = int(v)
         return node
 
 
@@ -708,14 +739,36 @@ class LocalIndex:
                 (doc_rank << np.uint64(32)) | flat.astype(np.uint64)
             )
         cand = keys_per_term[0]
-        for j in range(1, len(clause.terms)):
-            kj = keys_per_term[j]
-            shifted = cand + np.uint64(j)
-            pos = np.searchsorted(kj, shifted)
-            pos_c = np.clip(pos, 0, len(kj) - 1)
-            cand = cand[kj[pos_c] == shifted]
-            if len(cand) == 0:
-                break
+        if clause.slop == 0:
+            for j in range(1, len(clause.terms)):
+                kj = keys_per_term[j]
+                shifted = cand + np.uint64(j)
+                pos = np.searchsorted(kj, shifted)
+                pos_c = np.clip(pos, 0, len(kj) - 1)
+                cand = cand[kj[pos_c] == shifted]
+                if len(cand) == 0:
+                    break
+        else:
+            # sloppy phrase (Clause.slop doc): greedy in-order chain —
+            # per first-term occurrence, each next term takes its
+            # smallest position after the previous link (searchsorted on
+            # the same packed keys), then one total-gap check. Still no
+            # per-doc Python loop; cost is the same O(occ·log) as exact.
+            prev = cand
+            ok = np.ones(len(cand), bool)
+            for j in range(1, len(clause.terms)):
+                kj = keys_per_term[j]
+                pos = np.searchsorted(kj, prev + np.uint64(1))
+                valid = pos < len(kj)
+                nxt = kj[np.clip(pos, 0, max(len(kj) - 1, 0))]
+                valid &= (nxt >> np.uint64(32)) == (prev >> np.uint64(32))
+                ok &= valid
+                prev = np.where(ok, nxt, prev)
+                if not ok.any():
+                    break
+            gap = (prev - cand).astype(np.int64)  # == position span on ok lanes
+            ok &= gap - (len(clause.terms) - 1) <= clause.slop
+            cand = cand[ok]
         pfreqs = np.bincount(
             (cand >> np.uint64(32)).astype(np.int64), minlength=len(common)
         )

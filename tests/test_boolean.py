@@ -206,3 +206,30 @@ def test_conjunction_scores_sum_both_terms(bool_engine):
     mb = dict(zip(db.tolist(), sb.tolist()))
     for d, s in zip(dc.tolist(), sc.tolist()):
         assert s == np.float32(np.float32(ma[d]) + np.float32(mb[d]))
+
+
+def test_slop_suffix_on_quoted_phrase():
+    node = parse_query('"merge window"~2')
+    assert isinstance(node, Clause)
+    assert node.terms == ["merge", "window"] and node.slop == 2
+
+
+def test_slop_then_boost_and_field():
+    node = parse_query('path:"a b"~1^3')
+    assert node.field == "path" and node.slop == 1 and node.boost == 3.0
+
+
+def test_slop_on_single_token_quoted_is_ignored():
+    node = parse_query('"solo"~4')
+    assert node.terms == ["solo"] and node.slop == 0
+
+
+def test_bare_tilde_is_lenient():
+    node = parse_query('"a b"~')
+    assert node.terms == ["a", "b"] and node.slop == 0
+
+
+def test_slop_zero_suffix_equals_exact():
+    a = parse_query('"merge window"~0')
+    b = parse_query('"merge window"')
+    assert a.terms == b.terms and a.slop == b.slop == 0

@@ -40,7 +40,7 @@ def _random_corpus(rng: np.random.RandomState, n_docs: int) -> pa.Table:
 def _random_queries(rng: np.random.RandomState, k: int) -> list[str]:
     out = []
     for _ in range(k):
-        shape = rng.randint(8)
+        shape = rng.randint(9)
         if shape == 0:
             out.append(VOCAB[rng.randint(len(VOCAB))])
         elif shape == 1:
@@ -58,9 +58,14 @@ def _random_queries(rng: np.random.RandomState, k: int) -> list[str]:
         elif shape == 6:
             a, b, c = rng.randint(0, len(VOCAB), 3)
             out.append(f"{VOCAB[a]} -{VOCAB[b]} OR {VOCAB[c]}")  # mixed bool
-        else:
+        elif shape == 7:
             a, b, c = rng.randint(0, len(VOCAB), 3)
             out.append(f"({VOCAB[a]} OR {VOCAB[b]}) AND {VOCAB[c]}")  # parens
+        else:
+            # sloppy phrase (engine greedy chain vs oracle brute force)
+            n = 2 + int(rng.randint(2))
+            ws = " ".join(VOCAB[j] for j in rng.randint(0, len(VOCAB), n))
+            out.append(f'"{ws}"~{int(rng.randint(0, 5))}')
     return out
 
 
