@@ -653,6 +653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # served from the DocShard actors (no corpus access at query time)
         "bm25_snippets": docsearch.bm25_snippets,
         "bm25_boolean": docsearch.bm25_boolean,
+        "bm25_prefix": docsearch.bm25_prefix,
         "bm25_phrase": docsearch.bm25_phrase,
         "bm25_phrase_slop": docsearch.bm25_phrase_slop,
         "code_chunks": docsearch.code_chunks,
@@ -1135,6 +1136,38 @@ topk AS (
   ORDER BY score DESC, doc_id LIMIT {_BM25_K}
 )
 SELECT doc_id, round(score, 4) AS score FROM topk
+ORDER BY score DESC, doc_id
+""",
+        # prefix query s*: dictionary expansion == LIKE 's%', scored as
+        # a SHOULD disjunction (sum of member-term BM25 contributions);
+        # rounded-score cut like the phrase entries
+        "bm25_prefix": f"""
+WITH {_TOKS},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term LIKE 's%' GROUP BY term
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * ((tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) ) AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+topk AS (SELECT doc_id, round(score, 4) AS score FROM scores
+         ORDER BY round(score, 4) DESC, doc_id LIMIT {_BM25_K})
+SELECT doc_id, score FROM topk
 ORDER BY score DESC, doc_id
 """,
         # exact-phrase BM25: phrase tf from token positions (greedy pos+1

@@ -18,7 +18,16 @@ import pyarrow as pa
 
 from . import scoring
 from .ids import doc_id_for
-from .query import FIELD_IDS, MUST, MUST_NOT, SHOULD, Clause, parse_query
+from .query import (
+    FIELD_IDS,
+    MUST,
+    MUST_NOT,
+    SHOULD,
+    Clause,
+    collect_clauses,
+    expand_prefix_tree,
+    parse_query,
+)
 from .tokenizer import tokenize_text_with_positions
 
 
@@ -143,9 +152,19 @@ class BM25Oracle:
             out[d] = s * nb
         return out
 
+    def _expand_prefix(self, field: str, prefix: str) -> list[str]:
+        fid = FIELD_IDS[field]
+        return sorted(
+            t for t in self.postings[fid] if t.startswith(prefix)
+        )
+
     def search_raw(self, query: str, top_k: int | None = None):
         k = top_k if top_k is not None else 100
         tree = parse_query(query)
+        if tree is not None and any(
+            c.prefix for c in collect_clauses(tree)
+        ):
+            tree = expand_prefix_tree(tree, self._expand_prefix)
         acc = self._eval_node(tree) if tree is not None else None
         if not acc:
             return np.empty(0, np.uint64), np.empty(0, self.dtype)

@@ -235,6 +235,17 @@ def _bm25_rounded_cut(sf_dir: str, query: str, k: int) -> pd.DataFrame:
     )
 
 
+def bm25_prefix(
+    sf_dir: str, query: str = "s*", k: int = 20
+) -> pd.DataFrame:
+    """Top-k BM25 for a PREFIX query (Lucene ``te*`` shape): each shard
+    expands the prefix against its local term dictionary into a SHOULD
+    disjunction (``query.expand_prefix_tree``; equal to global expansion
+    because absent terms score no local docs and idf uses the global
+    serving df). The DuckDB oracle expands with ``LIKE 's%'``."""
+    return _bm25_rounded_cut(sf_dir, query, k)
+
+
 def bm25_phrase(
     sf_dir: str, query: str = '"merge window"', k: int = 20
 ) -> pd.DataFrame:

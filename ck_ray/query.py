@@ -77,6 +77,14 @@ class Clause:
     # minimizes p_last for a fixed p0, so greedy-accept == exists-accept.
     # slop=0 == exact adjacency.
     slop: int = 0
+    # trailing-star prefix query (``mer*``): expanded against the term
+    # dictionary into a SHOULD disjunction before evaluation (Lucene
+    # SCORING_BOOLEAN_REWRITE, uncapped up to MAX_PREFIX_EXPANSIONS).
+    # Expansion happens per shard over the LOCAL dictionary — equal to
+    # global expansion because a term absent from a shard's dictionary
+    # contributes to none of that shard's docs, and idf always comes
+    # from the GLOBAL df on the serving rows.
+    prefix: bool = False
 
     @property
     def is_phrase(self) -> bool:
@@ -274,11 +282,20 @@ class _Parser:
         if t == "word":
             field, text, quoted = self.toks[self.i][1]
             self.i += 1
+            # trailing ``*`` on an UNQUOTED single-token word = prefix
+            # query (Lucene `te*` shape); a star elsewhere, after a
+            # multi-token word, or not touching an alnum char is dropped
+            # by the tokenizer's split — all leniently
+            is_prefix = (not quoted) and text.endswith("*")
+            if is_prefix:
+                text = text.rstrip("*")
             toks = tokenize_text(text)
             if not toks:
                 self._apply_boost(None)  # consume a dangling boost token
                 return None
             del quoted  # single-token quoted spans behave like term queries
+            if is_prefix and len(toks) == 1 and text and text[-1].isalnum():
+                return self._apply_boost(Clause(field, toks, prefix=True))
             return self._apply_boost(Clause(field, toks))
         # operator in atom position (dangling) — skip it leniently
         if t is not None:
@@ -323,6 +340,44 @@ def collect_clauses(node) -> list[Clause]:
     for _, child in node.children:
         out.extend(collect_clauses(child))
     return out
+
+
+MAX_PREFIX_EXPANSIONS = 1024  # Lucene BooleanQuery.maxClauseCount
+_NEVER_TERM = "\x00∅"  # unmatchable: real tokens are alnum-only
+
+
+def expand_prefix_tree(node, expand):
+    """Rewrite prefix Clauses into SHOULD disjunctions of dictionary
+    terms (Lucene SCORING_BOOLEAN_REWRITE). ``expand(field, prefix) ->
+    sorted list[str]`` supplies the dictionary — shard-local in
+    ``LocalIndex``, corpus-global in ``BM25Oracle``; both yield identical
+    results because a term absent from a shard's dictionary scores none
+    of that shard's docs. An empty expansion becomes an unmatchable term
+    clause so MUST/MUST_NOT semantics match an absent term exactly.
+    Raises ValueError past MAX_PREFIX_EXPANSIONS."""
+    if node is None or (isinstance(node, Clause) and not node.prefix):
+        return node
+    if isinstance(node, Clause):
+        terms = expand(node.field, node.terms[0])
+        if len(terms) > MAX_PREFIX_EXPANSIONS:
+            raise ValueError(
+                f"prefix '{node.terms[0]}*' expands to {len(terms)} terms "
+                f"(max {MAX_PREFIX_EXPANSIONS})"
+            )
+        if not terms:
+            return Clause(node.field, [_NEVER_TERM], boost=node.boost)
+        if len(terms) == 1:
+            return Clause(node.field, [terms[0]], boost=node.boost)
+        # boost rides the disjunction node (multiplies the f32 sum),
+        # identically on engine and oracle sides
+        return BoolNode(
+            [(SHOULD, Clause(node.field, [t])) for t in terms],
+            boost=node.boost,
+        )
+    return BoolNode(
+        [(o, expand_prefix_tree(c, expand)) for o, c in node.children],
+        boost=node.boost,
+    )
 
 
 # (the physical layer lives below _PostingView: LocalIndex holds a set of
@@ -678,6 +733,24 @@ class LocalIndex:
     def _rows_for(self, keys) -> dict:
         return {k: self._view(k) for k in keys}
 
+    def _expand_prefix(self, field: str, prefix: str) -> list[str]:
+        """Local-dictionary terms starting with ``prefix`` (sorted,
+        deduped across epochs) — one searchsorted range scan."""
+        fid = FIELD_IDS[field]
+        lo = f"{fid}:{prefix}"
+        a = int(np.searchsorted(self._keys, lo, side="left"))
+        b = int(
+            np.searchsorted(self._keys, lo + "\U0010ffff", side="right")
+        )
+        cut = len(f"{fid}:")
+        return sorted({str(s)[cut:] for s in self._keys[a:b]})
+
+    def expand_prefixes(
+        self, pairs: list[tuple[str, str]]
+    ) -> list[list[str]]:
+        """Batch form for the engine's global-df round."""
+        return [self._expand_prefix(f, p) for f, p in pairs]
+
     def local_dfs(self, keys: list[tuple[int, str]]) -> list[int]:
         """LIVE local df per key (loads + dead-filters the views; they
         stay cached for the scoring round that follows)."""
@@ -988,6 +1061,8 @@ class LocalIndex:
         tree = parse_query(query)
         if tree is None:
             return np.empty(0, np.uint64), np.empty(0, self.dtype)
+        if any(c.prefix for c in collect_clauses(tree)):
+            tree = expand_prefix_tree(tree, self._expand_prefix)
         leaves = collect_clauses(tree)
         keys = dict.fromkeys(
             (FIELD_IDS[c.field], t) for c in leaves for t in c.terms
@@ -1171,15 +1246,31 @@ class BM25Engine:
     def _df_map_for(self, queries: list[str]) -> dict | None:
         if not self._needs_df_round:
             return None
-        keys = list(
+        clauses = [
+            c for q in queries for c in collect_clauses(parse_query(q))
+        ]
+        keys = dict.fromkeys(
+            (FIELD_IDS[c.field], t)
+            for c in clauses
+            if not c.prefix
+            for t in c.terms
+        )
+        # prefix clauses: the expansion set is dictionary-dependent, so
+        # union the shards' local expansions first (terms only — tiny),
+        # then df-sum those keys like any other term
+        pref = list(
             dict.fromkeys(
-                (FIELD_IDS[c.field], t)
-                for q in queries
-                for c in collect_clauses(parse_query(q))
-                for t in c.terms
+                (c.field, c.terms[0]) for c in clauses if c.prefix
             )
         )
-        return self._global_dfs(keys)
+        if pref:
+            per = ray.get(
+                [s.expand_prefixes.remote(pref) for s in self.shards]
+            )
+            for i, (f, _) in enumerate(pref):
+                for t in sorted({t for sh in per for t in sh[i]}):
+                    keys[(FIELD_IDS[f], t)] = None
+        return self._global_dfs(list(keys))
 
     # ------------------------------------------------------------ searching
 

