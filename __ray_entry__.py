@@ -654,6 +654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_snippets": docsearch.bm25_snippets,
         "bm25_boolean": docsearch.bm25_boolean,
         "bm25_prefix": docsearch.bm25_prefix,
+        "bm25_phrase_prefix": docsearch.bm25_phrase_prefix,
         "bm25_phrase": docsearch.bm25_phrase,
         "bm25_phrase_slop": docsearch.bm25_phrase_slop,
         "code_chunks": docsearch.code_chunks,
@@ -1164,6 +1165,46 @@ scores AS (
   JOIN dl USING (doc_id)
   CROSS JOIN stats s
   GROUP BY tf.doc_id
+),
+topk AS (SELECT doc_id, round(score, 4) AS score FROM scores
+         ORDER BY round(score, 4) DESC, doc_id LIMIT {_BM25_K})
+SELECT doc_id, score FROM topk
+ORDER BY score DESC, doc_id
+""",
+        # phrase-prefix "fast s"*: last term LIKE-expands, each expansion
+        # scores as the exact phrase (adjacency pairs), doc score = sum
+        # over matching expansions; phrase idf = idf(head) + idf(expansion)
+        "bm25_phrase_prefix": f"""
+WITH {_TOKS_POS},
+dl AS (SELECT doc_id, count(*) AS dl FROM tokp GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+exp AS (SELECT DISTINCT term FROM tokp WHERE term LIKE 's%'),
+dfh AS (SELECT count(DISTINCT doc_id) AS df FROM tokp WHERE term = 'fast'),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tokp
+        WHERE term IN (SELECT term FROM exp) GROUP BY term),
+pairs AS (
+  SELECT a.doc_id, b.term, count(*) AS tf
+  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'fast' AND b.term IN (SELECT term FROM exp)
+  GROUP BY a.doc_id, b.term
+),
+scores AS (
+  SELECT p.doc_id,
+         sum( (ln(1 + (s.n - h.df + 0.5) / (h.df + 0.5))
+               + ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5)))
+              * ((p.tf * 2.2)
+                 / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl))) ) AS score
+  FROM pairs p
+  JOIN dft USING (term)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN stats s
+  CROSS JOIN dfh h
+  WHERE h.df > 0
+  GROUP BY p.doc_id
 ),
 topk AS (SELECT doc_id, round(score, 4) AS score FROM scores
          ORDER BY round(score, 4) DESC, doc_id LIMIT {_BM25_K})

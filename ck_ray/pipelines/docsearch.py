@@ -246,6 +246,17 @@ def bm25_prefix(
     return _bm25_rounded_cut(sf_dir, query, k)
 
 
+def bm25_phrase_prefix(
+    sf_dir: str, query: str = '"fast s"*', k: int = 20
+) -> pd.DataFrame:
+    """Top-k BM25 for a PHRASE-PREFIX query (tantivy ``"a b"*``, the
+    search-as-you-type shape): the last term expands against the
+    dictionary and each expansion scores as an exact phrase sharing the
+    head; the doc score sums the matching expansions (SHOULD). Oracle:
+    LIKE expansion × positional adjacency chain per expanded term."""
+    return _bm25_rounded_cut(sf_dir, query, k)
+
+
 def bm25_phrase(
     sf_dir: str, query: str = '"merge window"', k: int = 20
 ) -> pd.DataFrame:

@@ -156,6 +156,9 @@ def _lex(query: str) -> list[tuple[str, object]]:
         elif c == '"':
             text, i = read_quoted(i)
             out.append(("word", ("content", text, True)))
+            if i < n and query[i] == "*":  # tantivy `"a b"*` phrase-prefix
+                out.append(("star", None))
+                i += 1
             s, i = read_slop(i)
             if s is not None:
                 out.append(("slop", s))
@@ -176,6 +179,9 @@ def _lex(query: str) -> list[tuple[str, object]]:
             if field is not None and word == "" and i < n and query[i] == '"':
                 text, i = read_quoted(i)
                 out.append(("word", (field, text, True)))
+                if i < n and query[i] == "*":
+                    out.append(("star", None))
+                    i += 1
                 s, i = read_slop(i)
                 if s is not None:
                     out.append(("slop", s))
@@ -304,16 +310,20 @@ class _Parser:
         return None
 
     def _apply_boost(self, node):
-        """Fold any ``boost``/``slop`` tokens following an atom into it
-        (tantivy ``literal^2`` / ``"a b"~2``); stacked boosts multiply,
-        slop on a non-phrase atom is ignored — all leniently."""
-        while self.peek() in ("boost", "slop"):
+        """Fold any ``boost``/``slop``/``star`` tokens following an atom
+        into it (tantivy ``literal^2`` / ``"a b"~2`` / ``"a b"*``);
+        stacked boosts multiply, slop on a non-phrase atom and star on a
+        non-Clause are ignored — all leniently."""
+        while self.peek() in ("boost", "slop", "star"):
             kind, v = self.toks[self.i]
             self.i += 1
             if node is None:
                 continue
             if kind == "boost":
                 node.boost = float(node.boost) * float(v)
+            elif kind == "star":
+                if isinstance(node, Clause):
+                    node.prefix = True
             elif isinstance(node, Clause) and node.is_phrase:
                 node.slop = int(v)
         return node
@@ -358,20 +368,31 @@ def expand_prefix_tree(node, expand):
     if node is None or (isinstance(node, Clause) and not node.prefix):
         return node
     if isinstance(node, Clause):
-        terms = expand(node.field, node.terms[0])
+        # term prefix (`te*`) expands its only term; PHRASE prefix
+        # (`"a b"*`, tantivy PhrasePrefixQuery) expands the LAST term
+        # into a disjunction of exact phrases sharing the head (slop
+        # carries into each expanded phrase)
+        head = node.terms[:-1]
+        terms = expand(node.field, node.terms[-1])
         if len(terms) > MAX_PREFIX_EXPANSIONS:
             raise ValueError(
-                f"prefix '{node.terms[0]}*' expands to {len(terms)} terms "
+                f"prefix '{node.terms[-1]}*' expands to {len(terms)} terms "
                 f"(max {MAX_PREFIX_EXPANSIONS})"
             )
         if not terms:
             return Clause(node.field, [_NEVER_TERM], boost=node.boost)
         if len(terms) == 1:
-            return Clause(node.field, [terms[0]], boost=node.boost)
+            return Clause(
+                node.field, head + [terms[0]],
+                boost=node.boost, slop=node.slop,
+            )
         # boost rides the disjunction node (multiplies the f32 sum),
         # identically on engine and oracle sides
         return BoolNode(
-            [(SHOULD, Clause(node.field, [t])) for t in terms],
+            [
+                (SHOULD, Clause(node.field, head + [t], slop=node.slop))
+                for t in terms
+            ],
             boost=node.boost,
         )
     return BoolNode(
@@ -1252,15 +1273,16 @@ class BM25Engine:
         keys = dict.fromkeys(
             (FIELD_IDS[c.field], t)
             for c in clauses
-            if not c.prefix
-            for t in c.terms
+            # a prefix clause's last term is the prefix (expanded below);
+            # its head terms (phrase-prefix) need dfs like any others
+            for t in (c.terms[:-1] if c.prefix else c.terms)
         )
         # prefix clauses: the expansion set is dictionary-dependent, so
         # union the shards' local expansions first (terms only — tiny),
         # then df-sum those keys like any other term
         pref = list(
             dict.fromkeys(
-                (c.field, c.terms[0]) for c in clauses if c.prefix
+                (c.field, c.terms[-1]) for c in clauses if c.prefix
             )
         )
         if pref:

@@ -263,3 +263,26 @@ def test_prefix_empty_expansion_is_absent_term():
     node = expand_prefix_tree(parse_query("zz*"), lambda f, p: [])
     assert isinstance(node, Clause) and not node.prefix
     assert node.terms[0].startswith("\x00")
+
+
+def test_phrase_prefix_parse():
+    n = parse_query('"merge wi"*')
+    assert n.terms == ["merge", "wi"] and n.prefix and n.is_phrase
+    n = parse_query('path:"src f00"*^2')
+    assert n.field == "path" and n.prefix and n.boost == 2.0
+    n = parse_query('"a b"*~1')  # star then slop both bind
+    assert n.prefix and n.slop == 1
+
+
+def test_phrase_prefix_expansion_shares_head():
+    from ck_ray.query import BoolNode, SHOULD, expand_prefix_tree
+
+    node = expand_prefix_tree(
+        parse_query('"merge wi"*~2'),
+        lambda f, p: ["window", "wide"] if p == "wi" else [],
+    )
+    assert isinstance(node, BoolNode)
+    assert [(o, c.terms, c.slop) for o, c in node.children] == [
+        (SHOULD, ["merge", "window"], 2),
+        (SHOULD, ["merge", "wide"], 2),
+    ]

@@ -40,7 +40,7 @@ def _random_corpus(rng: np.random.RandomState, n_docs: int) -> pa.Table:
 def _random_queries(rng: np.random.RandomState, k: int) -> list[str]:
     out = []
     for _ in range(k):
-        shape = rng.randint(10)
+        shape = rng.randint(11)
         if shape == 0:
             out.append(VOCAB[rng.randint(len(VOCAB))])
         elif shape == 1:
@@ -66,7 +66,7 @@ def _random_queries(rng: np.random.RandomState, k: int) -> list[str]:
             n = 2 + int(rng.randint(2))
             ws = " ".join(VOCAB[j] for j in rng.randint(0, len(VOCAB), n))
             out.append(f'"{ws}"~{int(rng.randint(0, 5))}')
-        else:
+        elif shape == 9:
             # prefix query, alone or inside a boolean (shard-local
             # dictionary expansion vs oracle global expansion)
             w = VOCAB[int(rng.randint(len(VOCAB)))]
@@ -75,6 +75,13 @@ def _random_queries(rng: np.random.RandomState, k: int) -> list[str]:
             if rng.rand() < 0.5:
                 p = f"{p} AND {VOCAB[int(rng.randint(len(VOCAB)))]}"
             out.append(p)
+        else:
+            # phrase-prefix "a b"* (optionally sloppy)
+            a = VOCAB[int(rng.randint(len(VOCAB)))]
+            w = VOCAB[int(rng.randint(len(VOCAB)))]
+            cut = 1 + int(rng.randint(max(1, len(w) - 1)))
+            suf = f"~{int(rng.randint(1, 4))}" if rng.rand() < 0.3 else ""
+            out.append(f'"{a} {w[:cut]}"*{suf}')
     return out
 
 
