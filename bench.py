@@ -223,6 +223,9 @@ def run_suite() -> dict:
         "merge window query", "def return self if", "path:core",
         f"uq{n_files//2:07d}marker", "posting segment varint delta",
         '"build_index_segment"', "the merge", "naïve café", "lexical hybrid",
+        # round-3 query-language additions: sloppy phrase, dictionary
+        # prefix (wide expansion), phrase-prefix (search-as-you-type)
+        '"posting segment"~3', "mer*", '"merge wi"*',
     ] * 3
     cold = []
     for q in dict.fromkeys(suite):  # first pass: cold posting fetch+decode

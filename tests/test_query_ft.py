@@ -52,26 +52,31 @@ def test_all_shards_killed_then_query_recovers(ray_session, tiny_index):
 
 
 def test_replicas_identical_and_batch_split(ray_session, tiny_index):
-    """num_replicas=2: single-query round-robin and the split batch path
-    return exactly what the unreplicated engine returns, in order."""
+    """num_replicas=2: sticky single-query routing and the split batch
+    path return exactly what the unreplicated engine returns, in order;
+    a repeated query always lands on the SAME replica (cache affinity)."""
     base = BM25Engine(tiny_index, num_shards=2, auto_reload=False)
     rep = BM25Engine(
         tiny_index, num_shards=2, auto_reload=False, num_replicas=2
     )
     try:
         want = [base.search_raw(q, 10) for q in QUERIES]
-        # consecutive searches hit BOTH replicas (round-robin)
         for _ in range(2):
             for q, (wd, ws) in zip(QUERIES, want):
                 d, s = rep.search_raw(q, 10)
                 assert list(d) == list(wd) and list(s) == list(ws)
+        # sticky: the routed replica for a query is stable across calls
+        for q in QUERIES:
+            assert rep._next_replica(q) is rep._next_replica(q)
         batch = rep.search_many(QUERIES * 3, top_k=10)
         assert len(batch) == len(QUERIES) * 3
         for i, (d, s) in enumerate(batch):
             wd, ws = want[i % len(QUERIES)]
             assert list(d) == list(wd) and list(s) == list(ws)
-        # a killed shard in EITHER replica restarts transparently
-        ray.kill(rep.replicas[1][0], no_restart=False)
+        # a killed shard in the replica a query routes TO restarts
+        # transparently mid-serving
+        victim = rep._next_replica(QUERIES[0])[0]
+        ray.kill(victim, no_restart=False)
         for _ in range(2):
             d, s = rep.search_raw(QUERIES[0], 10)
             assert list(d) == list(want[0][0])
