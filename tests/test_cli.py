@@ -533,3 +533,30 @@ def test_sem_full_section(cli_env):
     assert "section" in rec and len(rec["section"].splitlines()) > 1
     # span bounds cover the section
     assert rec["line_start"] >= 1
+
+
+def test_lexical_advanced_query_syntax(cli_env):
+    """Slop / prefix / phrase-prefix syntax survives the CLI argv path
+    (quoting, star, tilde all reach the parser intact)."""
+    _, idx = cli_env
+    # dictionary prefix: every uqNNNNNNNmarker term matches uq0000042*
+    r = run(["--lex", "uq0000042*", "--index-dir", idx, "--topk", "5"])
+    assert r.returncode == 0
+    assert len(r.stdout.strip().splitlines()) == 1
+    # sloppy phrase: exact-adjacency DOCS still match at any slop
+    # (compare paths, not output lines — normalized scores shift when
+    # slop widens the match set; topk=300 covers the whole corpus)
+    def paths(r):
+        return {ln.split(":")[0] for ln in r.stdout.strip().splitlines()}
+
+    r0 = run(["--lex", '"merge window"', "--index-dir", idx,
+              "--topk", "300"])
+    r2 = run(["--lex", '"merge window"~2', "--index-dir", idx,
+              "--topk", "300"])
+    assert r0.returncode in (0, 1) and r2.returncode in (0, 1)
+    assert paths(r0) <= paths(r2)  # slop only widens
+    # phrase-prefix
+    r3 = run(["--lex", '"merge wi"*', "--index-dir", idx,
+              "--topk", "300"])
+    assert r3.returncode in (0, 1)
+    assert paths(r0) <= paths(r3)
