@@ -714,6 +714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_clean": curation.corpus_clean,
         "pack_sequences": curation.pack_sequences,
         "dup_span_scrub": curation.dup_span_scrub,
+        "line_dedup_scrub": curation.line_dedup_scrub,
         "pii_scrub": curation.pii_scrub,
         "unicode_clean": curation.unicode_clean,
     }
@@ -2154,6 +2155,49 @@ FROM pack ORDER BY doc_id
         # span-level dedup WRITER: drop tokens covered by a cross-doc
         # duplicate 5-gram; scrub_key = first 60 bits of md5(rewritten
         # text) proves the rewrite itself, not just the counts
+        # CCNet line-hash dedup writer: lines = 7-token wrap (+ the
+        # deterministic doc_id%4 boilerplate plant, replicated here);
+        # drop every line with corpus-wide count >= 3; scrub_key = 60
+        # md5 bits of the kept lines in original order
+        "line_dedup_scrub": """
+WITH wrapped AS (
+  SELECT doc_id,
+         regexp_replace(text, '((?:\\S+ ){6}\\S+) ', '\\1' || chr(10), 'g') AS w
+  FROM documents
+),
+planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0
+              THEN w || chr(10) || 'nav bar boilerplate '
+                     || CAST(doc_id % 3 AS VARCHAR)
+              ELSE w END AS w
+  FROM wrapped
+),
+lin AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(w, chr(10)), 1) AS pos,
+         unnest(string_split(w, chr(10))) AS line
+  FROM planted
+),
+hot AS (SELECT line FROM lin GROUP BY line HAVING count(*) >= 3),
+kept AS (SELECT doc_id, pos, line FROM lin
+         WHERE line NOT IN (SELECT line FROM hot)),
+nl AS (SELECT doc_id, count(*) AS n_lines FROM lin GROUP BY doc_id),
+ka AS (SELECT doc_id, count(*) AS kept_lines,
+              string_agg(line, chr(10) ORDER BY pos) AS s
+       FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(nl.n_lines AS BIGINT) AS n_lines,
+       CAST(nl.n_lines - coalesce(ka.kept_lines, 0) AS BIGINT)
+         AS removed_lines,
+       CAST(coalesce(ka.kept_lines, 0) AS BIGINT) AS kept_lines,
+       CAST(('0x' || substr(md5(coalesce(ka.s, '')), 1, 15))::UBIGINT
+            AS BIGINT) AS scrub_key
+FROM documents d
+JOIN nl USING (doc_id)
+LEFT JOIN ka USING (doc_id)
+ORDER BY d.doc_id
+""",
         "dup_span_scrub": f"""
 WITH {_TOKS_POS},
 shp AS (

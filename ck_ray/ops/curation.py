@@ -915,3 +915,125 @@ def unicode_clean(sf_dir: str) -> pd.DataFrame:
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+def line_dedup_scrub(sf_dir: str, min_count: int = 3) -> pd.DataFrame:
+    """CCNet-style corpus-level LINE deduplication writer: hash every
+    rendered line (the deterministic 7-token wrap, ``corpus.wrap_lines``),
+    count occurrences ACROSS the whole corpus, remove every line whose
+    corpus-wide count reaches ``min_count``, and rebuild each document
+    from its surviving lines in original order — the line-hash dedup
+    CCNet runs before LM filtering (boilerplate/navigation kill).
+
+    Returns per doc: (doc_id, n_lines, removed_lines, kept_lines,
+    scrub_key); scrub_key = first 60 bits of md5 of the kept lines
+    joined by ``\\n``, bit-identical to the oracle's
+    ``md5(string_agg(line, chr(10) ORDER BY pos))``.
+
+    Scale shape (same argument as ``dup_span_scrub``): pass 1 ships only
+    (line-md5, partial count) pairs through the hash exchange and keeps
+    the >=min_count survivors — the heavy-hitter tail, broadcast-sized;
+    pass 2 is one stateless streaming ``map_batches`` (searchsorted
+    probe, Arrow list rebuild + ``binary_join``). Text never shuffles.
+
+    The synthetic corpus has no naturally repeated cross-doc line at
+    toy SF, so every doc with ``doc_id % 4 == 0`` deterministically
+    appends one of three canonical "boilerplate" lines
+    (``nav bar boilerplate {doc_id % 3}``) — replicated in the oracle —
+    so the removal branch does real work.
+    """
+    from ..corpus import wrap_lines
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _lines_of(t: pa.Table):
+        """(planted wrapped text array, list-of-lines array)."""
+        wrapped = wrap_lines(t["text"])
+        ids = (
+            t["doc_id"].combine_chunks()
+            if isinstance(t["doc_id"], pa.ChunkedArray)
+            else t["doc_id"]
+        ).to_numpy(zero_copy_only=False)
+        tag = pa.array(
+            np.char.add("nav bar boilerplate ", (ids % 3).astype(str))
+        )
+        planted = pc.binary_join_element_wise(wrapped, tag, "\n")
+        mask = pa.array((ids % 4) == 0)
+        wrapped = pc.if_else(mask, planted, wrapped)
+        return pc.split_pattern(wrapped, "\n")
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        vals = pc.list_flatten(_lines_of(t))
+        h = md5_u64_of_terms(vals)
+        u, c = np.unique(h, return_counts=True)
+        return pa.table(
+            {"lh": pa.array(u.view(np.int64)),
+             "cnt": pa.array(c.astype(np.int64))}
+        )
+
+    def count_reduce(rows: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(rows, ["lh"], use_threads=False).aggregate(
+            [("cnt", "sum")]
+        )
+        hot = pc.greater_equal(g["cnt_sum"], min_count)
+        return pa.table({"lh": g["lh"].filter(hot)})
+
+    drop_df = hash_exchange(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        key_fn=lambda t: t["lh"].to_numpy().view(np.uint64),
+        reducer=count_reduce,
+    )
+    drop_sorted = (
+        np.sort(drop_df["lh"].to_numpy().view(np.uint64))
+        if len(drop_df)
+        else np.empty(0, np.uint64)
+    )
+    drop_ref = ray.put(drop_sorted)
+
+    def scrub(t: pa.Table) -> pa.Table:
+        lines = _lines_of(t)
+        vals = pc.list_flatten(lines)
+        n_rows = t.num_rows
+        parents = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+        n_lines = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+        h = md5_u64_of_terms(vals)
+        drop_set = ray.get(drop_ref)
+        if len(drop_set) and len(h):
+            pos = np.clip(np.searchsorted(drop_set, h), 0, len(drop_set) - 1)
+            dropped = drop_set[pos] == h
+        else:
+            dropped = np.zeros(len(h), bool)
+        keep = ~dropped
+        kept_counts = np.bincount(
+            parents[keep], minlength=n_rows
+        ).astype(np.int64)
+        offsets = np.concatenate(([0], np.cumsum(kept_counts))).astype(
+            np.int32
+        )
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(offsets), vals.filter(pa.array(keep))
+            ),
+            "\n",
+        )
+        key = (md5_u64_of_terms(joined) >> np.uint64(4)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_lines": pa.array(n_lines.astype(np.int64)),
+                "removed_lines": pa.array(
+                    np.bincount(
+                        parents[dropped], minlength=n_rows
+                    ).astype(np.int64)
+                ),
+                "kept_lines": pa.array(kept_counts),
+                "scrub_key": pa.array(key),
+            }
+        )
+
+    return (
+        ds.map_batches(scrub, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )

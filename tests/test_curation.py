@@ -408,3 +408,47 @@ def test_unicode_clean_composes_and_strips(ray_session, pii_docs_dir):
     assert int(out["n_chars_clean"].iloc[2]) == len(s)
     want = int(hashlib.md5(s.encode()).hexdigest()[:16], 16) >> 4
     assert int(out["clean_key"].iloc[2]) == want
+
+
+def test_line_dedup_scrub_planted(ray_session, tmp_path):
+    """Three docs share one exact rendered line (count 3 == min_count ->
+    dropped everywhere, incl. a doc left EMPTY); a unique doc is
+    untouched; keys are hand-computed md5 prefixes."""
+    from ck_ray.ops.curation import line_dedup_scrub
+
+    texts = {
+        1: "dup line here",                       # only line -> emptied
+        2: "dup line here\nunique tail two",      # pre-wrapped? no: \n ok
+        3: "dup line here",
+        5: "totally unique single line",
+    }
+    # NOTE: texts contain no 7+ token runs, so wrap_lines is identity and
+    # the embedded \n in doc 2 is already a line break; no doc_id is % 4
+    # == 0, so the boilerplate plant stays out of the way.
+    ids = sorted(texts)
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([texts[i] for i in ids]),
+                "lang": pa.array(["en"] * len(ids)),
+                "source": pa.array(["s"] * len(ids)),
+                "n_chars": pa.array(
+                    [len(texts[i]) for i in ids], pa.int64()
+                ),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    out = line_dedup_scrub(str(d)).set_index("doc_id")
+    assert out.loc[1].tolist()[:3] == [1, 1, 0]
+    assert out.loc[2].tolist()[:3] == [2, 1, 1]
+    assert out.loc[3].tolist()[:3] == [1, 1, 0]
+    assert out.loc[5].tolist()[:3] == [1, 0, 1]
+    assert out.loc[1, "scrub_key"] == md5_u64("") >> 4
+    assert out.loc[2, "scrub_key"] == md5_u64("unique tail two") >> 4
+    assert out.loc[5, "scrub_key"] == (
+        md5_u64("totally unique single line") >> 4
+    )
