@@ -452,6 +452,8 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 print(f"no such file or directory: {pth}",
                       file=sys.stderr)
+                if owns_ray and ray.is_initialized():
+                    ray.shutdown()
                 return 2
         args.corpus = parts[0] if len(parts) == 1 else parts[0].union(
             *parts[1:]

@@ -120,7 +120,7 @@ def bm25_topk(
     out = pd.DataFrame(
         {
             "doc_id": df["path"].astype("int64"),
-            "score": df["score"].astype("float64").round(4),
+            "score": round_half_away(df["score"], 4),
         }
     )
     return out.sort_values(["score", "doc_id"], ascending=[False, True]).reset_index(
@@ -151,7 +151,7 @@ def bm25_snippets(
     out = pd.DataFrame(
         {
             "doc_id": df["path"].astype("int64"),
-            "score": df["score"].astype("float64").round(4),
+            "score": round_half_away(df["score"], 4),
             "snippet": df["preview"],
         }
     )
@@ -211,10 +211,8 @@ def _bm25_rounded_cut(sf_dir: str, query: str, k: int) -> pd.DataFrame:
             df = eng.search(query, top_k=fetch, with_metadata=True)
             if len(df) < fetch:
                 break  # every match fetched
-            r = df["score"].astype("float64").map(
-                lambda v: round_half_away(v, 4)
-            )
-            if float(r.iloc[-1]) < float(r.iloc[k - 1]):
+            r = round_half_away(df["score"], 4)
+            if float(r[-1]) < float(r[k - 1]):
                 break  # boundary group closed
             fetch *= 4
     finally:
@@ -225,7 +223,7 @@ def _bm25_rounded_cut(sf_dir: str, query: str, k: int) -> pd.DataFrame:
     out = pd.DataFrame(
         {
             "doc_id": df["path"].astype("int64"),
-            "score": df["score"].astype("float64").round(4),
+            "score": round_half_away(df["score"], 4),
         }
     )
     return (
@@ -322,7 +320,7 @@ def retrieval_quality(
             r = pd.DataFrame(
                 {
                     "doc_id": df["path"].astype("int64"),
-                    "score": df["score"].astype("float64").round(4),
+                    "score": round_half_away(df["score"], 4),
                 }
             ).sort_values(["score", "doc_id"], ascending=[False, True])
             r["rank"] = np.arange(1, len(r) + 1)

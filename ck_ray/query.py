@@ -1266,33 +1266,48 @@ class BM25Engine:
         return {k: self._df_cache[k] for k in keys}
 
     def _df_map_for(self, queries: list[str]) -> dict | None:
-        if not self._needs_df_round:
-            return None
         clauses = [
             c for q in queries for c in collect_clauses(parse_query(q))
         ]
-        keys = dict.fromkeys(
-            (FIELD_IDS[c.field], t)
-            for c in clauses
-            # a prefix clause's last term is the prefix (expanded below);
-            # its head terms (phrase-prefix) need dfs like any others
-            for t in (c.terms[:-1] if c.prefix else c.terms)
-        )
         # prefix clauses: the expansion set is dictionary-dependent, so
-        # union the shards' local expansions first (terms only — tiny),
-        # then df-sum those keys like any other term
+        # union the shards' local expansions first (terms only — tiny).
+        # MAX_PREFIX_EXPANSIONS is a GLOBAL limit (Lucene's
+        # maxClauseCount counts the rewritten disjunction, and the
+        # oracle expands against the corpus-global dictionary), so it is
+        # enforced here on the UNION — the shard-local raise in
+        # ``expand_prefix_tree`` is only a backstop for standalone
+        # single-shard use, where local == global.
         pref = list(
             dict.fromkeys(
                 (c.field, c.terms[-1]) for c in clauses if c.prefix
             )
         )
+        expanded: dict[tuple[str, str], list[str]] = {}
         if pref:
             per = ray.get(
                 [s.expand_prefixes.remote(pref) for s in self.shards]
             )
-            for i, (f, _) in enumerate(pref):
-                for t in sorted({t for sh in per for t in sh[i]}):
-                    keys[(FIELD_IDS[f], t)] = None
+            for i, (f, p) in enumerate(pref):
+                union = sorted({t for sh in per for t in sh[i]})
+                if len(union) > MAX_PREFIX_EXPANSIONS:
+                    raise ValueError(
+                        f"prefix '{p}*' expands to {len(union)} terms "
+                        f"(max {MAX_PREFIX_EXPANSIONS})"
+                    )
+                expanded[(f, p)] = union
+        if not self._needs_df_round:
+            return None
+        keys = dict.fromkeys(
+            (FIELD_IDS[c.field], t)
+            for c in clauses
+            # a prefix clause's last term is the prefix (expanded above);
+            # its head terms (phrase-prefix) need dfs like any others
+            for t in (c.terms[:-1] if c.prefix else c.terms)
+        )
+        # df-sum the expanded prefix terms like any other term
+        for (f, _p), union in expanded.items():
+            for t in union:
+                keys[(FIELD_IDS[f], t)] = None
         return self._global_dfs(list(keys))
 
     # ------------------------------------------------------------ searching

@@ -244,7 +244,7 @@ def test_prefix_parse_shapes():
     n = parse_query("foo_bar*")
     assert n.terms == ["foo", "bar"] and not n.prefix
     # bare star contributes nothing
-    assert parse_query("*").__class__ is type(None) or True
+    assert parse_query("*") is None
     n = parse_query("* merge")
     assert isinstance(n, Clause) and n.terms == ["merge"] and not n.prefix
 

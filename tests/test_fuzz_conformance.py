@@ -179,3 +179,48 @@ def test_random_bool_tree_rank_identity(ray_session, tmp_path, seed):
             )
     finally:
         eng.close()
+
+
+def test_prefix_cap_is_global_across_shards(ray_session, tmp_path):
+    """MAX_PREFIX_EXPANSIONS is a GLOBAL limit (Lucene maxClauseCount
+    counts the rewritten disjunction; the oracle expands against the
+    corpus-global dictionary). A corpus whose prefix expansion is under
+    the cap per shard but over it globally must raise on the engine
+    exactly like it does on the oracle."""
+    import ray
+    import ray.data
+
+    from ck_ray.query import MAX_PREFIX_EXPANSIONS
+
+    n = MAX_PREFIX_EXPANSIONS + 76
+    rows = [
+        {
+            "repo": "r0",
+            "path": f"src/f{i:04d}.py",
+            "commit": "c" * 40,
+            "lang": "python",
+            "content": f"pa{i:04d}",
+        }
+        for i in range(n)
+    ]
+    corpus = pa.Table.from_pylist(rows)
+    d = str(tmp_path / "capidx")
+    ckb.build_index(
+        ray.data.from_arrow(corpus), d,
+        ckb.IndexConfig(num_parts=4, batch_size=256),
+    )
+    eng = BM25Engine(d, num_shards=2)
+    try:
+        # each shard's LOCAL dictionary stays under the cap...
+        per = ray.get(
+            [s.expand_prefixes.remote([("content", "pa")])
+             for s in eng.shards]
+        )
+        assert all(0 < len(p[0]) <= MAX_PREFIX_EXPANSIONS for p in per)
+        # ...but the engine enforces the cap on the shard UNION
+        with pytest.raises(ValueError, match="expands to"):
+            eng.search_raw("pa*", 10)
+    finally:
+        eng.close()
+    with pytest.raises(ValueError, match="expands to"):
+        BM25Oracle(corpus).search_raw("pa*", 10)
