@@ -717,6 +717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_scrub": curation.line_dedup_scrub,
         "pii_scrub": curation.pii_scrub,
         "unicode_clean": curation.unicode_clean,
+        "dsir_weights": curation.dsir_weights,
     }
 
 
@@ -2197,6 +2198,56 @@ FROM documents d
 JOIN nl USING (doc_id)
 LEFT JOIN ka USING (doc_id)
 ORDER BY d.doc_id
+""",
+        # DSIR importance weights (Xie et al. 2023): hashed unigram +
+        # bigram features (md5-u64 % 4096), target = lang='en' docs vs
+        # the raw corpus, add-1 smoothing; per-bucket log-ratio floored
+        # to micro-nats so the per-doc sum is an exact BIGINT
+        "dsir_weights": """
+WITH toksb AS (
+  SELECT doc_id, string_split(text, ' ') AS a FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(a) AS g FROM toksb
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1]))
+           AS g
+  FROM toksb
+),
+gb AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(g), 1, 16))::UBIGINT % 4096 AS BIGINT)
+           AS bucket
+  FROM grams
+),
+tgt AS (
+  SELECT bucket, count(*)::BIGINT AS c FROM gb
+  WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+  GROUP BY bucket
+),
+rawc AS (SELECT bucket, count(*)::BIGINT AS c FROM gb GROUP BY bucket),
+tot AS (
+  SELECT (SELECT coalesce(sum(c), 0) FROM tgt) AS t_tot,
+         (SELECT coalesce(sum(c), 0) FROM rawc) AS r_tot
+),
+lam AS (
+  SELECT b.bucket,
+         CAST(floor((ln((coalesce(t.c, 0) + 1)::DOUBLE
+                         / (tot.t_tot + 4096)::DOUBLE)
+                   - ln((coalesce(r.c, 0) + 1)::DOUBLE
+                         / (tot.r_tot + 4096)::DOUBLE)) * 1e6) AS BIGINT)
+           AS lam_e6
+  FROM (SELECT unnest(range(4096)) AS bucket) b
+  LEFT JOIN tgt t USING (bucket)
+  LEFT JOIN rawc r USING (bucket), tot
+)
+SELECT gb.doc_id,
+       count(*)::BIGINT AS n_grams,
+       sum(lam.lam_e6)::BIGINT AS dsir_e6
+FROM gb JOIN lam USING (bucket)
+GROUP BY gb.doc_id
+ORDER BY gb.doc_id
 """,
         "dup_span_scrub": f"""
 WITH {_TOKS_POS},

@@ -1037,3 +1037,151 @@ def line_dedup_scrub(sf_dir: str, min_count: int = 3) -> pd.DataFrame:
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+# ----------------------------------------------------------- dsir_weights
+
+
+def dsir_weights(
+    sf_dir: str, n_buckets: int = 4096, target_lang: str = "en"
+) -> pd.DataFrame:
+    """DSIR-style importance weight per document (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    hashed n-gram features (unigrams + bigrams -> md5 bucket), a
+    bag-of-buckets model of the TARGET domain (here: ``lang ==
+    target_lang`` documents) vs the RAW corpus, and per-doc
+
+        log w(x) = sum over gram occurrences of
+                   ln p_target(bucket) - ln p_raw(bucket)
+
+    with add-1 smoothing over ``n_buckets`` buckets. Docs that look like
+    the target domain get high weights; resampling by w concentrates a
+    pretraining mixture on the target distribution.
+
+    Exact-integer contract (same device as ``unigram_logprob``): the
+    per-bucket log-ratio is floored to micro-nats on the driver
+    (``lam_e6``, libm ln == DuckDB ln bit-for-bit), so the per-doc sum
+    ``dsir_e6`` is an exact BIGINT on both the Ray and SQL sides.
+
+    Shape: pass 1 ships only per-batch (bucket, tgt, raw) count partials
+    over the bucket-keyed hash exchange (B = n_buckets rows total after
+    reduction); the dense lam_e6 vector (B * 8 bytes) is broadcast once
+    via ``ray.put``; pass 2 is one stateless streaming scoring pass
+    (searchsorted-free: direct ``lam[bucket]`` gather + ``np.add.at``).
+    Space-split + md5 semantics match the SQL oracle exactly.
+    """
+    import math
+
+    B = int(n_buckets)
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def gram_buckets(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        """(bucket, batch_row) per gram occurrence — unigrams then
+        bigrams, both bucketed by md5-u64 % B (the SQL-replicable
+        hash), doc boundaries masked via the list offsets."""
+        la = pc.split_pattern(t["text"].combine_chunks(), " ")
+        offs = la.offsets.to_numpy(zero_copy_only=False)
+        vals = la.values
+        n = len(vals)
+        doc_of = np.repeat(
+            np.arange(len(la), dtype=np.int64), np.diff(offs)
+        )
+        uni_b = (md5_u64_of_terms(vals) % np.uint64(B)).astype(np.int64)
+        if n >= 2:
+            same = doc_of[:-1] == doc_of[1:]
+            sel = pa.array(same)
+            bg = pc.binary_join_element_wise(
+                vals.slice(0, n - 1).filter(sel),
+                vals.slice(1, n - 1).filter(sel),
+                " ",
+            )
+            bg_b = (md5_u64_of_terms(bg) % np.uint64(B)).astype(np.int64)
+            bg_doc = doc_of[:-1][same]
+        else:
+            bg_b = np.array([], np.int64)
+            bg_doc = np.array([], np.int64)
+        return (
+            np.concatenate([uni_b, bg_b]),
+            np.concatenate([doc_of, bg_doc]),
+        )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        bucket, rows = gram_buckets(t)
+        is_tgt = pc.equal(
+            t["lang"].combine_chunks(), target_lang
+        ).to_numpy(zero_copy_only=False)
+        raw = np.bincount(bucket, minlength=B)
+        tgt = np.bincount(bucket[is_tgt[rows]], minlength=B)
+        nz = np.nonzero(raw)[0]
+        return pa.table(
+            {
+                "bucket": pa.array(nz, pa.int64()),
+                "tgt": pa.array(tgt[nz], pa.int64()),
+                "raw": pa.array(raw[nz], pa.int64()),
+            }
+        )
+
+    def count_reduce(rows: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(rows, ["bucket"], use_threads=False).aggregate(
+            [("tgt", "sum"), ("raw", "sum")]
+        )
+        return pa.table(
+            {
+                "bucket": g["bucket"],
+                "tgt": g["tgt_sum"].cast(pa.int64()),
+                "raw": g["raw_sum"].cast(pa.int64()),
+            }
+        )
+
+    cnt = hash_exchange(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        key_fn=lambda t: t["bucket"].to_numpy().astype(np.uint64),
+        reducer=count_reduce,
+    )
+    tgt = np.zeros(B, np.int64)
+    raw = np.zeros(B, np.int64)
+    if not cnt.empty:
+        bk = cnt["bucket"].to_numpy(dtype=np.int64)
+        tgt[bk] = cnt["tgt"].to_numpy(dtype=np.int64)
+        raw[bk] = cnt["raw"].to_numpy(dtype=np.int64)
+    t_den = int(tgt.sum()) + B
+    r_den = int(raw.sum()) + B
+    # libm ln / IEEE divide+subtract+floor, replicated verbatim in SQL
+    lam = np.fromiter(
+        (
+            math.floor(
+                (
+                    math.log((int(ct) + 1) / t_den)
+                    - math.log((int(cr) + 1) / r_den)
+                )
+                * 1e6
+            )
+            for ct, cr in zip(tgt, raw)
+        ),
+        dtype=np.int64,
+        count=B,
+    )
+    ref = ray.put(lam)
+
+    def score(t: pa.Table) -> pa.Table:
+        bucket, rows = gram_buckets(t)
+        lam_ = ray.get(ref)
+        n = t.num_rows
+        w = np.zeros(n, np.int64)
+        ng = np.zeros(n, np.int64)
+        np.add.at(w, rows, lam_[bucket])
+        np.add.at(ng, rows, 1)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_grams": pa.array(ng),
+                "dsir_e6": pa.array(w),
+            }
+        )
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )

@@ -452,3 +452,59 @@ def test_line_dedup_scrub_planted(ray_session, tmp_path):
     assert out.loc[5, "scrub_key"] == (
         md5_u64("totally unique single line") >> 4
     )
+
+
+def test_dsir_weights_hand_computed(ray_session, curation_docs_dir):
+    """dsir_weights equals a from-scratch Python reimplementation
+    (md5 buckets, add-1 smoothing, floored micro-nat log-ratios) on the
+    tiny fixture; identical twin docs get identical weights."""
+    import hashlib
+    import math
+
+    from ck_ray.ops.curation import dsir_weights
+
+    B = 64
+    df = dsir_weights(curation_docs_dir, n_buckets=B, target_lang="en")
+
+    tbl = pq.read_table(
+        curation_docs_dir + "/documents.parquet"
+    ).to_pylist()
+
+    def grams(text):
+        a = text.split(" ")
+        return a + [f"{a[i]} {a[i + 1]}" for i in range(len(a) - 1)]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:16], 16) % B
+
+    tgt = [0] * B
+    raw = [0] * B
+    for r in tbl:
+        for g in grams(r["text"]):
+            b = bucket(g)
+            raw[b] += 1
+            if r["lang"] == "en":
+                tgt[b] += 1
+    t_den = sum(tgt) + B
+    r_den = sum(raw) + B
+    lam = [
+        math.floor(
+            (math.log((tgt[b] + 1) / t_den) - math.log((raw[b] + 1) / r_den))
+            * 1e6
+        )
+        for b in range(B)
+    ]
+    exp = {
+        r["doc_id"]: (
+            len(grams(r["text"])),
+            sum(lam[bucket(g)] for g in grams(r["text"])),
+        )
+        for r in tbl
+    }
+    got = {
+        int(r.doc_id): (int(r.n_grams), int(r.dsir_e6))
+        for r in df.itertuples()
+    }
+    assert got == exp
+    # identical twin docs (6 and 7, both target-lang) weigh the same
+    assert got[6] == got[7]
