@@ -646,6 +646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": text.token_counts,
         "quality_metrics": text.quality_metrics,
         "repetition_metrics": text.repetition_metrics,
+        "gopher_filter": text.gopher_filter,
         "lang_source_counts": text.lang_source_counts,
         # --- search modes (reference parity)
         "bm25_topk": docsearch.bm25_topk,
@@ -1018,6 +1019,84 @@ JOIN lagg l USING (doc_id)
 LEFT JOIN (SELECT * FROM t2 WHERE rn = 1) t2 USING (doc_id)
 LEFT JOIN (SELECT * FROM t3 WHERE rn = 1) t3 USING (doc_id)
 ORDER BY d.doc_id
+""",
+        # composed Gopher rule filter: every threshold an integer
+        # cross-multiplication; same line rendering + every-5th-doc
+        # plant as repetition_metrics
+        "gopher_filter": f"""
+WITH {_TOKS_POS}, {_TOKS},
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN term IN {_STOPWORDS_SQL} THEN 1 ELSE 0 END) AS n_stop,
+         sum(length(term)) AS tok_bytes
+  FROM toks2 GROUP BY doc_id
+),
+wrapped AS (
+  SELECT doc_id,
+         regexp_replace(text, '((?:\\S+ ){{6}}\\S+) ', '\\1' || chr(10), 'g') AS w
+  FROM documents
+),
+planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN w || chr(10) || regexp_extract(w, '^[^' || chr(10) || ']*')
+              ELSE w END AS w
+  FROM wrapped
+),
+lines AS (
+  SELECT doc_id, unnest(string_split(w, chr(10))) AS line FROM planted
+),
+lg AS (SELECT doc_id, line, count(*) AS c FROM lines GROUP BY doc_id, line),
+lagg AS (
+  SELECT doc_id,
+         CAST(sum(c * length(line)) AS BIGINT) AS line_chars,
+         CAST(sum((c - 1) * length(line)) AS BIGINT) AS dup_line_chars
+  FROM lg GROUP BY doc_id
+),
+g2c AS (
+  SELECT a.doc_id, a.term || ' ' || b.term AS gram, count(*) AS c
+  FROM tokp a JOIN tokp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY a.doc_id, gram
+),
+t2 AS (SELECT doc_id, gram, c,
+              row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rn
+       FROM g2c),
+sig AS (
+  SELECT d.doc_id,
+         CAST(coalesce(a.n_tokens, 0) AS BIGINT)  AS n_tokens,
+         CAST(coalesce(a.tok_bytes, 0) AS BIGINT) AS token_bytes,
+         CAST(coalesce(a.n_stop, 0) AS BIGINT)    AS n_stopwords,
+         l.dup_line_chars, l.line_chars,
+         CAST(coalesce(t2.c * (length(t2.gram) - 1), 0) AS BIGINT)
+           AS top2_chars,
+         length(d.text) AS n_chars
+  FROM documents d
+  JOIN lagg l USING (doc_id)
+  LEFT JOIN agg a USING (doc_id)
+  LEFT JOIN (SELECT * FROM t2 WHERE rn = 1) t2 USING (doc_id)
+)
+SELECT doc_id, n_tokens, token_bytes, n_stopwords, dup_line_chars,
+       line_chars, top2_chars, n_chars,
+       CAST(CASE WHEN n_tokens BETWEEN 50 AND 100000
+                 THEN 1 ELSE 0 END AS BIGINT) AS r_word_count,
+       CAST(CASE WHEN 3 * n_tokens <= token_bytes
+                  AND token_bytes <= 10 * n_tokens
+                 THEN 1 ELSE 0 END AS BIGINT) AS r_mean_word_len,
+       CAST(CASE WHEN n_stopwords >= 2
+                 THEN 1 ELSE 0 END AS BIGINT) AS r_stopwords,
+       CAST(CASE WHEN 10 * dup_line_chars <= 3 * line_chars
+                 THEN 1 ELSE 0 END AS BIGINT) AS r_dup_line,
+       CAST(CASE WHEN 5 * top2_chars <= n_chars
+                 THEN 1 ELSE 0 END AS BIGINT) AS r_top2,
+       CAST(CASE WHEN n_tokens BETWEEN 50 AND 100000
+                  AND 3 * n_tokens <= token_bytes
+                  AND token_bytes <= 10 * n_tokens
+                  AND n_stopwords >= 2
+                  AND 10 * dup_line_chars <= 3 * line_chars
+                  AND 5 * top2_chars <= n_chars
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM sig
+ORDER BY doc_id
 """,
         "lang_source_counts": """
 SELECT lang, source, count(*) AS n_docs,

@@ -1224,3 +1224,129 @@ def repetition_metrics(sf_dir: str) -> pd.DataFrame:
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+def gopher_filter(sf_dir: str) -> pd.DataFrame:
+    """Composed Gopher/MassiveText quality-rule filter (Rae et al. 2021,
+    Appendix A1.1) — the rule set every pretraining pipeline applies
+    after scoring: per document, each rule as a 0/1 flag plus ``keep`` =
+    AND of all rules. Thresholds are the paper's, expressed as INTEGER
+    cross-multiplications so both sides of the oracle compare exact
+    BIGINTs (no ratio rounding hazard anywhere):
+
+    - ``r_word_count``:   50 <= n_tokens <= 100000
+    - ``r_mean_word_len``: 3 <= token_bytes/n_tokens <= 10
+                           (as 3*n_tokens <= token_bytes <= 10*n_tokens)
+    - ``r_stopwords``:    n_stopwords >= 2
+    - ``r_dup_line``:     dup_line_chars <= 0.30 * line_chars
+                           (as 10*dup <= 3*line_chars; same 7-token line
+                           rendering + every-5th-doc plant as
+                           ``repetition_metrics`` so the rule is
+                           exercised, not vacuously true)
+    - ``r_top2``:         top-2-gram char coverage <= 0.20 * n_chars
+                           (as 5*top2_chars <= n_chars)
+
+    ONE fused stateless ``map_batches`` pass — every signal is doc-local
+    (shared kernels: ``tokenize_array``, ``wrap_lines``,
+    ``_topgram_per_row``), so the filter runs shuffle-free at any scale
+    and text never leaves the task.
+    """
+    from ..corpus import wrap_lines
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    stop = pa.array(sorted(STOPWORDS))
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        n_rows = t.num_rows
+        # --- token-stream signals (quality_metrics semantics)
+        tb = tokenize_array(t["text"])
+        n_tok = tb.doc_len.astype(np.int64)
+        is_stop = pc.is_in(tb.term, value_set=stop).to_numpy(
+            zero_copy_only=False
+        )
+        n_stop = np.bincount(
+            tb.row_index, weights=is_stop.astype(np.float64),
+            minlength=n_rows,
+        ).astype(np.int64)
+        tok_bytes = np.bincount(
+            tb.row_index,
+            weights=pc.binary_length(tb.term)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64),
+            minlength=n_rows,
+        ).astype(np.int64)
+        # --- duplicate-line signals (repetition_metrics rendering+plant)
+        wrapped = wrap_lines(t["text"])
+        first = pc.struct_field(
+            pc.extract_regex(wrapped, r"^(?P<p>[^\n]*)"), "p"
+        )
+        planted = pc.binary_join_element_wise(wrapped, first, "\n")
+        ids = (t["doc_id"].combine_chunks()
+               if isinstance(t["doc_id"], pa.ChunkedArray) else t["doc_id"])
+        mod5 = pa.array((ids.to_numpy(zero_copy_only=False) % 5) == 0)
+        wrapped = pc.if_else(mod5, planted, wrapped)
+        lines = pc.split_pattern(wrapped, "\n")
+        vals = pc.list_flatten(lines)
+        parents = pc.list_parent_indices(lines).to_numpy(
+            zero_copy_only=False
+        )
+        llen = pc.utf8_length(vals).to_numpy(zero_copy_only=False)
+        line_chars = np.bincount(
+            parents, weights=llen.astype(np.float64), minlength=n_rows
+        ).astype(np.int64)
+        lsum = (
+            pa.TableGroupBy(
+                pa.table({"row": pa.array(parents), "line": vals}),
+                ["row", "line"],
+                use_threads=False,
+            )
+            .aggregate([("line", "count")])
+            .rename_columns(["row", "line", "cnt"])
+        )
+        srow = lsum["row"].to_numpy()
+        scnt = lsum["cnt"].to_numpy()
+        slen = pc.utf8_length(lsum["line"]).to_numpy(zero_copy_only=False)
+        dup_chars = np.bincount(
+            srow, weights=(scnt - 1) * slen, minlength=n_rows
+        ).astype(np.int64)
+        # --- top-2-gram coverage
+        _, _, top2_chars = _topgram_per_row(tb, t, 2)
+        n_chars = (
+            pc.utf8_length(t["text"])
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        # --- the rules, integer cross-multiplied
+        r_wc = ((n_tok >= 50) & (n_tok <= 100000)).astype(np.int64)
+        r_mwl = (
+            (3 * n_tok <= tok_bytes) & (tok_bytes <= 10 * n_tok)
+        ).astype(np.int64)
+        r_stopw = (n_stop >= 2).astype(np.int64)
+        r_dl = (10 * dup_chars <= 3 * line_chars).astype(np.int64)
+        r_t2 = (5 * top2_chars <= n_chars).astype(np.int64)
+        keep = r_wc * r_mwl * r_stopw * r_dl * r_t2
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n_tok),
+                "token_bytes": pa.array(tok_bytes),
+                "n_stopwords": pa.array(n_stop),
+                "dup_line_chars": pa.array(dup_chars),
+                "line_chars": pa.array(line_chars),
+                "top2_chars": pa.array(top2_chars),
+                "n_chars": pa.array(n_chars),
+                "r_word_count": pa.array(r_wc),
+                "r_mean_word_len": pa.array(r_mwl),
+                "r_stopwords": pa.array(r_stopw),
+                "r_dup_line": pa.array(r_dl),
+                "r_top2": pa.array(r_t2),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return (
+        ds.map_batches(per_doc, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )

@@ -417,3 +417,42 @@ def test_repetition_metrics_planted(ray_session, rep_docs_dir):
         assert [r.n_lines, r.n_distinct_lines, r.dup_line_chars] == [1, 1, 0]
         assert (r.top2_gram, r.top2_count, r.top2_chars) == ("", 0, 0)
         assert (r.top3_gram, r.top3_count, r.top3_chars) == ("", 0, 0)
+
+
+def test_gopher_filter_rules(ray_session, tmp_path):
+    """Each Gopher rule flips on its crafted boundary doc; keep is the
+    conjunction. Integer cross-multiplied thresholds, so flags are exact."""
+    from ck_ray.ops.text import gopher_filter
+
+    filler = [f"a{i:03d}" for i in range(48)]  # distinct 4-char tokens
+    texts = {
+        # 50 tokens, 2 stopwords, mean len in [3,10], no repetition
+        1: "the of " + " ".join(filler),
+        # 49 tokens -> r_word_count = 0, everything else passes
+        2: "the of " + " ".join(filler[:47]),
+        # 50 tokens, ZERO stopwords -> r_stopwords = 0
+        3: " ".join(f"b{i:03d}" for i in range(50)),
+        # dominant repeated bigram -> top-2-gram coverage > 20%
+        4: "the of " + "abcd efgh " * 24 + "tail",
+    }
+    ids = sorted(texts)
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([texts[i] for i in ids]),
+        }
+    )
+    d = tmp_path / "gopher"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    df = gopher_filter(str(d)).set_index("doc_id")
+
+    assert df.loc[1, ["r_word_count", "r_mean_word_len", "r_stopwords",
+                      "r_dup_line", "r_top2", "keep"]].tolist() == [1] * 6
+    assert df.loc[2, "n_tokens"] == 49
+    assert df.loc[2, "r_word_count"] == 0 and df.loc[2, "keep"] == 0
+    assert (df.loc[2, ["r_mean_word_len", "r_stopwords", "r_dup_line",
+                       "r_top2"]] == 1).all()
+    assert df.loc[3, "r_stopwords"] == 0 and df.loc[3, "keep"] == 0
+    assert df.loc[3, "r_word_count"] == 1
+    assert df.loc[4, "r_top2"] == 0 and df.loc[4, "keep"] == 0
