@@ -692,6 +692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": text.repetition_stats,
         "tfidf_top_terms": text.tfidf_top_terms,
         "unigram_logprob": text.unigram_logprob,
+        "ccnet_buckets": text.ccnet_buckets,
         "approx_distinct_terms": text.approx_distinct_terms,
         "cms_term_counts": text.cms_term_counts,
         "events_props_stats": relational.events_props_stats,
@@ -2205,6 +2206,45 @@ SELECT d.doc_id,
        CAST(coalesce(per.nll, 0) AS BIGINT) AS nll_e6
 FROM documents d LEFT JOIN per USING (doc_id)
 ORDER BY d.doc_id
+""",
+        # CCNet head/middle/tail: per-lang terciles of mean token
+        # surprisal (nll_e6 // n_tokens, the unigram_logprob BIGINTs);
+        # integer tercile rule 3*rank <= n / 2n, no percentile floats
+        "ccnet_buckets": f"""
+WITH {_TOKS},
+cf AS (SELECT term, count(*) AS cf FROM toks2 GROUP BY term),
+tot AS (SELECT count(*) AS t FROM toks2),
+lp AS (
+  SELECT term,
+         CAST(floor(ln(cf::DOUBLE / t) * 1000000) AS BIGINT) AS lp6
+  FROM cf CROSS JOIN tot
+),
+per AS (
+  SELECT tk.doc_id, count(*) AS n, -sum(l.lp6) AS nll
+  FROM toks2 tk JOIN lp l USING (term) GROUP BY tk.doc_id
+),
+sig AS (
+  SELECT d.doc_id, d.lang,
+         CAST(coalesce(per.n, 0) AS BIGINT) AS n_tokens,
+         CAST(CASE WHEN coalesce(per.n, 0) > 0
+                   THEN per.nll // per.n ELSE 0 END AS BIGINT) AS nll_q
+  FROM documents d LEFT JOIN per USING (doc_id)
+),
+rk AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY lang ORDER BY nll_q, doc_id)
+           AS rank_in_lang,
+         count(*) OVER (PARTITION BY lang) AS n_lang
+  FROM sig
+)
+SELECT doc_id, lang, n_tokens, nll_q,
+       CAST(rank_in_lang AS BIGINT) AS rank_in_lang,
+       CAST(n_lang AS BIGINT) AS n_lang,
+       CASE WHEN 3 * rank_in_lang <= n_lang THEN 'head'
+            WHEN 3 * rank_in_lang <= 2 * n_lang THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM rk
+ORDER BY doc_id
 """,
         # greedy per-source sequence packing under a 128-token budget;
         # the recursive CTE replays the sequential fill row by row

@@ -569,30 +569,17 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
     return out
 
 
-def unigram_logprob(sf_dir: str) -> pd.DataFrame:
-    """Unigram-LM quality score per doc: the corpus-trained language-
-    model surprisal filter (docs whose tokens are improbable under the
-    corpus unigram distribution are boilerplate/noise candidates).
-
-    nll_e6 = -sum over token occurrences of floor(ln(cf/T) * 1e6) —
-    per-term log-probs are floored to integer micro-nats BEFORE the
-    per-doc sum, so the document score is an exact BIGINT on both the
-    Ray and SQL sides (no float-summation-order hazard; floor, unlike
-    round, has no tie rule to disagree on). The ln itself is computed
-    with libm (``math.log``) on the vocabulary-sized driver table,
-    matching DuckDB's ``ln`` bit-for-bit.
-
-    Shape: per-batch (term, count) partials ride the term-keyed hash
-    exchange (only partials shuffle); the (term, lp_e6) vocabulary is
-    broadcast once; scoring is one stateless streaming pass with a
-    searchsorted probe + integer ``np.add.at`` per-doc sum.
-    """
+def _unigram_nll_ds(sf_dir: str, extra_cols: tuple = ()):
+    """Scored Dataset of (doc_id, *extra_cols, n_tokens, nll_e6) under
+    the corpus unigram LM, or None when the corpus has zero tokens —
+    the shared engine of ``unigram_logprob`` and ``ccnet_buckets``.
+    See ``unigram_logprob`` for the exact-integer contract."""
     import math
 
     from ..exchange import hash_exchange
     from ..ids import term_hash
 
-    ds = _docs(sf_dir, ["doc_id", "text"])
+    ds = _docs(sf_dir, ["doc_id", "text", *extra_cols])
 
     def cf_partial(t: pa.Table) -> pa.Table:
         tb = tokenize_array(t["text"])
@@ -619,16 +606,7 @@ def unigram_logprob(sf_dir: str) -> pd.DataFrame:
         reducer=cf_reduce,
     )
     if cfs.empty:
-        # zero-token corpus: still one row per doc (the SQL LEFT JOIN
-        # emits every document with n_tokens = 0, nll_e6 = 0)
-        ids = _docs(sf_dir, ["doc_id"]).to_pandas().sort_values("doc_id")
-        return pd.DataFrame(
-            {
-                "doc_id": ids["doc_id"].to_numpy(np.int64),
-                "n_tokens": np.zeros(len(ids), np.int64),
-                "nll_e6": np.zeros(len(ids), np.int64),
-            }
-        )
+        return None  # zero-token corpus; callers emit the all-zero rows
     total = int(cfs["cf"].sum())
     # libm log on the vocabulary-sized table (matches DuckDB ln exactly)
     lp_e6 = np.array(
@@ -651,17 +629,48 @@ def unigram_logprob(sf_dir: str) -> pd.DataFrame:
                 zero_copy_only=False
             )
             np.add.at(nll, tb.row_index, -lp[pos])
-        return pa.table(
+        cols = {"doc_id": t["doc_id"]}
+        for c in extra_cols:
+            cols[c] = t[c]
+        cols["n_tokens"] = pa.array(tb.doc_len.astype(np.int64))
+        cols["nll_e6"] = pa.array(nll)
+        return pa.table(cols)
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def unigram_logprob(sf_dir: str) -> pd.DataFrame:
+    """Unigram-LM quality score per doc: the corpus-trained language-
+    model surprisal filter (docs whose tokens are improbable under the
+    corpus unigram distribution are boilerplate/noise candidates).
+
+    nll_e6 = -sum over token occurrences of floor(ln(cf/T) * 1e6) —
+    per-term log-probs are floored to integer micro-nats BEFORE the
+    per-doc sum, so the document score is an exact BIGINT on both the
+    Ray and SQL sides (no float-summation-order hazard; floor, unlike
+    round, has no tie rule to disagree on). The ln itself is computed
+    with libm (``math.log``) on the vocabulary-sized driver table,
+    matching DuckDB's ``ln`` bit-for-bit.
+
+    Shape: per-batch (term, count) partials ride the term-keyed hash
+    exchange (only partials shuffle); the (term, lp_e6) vocabulary is
+    broadcast once; scoring is one stateless streaming pass with a
+    searchsorted probe + integer ``np.add.at`` per-doc sum.
+    """
+    d = _unigram_nll_ds(sf_dir)
+    if d is None:
+        # zero-token corpus: still one row per doc (the SQL LEFT JOIN
+        # emits every document with n_tokens = 0, nll_e6 = 0)
+        ids = _docs(sf_dir, ["doc_id"]).to_pandas().sort_values("doc_id")
+        return pd.DataFrame(
             {
-                "doc_id": t["doc_id"],
-                "n_tokens": pa.array(tb.doc_len.astype(np.int64)),
-                "nll_e6": pa.array(nll),
+                "doc_id": ids["doc_id"].to_numpy(np.int64),
+                "n_tokens": np.zeros(len(ids), np.int64),
+                "nll_e6": np.zeros(len(ids), np.int64),
             }
         )
-
     return (
-        ds.map_batches(score, batch_format="pyarrow")
-        .to_pandas()
+        d.to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
@@ -1350,3 +1359,115 @@ def gopher_filter(sf_dir: str) -> pd.DataFrame:
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+def ccnet_buckets(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): within
+    each language, rank documents by mean token surprisal under the
+    corpus unigram LM and split into equal terciles — ``head`` (most
+    fluent third), ``middle``, ``tail``. The standard quality partition
+    a pretraining pipeline samples from after line dedup + LM scoring
+    (this completes the CCNet trio next to ``line_dedup_scrub`` and
+    ``unigram_logprob``).
+
+    Exact-integer contract: the per-doc score is ``nll_q = nll_e6 //
+    n_tokens`` (mean surprisal in micro-nats, floor-divided — both
+    operands are the exact BIGINTs of ``unigram_logprob``), rank is
+    dense ``(nll_q asc, doc_id asc)`` within language, and the tercile
+    rule is the integer test ``3*rank <= n_lang`` / ``3*rank <=
+    2*n_lang`` — no percentile float anywhere, so bucket labels match
+    the SQL window-function oracle exactly.
+
+    Shape: the unigram-LM scoring pass of ``_unigram_nll_ds`` (term-
+    keyed partial exchange + broadcast vocabulary), then ONE language-
+    keyed hash exchange whose reducer ranks each language segment with
+    the lexsort + run-start kernel (cost scales with rows, not
+    languages; a language's docs land on one partition — at 100 TB
+    with few languages, sub-partition by nll_q range per lang and
+    prefix-sum the per-range counts to assign global ranks).
+    """
+    from ..exchange import hash_exchange
+    from ..ids import md5_u64_of_terms
+
+    d = _unigram_nll_ds(sf_dir, extra_cols=("lang",))
+    if d is None:
+        # zero-token corpus: every doc scores 0; rank within lang by
+        # doc_id (the same (nll_q, doc_id) order), terciles as usual
+        base = (
+            _docs(sf_dir, ["doc_id", "lang"])
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        if len(base) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "lang": pd.Series([], dtype="object"),
+                    "n_tokens": pd.Series([], dtype="int64"),
+                    "nll_q": pd.Series([], dtype="int64"),
+                    "rank_in_lang": pd.Series([], dtype="int64"),
+                    "n_lang": pd.Series([], dtype="int64"),
+                    "bucket": pd.Series([], dtype="object"),
+                }
+            )
+        base["n_tokens"] = np.int64(0)
+        base["nll_q"] = np.int64(0)
+        base["rank_in_lang"] = (
+            base.groupby("lang")["doc_id"].rank("first").astype(np.int64)
+        )
+        base["n_lang"] = base.groupby("lang")["doc_id"].transform(
+            "size"
+        ).astype(np.int64)
+        r, n = base["rank_in_lang"], base["n_lang"]
+        base["bucket"] = np.where(
+            3 * r <= n, "head", np.where(3 * r <= 2 * n, "middle", "tail")
+        )
+        return base.sort_values("doc_id").reset_index(drop=True)
+
+    def add_q(t: pa.Table) -> pa.Table:
+        nll = t["nll_e6"].to_numpy()
+        ntk = t["n_tokens"].to_numpy()
+        q = np.where(ntk > 0, nll // np.maximum(ntk, 1), 0)
+        return t.append_column("nll_q", pa.array(q.astype(np.int64)))
+
+    def rank_part(rows: pa.Table) -> pa.Table:
+        lg = pc.dictionary_encode(rows["lang"].combine_chunks())
+        codes = lg.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = rows["doc_id"].to_numpy()
+        q = rows["nll_q"].to_numpy()
+        order = np.lexsort((ids, q, codes))
+        c2 = codes[order]
+        run_start = np.nonzero(
+            np.concatenate(([True], c2[1:] != c2[:-1]))
+        )[0]
+        seg_len = np.diff(np.concatenate((run_start, [len(c2)])))
+        rank = (
+            np.arange(len(c2))
+            - np.repeat(run_start, seg_len)
+            + 1
+        ).astype(np.int64)
+        n_lang = np.repeat(seg_len, seg_len).astype(np.int64)
+        bucket = np.where(
+            3 * rank <= n_lang,
+            "head",
+            np.where(3 * rank <= 2 * n_lang, "middle", "tail"),
+        )
+        sel = pa.array(order)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order]),
+                "lang": rows["lang"].take(sel),
+                "n_tokens": rows["n_tokens"].take(sel),
+                "nll_q": pa.array(q[order]),
+                "rank_in_lang": pa.array(rank),
+                "n_lang": pa.array(n_lang),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    out = hash_exchange(
+        d.map_batches(add_q, batch_format="pyarrow"),
+        key_fn=lambda t: md5_u64_of_terms(t["lang"]),
+        reducer=rank_part,
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -456,3 +456,45 @@ def test_gopher_filter_rules(ray_session, tmp_path):
     assert df.loc[3, "r_stopwords"] == 0 and df.loc[3, "keep"] == 0
     assert df.loc[3, "r_word_count"] == 1
     assert df.loc[4, "r_top2"] == 0 and df.loc[4, "keep"] == 0
+
+
+def test_ccnet_buckets_terciles(ray_session, tmp_path):
+    """Per-lang tercile sizes follow the integer rule (n=4 -> 1/1/2);
+    the doc made of the most common tokens ranks head; rank ties on
+    nll_q break by doc_id ascending."""
+    from ck_ray.ops.text import ccnet_buckets
+
+    texts = {
+        # lang x: doc 1 all-common -> lowest mean surprisal -> head
+        1: ("x", "aa aa aa aa aa aa"),
+        2: ("x", "aa aa rare1 rare2"),
+        3: ("x", "rare3 rare4 aa aa"),
+        4: ("x", "rare5 rare6 rare7 rare8"),
+        # lang y: 2 identical docs -> identical nll_q, doc_id tie-break
+        5: ("y", "aa bb cc"),
+        6: ("y", "aa bb cc"),
+    }
+    ids = sorted(texts)
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([texts[i][1] for i in ids]),
+            "lang": pa.array([texts[i][0] for i in ids]),
+        }
+    )
+    d = tmp_path / "ccnet"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    df = ccnet_buckets(str(d)).set_index("doc_id")
+
+    assert df.loc[1, "bucket"] == "head" and df.loc[1, "rank_in_lang"] == 1
+    assert df.loc[4, "bucket"] == "tail"
+    x = df[df["lang"] == "x"]["bucket"].value_counts().to_dict()
+    assert x == {"tail": 2, "head": 1, "middle": 1}
+    # docs 2 and 3 have the same token multiset -> same nll_q; the
+    # earlier doc_id takes the lower rank
+    assert df.loc[2, "nll_q"] == df.loc[3, "nll_q"]
+    assert df.loc[2, "rank_in_lang"] < df.loc[3, "rank_in_lang"]
+    # lang y: n=2 -> 3*1 > 2 so no head; rank1 is middle (3*1 <= 4)
+    assert df.loc[5, "rank_in_lang"] == 1 and df.loc[5, "bucket"] == "middle"
+    assert df.loc[6, "bucket"] == "tail"
