@@ -655,6 +655,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_snippets": docsearch.bm25_snippets,
         "bm25_boolean": docsearch.bm25_boolean,
         "bm25_prefix": docsearch.bm25_prefix,
+        # const-score family (tantivy RangeQuery / TermSetQuery /
+        # AllQuery — `[a TO b]`, `IN [a b]`, `*`): membership scores
+        # exactly boost*1.0, mixed with BM25 legs in child order
+        "bm25_range": docsearch.bm25_range,
+        "bm25_termset": docsearch.bm25_termset,
+        "bm25_matchall": docsearch.bm25_matchall,
         "bm25_phrase_prefix": docsearch.bm25_phrase_prefix,
         "bm25_phrase": docsearch.bm25_phrase,
         "bm25_phrase_slop": docsearch.bm25_phrase_slop,
@@ -1252,6 +1258,93 @@ topk AS (SELECT doc_id, round(score, 4) AS score FROM scores
          ORDER BY round(score, 4) DESC, doc_id LIMIT {_BM25_K})
 SELECT doc_id, score FROM topk
 ORDER BY score DESC, doc_id
+""",
+        # range query `window OR [q TO spal]`: docs containing ANY
+        # dictionary term in the lexicographic interval contribute a
+        # CONST 1.0 (tantivy RangeQuery ConstScorer — no tf/idf),
+        # summed with the window BM25 leg
+        "bm25_range": f"""
+WITH {_TOKS},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf WHERE term = 'window' GROUP BY term
+),
+bm AS (
+  SELECT tf.doc_id,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * ((tf.tf * 2.2)
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term = 'window'
+),
+rng AS (
+  SELECT DISTINCT doc_id FROM tf WHERE term >= 'q' AND term < 'spal'
+),
+scores AS (
+  SELECT coalesce(b.doc_id, r.doc_id) AS doc_id,
+         coalesce(b.score, 0)
+           + (CASE WHEN r.doc_id IS NOT NULL THEN 1.0 ELSE 0 END) AS score
+  FROM bm b FULL OUTER JOIN rng r ON b.doc_id = r.doc_id
+),
+topk AS (SELECT doc_id, round(score, 4) AS score FROM scores
+         ORDER BY round(score, 4) DESC, doc_id LIMIT {_BM25_K})
+SELECT doc_id, score FROM topk
+ORDER BY score DESC, doc_id
+""",
+        # term set `IN [dup spark] fast`: set MEMBERSHIP scores 1.0 once
+        # (however many member terms the doc holds — tantivy
+        # TermSetQuery), plus the fast BM25 leg
+        "bm25_termset": f"""
+WITH {_TOKS},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf WHERE term = 'fast' GROUP BY term
+),
+bm AS (
+  SELECT tf.doc_id,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * ((tf.tf * 2.2)
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term = 'fast'
+),
+members AS (
+  SELECT DISTINCT doc_id FROM tf WHERE term IN ('dup', 'spark')
+),
+scores AS (
+  SELECT coalesce(b.doc_id, m.doc_id) AS doc_id,
+         coalesce(b.score, 0)
+           + (CASE WHEN m.doc_id IS NOT NULL THEN 1.0 ELSE 0 END) AS score
+  FROM bm b FULL OUTER JOIN members m ON b.doc_id = m.doc_id
+),
+topk AS (SELECT doc_id, round(score, 4) AS score FROM scores
+         ORDER BY round(score, 4) DESC, doc_id LIMIT {_BM25_K})
+SELECT doc_id, score FROM topk
+ORDER BY score DESC, doc_id
+""",
+        # match-all with exclusion `* -scan`: every doc without 'scan'
+        # scores exactly 1.0 (tantivy AllQuery ConstScorer under a
+        # MUST_NOT sibling); ties break doc_id-asc
+        "bm25_matchall": f"""
+WITH {_TOKS},
+m AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id NOT IN (SELECT doc_id FROM toks2 WHERE term = 'scan')
+)
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM m
+ORDER BY doc_id LIMIT {_BM25_K}
 """,
         # phrase-prefix "fast s"*: last term LIKE-expands, each expansion
         # scores as the exact phrase (adjacency pairs), doc score = sum

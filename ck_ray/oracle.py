@@ -59,6 +59,19 @@ class BM25Oracle:
     def _clause_scores(self, clause) -> dict[int, np.floating]:
         fid = FIELD_IDS[clause.field]
         dtype = self.dtype
+        if getattr(clause, "match_all", False):
+            # AllQuery: every doc, const score boost*1.0 (ConstScorer)
+            b = dtype(clause.boost)
+            return {d: b for d in self.dl[fid]}
+        if getattr(clause, "const_score", False):
+            # TermSetQuery / expanded RangeQuery: ANY member term, const
+            b = dtype(clause.boost)
+            docs: set[int] = set()
+            for t in clause.terms:
+                p = self.postings[fid].get(t)
+                if p:
+                    docs |= set(p)
+            return {d: b for d in docs}
         avgdl = self.avgdl[fid]
         plists = [self.postings[fid].get(t) for t in clause.terms]
         if any(p is None for p in plists):
@@ -158,13 +171,30 @@ class BM25Oracle:
             t for t in self.postings[fid] if t.startswith(prefix)
         )
 
+    def _expand_range(self, field, lo, hi, incl_lo, incl_hi) -> list[str]:
+        """Corpus-global dictionary terms inside the lexicographic
+        interval (brute-force twin of ``LocalIndex._expand_range``)."""
+        fid = FIELD_IDS[field]
+
+        def ok(t: str) -> bool:
+            if lo is not None and (t < lo or (not incl_lo and t == lo)):
+                return False
+            if hi is not None and (t > hi or (not incl_hi and t == hi)):
+                return False
+            return True
+
+        return sorted(t for t in self.postings[fid] if ok(t))
+
     def search_raw(self, query: str, top_k: int | None = None):
         k = top_k if top_k is not None else 100
         tree = parse_query(query)
         if tree is not None and any(
-            c.prefix for c in collect_clauses(tree)
+            c.prefix or c.range_spec is not None
+            for c in collect_clauses(tree)
         ):
-            tree = expand_prefix_tree(tree, self._expand_prefix)
+            tree = expand_prefix_tree(
+                tree, self._expand_prefix, self._expand_range
+            )
         acc = self._eval_node(tree) if tree is not None else None
         if not acc:
             return np.empty(0, np.uint64), np.empty(0, self.dtype)

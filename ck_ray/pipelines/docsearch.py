@@ -265,6 +265,38 @@ def bm25_phrase(
     return _bm25_rounded_cut(sf_dir, query, k)
 
 
+def bm25_range(
+    sf_dir: str, query: str = "window OR [q TO spal]", k: int = 20
+) -> pd.DataFrame:
+    """Top-k mixing a scored term with a const-score RANGE query
+    (tantivy ``[a TO b]`` / ``{a TO b}`` RangeQuery): each shard expands
+    the bound interval against its local term dictionary and docs
+    containing ANY interval term contribute exactly ``boost*1.0``
+    (ConstScorer — no tf/idf), summed with the BM25 leg in child order.
+    Oracle: BM25(window) + EXISTS(term in [q, spal))."""
+    return _bm25_rounded_cut(sf_dir, query, k)
+
+
+def bm25_termset(
+    sf_dir: str, query: str = "IN [dup spark] fast", k: int = 20
+) -> pd.DataFrame:
+    """Top-k mixing a const-score TERM SET (tantivy ``field: IN [a b]``
+    TermSetQuery — membership matches score ``1.0`` once, however many
+    member terms the doc contains) with a scored term. Oracle:
+    EXISTS(term in set) + BM25(fast)."""
+    return _bm25_rounded_cut(sf_dir, query, k)
+
+
+def bm25_matchall(
+    sf_dir: str, query: str = "* -scan", k: int = 20
+) -> pd.DataFrame:
+    """Top-k for a MATCH-ALL query with an exclusion (tantivy AllQuery
+    ``*`` under a MUST_NOT sibling): every live doc not containing the
+    excluded term scores exactly 1.0 — ties break doc_id-asc, so the
+    cut is the k lowest matching doc ids. Oracle: anti-join."""
+    return _bm25_rounded_cut(sf_dir, query, k)
+
+
 def bm25_phrase_slop(
     sf_dir: str, query: str = '"merge window batch"~2', k: int = 20
 ) -> pd.DataFrame:

@@ -86,10 +86,27 @@ class Clause:
     # contributes to none of that shard's docs, and idf always comes
     # from the GLOBAL df on the serving rows.
     prefix: bool = False
+    # CONST-SCORE multi-term queries (the tantivy/Lucene constant-score
+    # family — TermSetQuery ``field: IN [a b c]``, RangeQuery
+    # ``field:[a TO b]`` / ``{a TO b}``, AllQuery ``*``): a matching doc
+    # contributes exactly ``boost * 1.0`` (f32) regardless of tf/idf,
+    # mirroring tantivy's ConstScorer for these query types.
+    #   const_score=True, terms=[t...]  -> doc matches if it contains ANY
+    #                                      listed term (set membership)
+    #   match_all=True                  -> every live doc matches
+    #   range_spec=(lo, hi, il, ih)     -> rewritten during expansion into
+    #                                      a const-score term set from the
+    #                                      dictionary terms in the bound
+    #                                      interval (None bound = open;
+    #                                      il/ih: inclusive lo/hi from
+    #                                      ``[``/``]`` vs ``{``/``}``)
+    const_score: bool = False
+    match_all: bool = False
+    range_spec: tuple | None = None
 
     @property
     def is_phrase(self) -> bool:
-        return len(self.terms) > 1
+        return len(self.terms) > 1 and not self.const_score
 
 
 # Occur flags (Lucene/tantivy BooleanQuery semantics)
@@ -117,9 +134,26 @@ class BoolNode:
 
 def _lex(query: str) -> list[tuple[str, object]]:
     """Tokens: ('lp',)/('rp',) parens, ('and'|'or'|'not',) operators,
-    ('plus'|'minus',) occur prefixes, ('word', (field, text, quoted))."""
+    ('plus'|'minus',) occur prefixes, ('word', (field, text, quoted)),
+    plus the const-score family: ('brack', (field|None, incl_lo, incl_hi,
+    parts)) for ``[...]``/``{...}`` groups, ('inset', field|None) for the
+    ``IN`` keyword, ('all',) for a bare ``*``, and ('fieldmark', field)
+    for a ``field:`` prefix detached from its operand (``path: IN [..]``,
+    ``path:[a TO b]``) — folded by ``_bind_fields``."""
     out: list[tuple[str, object]] = []
     i, n = 0, len(query)
+
+    def read_brack(j: int) -> tuple[tuple, int]:
+        """``[`` / ``{`` group up to the first ``]`` / ``}`` (lenient:
+        unclosed runs to end and counts as inclusive)."""
+        o = query[j]
+        k = j + 1
+        while k < n and query[k] not in "]}":
+            k += 1
+        incl_hi = True if k >= n else query[k] == "]"
+        return (None, o == "[", incl_hi, query[j + 1 : k].split()), min(
+            k + 1, n
+        )
 
     def read_quoted(j: int) -> tuple[str, int]:
         k = query.find('"', j + 1)
@@ -148,6 +182,11 @@ def _lex(query: str) -> list[tuple[str, object]]:
         elif c == ")":
             out.append(("rp", None))
             i += 1
+        elif c in "[{":
+            val, i = read_brack(i)
+            out.append(("brack", val))
+        elif c in "]}":
+            i += 1  # stray closer — drop leniently
         elif c in "+-" and i + 1 < n and not query[i + 1].isspace():
             # occur prefix: always at token start here (whitespace was
             # skipped); mid-word hyphens never reach this branch because
@@ -165,7 +204,11 @@ def _lex(query: str) -> list[tuple[str, object]]:
                 out.append(("slop", s))
         else:
             j = i
-            while j < n and not query[j].isspace() and query[j] not in "()\"":
+            while (
+                j < n
+                and not query[j].isspace()
+                and query[j] not in '()"[]{}'
+            ):
                 j += 1
             word = query[i:j]
             i = j
@@ -187,6 +230,18 @@ def _lex(query: str) -> list[tuple[str, object]]:
                 if s is not None:
                     out.append(("slop", s))
                 continue
+            if field is not None and word == "":
+                # ``field:`` detached from its operand — ``path:[a TO b]``
+                # (bracket is a stop char) or ``path: IN [a b]``; bound by
+                # ``_bind_fields``, dropped leniently if nothing follows
+                out.append(("fieldmark", field))
+                continue
+            if word == "IN":
+                # tantivy TermSetQuery keyword (``field: IN [a b c]``);
+                # degrades to the plain term ``in`` when no bracket
+                # group follows (_bind_fields)
+                out.append(("inset", field))
+                continue
             if field is None and word in ("AND", "OR", "NOT"):
                 out.append((word.lower(), None))
                 continue
@@ -202,10 +257,44 @@ def _lex(query: str) -> list[tuple[str, object]]:
                     break
                 boost = v if boost is None else boost * v
                 word = base
-            if word:
+            if word == "*":
+                out.append(("all", None))  # tantivy AllQuery
+            elif word:
                 out.append(("word", (field or "content", word, False)))
             if boost is not None:
                 out.append(("boost", boost))
+    return out
+
+
+def _bind_fields(toks: list[tuple[str, object]]) -> list[tuple[str, object]]:
+    """Fold ``fieldmark``/``inset`` markers onto the bracket group they
+    qualify: ``path: IN [a b]`` and ``path:[a TO b]`` bind the path field.
+    A dangling ``IN`` (no bracket follows) degrades to the plain term
+    ``in`` and a dangling fieldmark drops — both leniently."""
+    toks = list(toks)
+    out: list[tuple[str, object]] = []
+    i = 0
+    while i < len(toks):
+        kind, val = toks[i]
+        nxt = toks[i + 1] if i + 1 < len(toks) else (None, None)
+        if kind == "fieldmark":
+            if nxt[0] == "inset":
+                toks[i + 1] = ("inset", nxt[1] or val)
+            elif nxt[0] == "brack":
+                _f, il, ih, parts = nxt[1]
+                toks[i + 1] = ("brack", (val, il, ih, parts))
+            i += 1
+            continue
+        if kind == "inset":
+            if nxt[0] == "brack":
+                f, il, ih, parts = nxt[1]
+                toks[i + 1] = ("brack", (val or f, il, ih, parts))
+            else:
+                out.append(("word", (val or "content", "IN", False)))
+            i += 1
+            continue
+        out.append(toks[i])
+        i += 1
     return out
 
 
@@ -286,6 +375,40 @@ class _Parser:
             if self.peek() == "rp":
                 self.i += 1
             return self._apply_boost(node)
+        if t == "all":
+            self.i += 1
+            return self._apply_boost(
+                Clause("content", [], const_score=True, match_all=True)
+            )
+        if t == "brack":
+            field, il, ih, parts = self.toks[self.i][1]
+            self.i += 1
+            field = field or "content"
+            if "TO" in parts:
+                # range ``[lo TO hi]`` — ``*`` or a missing side = open
+                j = parts.index("TO")
+
+                def bound(raw: str | None) -> str | None:
+                    if raw is None or raw == "*":
+                        return None
+                    tk = tokenize_text(raw)
+                    return tk[0] if tk else None
+
+                lo = bound(parts[j - 1] if j > 0 else None)
+                hi = bound(parts[j + 1] if j + 1 < len(parts) else None)
+                return self._apply_boost(
+                    Clause(
+                        field, [], const_score=True,
+                        range_spec=(lo, hi, il, ih),
+                    )
+                )
+            # term set (``IN [a b c]`` or a bare bracket group): order
+            # never matters — a doc matching ANY member contributes the
+            # clause's const score exactly once
+            terms = sorted({tk for p in parts for tk in tokenize_text(p)})
+            return self._apply_boost(
+                Clause(field, terms or [_NEVER_TERM], const_score=True)
+            )
         if t == "word":
             field, text, quoted = self.toks[self.i][1]
             self.i += 1
@@ -323,7 +446,7 @@ class _Parser:
             if kind == "boost":
                 node.boost = float(node.boost) * float(v)
             elif kind == "star":
-                if isinstance(node, Clause):
+                if isinstance(node, Clause) and not node.const_score:
                     node.prefix = True
             elif isinstance(node, Clause) and node.is_phrase:
                 node.slop = int(v)
@@ -337,8 +460,11 @@ def parse_query(query: str):
     become phrases, ``path:`` targets the path field (incl. quoted:
     ``path:"foo bar"``), ``AND``/``OR``/``NOT``/``+``/``-``/parens build a
     boolean tree (reference parser entry ``ck-engine/src/lib.rs:765-769``).
+    The const-score family — ``*`` (AllQuery), ``field: IN [a b c]``
+    (TermSetQuery), ``field:[a TO b]`` / ``{a TO b}`` (RangeQuery, mixed
+    bounds and ``*`` sides allowed) — parses to const-score Clauses.
     Unknown/empty words drop out; empty query -> None."""
-    return _Parser(_lex(query)).parse_or()
+    return _Parser(_bind_fields(_lex(query))).parse_or()
 
 
 def collect_clauses(node) -> list[Clause]:
@@ -357,7 +483,7 @@ MAX_PREFIX_EXPANSIONS = 1024  # Lucene BooleanQuery.maxClauseCount
 _NEVER_TERM = "\x00∅"  # unmatchable: real tokens are alnum-only
 
 
-def expand_prefix_tree(node, expand):
+def expand_prefix_tree(node, expand, expand_range=None):
     """Rewrite prefix Clauses into SHOULD disjunctions of dictionary
     terms (Lucene SCORING_BOOLEAN_REWRITE). ``expand(field, prefix) ->
     sorted list[str]`` supplies the dictionary — shard-local in
@@ -365,10 +491,31 @@ def expand_prefix_tree(node, expand):
     results because a term absent from a shard's dictionary scores none
     of that shard's docs. An empty expansion becomes an unmatchable term
     clause so MUST/MUST_NOT semantics match an absent term exactly.
+    Range Clauses rewrite via ``expand_range(field, lo, hi, il, ih)``
+    into const-score TERM SETS (Lucene CONSTANT_SCORE rewrite — set
+    membership, not a scored disjunction), under the same cap.
     Raises ValueError past MAX_PREFIX_EXPANSIONS."""
-    if node is None or (isinstance(node, Clause) and not node.prefix):
+    if node is None or (
+        isinstance(node, Clause)
+        and not node.prefix
+        and node.range_spec is None
+    ):
         return node
     if isinstance(node, Clause):
+        if node.range_spec is not None:
+            lo, hi, il, ih = node.range_spec
+            if expand_range is None:
+                raise ValueError("range expansion needs a dictionary")
+            terms = list(expand_range(node.field, lo, hi, il, ih))
+            if len(terms) > MAX_PREFIX_EXPANSIONS:
+                raise ValueError(
+                    f"range [{lo} TO {hi}] expands to {len(terms)} terms "
+                    f"(max {MAX_PREFIX_EXPANSIONS})"
+                )
+            return Clause(
+                node.field, terms or [_NEVER_TERM],
+                boost=node.boost, const_score=True,
+            )
         # term prefix (`te*`) expands its only term; PHRASE prefix
         # (`"a b"*`, tantivy PhrasePrefixQuery) expands the LAST term
         # into a disjunction of exact phrases sharing the head (slop
@@ -397,7 +544,10 @@ def expand_prefix_tree(node, expand):
             boost=node.boost,
         )
     return BoolNode(
-        [(o, expand_prefix_tree(c, expand)) for o, c in node.children],
+        [
+            (o, expand_prefix_tree(c, expand, expand_range))
+            for o, c in node.children
+        ],
         boost=node.boost,
     )
 
@@ -773,6 +923,44 @@ class LocalIndex:
         """Batch form for the engine's global-df round."""
         return [self._expand_prefix(f, p) for f, p in pairs]
 
+    def _expand_range(
+        self, field: str, lo: str | None, hi: str | None,
+        incl_lo: bool, incl_hi: bool,
+    ) -> list[str]:
+        """Local-dictionary terms inside the lexicographic interval
+        (tantivy RangeQuery bound semantics; ``None`` = open side) —
+        two searchsorted probes on the sorted key array."""
+        fid = FIELD_IDS[field]
+        pre = f"{fid}:"
+        if lo is None:
+            a = int(np.searchsorted(self._keys, pre, side="left"))
+        else:
+            a = int(
+                np.searchsorted(
+                    self._keys, pre + lo,
+                    side="left" if incl_lo else "right",
+                )
+            )
+        if hi is None:
+            b = int(
+                np.searchsorted(
+                    self._keys, pre + "\U0010ffff", side="right"
+                )
+            )
+        else:
+            b = int(
+                np.searchsorted(
+                    self._keys, pre + hi,
+                    side="right" if incl_hi else "left",
+                )
+            )
+        cut = len(pre)
+        return sorted({str(s)[cut:] for s in self._keys[a:b]})
+
+    def expand_ranges(self, specs: list[tuple]) -> list[list[str]]:
+        """Batch form for the engine's global cap-enforcement round."""
+        return [self._expand_range(*s) for s in specs]
+
     def local_dfs(self, keys: list[tuple[int, str]]) -> list[int]:
         """LIVE local df per key (loads + dead-filters the views; they
         stay cached for the scoring round that follows)."""
@@ -797,6 +985,29 @@ class LocalIndex:
         """(doc_ids u64, contributions dtype) of one clause, or None."""
         man = self.manifest
         fid = FIELD_IDS[clause.field]
+        if clause.match_all:
+            # tantivy AllQuery: every live doc of this shard's buckets,
+            # const score boost*1.0 (ConstScorer)
+            docs = self._meta_ids
+            if len(docs) == 0:
+                return None
+            return docs, np.full(len(docs), self.dtype(clause.boost))
+        if clause.const_score:
+            # TermSetQuery / expanded RangeQuery: docs containing ANY
+            # member term, const score boost*1.0 each (no tf/idf)
+            parts = [
+                v.docs
+                for t in clause.terms
+                if (v := rows.get((fid, t))) is not None and v.df > 0
+            ]
+            if not parts:
+                return None
+            docs = (
+                parts[0]
+                if len(parts) == 1
+                else np.unique(np.concatenate(parts))
+            )
+            return docs, np.full(len(docs), self.dtype(clause.boost))
         n_docs = man["num_docs"]
         avgdl = man["fields"][clause.field]["avgdl"]
         keys = [(fid, t) for t in clause.terms]
@@ -954,6 +1165,8 @@ class LocalIndex:
             and all(len(d) == 0 for d in self._dead)
             and all(not c.is_phrase for c in clauses)
             and all(c.boost >= 0.0 for c in clauses)  # U stays an upper bound
+            # const-score leaves (term sets / match-all) take exact TAAT
+            and all(not c.const_score for c in clauses)
             and len(clauses) > 1
         )
 
@@ -1083,8 +1296,13 @@ class LocalIndex:
         tree = parse_query(query)
         if tree is None:
             return np.empty(0, np.uint64), np.empty(0, self.dtype)
-        if any(c.prefix for c in collect_clauses(tree)):
-            tree = expand_prefix_tree(tree, self._expand_prefix)
+        if any(
+            c.prefix or c.range_spec is not None
+            for c in collect_clauses(tree)
+        ):
+            tree = expand_prefix_tree(
+                tree, self._expand_prefix, self._expand_range
+            )
         leaves = collect_clauses(tree)
         keys = dict.fromkeys(
             (FIELD_IDS[c.field], t) for c in leaves for t in c.terms
@@ -1295,13 +1513,37 @@ class BM25Engine:
                         f"(max {MAX_PREFIX_EXPANSIONS})"
                     )
                 expanded[(f, p)] = union
+        # range clauses: enforce the GLOBAL expansion cap on the union of
+        # the shards' local dictionary intervals (same rule as prefixes;
+        # const-score, so no df round is ever needed for them)
+        rng = list(
+            dict.fromkeys(
+                (c.field, c.range_spec)
+                for c in clauses
+                if c.range_spec is not None
+            )
+        )
+        if rng:
+            specs = [(f, *spec) for f, spec in rng]
+            per = ray.get(
+                [s.expand_ranges.remote(specs) for s in self.shards]
+            )
+            for i, (f, spec) in enumerate(rng):
+                union = {t for sh in per for t in sh[i]}
+                if len(union) > MAX_PREFIX_EXPANSIONS:
+                    raise ValueError(
+                        f"range [{spec[0]} TO {spec[1]}] expands to "
+                        f"{len(union)} terms (max {MAX_PREFIX_EXPANSIONS})"
+                    )
         if not self._needs_df_round:
             return None
         keys = dict.fromkeys(
             (FIELD_IDS[c.field], t)
             for c in clauses
             # a prefix clause's last term is the prefix (expanded above);
-            # its head terms (phrase-prefix) need dfs like any others
+            # its head terms (phrase-prefix) need dfs like any others.
+            # const-score leaves score without statistics — no df needed
+            if not c.const_score
             for t in (c.terms[:-1] if c.prefix else c.terms)
         )
         # df-sum the expanded prefix terms like any other term

@@ -243,10 +243,12 @@ def test_prefix_parse_shapes():
     # multi-token word: star dropped leniently, stays a phrase
     n = parse_query("foo_bar*")
     assert n.terms == ["foo", "bar"] and not n.prefix
-    # bare star contributes nothing
-    assert parse_query("*") is None
+    # bare star is the AllQuery (tantivy `*`), no longer dropped
+    assert parse_query("*").match_all
     n = parse_query("* merge")
-    assert isinstance(n, Clause) and n.terms == ["merge"] and not n.prefix
+    assert isinstance(n, BoolNode)
+    assert n.children[0][1].match_all
+    assert n.children[1][1].terms == ["merge"]
 
 
 def test_prefix_expansion_cap():
@@ -286,3 +288,141 @@ def test_phrase_prefix_expansion_shares_head():
         (SHOULD, ["merge", "window"], 2),
         (SHOULD, ["merge", "wide"], 2),
     ]
+
+
+# --------------------------------------------- const-score family (tantivy
+# AllQuery `*`, TermSetQuery `field: IN [a b c]`, RangeQuery `[a TO b]`)
+
+
+def test_range_parse_shapes():
+    n = parse_query("[mer TO met}")
+    assert n.const_score and n.range_spec == ("mer", "met", True, False)
+    n = parse_query("path:{aa TO zz]^2")
+    assert n.field == "path" and n.boost == 2.0
+    assert n.range_spec == ("aa", "zz", False, True)
+    n = parse_query("[* TO mm]")
+    assert n.range_spec == (None, "mm", True, True)
+    n = parse_query("[mm TO *]")
+    assert n.range_spec == ("mm", None, True, True)
+    # unclosed bracket is lenient (inclusive close at end of input)
+    n = parse_query("[aa TO bb")
+    assert n.range_spec == ("aa", "bb", True, True)
+
+
+def test_termset_and_matchall_parse_shapes():
+    n = parse_query("IN [Alpha BETA alpha]")
+    assert n.const_score and n.terms == ["alpha", "beta"]
+    n = parse_query("path: IN [a b]")
+    assert n.field == "path" and n.terms == ["a", "b"]
+    n = parse_query("*")
+    assert n.match_all and n.const_score
+    n = parse_query("*^3")
+    assert n.match_all and n.boost == 3.0
+    # dangling IN degrades to the plain term, fieldmark drops
+    assert parse_query("IN").terms == ["in"]
+    assert parse_query("path: merge") is not None
+    # empty set is the unmatchable term
+    assert parse_query("IN [ ]").terms[0].startswith("\x00")
+
+
+CONST_QUERIES = [
+    "[merge TO mergf}",          # range covering exactly 'merge'
+    "[a TO zzzz]",               # wide range (many dictionary terms)
+    "{merge TO merge}",          # empty exclusive interval
+    "[zzz TO aaa]",              # inverted interval -> empty
+    "[* TO f]",                  # open low side
+    "[t TO *]",                  # open high side
+    "IN [merge window absent_zzqq]",
+    "IN [absent_zzqq]",
+    "*",
+    "* -merge",
+    "*^2 AND merge",
+    "merge OR [w TO x}^2",       # const leaf mixed with scored leaf
+    "+[a TO c} -window",
+    "path:[src TO srd}",         # range on the path field
+]
+
+
+@pytest.mark.parametrize(
+    "q", CONST_QUERIES, ids=[q[:28] for q in CONST_QUERIES]
+)
+def test_const_score_rank_identity(bool_engine, bool_oracle, q):
+    de, se = bool_engine.search_raw(q, 50, pruning=False)
+    do, so = bool_oracle.search_raw(q, 50)
+    assert de.tolist() == do.tolist(), f"{q}: docs differ"
+    assert np.array_equal(se, so), f"{q}: scores differ"
+    dp, sp = bool_engine.search_raw(q, 50, pruning=True)
+    assert dp.tolist() == de.tolist() and np.array_equal(sp, se)
+
+
+def test_matchall_covers_every_live_doc(bool_engine, bool_oracle):
+    """`*` returns every doc exactly once with score 1.0, engine and
+    oracle alike; `* -t` is its complement of t's matches."""
+    d_all, s_all = bool_engine.search_raw("*", 10_000)
+    assert len(d_all) == bool_oracle.n_docs
+    assert set(s_all.tolist()) == {1.0}
+    d_m = set(bool_engine.search_raw("merge", 10_000)[0].tolist())
+    d_not = set(bool_engine.search_raw("* -merge", 10_000)[0].tolist())
+    assert d_not == set(d_all.tolist()) - d_m
+
+
+def test_termset_is_union_of_members(bool_engine):
+    """IN [a b] matches exactly union(a, b), each doc scoring 1.0 once
+    (set membership, not a scored disjunction)."""
+    da = set(bool_engine.search_raw("merge", 10_000)[0].tolist())
+    db = set(bool_engine.search_raw("window", 10_000)[0].tolist())
+    ds, ss = bool_engine.search_raw("IN [merge window]", 10_000)
+    assert set(ds.tolist()) == da | db
+    assert set(ss.tolist()) == {1.0}
+
+
+def test_range_expansion_matches_dictionary_interval(bool_engine, bool_oracle):
+    """The engine's shard-union range expansion equals the oracle's
+    global-dictionary interval scan, bounds and exclusivity included."""
+    import ray
+
+    for lo, hi, il, ih in [
+        ("m", "n", True, False),
+        ("merge", "mergf", True, True),
+        ("a", "c", False, False),
+        (None, "d", True, True),
+        ("w", None, True, True),
+    ]:
+        per = ray.get(
+            [
+                s.expand_ranges.remote([("content", lo, hi, il, ih)])
+                for s in bool_engine.shards
+            ]
+        )
+        got = sorted({t for sh in per for t in sh[0]})
+        want = bool_oracle._expand_range("content", lo, hi, il, ih)
+        assert got == want, (lo, hi, il, ih)
+
+
+def test_range_expansion_cap_is_enforced(bool_engine, bool_oracle):
+    """A range spanning (nearly) the whole dictionary must raise the
+    global MAX_PREFIX_EXPANSIONS guard on engine and oracle alike —
+    IF the tiny corpus dictionary exceeds the cap; otherwise it must
+    return cleanly on both (the cap logic is unit-tested below)."""
+    from ck_ray.query import MAX_PREFIX_EXPANSIONS, expand_prefix_tree
+
+    n_terms = len(bool_oracle._expand_range("content", None, None, True, True))
+    if n_terms > MAX_PREFIX_EXPANSIONS:
+        with pytest.raises(ValueError, match="expands to"):
+            bool_engine.search_raw("[* TO *]", 5)
+        with pytest.raises(ValueError, match="expands to"):
+            bool_oracle.search_raw("[* TO *]", 5)
+    # unit-level: the rewrite itself enforces the cap
+    big = [f"t{i:05d}" for i in range(MAX_PREFIX_EXPANSIONS + 1)]
+    with pytest.raises(ValueError, match="expands to"):
+        expand_prefix_tree(
+            parse_query("[a TO z]"), lambda f, p: [],
+            lambda f, lo, hi, il, ih: big,
+        )
+
+
+def test_empty_range_is_unmatchable_not_matchall(bool_engine):
+    """An empty interval matches nothing — and as a MUST child it must
+    kill the whole conjunction (absent-term semantics)."""
+    assert bool_engine.search_raw("[zzz TO aaa]", 100)[0].size == 0
+    assert bool_engine.search_raw("+[zzz TO aaa] merge", 100)[0].size == 0

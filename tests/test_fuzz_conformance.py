@@ -40,7 +40,7 @@ def _random_corpus(rng: np.random.RandomState, n_docs: int) -> pa.Table:
 def _random_queries(rng: np.random.RandomState, k: int) -> list[str]:
     out = []
     for _ in range(k):
-        shape = rng.randint(11)
+        shape = rng.randint(14)
         if shape == 0:
             out.append(VOCAB[rng.randint(len(VOCAB))])
         elif shape == 1:
@@ -75,13 +75,42 @@ def _random_queries(rng: np.random.RandomState, k: int) -> list[str]:
             if rng.rand() < 0.5:
                 p = f"{p} AND {VOCAB[int(rng.randint(len(VOCAB)))]}"
             out.append(p)
-        else:
+        elif shape == 10:
             # phrase-prefix "a b"* (optionally sloppy)
             a = VOCAB[int(rng.randint(len(VOCAB)))]
             w = VOCAB[int(rng.randint(len(VOCAB)))]
             cut = 1 + int(rng.randint(max(1, len(w) - 1)))
             suf = f"~{int(rng.randint(1, 4))}" if rng.rand() < 0.3 else ""
             out.append(f'"{a} {w[:cut]}"*{suf}')
+        elif shape == 11:
+            # const-score RANGE query (random bracket styles, open sides,
+            # possibly empty/inverted intervals); alone or in a boolean
+            a, b = sorted(
+                VOCAB[j] for j in rng.randint(0, len(VOCAB), 2)
+            )
+            if rng.rand() < 0.2:
+                a, b = b, a  # inverted -> empty interval
+            lo = "*" if rng.rand() < 0.15 else a
+            hi = "*" if rng.rand() < 0.15 else b
+            o = "[" if rng.rand() < 0.5 else "{"
+            c = "]" if rng.rand() < 0.5 else "}"
+            q = f"{o}{lo} TO {hi}{c}"
+            if rng.rand() < 0.4:
+                q = f"{q} AND {VOCAB[int(rng.randint(len(VOCAB)))]}"
+            out.append(q)
+        elif shape == 12:
+            # const-score TERM SET (IN [...]), some members absent
+            n = 1 + int(rng.randint(3))
+            ws = [VOCAB[j] for j in rng.randint(0, len(VOCAB), n)]
+            if rng.rand() < 0.3:
+                ws.append("absent_zzz")
+            out.append(f"IN [{' '.join(ws)}]")
+        else:
+            # match-all, alone or excluding a term
+            if rng.rand() < 0.5:
+                out.append("*")
+            else:
+                out.append(f"* -{VOCAB[int(rng.randint(len(VOCAB)))]}")
     return out
 
 
@@ -121,7 +150,7 @@ def _random_bool_tree(rng: np.random.RandomState, depth: int) -> str:
     on whole groups (+/-/NOT), phrase and path: leaves mixed in, and
     tantivy ^boosts on leaves, phrases, and whole groups."""
     if depth == 0 or rng.rand() < 0.3:
-        r = rng.randint(8)
+        r = rng.randint(11)
         if r == 0:
             a, b = rng.randint(0, len(VOCAB), 2)
             return f'"{VOCAB[a]} {VOCAB[b]}"'
@@ -137,6 +166,19 @@ def _random_bool_tree(rng: np.random.RandomState, depth: int) -> str:
         if r == 5:
             a, b = rng.randint(0, len(VOCAB), 2)
             return f'"{VOCAB[a]} {VOCAB[b]}"^2'
+        if r == 6:
+            # const-score range leaf (sometimes boosted)
+            a, b = sorted(VOCAB[j] for j in rng.randint(0, len(VOCAB), 2))
+            suf = "^2" if rng.rand() < 0.3 else ""
+            o = "[" if rng.rand() < 0.5 else "{"
+            c = "]" if rng.rand() < 0.5 else "}"
+            return f"{o}{a} TO {b}{c}{suf}"
+        if r == 7:
+            # const-score term-set leaf
+            a, b = rng.randint(0, len(VOCAB), 2)
+            return f"IN [{VOCAB[a]} {VOCAB[b]}]"
+        if r == 8:
+            return "*"  # match-all leaf (incl. inside NOT/+ groups)
         return VOCAB[rng.randint(len(VOCAB))]
     op = "AND" if rng.rand() < 0.5 else "OR"
     a = _random_bool_tree(rng, depth - 1)
