@@ -698,6 +698,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": text.repetition_stats,
         "tfidf_top_terms": text.tfidf_top_terms,
         "unigram_logprob": text.unigram_logprob,
+        # interpolated Kneser-Ney bigram LM (KenLM-style perplexity
+        # filter, order-2); exact integer micro-nat contract
+        "kn_bigram_logprob": text.kn_bigram_logprob,
         "ccnet_buckets": text.ccnet_buckets,
         "approx_distinct_terms": text.approx_distinct_terms,
         "cms_term_counts": text.cms_term_counts,
@@ -2296,6 +2299,40 @@ per AS (
 )
 SELECT d.doc_id,
        CAST(coalesce(per.n, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(per.nll, 0) AS BIGINT) AS nll_e6
+FROM documents d LEFT JOIN per USING (doc_id)
+ORDER BY d.doc_id
+""",
+        # interpolated Kneser-Ney bigram LM: P(b|a) = max(c_ab - D,0)/c_a
+        # + D*N1+(a,*)/c_a * N1+(*,b)/N1+(*,*), D=0.75; adjacency over
+        # the contiguous kept-token positions; per-TYPE logprob floored
+        # to micro-nats before the per-doc integer sum (exact BIGINTs)
+        "kn_bigram_logprob": f"""
+WITH {_TOKS_POS},
+big AS (
+  SELECT t1.doc_id, t1.term AS a, t2.term AS b
+  FROM tokp t1
+  JOIN tokp t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+),
+cab AS (SELECT a, b, count(*) AS cab FROM big GROUP BY a, b),
+ctx AS (SELECT a, sum(cab) AS ca, count(*) AS n1a FROM cab GROUP BY a),
+suc AS (SELECT b, count(*) AS n1b FROM cab GROUP BY b),
+tot AS (SELECT count(*) AS n1 FROM cab),
+lp AS (
+  SELECT cab.a, cab.b,
+         CAST(floor(ln(
+           (greatest(cab.cab::DOUBLE - 0.75, 0.0)
+            + 0.75 * ctx.n1a * (suc.n1b::DOUBLE / tot.n1))
+           / ctx.ca) * 1000000) AS BIGINT) AS lp6
+  FROM cab JOIN ctx USING (a) JOIN suc USING (b) CROSS JOIN tot
+),
+per AS (
+  SELECT big.doc_id, count(*) AS n, -sum(lp.lp6) AS nll
+  FROM big JOIN lp ON big.a = lp.a AND big.b = lp.b
+  GROUP BY big.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(per.n, 0) AS BIGINT) AS n_bigrams,
        CAST(coalesce(per.nll, 0) AS BIGINT) AS nll_e6
 FROM documents d LEFT JOIN per USING (doc_id)
 ORDER BY d.doc_id

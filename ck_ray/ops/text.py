@@ -815,6 +815,162 @@ def bigram_pmi(sf_dir: str, top_n: int = 100) -> pd.DataFrame:
     return out[["bigram", "cf", "pmi_e6"]]
 
 
+def kn_bigram_logprob(sf_dir: str, discount: float = 0.75) -> pd.DataFrame:
+    """Per-doc negative log-likelihood under an interpolated Kneser-Ney
+    BIGRAM language model trained on the corpus itself — the classic
+    KenLM-style perplexity filter (CCNet / Gopher pipelines score docs
+    with exactly this model family; ``ccnet_buckets`` buckets the
+    unigram variant, this is the order-2 upgrade):
+
+        P(b|a) = max(c(a,b) - D, 0)/c(a) + D * N1+(a,*)/c(a) * Pcont(b)
+        Pcont(b) = N1+(*,b) / N1+(*,*)        (continuation probability)
+
+    with discount D = 0.75 (Chen & Goodman's fixed-discount KN). The
+    model is self-trained, so every scored bigram is in the count table
+    (no OOV path). Adjacency = consecutive KEPT tokens (same convention
+    as the phrase oracles' contiguous position numbering).
+
+    Exactness contract (same as ``unigram_logprob``): per bigram TYPE
+    the log-prob is ONE closed-form libm expression over integer counts,
+    floored to integer micro-nats BEFORE the per-doc sum — nll_e6 and
+    n_bigrams are exact BIGINTs on both the Ray and SQL sides.
+
+    Shape: per-batch bigram-count partials ride the bigram-keyed hash
+    exchange (only (string, int) partials shuffle); the bigram-type
+    table with its KN statistics is computed once and broadcast via
+    ``ray.put``; scoring is one stateless streaming pass (index_in probe
+    + integer ``np.add.at``). The driver-side type table is the same
+    trade ``unigram_logprob`` makes — at 100 TB bigram-type scale the
+    KN statistics become two more exchange legs (context-keyed for
+    c(a)/N1+(a,*), successor-keyed for N1+(*,b)) and the scoring probe
+    a hash-partitioned semi-join against the lp table.
+    """
+    import math
+
+    from ..exchange import hash_exchange
+    from ..ids import term_hash
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _doc_bigrams(t: pa.Table):
+        """(joined 'a b' bigram array, per-bigram row index) or None."""
+        tb = tokenize_array(t["text"])
+        nt = len(tb.row_index)
+        if nt < 2:
+            return None, None
+        terms = (
+            tb.term.combine_chunks()
+            if isinstance(tb.term, pa.ChunkedArray)
+            else tb.term
+        )
+        same = tb.row_index[:-1] == tb.row_index[1:]
+        if not same.any():
+            return None, None
+        m = pa.array(same)
+        bg = pc.binary_join_element_wise(
+            terms.slice(0, nt - 1).filter(m),
+            terms.slice(1, nt - 1).filter(m),
+            " ",
+        )
+        return bg, tb.row_index[:-1][same]
+
+    def bg_partial(t: pa.Table) -> pa.Table:
+        bg, _ = _doc_bigrams(t)
+        if bg is None:
+            return pa.table(
+                {
+                    "bg": pa.array([], pa.string()),
+                    "cab": pa.array([], pa.int64()),
+                }
+            )
+        g = pa.TableGroupBy(
+            pa.table({"bg": bg}), ["bg"], use_threads=False
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {"bg": g["bg"], "cab": g["count_all"].cast(pa.int64())}
+        )
+
+    def bg_reduce(rows: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(rows, ["bg"], use_threads=False).aggregate(
+            [("cab", "sum")]
+        )
+        return pa.table(
+            {"bg": g["bg"], "cab": g["cab_sum"].cast(pa.int64())}
+        )
+
+    bgs = hash_exchange(
+        ds.map_batches(bg_partial, batch_format="pyarrow"),
+        key_fn=lambda t: term_hash(
+            t["bg"], np.zeros(t.num_rows, np.uint64)
+        ),
+        reducer=bg_reduce,
+    )
+    if bgs.empty:
+        ids = _docs(sf_dir, ["doc_id"]).to_pandas().sort_values("doc_id")
+        return pd.DataFrame(
+            {
+                "doc_id": ids["doc_id"].to_numpy(np.int64),
+                "n_bigrams": np.zeros(len(ids), np.int64),
+                "nll_e6": np.zeros(len(ids), np.int64),
+            }
+        )
+    # KN statistics over the bigram-type table (driver-sized; see shape
+    # note above), then ONE libm expression per type -> integer micro-nats
+    parts = bgs["bg"].str.split(" ", n=1, expand=True)
+    a_s, b_s = parts[0], parts[1]
+    cab = bgs["cab"].to_numpy(np.int64)
+    ca_map = bgs.groupby(a_s)["cab"].sum()
+    n1a_map = a_s.value_counts()  # N1+(a,*): distinct successors
+    n1b_map = b_s.value_counts()  # N1+(*,b): distinct predecessors
+    n1_all = len(bgs)  # N1+(*,*): distinct bigram types
+    ca = ca_map[a_s].to_numpy(np.int64)
+    n1a = n1a_map[a_s].to_numpy(np.int64)
+    n1b = n1b_map[b_s].to_numpy(np.int64)
+    D = float(discount)
+    lp_e6 = np.fromiter(
+        (
+            math.floor(
+                math.log(
+                    (max(c_ab - D, 0.0) + D * n1_a * (n1_b / n1_all))
+                    / c_a
+                )
+                * 1_000_000
+            )
+            for c_ab, c_a, n1_a, n1_b in zip(cab, ca, n1a, n1b)
+        ),
+        dtype=np.int64,
+        count=len(cab),
+    )
+    ref = ray.put((pa.array(bgs["bg"], pa.string()), lp_e6))
+
+    def score(t: pa.Table) -> pa.Table:
+        bg, ri = _doc_bigrams(t)
+        n = t.num_rows
+        nll = np.zeros(n, np.int64)
+        nbg = np.zeros(n, np.int64)
+        if bg is not None:
+            voc, lp = ray.get(ref)
+            pos = pc.index_in(bg, value_set=voc).to_numpy(
+                zero_copy_only=False
+            )
+            np.add.at(nll, ri, -lp[pos])
+            nbg = np.bincount(ri, minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bigrams": pa.array(nbg),
+                "nll_e6": pa.array(nll),
+            }
+        )
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def approx_distinct_terms(sf_dir: str, p: int = 12) -> pd.DataFrame:
     """Approximate distinct-term count per language (plus a merged ``*``
     corpus row) via a HyperLogLog sketch — the cardinality estimator a

@@ -414,3 +414,69 @@ def test_retrieval_quality_harness(ray_session):
     assert out["line_phrase_recall_at_10"] >= 0.6
     assert out["line_phrase_recall_at_10"] > out["line_bag_recall_at_10"]
     assert out["n_line_queries"] >= 10
+
+
+def test_kn_bigram_logprob_matches_hand_model(ray_session, tmp_path):
+    """Interpolated Kneser-Ney bigram NLL equals a dict-built reference
+    model on a tiny corpus; docs with <2 tokens score (0, 0)."""
+    import math
+
+    from ck_ray.ops.text import kn_bigram_logprob
+    from ck_ray.tokenizer import tokenize_text
+
+    texts = [
+        "a b a b c",
+        "b c b c a",
+        "a a a",
+        "solo",          # 1 token -> 0 bigrams
+        "",              # 0 tokens -> 0 bigrams
+        "c a b",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    d = tmp_path / "kn"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    # dict-built reference KN model (independent of the Ray kernel)
+    from collections import Counter
+
+    cab: Counter = Counter()
+    for x in texts:
+        tk = tokenize_text(x)
+        cab.update(zip(tk, tk[1:]))
+    ca: Counter = Counter()
+    n1a: Counter = Counter()
+    n1b: Counter = Counter()
+    for (a, b), c in cab.items():
+        ca[a] += c
+        n1a[a] += 1
+        n1b[b] += 1
+    n1 = len(cab)
+    D = 0.75
+
+    def lp6(a, b):
+        p = (max(cab[(a, b)] - D, 0.0) + D * n1a[a] * (n1b[b] / n1)) / ca[a]
+        return math.floor(math.log(p) * 1_000_000)
+
+    got = kn_bigram_logprob(str(d))
+    assert got["doc_id"].tolist() == list(range(len(texts)))
+    for i, x in enumerate(texts):
+        tk = tokenize_text(x)
+        pairs = list(zip(tk, tk[1:]))
+        assert got["n_bigrams"][i] == len(pairs)
+        assert got["nll_e6"][i] == -sum(lp6(a, b) for a, b in pairs)
+    # sanity: probabilities are a proper distribution per context
+    for a in ca:
+        tot = sum(
+            (max(cab[(a, b)] - D, 0.0) + D * n1a[a] * (n1b[b] / n1)) / ca[a]
+            for b in set(x for _, x in cab)
+        )
+        assert abs(tot - 1.0) < 1e-9
