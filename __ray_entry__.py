@@ -661,6 +661,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_range": docsearch.bm25_range,
         "bm25_termset": docsearch.bm25_termset,
         "bm25_matchall": docsearch.bm25_matchall,
+        # fuzzy term query `term~N` (tantivy FuzzyTermQuery): dictionary
+        # expansion by bounded edit distance, const-score membership
+        "bm25_fuzzy": docsearch.bm25_fuzzy,
         "bm25_phrase_prefix": docsearch.bm25_phrase_prefix,
         "bm25_phrase": docsearch.bm25_phrase,
         "bm25_phrase_slop": docsearch.bm25_phrase_slop,
@@ -1331,6 +1334,45 @@ scores AS (
          coalesce(b.score, 0)
            + (CASE WHEN m.doc_id IS NOT NULL THEN 1.0 ELSE 0 END) AS score
   FROM bm b FULL OUTER JOIN members m ON b.doc_id = m.doc_id
+),
+topk AS (SELECT doc_id, round(score, 4) AS score FROM scores
+         ORDER BY round(score, 4) DESC, doc_id LIMIT {_BM25_K})
+SELECT doc_id, score FROM topk
+ORDER BY score DESC, doc_id
+""",
+        # fuzzy `window spal~2`: docs holding ANY term within edit
+        # distance 2 of 'spal' (DuckDB levenshtein == the engine's
+        # strdist kernel; 'spal' itself is NOT a corpus term) score 1.0
+        # once (tantivy FuzzyTermQuery -> AutomatonWeight ConstScorer),
+        # plus the scored BM25 leg
+        "bm25_fuzzy": f"""
+WITH {_TOKS},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf WHERE term = 'window' GROUP BY term
+),
+bm AS (
+  SELECT tf.doc_id,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * ((tf.tf * 2.2)
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term = 'window'
+),
+fuzz AS (
+  SELECT DISTINCT doc_id FROM tf WHERE levenshtein(term, 'spal') <= 2
+),
+scores AS (
+  SELECT coalesce(b.doc_id, z.doc_id) AS doc_id,
+         coalesce(b.score, 0)
+           + (CASE WHEN z.doc_id IS NOT NULL THEN 1.0 ELSE 0 END) AS score
+  FROM bm b FULL OUTER JOIN fuzz z ON b.doc_id = z.doc_id
 ),
 topk AS (SELECT doc_id, round(score, 4) AS score FROM scores
          ORDER BY round(score, 4) DESC, doc_id LIMIT {_BM25_K})

@@ -185,15 +185,33 @@ class BM25Oracle:
 
         return sorted(t for t in self.postings[fid] if ok(t))
 
+    def _expand_fuzzy(
+        self, field: str, term: str, dist: int, transpose: bool = False
+    ) -> list[str]:
+        """Corpus-global dictionary terms within edit distance ``dist``
+        (brute-force twin of ``LocalIndex._expand_fuzzy``; scalar
+        reference DP, deliberately independent of the vectorized
+        ``strdist.edit_within`` kernel the engine uses)."""
+        from .strdist import edit_distance
+
+        fid = FIELD_IDS[field]
+        return sorted(
+            t
+            for t in self.postings[fid]
+            if abs(len(t) - len(term)) <= dist
+            and edit_distance(term, t, transpose=transpose) <= dist
+        )
+
     def search_raw(self, query: str, top_k: int | None = None):
         k = top_k if top_k is not None else 100
         tree = parse_query(query)
         if tree is not None and any(
-            c.prefix or c.range_spec is not None
+            c.prefix or c.fuzzy or c.range_spec is not None
             for c in collect_clauses(tree)
         ):
             tree = expand_prefix_tree(
-                tree, self._expand_prefix, self._expand_range
+                tree, self._expand_prefix, self._expand_range,
+                self._expand_fuzzy,
             )
         acc = self._eval_node(tree) if tree is not None else None
         if not acc:

@@ -297,6 +297,21 @@ def bm25_matchall(
     return _bm25_rounded_cut(sf_dir, query, k)
 
 
+def bm25_fuzzy(
+    sf_dir: str, query: str = "window spal~2", k: int = 20
+) -> pd.DataFrame:
+    """Top-k mixing a scored term with a FUZZY term query (Lucene
+    ``term~N``; tantivy FuzzyTermQuery semantics): each shard expands the
+    term against its local dictionary into the set of terms within edit
+    distance N (vectorized bounded Levenshtein, ``strdist.edit_within``)
+    and docs containing ANY expansion contribute exactly ``boost*1.0``
+    (tantivy AutomatonWeight -> ConstScorer — no tf/idf), summed with the
+    BM25 leg. ``spal`` is not itself a corpus term, so every match here
+    is a genuine fuzzy hit. Oracle: BM25(window) +
+    EXISTS(levenshtein(term,'spal') <= 2) via DuckDB's levenshtein()."""
+    return _bm25_rounded_cut(sf_dir, query, k)
+
+
 def bm25_phrase_slop(
     sf_dir: str, query: str = '"merge window batch"~2', k: int = 20
 ) -> pd.DataFrame:

@@ -42,6 +42,7 @@ import ray
 
 from . import codec, scoring
 from .build import load_manifest
+from .strdist import edit_within
 from .tokenizer import tokenize_text
 
 FIELD_IDS = {"content": 0, "path": 1}
@@ -103,6 +104,17 @@ class Clause:
     const_score: bool = False
     match_all: bool = False
     range_spec: tuple | None = None
+    # fuzzy term query ``term~N`` (tantivy FuzzyTermQuery, reference
+    # query surface): expanded against the term dictionary into the set
+    # of terms within edit distance N (N clamped to 2, the automaton
+    # family's max), then evaluated as a CONST-SCORE term set — tantivy's
+    # AutomatonWeight scores every match with ConstScorer(boost), no
+    # tf/idf. ``fuzzy_transpose`` selects the OSA metric (adjacent
+    # transposition costs 1 — FuzzyTermQuery's transposition_cost_one);
+    # the parser default is plain Levenshtein, which the driver's DuckDB
+    # oracle reproduces bit-exactly with ``levenshtein()``.
+    fuzzy: int = 0
+    fuzzy_transpose: bool = False
 
     @property
     def is_phrase(self) -> bool:
@@ -248,19 +260,35 @@ def _lex(query: str) -> list[tuple[str, object]]:
             # trailing ^<number> = tantivy boost; also reached as a bare
             # "^2" word right after a closing quote or paren. Stacked
             # suffixes ("merge^2^3") strip right-to-left and multiply.
+            # trailing ~N = fuzzy (Lucene `term~1`; bare `term~` = the
+            # Lucene default distance 2); ^ and ~ suffixes strip in any
+            # order ("merge~1^2" == "merge^2~1").
             boost = None
-            while "^" in word:
-                base, _, suf = word.rpartition("^")
-                try:
-                    v = float(suf)
-                except ValueError:
-                    break
-                boost = v if boost is None else boost * v
-                word = base
+            fuzzy = None
+            while True:
+                if "^" in word:
+                    base, _, suf = word.rpartition("^")
+                    try:
+                        v = float(suf)
+                    except ValueError:
+                        pass
+                    else:
+                        boost = v if boost is None else boost * v
+                        word = base
+                        continue
+                if "~" in word:
+                    base, _, suf = word.rpartition("~")
+                    if base and (suf == "" or suf.isdigit()):
+                        fuzzy = int(suf) if suf else 2
+                        word = base
+                        continue
+                break
             if word == "*":
                 out.append(("all", None))  # tantivy AllQuery
             elif word:
                 out.append(("word", (field or "content", word, False)))
+            if fuzzy is not None:
+                out.append(("fuzzyd", fuzzy))
             if boost is not None:
                 out.append(("boost", boost))
     return out
@@ -434,11 +462,12 @@ class _Parser:
         return None
 
     def _apply_boost(self, node):
-        """Fold any ``boost``/``slop``/``star`` tokens following an atom
-        into it (tantivy ``literal^2`` / ``"a b"~2`` / ``"a b"*``);
-        stacked boosts multiply, slop on a non-phrase atom and star on a
-        non-Clause are ignored — all leniently."""
-        while self.peek() in ("boost", "slop", "star"):
+        """Fold any ``boost``/``slop``/``star``/``fuzzyd`` tokens
+        following an atom into it (tantivy ``literal^2`` / ``"a b"~2`` /
+        ``"a b"*`` / Lucene ``term~1``); stacked boosts multiply, slop on
+        a non-phrase atom, star on a non-Clause, and fuzzy on anything
+        but a plain single-term clause are ignored — all leniently."""
+        while self.peek() in ("boost", "slop", "star", "fuzzyd"):
             kind, v = self.toks[self.i]
             self.i += 1
             if node is None:
@@ -448,6 +477,17 @@ class _Parser:
             elif kind == "star":
                 if isinstance(node, Clause) and not node.const_score:
                     node.prefix = True
+            elif kind == "fuzzyd":
+                if (
+                    isinstance(node, Clause)
+                    and not node.const_score
+                    and not node.prefix
+                    and len(node.terms) == 1
+                ):
+                    # distance clamps to the Levenshtein-automaton
+                    # family's max of 2 (Lucene/tantivy both cap there);
+                    # ~0 degrades to the exact term query
+                    node.fuzzy = min(int(v), 2)
             elif isinstance(node, Clause) and node.is_phrase:
                 node.slop = int(v)
         return node
@@ -483,7 +523,7 @@ MAX_PREFIX_EXPANSIONS = 1024  # Lucene BooleanQuery.maxClauseCount
 _NEVER_TERM = "\x00∅"  # unmatchable: real tokens are alnum-only
 
 
-def expand_prefix_tree(node, expand, expand_range=None):
+def expand_prefix_tree(node, expand, expand_range=None, expand_fuzzy=None):
     """Rewrite prefix Clauses into SHOULD disjunctions of dictionary
     terms (Lucene SCORING_BOOLEAN_REWRITE). ``expand(field, prefix) ->
     sorted list[str]`` supplies the dictionary — shard-local in
@@ -493,15 +533,36 @@ def expand_prefix_tree(node, expand, expand_range=None):
     clause so MUST/MUST_NOT semantics match an absent term exactly.
     Range Clauses rewrite via ``expand_range(field, lo, hi, il, ih)``
     into const-score TERM SETS (Lucene CONSTANT_SCORE rewrite — set
-    membership, not a scored disjunction), under the same cap.
-    Raises ValueError past MAX_PREFIX_EXPANSIONS."""
+    membership, not a scored disjunction), under the same cap. Fuzzy
+    Clauses rewrite via ``expand_fuzzy(field, term, dist, transpose)``
+    into the same const-score shape (tantivy AutomatonWeight →
+    ConstScorer). Raises ValueError past MAX_PREFIX_EXPANSIONS."""
     if node is None or (
         isinstance(node, Clause)
         and not node.prefix
+        and not node.fuzzy
         and node.range_spec is None
     ):
         return node
     if isinstance(node, Clause):
+        if node.fuzzy:
+            if expand_fuzzy is None:
+                raise ValueError("fuzzy expansion needs a dictionary")
+            terms = list(
+                expand_fuzzy(
+                    node.field, node.terms[0], node.fuzzy,
+                    node.fuzzy_transpose,
+                )
+            )
+            if len(terms) > MAX_PREFIX_EXPANSIONS:
+                raise ValueError(
+                    f"fuzzy '{node.terms[0]}~{node.fuzzy}' expands to "
+                    f"{len(terms)} terms (max {MAX_PREFIX_EXPANSIONS})"
+                )
+            return Clause(
+                node.field, terms or [_NEVER_TERM],
+                boost=node.boost, const_score=True,
+            )
         if node.range_spec is not None:
             lo, hi, il, ih = node.range_spec
             if expand_range is None:
@@ -545,7 +606,7 @@ def expand_prefix_tree(node, expand, expand_range=None):
         )
     return BoolNode(
         [
-            (o, expand_prefix_tree(c, expand, expand_range))
+            (o, expand_prefix_tree(c, expand, expand_range, expand_fuzzy))
             for o, c in node.children
         ],
         boost=node.boost,
@@ -729,6 +790,7 @@ class LocalIndex:
         self._dead = self._load_dead_sets()
         self._load_meta()
         self._cache: dict[tuple[int, str], _PostingView | None] = {}
+        self._field_dict_cache: dict[int, np.ndarray] = {}
 
     # ------------------------------------------------------------- loading
 
@@ -960,6 +1022,43 @@ class LocalIndex:
     def expand_ranges(self, specs: list[tuple]) -> list[list[str]]:
         """Batch form for the engine's global cap-enforcement round."""
         return [self._expand_range(*s) for s in specs]
+
+    def _field_dictionary(self, field: str) -> np.ndarray:
+        """Sorted unique LOCAL term dictionary of one field (epoch-deduped,
+        field prefix stripped), cached — the fuzzy scan's input. Derived
+        once from the sorted key array via one searchsorted range."""
+        fid = FIELD_IDS[field]
+        cached = self._field_dict_cache.get(fid)
+        if cached is not None:
+            return cached
+        pre = f"{fid}:"
+        a = int(np.searchsorted(self._keys, pre, side="left"))
+        b = int(
+            np.searchsorted(self._keys, pre + "\U0010ffff", side="right")
+        )
+        cut = len(pre)
+        terms = np.array(
+            sorted({str(s)[cut:] for s in self._keys[a:b]}), dtype=object
+        )
+        self._field_dict_cache[fid] = terms
+        return terms
+
+    def _expand_fuzzy(
+        self, field: str, term: str, dist: int, transpose: bool = False
+    ) -> list[str]:
+        """Local-dictionary terms within edit distance ``dist`` of
+        ``term`` (sorted) — one vectorized DP over the field dictionary
+        (``strdist.edit_within``; plain Levenshtein, or OSA when
+        ``transpose``). At 10^12-file dictionary scale this swaps to a
+        Levenshtein automaton walked over the sorted dictionary; the
+        call sites only see the ``expand`` signature."""
+        terms = self._field_dictionary(field)
+        mask = edit_within(term, terms, int(dist), transpose=transpose)
+        return [str(t) for t in terms[mask]]
+
+    def expand_fuzzies(self, specs: list[tuple]) -> list[list[str]]:
+        """Batch form for the engine's global cap-enforcement round."""
+        return [self._expand_fuzzy(*s) for s in specs]
 
     def local_dfs(self, keys: list[tuple[int, str]]) -> list[int]:
         """LIVE local df per key (loads + dead-filters the views; they
@@ -1297,11 +1396,12 @@ class LocalIndex:
         if tree is None:
             return np.empty(0, np.uint64), np.empty(0, self.dtype)
         if any(
-            c.prefix or c.range_spec is not None
+            c.prefix or c.fuzzy or c.range_spec is not None
             for c in collect_clauses(tree)
         ):
             tree = expand_prefix_tree(
-                tree, self._expand_prefix, self._expand_range
+                tree, self._expand_prefix, self._expand_range,
+                self._expand_fuzzy,
             )
         leaves = collect_clauses(tree)
         keys = dict.fromkeys(
@@ -1535,6 +1635,27 @@ class BM25Engine:
                         f"range [{spec[0]} TO {spec[1]}] expands to "
                         f"{len(union)} terms (max {MAX_PREFIX_EXPANSIONS})"
                     )
+        # fuzzy clauses: const-score like ranges (no df round needed);
+        # the GLOBAL expansion cap is enforced on the union of the
+        # shards' local dictionary scans
+        fz = list(
+            dict.fromkeys(
+                (c.field, c.terms[0], c.fuzzy, c.fuzzy_transpose)
+                for c in clauses
+                if c.fuzzy
+            )
+        )
+        if fz:
+            per = ray.get(
+                [s.expand_fuzzies.remote(fz) for s in self.shards]
+            )
+            for i, (f, t, d, _tr) in enumerate(fz):
+                union = {x for sh in per for x in sh[i]}
+                if len(union) > MAX_PREFIX_EXPANSIONS:
+                    raise ValueError(
+                        f"fuzzy '{t}~{d}' expands to {len(union)} terms "
+                        f"(max {MAX_PREFIX_EXPANSIONS})"
+                    )
         if not self._needs_df_round:
             return None
         keys = dict.fromkeys(
@@ -1542,8 +1663,9 @@ class BM25Engine:
             for c in clauses
             # a prefix clause's last term is the prefix (expanded above);
             # its head terms (phrase-prefix) need dfs like any others.
-            # const-score leaves score without statistics — no df needed
-            if not c.const_score
+            # const-score leaves (incl. fuzzy, which REWRITES to
+            # const-score) score without statistics — no df needed
+            if not c.const_score and not c.fuzzy
             for t in (c.terms[:-1] if c.prefix else c.terms)
         )
         # df-sum the expanded prefix terms like any other term

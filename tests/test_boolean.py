@@ -426,3 +426,114 @@ def test_empty_range_is_unmatchable_not_matchall(bool_engine):
     kill the whole conjunction (absent-term semantics)."""
     assert bool_engine.search_raw("[zzz TO aaa]", 100)[0].size == 0
     assert bool_engine.search_raw("+[zzz TO aaa] merge", 100)[0].size == 0
+
+
+# ------------------------------------------------- fuzzy term queries ~N
+
+
+def test_fuzzy_parse_shapes():
+    """Lucene `term~N` suffix: distance parses, clamps to 2, bare `~`
+    defaults to 2, `~0` degrades to the exact term, and ^/~ suffixes
+    compose in either order."""
+    node = parse_query("spal~1")
+    assert isinstance(node, Clause)
+    assert node.terms == ["spal"] and node.fuzzy == 1
+    assert not node.const_score  # rewrite happens at expansion time
+    assert parse_query("spal~").fuzzy == 2
+    assert parse_query("spal~7").fuzzy == 2  # clamp to the automaton max
+    assert parse_query("spal~0").fuzzy == 0
+    for q in ("spal~1^2", "spal^2~1"):
+        n = parse_query(q)
+        assert n.fuzzy == 1 and n.boost == 2.0, q
+    f = parse_query("path:spal~1")
+    assert f.field == "path" and f.fuzzy == 1
+
+
+def test_fuzzy_ignored_where_undefined():
+    """Fuzzy on phrases, prefix queries, and const-score groups is
+    dropped leniently (FuzzyTermQuery is a TERM query)."""
+    assert parse_query('"merge window"~2').slop == 2  # quoted ~ = slop
+    n = parse_query("a~b~1")  # mid-word ~ splits into a phrase
+    assert n.terms == ["a", "b"] and n.fuzzy == 0
+    p = parse_query("mer*~1")
+    assert p.fuzzy == 0 or not p.prefix  # never both
+
+
+FUZZY_QUERIES = [
+    "merge~1",                      # exact term + its 1-neighborhood
+    "windw~1",                      # typo: only fuzzy hits
+    "window spal~2",                # scored + const-score mix
+    "merge~2 AND window",           # fuzzy under MUST
+    "+window -merge~1",             # fuzzy under MUST_NOT
+    "(merge~1 OR batch)^2 window",  # boosted group
+    "zzqqxx~1",                     # empty expansion = unmatchable
+]
+
+
+@pytest.mark.parametrize("q", FUZZY_QUERIES, ids=[q[:24] for q in FUZZY_QUERIES])
+def test_fuzzy_rank_identity(bool_engine, bool_oracle, q):
+    """Engine (vectorized strdist kernel, shard-local dictionaries) vs
+    oracle (scalar DP, corpus-global dictionary): rank + f32 score
+    identity — also proves shard-local expansion == global expansion
+    for the const-score rewrite."""
+    de, se = bool_engine.search_raw(q, 50)
+    do, so = bool_oracle.search_raw(q, 50)
+    assert de.tolist() == do.tolist(), f"{q}: docs differ"
+    assert np.array_equal(se, so), f"{q}: scores differ"
+
+
+def test_fuzzy_matches_are_const_scored(bool_engine, bool_oracle):
+    """A pure fuzzy query scores every match exactly 1.0 (tantivy
+    AutomatonWeight -> ConstScorer), regardless of tf/idf."""
+    docs, scores = bool_engine.search_raw("merge~1", 10_000)
+    assert len(docs) > 0
+    assert np.all(scores == np.float32(1.0))
+    # and the match set is the union of the expanded terms' doc sets
+    exp = bool_oracle._expand_fuzzy("content", "merge", 1)
+    assert "merge" in exp
+    want = set()
+    for t in exp:
+        want |= set(bool_engine.search_raw(t, 10_000)[0].tolist())
+    assert set(docs.tolist()) == want
+
+
+def test_fuzzy_transpose_variant_expands_osa():
+    """The programmatic transposition_cost_one flavor rides the same
+    rewrite: an adjacent-transposed term is distance 1 under OSA but 2
+    under plain Levenshtein."""
+    from ck_ray.query import expand_prefix_tree
+
+    dictionary = ["spark", "sprak", "spars", "shark"]
+
+    def fz(field, term, dist, transpose):
+        from ck_ray.strdist import edit_within
+
+        mask = edit_within(term, dictionary, dist, transpose=transpose)
+        return [t for t, b in zip(dictionary, mask) if b]
+
+    # spark<->sprak is a pure adjacent transposition: plain distance 2,
+    # OSA distance 1 — so the two flavors expand differently at ~1
+    from ck_ray.strdist import edit_distance
+
+    assert edit_distance("sprak", "spark") == 2
+    assert edit_distance("sprak", "spark", transpose=True) == 1
+
+    plain = parse_query("sprak~1")
+    got = expand_prefix_tree(plain, lambda f, p: [], None, fz)
+    assert got.const_score and got.terms == ["sprak"]
+
+    osa = parse_query("sprak~1")
+    osa.fuzzy_transpose = True
+    got2 = expand_prefix_tree(osa, lambda f, p: [], None, fz)
+    assert got2.const_score and got2.terms == ["spark", "sprak"]
+
+
+def test_fuzzy_expansion_cap_enforced():
+    from ck_ray.query import MAX_PREFIX_EXPANSIONS, expand_prefix_tree
+
+    big = [f"t{i:05d}" for i in range(MAX_PREFIX_EXPANSIONS + 1)]
+    with pytest.raises(ValueError, match="expands to"):
+        expand_prefix_tree(
+            parse_query("term~2"), lambda f, p: [], None,
+            lambda f, t, d, tr: big,
+        )

@@ -40,7 +40,7 @@ def _random_corpus(rng: np.random.RandomState, n_docs: int) -> pa.Table:
 def _random_queries(rng: np.random.RandomState, k: int) -> list[str]:
     out = []
     for _ in range(k):
-        shape = rng.randint(14)
+        shape = rng.randint(15)
         if shape == 0:
             out.append(VOCAB[rng.randint(len(VOCAB))])
         elif shape == 1:
@@ -105,12 +105,27 @@ def _random_queries(rng: np.random.RandomState, k: int) -> list[str]:
             if rng.rand() < 0.3:
                 ws.append("absent_zzz")
             out.append(f"IN [{' '.join(ws)}]")
-        else:
+        elif shape == 13:
             # match-all, alone or excluding a term
             if rng.rand() < 0.5:
                 out.append("*")
             else:
                 out.append(f"* -{VOCAB[int(rng.randint(len(VOCAB)))]}")
+        else:
+            # FUZZY term (const-score dictionary expansion): sometimes a
+            # vocab term, sometimes a mutation of one (typo shape),
+            # random distance incl. the bare-~ default; alone or boolean
+            w = VOCAB[int(rng.randint(len(VOCAB)))]
+            if rng.rand() < 0.5 and len(w) >= 3:
+                i = int(rng.randint(len(w) - 1))
+                w = w[:i] + w[i + 1] + w[i] + w[i + 2:]  # swap two chars
+            suf = "~" if rng.rand() < 0.2 else f"~{int(rng.randint(0, 3))}"
+            q = f"{w}{suf}"
+            if rng.rand() < 0.4:
+                q = f"{q} AND {VOCAB[int(rng.randint(len(VOCAB)))]}"
+            elif rng.rand() < 0.3:
+                q = f"-{q} {VOCAB[int(rng.randint(len(VOCAB)))]}"
+            out.append(q)
     return out
 
 
