@@ -664,6 +664,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fuzzy term query `term~N` (tantivy FuzzyTermQuery): dictionary
         # expansion by bounded edit distance, const-score membership
         "bm25_fuzzy": docsearch.bm25_fuzzy,
+        # regex term query `/pat/` (tantivy RegexQuery): anchored
+        # dictionary expansion, const-score membership
+        "bm25_regexterm": docsearch.bm25_regexterm,
         "bm25_phrase_prefix": docsearch.bm25_phrase_prefix,
         "bm25_phrase": docsearch.bm25_phrase,
         "bm25_phrase_slop": docsearch.bm25_phrase_slop,
@@ -1373,6 +1376,46 @@ scores AS (
          coalesce(b.score, 0)
            + (CASE WHEN z.doc_id IS NOT NULL THEN 1.0 ELSE 0 END) AS score
   FROM bm b FULL OUTER JOIN fuzz z ON b.doc_id = z.doc_id
+),
+topk AS (SELECT doc_id, round(score, 4) AS score FROM scores
+         ORDER BY round(score, 4) DESC, doc_id LIMIT {_BM25_K})
+SELECT doc_id, score FROM topk
+ORDER BY score DESC, doc_id
+""",
+        # regex `window /s.*(k|m)/`: docs holding ANY term the anchored
+        # pattern fully matches (python re.fullmatch == DuckDB
+        # regexp_full_match on this shared-syntax pattern) score 1.0
+        # once (tantivy RegexQuery -> AutomatonWeight ConstScorer),
+        # plus the scored BM25 leg
+        "bm25_regexterm": f"""
+WITH {_TOKS},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf WHERE term = 'window' GROUP BY term
+),
+bm AS (
+  SELECT tf.doc_id,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * ((tf.tf * 2.2)
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term = 'window'
+),
+rxm AS (
+  SELECT DISTINCT doc_id FROM tf
+  WHERE regexp_full_match(term, 's.*(k|m)')
+),
+scores AS (
+  SELECT coalesce(b.doc_id, z.doc_id) AS doc_id,
+         coalesce(b.score, 0)
+           + (CASE WHEN z.doc_id IS NOT NULL THEN 1.0 ELSE 0 END) AS score
+  FROM bm b FULL OUTER JOIN rxm z ON b.doc_id = z.doc_id
 ),
 topk AS (SELECT doc_id, round(score, 4) AS score FROM scores
          ORDER BY round(score, 4) DESC, doc_id LIMIT {_BM25_K})

@@ -202,16 +202,31 @@ class BM25Oracle:
             and edit_distance(term, t, transpose=transpose) <= dist
         )
 
+    def _expand_regex(self, field: str, pattern: str) -> list[str]:
+        """Corpus-global dictionary terms the anchored pattern fully
+        matches (twin of ``LocalIndex._expand_regex``)."""
+        import re
+
+        try:
+            rx = re.compile(pattern)
+        except re.error as e:
+            raise ValueError(f"bad regex /{pattern}/: {e}") from None
+        fid = FIELD_IDS[field]
+        return sorted(t for t in self.postings[fid] if rx.fullmatch(t))
+
     def search_raw(self, query: str, top_k: int | None = None):
         k = top_k if top_k is not None else 100
         tree = parse_query(query)
         if tree is not None and any(
-            c.prefix or c.fuzzy or c.range_spec is not None
+            c.prefix
+            or c.fuzzy
+            or c.range_spec is not None
+            or c.regex_spec is not None
             for c in collect_clauses(tree)
         ):
             tree = expand_prefix_tree(
                 tree, self._expand_prefix, self._expand_range,
-                self._expand_fuzzy,
+                self._expand_fuzzy, self._expand_regex,
             )
         acc = self._eval_node(tree) if tree is not None else None
         if not acc:

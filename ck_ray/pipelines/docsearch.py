@@ -312,6 +312,20 @@ def bm25_fuzzy(
     return _bm25_rounded_cut(sf_dir, query, k)
 
 
+def bm25_regexterm(
+    sf_dir: str, query: str = "window /s.*(k|m)/", k: int = 20
+) -> pd.DataFrame:
+    """Top-k mixing a scored term with a REGEX term query (Lucene
+    ``/pat/`` syntax; tantivy RegexQuery semantics): each shard expands
+    the anchored pattern against its local dictionary (whole-term
+    ``fullmatch``) and docs containing ANY matching term contribute
+    exactly ``boost*1.0`` (AutomatonWeight -> ConstScorer, same
+    const-score family as fuzzy/range), summed with the BM25 leg.
+    Oracle: BM25(window) + EXISTS(regexp_full_match(term, pat)) — the
+    pattern uses only syntax Python re and DuckDB RE2 share."""
+    return _bm25_rounded_cut(sf_dir, query, k)
+
+
 def bm25_phrase_slop(
     sf_dir: str, query: str = '"merge window batch"~2', k: int = 20
 ) -> pd.DataFrame:

@@ -115,6 +115,12 @@ class Clause:
     # oracle reproduces bit-exactly with ``levenshtein()``.
     fuzzy: int = 0
     fuzzy_transpose: bool = False
+    # regex term query ``/pat/`` (Lucene QueryParser syntax; tantivy
+    # RegexQuery semantics): the pattern matches WHOLE dictionary terms
+    # (anchored, like the tantivy-fst regex automaton), expands into the
+    # matching term set and evaluates CONST-SCORE — same AutomatonWeight
+    # -> ConstScorer family as fuzzy. Invalid patterns raise ValueError.
+    regex_spec: str | None = None
 
     @property
     def is_phrase(self) -> bool:
@@ -205,6 +211,15 @@ def _lex(query: str) -> list[tuple[str, object]]:
             # the word scanner consumes them
             out.append(("plus" if c == "+" else "minus", None))
             i += 1
+        elif c == "/":
+            # Lucene `/regex/` at token-boundary position: scan to the
+            # closing unescaped '/' (whitespace allowed inside). An
+            # unclosed pattern runs to end-of-query, leniently.
+            k = i + 1
+            while k < n and query[k] != "/":
+                k += 2 if query[k] == "\\" else 1
+            out.append(("regexp", ("content", query[i + 1 : min(k, n)])))
+            i = min(k + 1, n)
         elif c == '"':
             text, i = read_quoted(i)
             out.append(("word", ("content", text, True)))
@@ -215,6 +230,7 @@ def _lex(query: str) -> list[tuple[str, object]]:
             if s is not None:
                 out.append(("slop", s))
         else:
+            wstart = i
             j = i
             while (
                 j < n
@@ -241,6 +257,18 @@ def _lex(query: str) -> list[tuple[str, object]]:
                 s, i = read_slop(i)
                 if s is not None:
                     out.append(("slop", s))
+                continue
+            if field is not None and word.startswith("/"):
+                # field-prefixed regex ``path:/core[0-9]+/``: the word
+                # scan stops at stop-chars a pattern may legally contain
+                # ('[', '(' …), so rescan from the opening slash to the
+                # closing unescaped '/' like the bare-``/pat/`` branch
+                p = wstart + len(field) + 2  # past "field:/"
+                k = p
+                while k < n and query[k] != "/":
+                    k += 2 if query[k] == "\\" else 1
+                out.append(("regexp", (field, query[p : min(k, n)])))
+                i = min(k + 1, n)
                 continue
             if field is not None and word == "":
                 # ``field:`` detached from its operand — ``path:[a TO b]``
@@ -408,6 +436,12 @@ class _Parser:
             return self._apply_boost(
                 Clause("content", [], const_score=True, match_all=True)
             )
+        if t == "regexp":
+            field, pat = self.toks[self.i][1]
+            self.i += 1
+            return self._apply_boost(
+                Clause(field, [], const_score=True, regex_spec=pat)
+            )
         if t == "brack":
             field, il, ih, parts = self.toks[self.i][1]
             self.i += 1
@@ -523,7 +557,9 @@ MAX_PREFIX_EXPANSIONS = 1024  # Lucene BooleanQuery.maxClauseCount
 _NEVER_TERM = "\x00∅"  # unmatchable: real tokens are alnum-only
 
 
-def expand_prefix_tree(node, expand, expand_range=None, expand_fuzzy=None):
+def expand_prefix_tree(
+    node, expand, expand_range=None, expand_fuzzy=None, expand_regex=None
+):
     """Rewrite prefix Clauses into SHOULD disjunctions of dictionary
     terms (Lucene SCORING_BOOLEAN_REWRITE). ``expand(field, prefix) ->
     sorted list[str]`` supplies the dictionary — shard-local in
@@ -542,9 +578,23 @@ def expand_prefix_tree(node, expand, expand_range=None, expand_fuzzy=None):
         and not node.prefix
         and not node.fuzzy
         and node.range_spec is None
+        and node.regex_spec is None
     ):
         return node
     if isinstance(node, Clause):
+        if node.regex_spec is not None:
+            if expand_regex is None:
+                raise ValueError("regex expansion needs a dictionary")
+            terms = list(expand_regex(node.field, node.regex_spec))
+            if len(terms) > MAX_PREFIX_EXPANSIONS:
+                raise ValueError(
+                    f"regex /{node.regex_spec}/ expands to {len(terms)} "
+                    f"terms (max {MAX_PREFIX_EXPANSIONS})"
+                )
+            return Clause(
+                node.field, terms or [_NEVER_TERM],
+                boost=node.boost, const_score=True,
+            )
         if node.fuzzy:
             if expand_fuzzy is None:
                 raise ValueError("fuzzy expansion needs a dictionary")
@@ -606,7 +656,12 @@ def expand_prefix_tree(node, expand, expand_range=None, expand_fuzzy=None):
         )
     return BoolNode(
         [
-            (o, expand_prefix_tree(c, expand, expand_range, expand_fuzzy))
+            (
+                o,
+                expand_prefix_tree(
+                    c, expand, expand_range, expand_fuzzy, expand_regex
+                ),
+            )
             for o, c in node.children
         ],
         boost=node.boost,
@@ -1060,6 +1115,26 @@ class LocalIndex:
         """Batch form for the engine's global cap-enforcement round."""
         return [self._expand_fuzzy(*s) for s in specs]
 
+    def _expand_regex(self, field: str, pattern: str) -> list[str]:
+        """Local-dictionary terms the anchored pattern matches in FULL
+        (tantivy RegexQuery / Lucene RegexpQuery whole-term semantics).
+        Invalid patterns raise ValueError (tantivy errors too). The scan
+        is a compiled ``re.fullmatch`` over the cached field dictionary;
+        at 10^12-file dictionary scale this becomes a regex automaton
+        intersected with the term FST — same ``expand`` signature."""
+        import re
+
+        try:
+            rx = re.compile(pattern)
+        except re.error as e:
+            raise ValueError(f"bad regex /{pattern}/: {e}") from None
+        terms = self._field_dictionary(field)
+        return [str(t) for t in terms if rx.fullmatch(str(t))]
+
+    def expand_regexes(self, specs: list[tuple]) -> list[list[str]]:
+        """Batch form for the engine's global cap-enforcement round."""
+        return [self._expand_regex(*s) for s in specs]
+
     def local_dfs(self, keys: list[tuple[int, str]]) -> list[int]:
         """LIVE local df per key (loads + dead-filters the views; they
         stay cached for the scoring round that follows)."""
@@ -1396,12 +1471,15 @@ class LocalIndex:
         if tree is None:
             return np.empty(0, np.uint64), np.empty(0, self.dtype)
         if any(
-            c.prefix or c.fuzzy or c.range_spec is not None
+            c.prefix
+            or c.fuzzy
+            or c.range_spec is not None
+            or c.regex_spec is not None
             for c in collect_clauses(tree)
         ):
             tree = expand_prefix_tree(
                 tree, self._expand_prefix, self._expand_range,
-                self._expand_fuzzy,
+                self._expand_fuzzy, self._expand_regex,
             )
         leaves = collect_clauses(tree)
         keys = dict.fromkeys(
@@ -1656,6 +1734,33 @@ class BM25Engine:
                         f"fuzzy '{t}~{d}' expands to {len(union)} terms "
                         f"(max {MAX_PREFIX_EXPANSIONS})"
                     )
+        # regex clauses: const-score like ranges/fuzzy — validate the
+        # pattern and enforce the GLOBAL cap on the shard-union
+        rx = list(
+            dict.fromkeys(
+                (c.field, c.regex_spec)
+                for c in clauses
+                if c.regex_spec is not None
+            )
+        )
+        if rx:
+            import re as _re
+
+            for _f, pat in rx:  # clean driver-side error, not RayTaskError
+                try:
+                    _re.compile(pat)
+                except _re.error as e:
+                    raise ValueError(f"bad regex /{pat}/: {e}") from None
+            per = ray.get(
+                [s.expand_regexes.remote(rx) for s in self.shards]
+            )
+            for i, (f, pat) in enumerate(rx):
+                union = {x for sh in per for x in sh[i]}
+                if len(union) > MAX_PREFIX_EXPANSIONS:
+                    raise ValueError(
+                        f"regex /{pat}/ expands to {len(union)} terms "
+                        f"(max {MAX_PREFIX_EXPANSIONS})"
+                    )
         if not self._needs_df_round:
             return None
         keys = dict.fromkeys(
@@ -1663,7 +1768,7 @@ class BM25Engine:
             for c in clauses
             # a prefix clause's last term is the prefix (expanded above);
             # its head terms (phrase-prefix) need dfs like any others.
-            # const-score leaves (incl. fuzzy, which REWRITES to
+            # const-score leaves (incl. fuzzy/regex, which REWRITE to
             # const-score) score without statistics — no df needed
             if not c.const_score and not c.fuzzy
             for t in (c.terms[:-1] if c.prefix else c.terms)

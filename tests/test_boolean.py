@@ -537,3 +537,76 @@ def test_fuzzy_expansion_cap_enforced():
             parse_query("term~2"), lambda f, p: [], None,
             lambda f, t, d, tr: big,
         )
+
+
+# ----------------------------------------------- regex term queries /pat/
+
+
+def test_regex_parse_shapes():
+    """Lucene `/pat/` syntax: bare at token boundary (whitespace allowed
+    inside), field-prefixed (stop-char-free), boost suffix, and lenient
+    unclosed pattern."""
+    node = parse_query("/me.*ge/")
+    assert isinstance(node, Clause)
+    assert node.const_score and node.regex_spec == "me.*ge"
+    assert node.terms == []
+    f = parse_query("path:/core[0-9]+/")
+    assert f.field == "path" and f.regex_spec == "core[0-9]+"
+    b = parse_query("/abc/^3")
+    assert b.regex_spec == "abc" and b.boost == 3.0
+    n = parse_query("window /s(k|m)/")
+    assert [(o, getattr(c, "regex_spec", None)) for o, c in n.children] == [
+        (SHOULD, None), (SHOULD, "s(k|m)"),
+    ]
+    u = parse_query("/unclosed")  # lenient: runs to end of query
+    assert u.regex_spec == "unclosed"
+    esc = parse_query(r"/a\/b/")  # escaped slash stays inside the pattern
+    assert esc.regex_spec == r"a\/b"
+
+
+REGEX_QUERIES = [
+    "/merge/",               # exact-term regex
+    "/me.*/ AND window",     # prefix-shaped regex under MUST
+    "window /w.(n|q).*/",    # alternation mix
+    "+/.*dow/ -merge",       # suffix-shaped under MUST with exclusion
+    "/zz[0-9]/",             # digit class
+    "/nomatch_qqzz.*/",      # empty expansion = unmatchable
+]
+
+
+@pytest.mark.parametrize("q", REGEX_QUERIES, ids=[q[:24] for q in REGEX_QUERIES])
+def test_regex_rank_identity(bool_engine, bool_oracle, q):
+    """Engine (shard-local dictionary fullmatch) vs oracle (global
+    dictionary): rank + f32 score identity."""
+    de, se = bool_engine.search_raw(q, 50)
+    do, so = bool_oracle.search_raw(q, 50)
+    assert de.tolist() == do.tolist(), f"{q}: docs differ"
+    assert np.array_equal(se, so), f"{q}: scores differ"
+
+
+def test_regex_is_anchored_and_const_scored(bool_engine):
+    """tantivy RegexQuery matches WHOLE terms: /erge/ must NOT match
+    'merge'; matches score exactly 1.0."""
+    assert bool_engine.search_raw("/erge/", 100)[0].size == 0
+    docs, scores = bool_engine.search_raw("/merge/", 10_000)
+    exact, _ = bool_engine.search_raw("merge", 10_000)
+    assert set(docs.tolist()) == set(exact.tolist())
+    assert np.all(scores == np.float32(1.0))
+
+
+def test_regex_invalid_pattern_raises(bool_engine, bool_oracle):
+    with pytest.raises(ValueError, match="bad regex"):
+        bool_engine.search_raw("/[unclosed/", 5)
+    with pytest.raises(ValueError, match="bad regex"):
+        bool_oracle.search_raw("/[unclosed/", 5)
+
+
+def test_regex_expansion_cap_enforced():
+    from ck_ray.query import MAX_PREFIX_EXPANSIONS, expand_prefix_tree
+
+    big = [f"t{i:05d}" for i in range(MAX_PREFIX_EXPANSIONS + 1)]
+    with pytest.raises(ValueError, match="expands to"):
+        expand_prefix_tree(
+            parse_query("/t.*/"), lambda f, p: [], None, None,
+            lambda f, pat: big,
+        )
