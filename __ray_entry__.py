@@ -667,6 +667,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # regex term query `/pat/` (tantivy RegexQuery): anchored
         # dictionary expansion, const-score membership
         "bm25_regexterm": docsearch.bm25_regexterm,
+        # more-like-this (tantivy MoreLikeThisQuery shape): tf*idf term
+        # selection from input text, then a BM25 disjunction
+        "bm25_more_like_this": docsearch.bm25_more_like_this,
         "bm25_phrase_prefix": docsearch.bm25_phrase_prefix,
         "bm25_phrase": docsearch.bm25_phrase,
         "bm25_phrase_slop": docsearch.bm25_phrase_slop,
@@ -1376,6 +1379,54 @@ scores AS (
          coalesce(b.score, 0)
            + (CASE WHEN z.doc_id IS NOT NULL THEN 1.0 ELSE 0 END) AS score
   FROM bm b FULL OUTER JOIN fuzz z ON b.doc_id = z.doc_id
+),
+topk AS (SELECT doc_id, round(score, 4) AS score FROM scores
+         ORDER BY round(score, 4) DESC, doc_id LIMIT {_BM25_K})
+SELECT doc_id, score FROM topk
+ORDER BY score DESC, doc_id
+""",
+        # more-like-this 'window window merge fast spark' (3-term cut):
+        # SQL replicates the ENGINE'S term selection — tf from the
+        # tokenized literal, df/N from the corpus, rank tf*ln(1+(N-df+
+        # 0.5)/(df+0.5)) desc / term asc, LIMIT 3 — then standard BM25
+        # over the selected terms (sum per doc), rounded cut
+        "bm25_more_like_this": f"""
+WITH {_TOKS},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+qtok AS (
+  SELECT unnest(regexp_split_to_array(
+           lower('window window merge fast spark'), '[^a-z0-9]+')) AS term
+),
+qtf AS (
+  SELECT term, count(*) AS qtf FROM qtok
+  WHERE term <> '' AND length(term) < 40 GROUP BY term
+),
+dfq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks2
+  WHERE term IN (SELECT term FROM qtf) GROUP BY term
+),
+sel AS (
+  SELECT q.term, d.df
+  FROM qtf q JOIN dfq d USING (term) CROSS JOIN stats s
+  ORDER BY q.qtf * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) DESC, q.term
+  LIMIT 3
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - sel.df + 0.5) / (sel.df + 0.5))
+              * ((tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) ) AS score
+  FROM tf
+  JOIN sel USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
 ),
 topk AS (SELECT doc_id, round(score, 4) AS score FROM scores
          ORDER BY round(score, 4) DESC, doc_id LIMIT {_BM25_K})

@@ -196,15 +196,20 @@ def bm25_boolean(
     return bm25_topk(sf_dir, query=query, k=k)
 
 
-def _bm25_rounded_cut(sf_dir: str, query: str, k: int) -> pd.DataFrame:
+def _bm25_rounded_cut(
+    sf_dir: str, query: str, k: int, eng: BM25Engine | None = None
+) -> pd.DataFrame:
     """Top-k with the CUT taken on the 4dp-ROUNDED score (doc_id-asc
     tie-break), so the k boundary is deterministic even when two docs'
     unrounded doubles differ only at the ulp level between the engine's
     ``log1p`` and the oracle's ``ln(1+x)`` (sf0.1 exposed exactly such a
     flip). Overfetches adaptively until the boundary rounded-score group
-    is fully contained, so the rounded cut is exact, never clipped."""
-    idx = documents_index(sf_dir)
-    eng = BM25Engine(idx, num_shards=2, dtype=np.float64)
+    is fully contained, so the rounded cut is exact, never clipped.
+    A caller-provided ``eng`` is used as-is and left open."""
+    caller_owns = eng is not None
+    if eng is None:
+        idx = documents_index(sf_dir)
+        eng = BM25Engine(idx, num_shards=2, dtype=np.float64)
     try:
         fetch = k + 64
         while True:
@@ -216,7 +221,8 @@ def _bm25_rounded_cut(sf_dir: str, query: str, k: int) -> pd.DataFrame:
                 break  # boundary group closed
             fetch *= 4
     finally:
-        eng.close()
+        if not caller_owns:
+            eng.close()
     if len(df) == 0:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                              "score": pd.Series([], dtype="float64")})
@@ -324,6 +330,36 @@ def bm25_regexterm(
     Oracle: BM25(window) + EXISTS(regexp_full_match(term, pat)) — the
     pattern uses only syntax Python re and DuckDB RE2 share."""
     return _bm25_rounded_cut(sf_dir, query, k)
+
+
+def bm25_more_like_this(
+    sf_dir: str,
+    text: str = "window window merge fast spark",
+    k: int = 20,
+    max_query_terms: int = 3,
+) -> pd.DataFrame:
+    """MORE-LIKE-THIS (tantivy/Lucene MoreLikeThisQuery shape): select
+    the input text's top terms by tf * BM25-idf (live global dfs from the
+    shards, term-asc tiebreak, ``max_query_terms`` cut — here 3 of the 4
+    distinct input terms survive, so the cut is actually exercised), then
+    run the selected terms as an ordinary BM25 SHOULD disjunction.
+    Oracle: the SAME selection ranked in SQL over the tokenized literal
+    (tf from the literal, df/N from the corpus), then the standard BM25
+    sum over the selected terms."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2, dtype=np.float64)
+    try:
+        terms = eng.select_like_terms(
+            text, max_query_terms=max_query_terms, min_doc_freq=1
+        )
+        if not terms:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "score": pd.Series([], dtype="float64")}
+            )
+        return _bm25_rounded_cut(sf_dir, " ".join(sorted(terms)), k, eng=eng)
+    finally:
+        eng.close()
 
 
 def bm25_phrase_slop(

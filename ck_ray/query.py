@@ -1920,6 +1920,67 @@ class BM25Engine:
                 )
         return out
 
+    def select_like_terms(
+        self,
+        text: str,
+        max_query_terms: int = 25,
+        min_term_freq: int = 1,
+        min_doc_freq: int = 2,
+    ) -> list[str]:
+        """MORE-LIKE-THIS term selection (the tantivy/Lucene
+        MoreLikeThisQuery shape): tokenize ``text`` with the index
+        analyzer, keep terms with tf >= min_term_freq and LIVE global
+        df >= min_doc_freq, rank by tf * idf(df) (the engine's own BM25
+        idf — deterministic, SQL-replicable) descending with term-asc
+        tiebreak, and return the top ``max_query_terms``. dfs come from
+        the shards' exact live counts (one int-only fan-out), so
+        selection respects deletions/epochs like scoring does."""
+        toks = tokenize_text(text)
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        cand = sorted(t for t, c in tf.items() if c >= min_term_freq)
+        if not cand:
+            return []
+        fid = FIELD_IDS["content"]
+        dfs = self._global_dfs([(fid, t) for t in cand])
+        n_docs = self.manifest["num_docs"]
+        scored = [
+            (float(tf[t]) * float(scoring.idf(df, n_docs, np.float64)), t)
+            for t in cand
+            if (df := dfs[(fid, t)]) >= min_doc_freq
+        ]
+        scored.sort(key=lambda p: (-p[0], p[1]))
+        return [t for _, t in scored[:max_query_terms]]
+
+    def more_like_this(
+        self,
+        text: str,
+        top_k: int | None = None,
+        max_query_terms: int = 25,
+        min_term_freq: int = 1,
+        min_doc_freq: int = 2,
+        with_metadata: bool = True,
+    ):
+        """Find documents similar to ``text``: MLT term selection, then
+        one ordinary BM25 SHOULD-disjunction search over the selected
+        terms — so scoring, pruning, sharding and metadata behave exactly
+        like ``search`` (the rewrite is transparent: the query string IS
+        the selected terms)."""
+        terms = self.select_like_terms(
+            text, max_query_terms, min_term_freq, min_doc_freq
+        )
+        if not terms:
+            import pandas as pd
+
+            meta = list(LocalIndex._META_COLS) if with_metadata else []
+            return pd.DataFrame(
+                columns=["doc_id", "score", "normalized_score", *meta]
+            )
+        return self.search(
+            " ".join(terms), top_k=top_k, with_metadata=with_metadata
+        )
+
     def close(self):
         for rep in (self.replicas or [self.shards]):
             for s in rep:

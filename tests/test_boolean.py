@@ -610,3 +610,58 @@ def test_regex_expansion_cap_enforced():
             parse_query("/t.*/"), lambda f, p: [], None, None,
             lambda f, pat: big,
         )
+
+
+# --------------------------------------------------------- more-like-this
+
+
+def test_mlt_selection_rule(bool_engine, bool_oracle, tiny_corpus):
+    """Term selection = tf * BM25-idf, ranked desc with term-asc
+    tiebreak, min_doc_freq/min_term_freq filters, max_query_terms cut —
+    verified against a hand computation from the corpus."""
+    import collections
+    import math
+
+    from ck_ray.tokenizer import tokenize_text
+
+    text = "merge merge window zzabsentzz the"
+    # hand-compute on the oracle's corpus-global postings
+    tf = collections.Counter(tokenize_text(text))
+    n = tiny_corpus.num_rows
+    scored = []
+    for t, c in tf.items():
+        df = len(bool_oracle.postings[0].get(t, {}))
+        if df >= 1:
+            scored.append((-c * math.log1p((n - df + 0.5) / (df + 0.5)), t))
+    want_all = [t for _, t in sorted(scored)]
+    got = bool_engine.select_like_terms(text, max_query_terms=2,
+                                        min_doc_freq=1)
+    assert got == want_all[:2]
+    # absent term never selected even with min_doc_freq=1
+    assert "zzabsentzz" not in bool_engine.select_like_terms(
+        text, max_query_terms=10, min_doc_freq=1
+    )
+    # min_term_freq=2 keeps only the repeated term
+    only_rep = bool_engine.select_like_terms(
+        text, max_query_terms=10, min_term_freq=2, min_doc_freq=1
+    )
+    assert only_rep == ["merge"]
+
+
+def test_mlt_search_equals_disjunction(bool_engine, bool_oracle):
+    """more_like_this == search over the selected terms (the rewrite is
+    transparent), and matches the oracle on that disjunction."""
+    text = "merge window merge batch"
+    terms = bool_engine.select_like_terms(text, max_query_terms=2,
+                                          min_doc_freq=1)
+    assert len(terms) == 2
+    df = bool_engine.more_like_this(text, top_k=30, max_query_terms=2,
+                                    min_doc_freq=1, with_metadata=False)
+    de, se = bool_oracle.search_raw(" ".join(terms), 30)
+    assert df["doc_id"].tolist() == de.tolist()
+    assert np.array_equal(df["score"].to_numpy(np.float32), se)
+
+
+def test_mlt_empty_and_absent_text(bool_engine):
+    assert bool_engine.more_like_this("", top_k=5).empty
+    assert bool_engine.more_like_this("zz_only_absent_qq", top_k=5).empty
