@@ -670,6 +670,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # more-like-this (tantivy MoreLikeThisQuery shape): tf*idf term
         # selection from input text, then a BM25 disjunction
         "bm25_more_like_this": docsearch.bm25_more_like_this,
+        # facet counts over the FULL match set (tantivy Count +
+        # TermsAggregation collectors), shard-local metadata buckets
+        "bm25_facet_counts": docsearch.bm25_facet_counts,
         "bm25_phrase_prefix": docsearch.bm25_phrase_prefix,
         "bm25_phrase": docsearch.bm25_phrase,
         "bm25_phrase_slop": docsearch.bm25_phrase_slop,
@@ -1384,6 +1387,25 @@ topk AS (SELECT doc_id, round(score, 4) AS score FROM scores
          ORDER BY round(score, 4) DESC, doc_id LIMIT {_BM25_K})
 SELECT doc_id, score FROM topk
 ORDER BY score DESC, doc_id
+""",
+        # facet counts for `merge AND window -batch` by lang: the full
+        # boolean match set (NOT top-k) bucketed by the lang column —
+        # tantivy Count/TermsAggregation collector semantics
+        "bm25_facet_counts": f"""
+WITH {_TOKS},
+terms AS (SELECT DISTINCT doc_id, term FROM toks2
+          WHERE term IN ('merge', 'window', 'batch')),
+m AS (
+  SELECT a.doc_id
+  FROM (SELECT doc_id FROM terms WHERE term = 'merge') a
+  JOIN (SELECT doc_id FROM terms WHERE term = 'window') b USING (doc_id)
+  LEFT JOIN (SELECT doc_id FROM terms WHERE term = 'batch') c USING (doc_id)
+  WHERE c.doc_id IS NULL
+)
+SELECT d.lang AS lang, count(*) AS n_docs
+FROM m JOIN documents d USING (doc_id)
+GROUP BY d.lang
+ORDER BY lang
 """,
         # more-like-this 'window window merge fast spark' (3-term cut):
         # SQL replicates the ENGINE'S term selection — tf from the

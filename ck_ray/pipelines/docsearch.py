@@ -362,6 +362,34 @@ def bm25_more_like_this(
         eng.close()
 
 
+def bm25_facet_counts(
+    sf_dir: str, query: str = "merge AND window -batch",
+    facet_field: str = "lang",
+) -> pd.DataFrame:
+    """FACET counts over the full match set (tantivy Count +
+    TermsAggregation collectors): every matching doc — not the top-k —
+    is counted into its facet bucket from shard-local metadata; shards
+    return O(distinct facet values) integers and the driver sums them
+    (doc partitioning makes the merge exact). Oracle: boolean match in
+    SQL joined to documents, GROUP BY lang."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2)
+    try:
+        total, facets = eng.search_facets(query, facet_field)
+    finally:
+        eng.close()
+    out = pd.DataFrame(
+        {
+            facet_field: pd.Series(sorted(facets), dtype="object"),
+            "n_docs": pd.Series(
+                [facets[v] for v in sorted(facets)], dtype="int64"
+            ),
+        }
+    )
+    assert int(out["n_docs"].sum()) == total  # collector consistency
+    return out
+
+
 def bm25_phrase_slop(
     sf_dir: str, query: str = '"merge window batch"~2', k: int = 20
 ) -> pd.DataFrame:

@@ -1527,6 +1527,46 @@ class LocalIndex:
     ) -> list[tuple[np.ndarray, np.ndarray]]:
         return [self.query_topk(q, k, pruning, df_map) for q in queries]
 
+    def query_facets(
+        self, query: str, facet_field: str = "lang", df_map=None
+    ) -> tuple[int, dict]:
+        """(match count, {facet value -> matching-doc count}) over this
+        shard's FULL match set (tantivy Count / TermsAggregation
+        collectors run over every match, not the top-k, so this always
+        takes the exact TAAT path — MaxScore pruning only helps ranked
+        cuts). Facet values come from the shard-local doc metadata
+        (O(matches) searchsorted), never the corpus."""
+        tree = parse_query(query)
+        if tree is None:
+            return 0, {}
+        if any(
+            c.prefix
+            or c.fuzzy
+            or c.range_spec is not None
+            or c.regex_spec is not None
+            for c in collect_clauses(tree)
+        ):
+            tree = expand_prefix_tree(
+                tree, self._expand_prefix, self._expand_range,
+                self._expand_fuzzy, self._expand_regex,
+            )
+        leaves = collect_clauses(tree)
+        keys = dict.fromkeys(
+            (FIELD_IDS[c.field], t) for c in leaves for t in c.terms
+        )
+        res = self._eval_node(tree, self._rows_for(keys), df_map)
+        if res is None:
+            return 0, {}
+        docs, _ = res
+        if facet_field not in self._meta:
+            raise ValueError(f"no such facet field: {facet_field!r}")
+        pos = np.searchsorted(self._meta_ids, docs)
+        vals = np.asarray(self._meta[facet_field])[pos]
+        uniq, counts = np.unique(vals, return_counts=True)
+        return int(len(docs)), {
+            str(v): int(c) for v, c in zip(uniq, counts)
+        }
+
     def ready(self) -> bool:
         return True
 
@@ -1919,6 +1959,27 @@ class BM25Engine:
                     [ps[qi] for ps in per_shard], k
                 )
         return out
+
+    def search_facets(
+        self, query: str, facet_field: str = "lang"
+    ) -> tuple[int, "dict[str, int]"]:
+        """(total match count, per-facet match counts) across the whole
+        index — the tantivy Count + TermsAggregation collector pair.
+        Doc-partitioned shards make the merge a plain integer sum (every
+        doc is counted by exactly one shard); the facet table that moves
+        is O(distinct facet values), never O(matches)."""
+        self._maybe_reload()
+        df_map = self._df_map_for([query])
+        rep = self._next_replica(query)
+        parts = ray.get(
+            [s.query_facets.remote(query, facet_field, df_map) for s in rep]
+        )
+        total = sum(p[0] for p in parts)
+        facets: dict[str, int] = {}
+        for _, f in parts:
+            for v, c in f.items():
+                facets[v] = facets.get(v, 0) + c
+        return total, facets
 
     def select_like_terms(
         self,

@@ -665,3 +665,58 @@ def test_mlt_search_equals_disjunction(bool_engine, bool_oracle):
 def test_mlt_empty_and_absent_text(bool_engine):
     assert bool_engine.more_like_this("", top_k=5).empty
     assert bool_engine.more_like_this("zz_only_absent_qq", top_k=5).empty
+
+
+# ------------------------------------------------------------ facet counts
+
+
+FACET_QUERIES = [
+    "merge",
+    "merge AND window -batch",
+    "mer* OR window",          # expansion leaf inside a facet query
+    "merge~1",                 # fuzzy leaf
+    "* -merge",                # match-all with exclusion
+    "absent_zzqq",             # empty match set
+]
+
+
+@pytest.mark.parametrize("q", FACET_QUERIES, ids=[q[:24] for q in FACET_QUERIES])
+def test_facet_counts_match_oracle_matchset(
+    bool_engine, bool_oracle, tiny_corpus, q
+):
+    """Total + per-facet counts must equal the oracle's full match set
+    bucketed by the corpus lang column (collector over ALL matches,
+    not top-k)."""
+    import collections
+
+    from ck_ray.ids import doc_id_for
+
+    total, facets = bool_engine.search_facets(q, "lang")
+    docs, _ = bool_oracle.search_raw(q, 10_000_000)
+    assert total == len(docs)
+    lang_of = {
+        doc_id_for(r["repo"], r["path"], r["commit"]): r["lang"]
+        for r in tiny_corpus.to_pylist()
+    }
+    want = collections.Counter(lang_of[int(d)] for d in docs.tolist())
+    assert facets == dict(want)
+    assert sum(facets.values()) == total
+
+
+def test_facet_counts_sum_across_shards(ray_session, tiny_index):
+    """1-shard and 2-shard engines must produce identical facet tables
+    (the merge is a plain per-bucket integer sum)."""
+    e1 = BM25Engine(tiny_index, num_shards=1)
+    e2 = BM25Engine(tiny_index, num_shards=2)
+    try:
+        for q in ("merge", "merge OR window", "*"):
+            assert e1.search_facets(q) == e2.search_facets(q), q
+    finally:
+        e1.close()
+        e2.close()
+
+
+def test_facet_unknown_field_raises(bool_engine):
+    import pytest as _pt
+    with _pt.raises(Exception, match="no such facet field"):
+        bool_engine.search_facets("merge", "nonexistent_col")
