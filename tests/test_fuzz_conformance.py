@@ -40,7 +40,7 @@ def _random_corpus(rng: np.random.RandomState, n_docs: int) -> pa.Table:
 def _random_queries(rng: np.random.RandomState, k: int) -> list[str]:
     out = []
     for _ in range(k):
-        shape = rng.randint(15)
+        shape = rng.randint(16)
         if shape == 0:
             out.append(VOCAB[rng.randint(len(VOCAB))])
         elif shape == 1:
@@ -111,6 +111,25 @@ def _random_queries(rng: np.random.RandomState, k: int) -> list[str]:
                 out.append("*")
             else:
                 out.append(f"* -{VOCAB[int(rng.randint(len(VOCAB)))]}")
+        elif shape == 15:
+            # REGEX term (anchored dictionary expansion, const-score):
+            # prefix/suffix/infix shapes over a vocab word, char class,
+            # or alternation of two words; alone or inside a boolean
+
+            w = VOCAB[int(rng.randint(len(VOCAB)))]
+            style = rng.randint(4)
+            if style == 0:
+                pat = f"{w[: max(1, len(w) // 2)]}.*"
+            elif style == 1:
+                pat = f".*{w[len(w) // 2:]}"
+            elif style == 2:
+                pat = f"{w}|{VOCAB[int(rng.randint(len(VOCAB)))]}"
+            else:
+                pat = "[a-z]q+[0-9]?" if rng.rand() < 0.5 else "zz[0-9]"
+            q = f"/{pat}/"
+            if rng.rand() < 0.4:
+                q = f"{q} AND {VOCAB[int(rng.randint(len(VOCAB)))]}"
+            out.append(q)
         else:
             # FUZZY term (const-score dictionary expansion): sometimes a
             # vocab term, sometimes a mutation of one (typo shape),
