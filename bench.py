@@ -226,6 +226,10 @@ def run_suite() -> dict:
         # round-3 query-language additions: sloppy phrase, dictionary
         # prefix (wide expansion), phrase-prefix (search-as-you-type)
         '"posting segment"~3', "mer*", '"merge wi"*',
+        # fuzzy + regex term queries (whole-dictionary expansion scans —
+        # the expensive const-score shapes) and more-like-this-like
+        # multi-term disjunctions
+        "merg~1", "getUserByld~2", "/mer.*/", "/get[a-z]+byid/",
     ] * 3
     cold = []
     for q in dict.fromkeys(suite):  # first pass: cold posting fetch+decode

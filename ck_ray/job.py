@@ -112,6 +112,7 @@ def _cmd_query(args) -> int:
         queries = ["def", "merge window query", '"build_index_segment"']
     lat: list[float] = []
     results = {}
+    facets = {}
     for _ in range(max(1, args.repeat)):
         for q in queries:
             tq = time.perf_counter()
@@ -126,8 +127,12 @@ def _cmd_query(args) -> int:
                     }
                     for r in df.itertuples(index=False)
                 ]
+    if args.facets:  # full-match-set counts per query (Count+Terms)
+        for q in queries:
+            total, buckets = eng.search_facets(q, args.facets)
+            facets[q] = {"total": total, args.facets: buckets}
     eng.close()
-    _emit({
+    out = {
         "job": "query",
         "index_dir": args.index_dir,
         "n_queries": len(queries),
@@ -135,7 +140,10 @@ def _cmd_query(args) -> int:
         "p50_ms": round(float(np.percentile(lat, 50)), 2),
         "p99_ms": round(float(np.percentile(lat, 99)), 2),
         "results": results,
-    })
+    }
+    if facets:
+        out["facets"] = facets
+    _emit(out)
     return 0
 
 
@@ -241,6 +249,11 @@ def _parser() -> argparse.ArgumentParser:
     q.add_argument("--repeat", type=int, default=1,
                    help="latency sampling: run the suite N times")
     q.add_argument("--suite-file", help="file with one query per line")
+    q.add_argument(
+        "--facets", metavar="FIELD",
+        help="also report full-match-set counts bucketed by this "
+             "metadata field (lang/repo)",
+    )
     q.set_defaults(fn=_cmd_query)
 
     pl = sub.add_parser("pipeline", help="run a queries() pipeline entry")

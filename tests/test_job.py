@@ -54,6 +54,21 @@ def test_query_subcommand(built_index, capsys):
     assert {"doc_id", "score", "path"} <= set(hits[0])
 
 
+def test_query_subcommand_facets(built_index, capsys):
+    """--facets FIELD reports full-match-set counts per query (fuzzy
+    query included — expansion shapes work through the job surface)."""
+    rc = job.main([
+        "query", "--index-dir", built_index, "--top-k", "3",
+        "--facets", "lang", "merge", "mrege~2",
+    ])
+    assert rc == 0
+    q = _last_json(capsys)
+    f = q["facets"]["merge"]
+    assert f["total"] == sum(f["lang"].values()) > 0
+    # fuzzy expansion reaches at least the exact term's match set
+    assert q["facets"]["mrege~2"]["total"] >= f["total"]
+
+
 def test_pipeline_subcommand_writes_parquet(ray_session, tmp_path, capsys):
     out_dir = str(tmp_path / "out")
     rc = job.main([
