@@ -88,6 +88,28 @@ def run_quality(
             marker_hits += int(len(docs) == 1 and int(docs[0]) in rel)
         marker_recall_at_1 = marker_hits / len(marker_qs)
 
+        # --- level 1b: TYPO queries over the same unique markers — the
+        # fuzzy query's reason to exist. A 1-char substitution in the
+        # letter suffix ("marker" -> "markxr") keeps the true marker the
+        # ONLY dictionary term within distance 1 (other markers differ in
+        # digits too), so `typo~1` must retrieve exactly the right doc;
+        # an adjacent transposition ("marker" -> "makrer") is plain
+        # distance 2 and needs `~2`. The exact (unfuzzied) typo query is
+        # the control and must find nothing.
+        typo_exact = typo_f1 = typo_f2 = 0
+        for q in marker_qs:
+            rel = marker_truth[q]
+            sub = q[:-2] + "xr"          # substitution typo
+            tr = q[:-6] + "makrer"       # transposition typo
+            typo_exact += int(len(eng.search_raw(sub, top_k=1)[0]) > 0)
+            d1, _ = eng.search_raw(f"{sub}~1", top_k=1)
+            typo_f1 += int(len(d1) == 1 and int(d1[0]) in rel)
+            d2, _ = eng.search_raw(f"{tr}~2", top_k=1)
+            typo_f2 += int(len(d2) == 1 and int(d2[0]) in rel)
+        typo_exact_r1 = typo_exact / len(marker_qs)
+        typo_fuzzy1_r1 = typo_f1 / len(marker_qs)
+        typo_fuzzy2_r1 = typo_f2 / len(marker_qs)
+
         # --- level 2: identifier queries with multi-doc relevance
         ident_terms = list(SNAKE_IDS[:12])
         truth = _ground_truth_for_terms(table, ident_terms)
@@ -172,6 +194,11 @@ def run_quality(
             "metric": f"retrieval quality (Recall@{k} / MRR), synthetic ground truth",
             "n_files": n_files,
             "marker_recall_at_1": round(marker_recall_at_1, 4),
+            # typo level: exact typo'd queries are the control (0.0 by
+            # construction); fuzzy restores the marker recall
+            "typo_exact_recall_at_1": round(typo_exact_r1, 4),
+            "typo_fuzzy1_recall_at_1": round(typo_fuzzy1_r1, 4),
+            "typo_fuzzy2_recall_at_1": round(typo_fuzzy2_r1, 4),
             f"ident_mean_recall_at_{k}": round(float(np.mean(recalls)), 4),
             "ident_mrr": round(float(np.mean(rranks)), 4),
             "n_ident_queries": len(recalls),
