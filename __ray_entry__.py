@@ -673,6 +673,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # facet counts over the FULL match set (tantivy Count +
         # TermsAggregation collectors), shard-local metadata buckets
         "bm25_facet_counts": docsearch.bm25_facet_counts,
+        # tantivy's ES-compatible aggregation module over the full
+        # match set: numeric fast-field histogram / range / stats,
+        # exact distinct-set cardinality, per-bucket top hits
+        "bm25_agg_histogram": docsearch.bm25_agg_histogram,
+        "bm25_agg_stats": docsearch.bm25_agg_stats,
+        "bm25_agg_range": docsearch.bm25_agg_range,
+        "bm25_cardinality": docsearch.bm25_cardinality,
+        "bm25_top_hits_per_lang": docsearch.bm25_top_hits_per_lang,
         "bm25_phrase_prefix": docsearch.bm25_phrase_prefix,
         "bm25_phrase": docsearch.bm25_phrase,
         "bm25_phrase_slop": docsearch.bm25_phrase_slop,
@@ -1406,6 +1414,104 @@ SELECT d.lang AS lang, count(*) AS n_docs
 FROM m JOIN documents d USING (doc_id)
 GROUP BY d.lang
 ORDER BY lang
+""",
+        # histogram aggregation over the `merge AND window` match set:
+        # n_bytes fast field = strlen(text) bytes, ES floor-key buckets
+        "bm25_agg_histogram": f"""
+WITH {_TOKS},
+terms AS (SELECT DISTINCT doc_id, term FROM toks2
+          WHERE term IN ('merge', 'window')),
+m AS (
+  SELECT a.doc_id
+  FROM (SELECT doc_id FROM terms WHERE term = 'merge') a
+  JOIN (SELECT doc_id FROM terms WHERE term = 'window') b USING (doc_id)
+)
+SELECT CAST((strlen(d.text) // 64) * 64 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM m JOIN documents d USING (doc_id)
+GROUP BY 1
+ORDER BY 1
+""",
+        # stats aggregation of dl_content (analyzer token count) over
+        # the `spark merge` (OR) match set; avg = one double divide of
+        # exact ints, identical on both sides
+        "bm25_agg_stats": f"""
+WITH {_TOKS},
+m AS (SELECT DISTINCT doc_id FROM toks2 WHERE term IN ('spark', 'merge')),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+j AS (SELECT dl.dl AS dl FROM m JOIN dl USING (doc_id))
+SELECT CAST(count(*) AS BIGINT) AS cnt,
+       CAST(min(dl) AS BIGINT) AS min_v,
+       CAST(max(dl) AS BIGINT) AS max_v,
+       CAST(sum(dl) AS BIGINT) AS sum_v,
+       CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_v
+FROM j
+""",
+        # range aggregation over n_bytes for the `window` match set —
+        # ES [from, to) buckets incl. EMPTY ones (label set is spec-
+        # determined), byte-lexicographic label order both sides
+        "bm25_agg_range": f"""
+WITH {_TOKS},
+m AS (SELECT DISTINCT doc_id FROM toks2 WHERE term = 'window'),
+v AS (SELECT strlen(d.text) AS nb
+      FROM m JOIN documents d USING (doc_id)),
+specs AS (SELECT * FROM (VALUES
+  ('*-200', NULL, 200), ('200-400', 200, 400),
+  ('400-800', 400, 800), ('800-*', 800, NULL)) AS s(bucket, lo, hi))
+SELECT s.bucket AS bucket, CAST(count(v.nb) AS BIGINT) AS n_docs
+FROM specs s LEFT JOIN v
+  ON (s.lo IS NULL OR v.nb >= s.lo) AND (s.hi IS NULL OR v.nb < s.hi)
+GROUP BY s.bucket
+ORDER BY s.bucket
+""",
+        # exact cardinality of lang over the `merge` match set
+        "bm25_cardinality": f"""
+WITH {_TOKS},
+m AS (SELECT DISTINCT doc_id FROM toks2 WHERE term = 'merge')
+SELECT CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(count(DISTINCT d.lang) AS BIGINT) AS n_values
+FROM m JOIN documents d USING (doc_id)
+""",
+        # per-lang top-3 BM25 hits of the `merge window` (OR) match set
+        # (ES terms + top_hits composite): standard in-SQL BM25, ranked
+        # inside each lang partition on the 4dp-rounded score with
+        # doc_id-asc tie-break — the same rounded-cut contract as
+        # bm25_topk
+        "bm25_top_hits_per_lang": f"""
+WITH {_TOKS},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN ('merge', 'window') GROUP BY term
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * ((tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) ) AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+ranked AS (
+  SELECT d.lang AS lang, sc.doc_id AS doc_id,
+         round(sc.score, 4) AS score,
+         row_number() OVER (
+           PARTITION BY d.lang
+           ORDER BY round(sc.score, 4) DESC, sc.doc_id
+         ) AS rn
+  FROM scores sc JOIN documents d USING (doc_id)
+)
+SELECT lang, doc_id, score FROM ranked WHERE rn <= 3
+ORDER BY lang, score DESC, doc_id
 """,
         # more-like-this 'window window merge fast spark' (3-term cut):
         # SQL replicates the ENGINE'S term selection — tf from the

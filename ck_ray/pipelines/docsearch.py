@@ -390,6 +390,163 @@ def bm25_facet_counts(
     return out
 
 
+def bm25_agg_histogram(
+    sf_dir: str, query: str = "merge AND window", interval: int = 64
+) -> pd.DataFrame:
+    """HISTOGRAM aggregation over the full match set (tantivy's
+    ES-compatible aggregation module): every matching doc's ``n_bytes``
+    fast field buckets into ``floor(v/interval)*interval``; shards
+    return O(buckets) integer counts and the driver sums them. Oracle:
+    boolean match in SQL, ``(octet_length(text)//interval)*interval``
+    GROUP BY."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2)
+    try:
+        res = eng.search_aggregate(
+            query,
+            {"kind": "histogram", "field": "n_bytes", "interval": interval},
+        )
+    finally:
+        eng.close()
+    b = res["buckets"]
+    return pd.DataFrame(
+        {
+            "bucket": pd.Series(sorted(b), dtype="int64"),
+            "n_docs": pd.Series([b[k] for k in sorted(b)], dtype="int64"),
+        }
+    )
+
+
+def bm25_agg_stats(
+    sf_dir: str, query: str = "spark merge"
+) -> pd.DataFrame:
+    """STATS aggregation (count/min/max/sum/avg) of the ``dl_content``
+    fast field (analyzer token count per doc) over the full match set.
+    All shard state is exact int64, so the merge has no float drift;
+    avg is ONE IEEE double divide of exact ints at the driver — the SQL
+    oracle performs the identical divide."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2)
+    try:
+        res = eng.search_aggregate(
+            query, {"kind": "stats", "field": "dl_content"}
+        )
+    finally:
+        eng.close()
+    return pd.DataFrame(
+        {
+            "cnt": pd.Series([res["count"]], dtype="int64"),
+            "min_v": pd.Series([res["min"]], dtype="int64"),
+            "max_v": pd.Series([res["max"]], dtype="int64"),
+            "sum_v": pd.Series([res["sum"]], dtype="int64"),
+            "avg_v": pd.Series([res["avg"]], dtype="float64"),
+        }
+    )
+
+
+def bm25_agg_range(
+    sf_dir: str, query: str = "window", edges: tuple = (200, 400, 800)
+) -> pd.DataFrame:
+    """RANGE aggregation over ``n_bytes`` (ES semantics: bucket i covers
+    ``[edges[i-1], edges[i])``, open-ended ends labeled ``*``). Empty
+    ranges are reported with count 0 — the label set is determined by
+    the spec, not the data (ES contract)."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2)
+    try:
+        res = eng.search_aggregate(
+            query,
+            {"kind": "range", "field": "n_bytes", "edges": list(edges)},
+        )
+    finally:
+        eng.close()
+    bounds = ["*", *map(str, edges), "*"]
+    labels = [f"{bounds[i]}-{bounds[i + 1]}" for i in range(len(edges) + 1)]
+    out = pd.DataFrame(
+        {
+            "bucket": pd.Series(labels, dtype="object"),
+            "n_docs": pd.Series(
+                [res["ranges"].get(l, 0) for l in labels], dtype="int64"
+            ),
+        }
+    )
+    # byte-lexicographic label order, matching the SQL oracle's ORDER BY
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+def bm25_cardinality(
+    sf_dir: str, query: str = "merge", field: str = "lang"
+) -> pd.DataFrame:
+    """CARDINALITY aggregation: exact distinct count of a facet field
+    over the full match set. Shards return their distinct-value SETS
+    (bounded by field cardinality, never by matches) and the driver
+    unions — exact where ES would sketch (HyperLogLog is the scale path
+    for unbounded-cardinality fields; this engine already ships one in
+    ``approx_distinct_terms``)."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2)
+    try:
+        res = eng.search_aggregate(
+            query, {"kind": "cardinality", "field": field}
+        )
+    finally:
+        eng.close()
+    return pd.DataFrame(
+        {
+            "n_matches": pd.Series([res["matches"]], dtype="int64"),
+            "n_values": pd.Series([res["cardinality"]], dtype="int64"),
+        }
+    )
+
+
+def bm25_top_hits_per_lang(
+    sf_dir: str, query: str = "merge window", k: int = 3
+) -> pd.DataFrame:
+    """Per-facet-bucket top-k (the ES ``terms`` + ``top_hits``
+    composite): top-k BM25 hits within every ``lang`` bucket of the
+    full match set. Production path: shards return per-bucket local
+    top-k, driver merges O(shards * buckets * k) rows. For the oracle
+    the cut must be taken on the 4dp-ROUNDED score with original-doc-id
+    tie-break (same reasoning as ``_bm25_rounded_cut``), so this entry
+    grows the per-bucket fetch until every bucket is fully drained
+    (merged count < fetch means every shard exhausted the bucket), then
+    re-sorts and cuts exactly."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2, dtype=np.float64)
+    try:
+        fetch = k + 64
+        while True:
+            hits = eng.search_top_hits(query, "lang", top_k=fetch)
+            if all(len(c[0]) < fetch for c in hits.values()):
+                break
+            fetch *= 4
+    finally:
+        eng.close()
+    frames = []
+    for lang in sorted(hits):
+        _, scores, paths = hits[lang]
+        b = pd.DataFrame(
+            {
+                "lang": pd.Series([lang] * len(paths), dtype="object"),
+                "doc_id": paths.astype("int64"),
+                "score": round_half_away(scores, 4),
+            }
+        )
+        b = b.sort_values(
+            ["score", "doc_id"], ascending=[False, True]
+        ).head(k)
+        frames.append(b)
+    if not frames:
+        return pd.DataFrame(
+            {
+                "lang": pd.Series([], dtype="object"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "score": pd.Series([], dtype="float64"),
+            }
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
 def bm25_phrase_slop(
     sf_dir: str, query: str = '"merge window batch"~2', k: int = 20
 ) -> pd.DataFrame:

@@ -936,6 +936,12 @@ class LocalIndex:
         return dead
 
     _META_COLS = ("repo", "path", "lang", "content_sha256", "preview")
+    # Numeric FAST FIELDS (tantivy's columnar per-doc values): emitted by
+    # the build into the serving docs projection, used by the aggregation
+    # collectors (histogram/range/stats). Docs from epochs that predate a
+    # field load as null and are skipped by aggregations (tantivy
+    # missing-fast-field semantics).
+    _META_NUM_COLS = ("n_bytes", "dl_content")
 
     def _load_meta(self) -> None:
         """Live doc metadata of this shard's buckets, sorted by doc_id —
@@ -943,6 +949,7 @@ class LocalIndex:
         Columns absent from an epoch's layout (e.g. ``preview`` on an
         index built before the stored-snippet field) load as nulls."""
         id_parts, tabs = [], []
+        all_cols = (*self._META_COLS, *self._META_NUM_COLS)
         for ei, e in enumerate(self.epochs):
             droot = os.path.join(self.index_dir, e, "serving", "docs")
             epoch_tabs = []
@@ -953,14 +960,19 @@ class LocalIndex:
                     have = set(dset.schema.names)
                     t = dset.to_table(
                         columns=["doc_id",
-                                 *[c for c in self._META_COLS if c in have]]
+                                 *[c for c in all_cols if c in have]]
                     )
                     for c in self._META_COLS:
                         if c not in t.column_names:
                             t = t.append_column(
                                 c, pa.nulls(t.num_rows, pa.string())
                             )
-                    epoch_tabs.append(t.select(["doc_id", *self._META_COLS]))
+                    for c in self._META_NUM_COLS:
+                        if c not in t.column_names:
+                            t = t.append_column(
+                                c, pa.nulls(t.num_rows, pa.int64())
+                            )
+                    epoch_tabs.append(t.select(["doc_id", *all_cols]))
             if not epoch_tabs:
                 continue
             t = pa.concat_tables(epoch_tabs)
@@ -982,9 +994,26 @@ class LocalIndex:
                 c: t[c].to_numpy(zero_copy_only=False)[order]
                 for c in self._META_COLS
             }
+            self._meta_num, self._meta_num_ok = {}, {}
+            for c in self._META_NUM_COLS:
+                col = t[c]
+                self._meta_num[c] = (
+                    pc.fill_null(col, -1)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)[order]
+                )
+                self._meta_num_ok[c] = (
+                    pc.is_valid(col).to_numpy(zero_copy_only=False)[order]
+                )
         else:
             self._meta_ids = np.empty(0, np.uint64)
             self._meta = {c: np.empty(0, object) for c in self._META_COLS}
+            self._meta_num = {
+                c: np.empty(0, np.int64) for c in self._META_NUM_COLS
+            }
+            self._meta_num_ok = {
+                c: np.empty(0, bool) for c in self._META_NUM_COLS
+            }
 
     # -------------------------------------------------------------- lookup
 
@@ -1527,18 +1556,15 @@ class LocalIndex:
     ) -> list[tuple[np.ndarray, np.ndarray]]:
         return [self.query_topk(q, k, pruning, df_map) for q in queries]
 
-    def query_facets(
-        self, query: str, facet_field: str = "lang", df_map=None
-    ) -> tuple[int, dict]:
-        """(match count, {facet value -> matching-doc count}) over this
-        shard's FULL match set (tantivy Count / TermsAggregation
-        collectors run over every match, not the top-k, so this always
-        takes the exact TAAT path — MaxScore pruning only helps ranked
-        cuts). Facet values come from the shard-local doc metadata
-        (O(matches) searchsorted), never the corpus."""
+    def _match_set(self, query: str, df_map=None):
+        """(doc_ids, scores) of this shard's FULL match set. Collectors
+        that visit every match (Count / TermsAggregation / numeric
+        aggregations / per-bucket top hits) share this path; it is
+        always the exact TAAT evaluation — MaxScore pruning only helps
+        ranked cuts, never full-set collection."""
         tree = parse_query(query)
         if tree is None:
-            return 0, {}
+            return np.empty(0, np.uint64), np.empty(0, self.dtype)
         if any(
             c.prefix
             or c.fuzzy
@@ -1556,16 +1582,118 @@ class LocalIndex:
         )
         res = self._eval_node(tree, self._rows_for(keys), df_map)
         if res is None:
-            return 0, {}
-        docs, _ = res
+            return np.empty(0, np.uint64), np.empty(0, self.dtype)
+        return res
+
+    def _facet_values(self, docs: np.ndarray, facet_field: str):
+        """Facet value per matched doc from shard-local metadata
+        (O(matches) searchsorted), never the corpus."""
         if facet_field not in self._meta:
             raise ValueError(f"no such facet field: {facet_field!r}")
         pos = np.searchsorted(self._meta_ids, docs)
-        vals = np.asarray(self._meta[facet_field])[pos]
+        return np.asarray(self._meta[facet_field])[pos]
+
+    def query_facets(
+        self, query: str, facet_field: str = "lang", df_map=None
+    ) -> tuple[int, dict]:
+        """(match count, {facet value -> matching-doc count}) over this
+        shard's FULL match set (tantivy Count / TermsAggregation
+        collector pair)."""
+        docs, _ = self._match_set(query, df_map)
+        if not len(docs):
+            # still validate the field so bad names fail loudly
+            self._facet_values(docs, facet_field)
+            return 0, {}
+        vals = self._facet_values(docs, facet_field)
         uniq, counts = np.unique(vals, return_counts=True)
         return int(len(docs)), {
             str(v): int(c) for v, c in zip(uniq, counts)
         }
+
+    def query_aggregate(self, query: str, spec: dict, df_map=None) -> dict:
+        """Shard-local tantivy-style numeric AGGREGATION over the FULL
+        match set (tantivy's ES-compatible aggregation module:
+        ``histogram`` / ``range`` / ``stats`` / ``cardinality``).
+        Values come from the shard's numeric fast-field columns
+        (``_META_NUM_COLS``); matched docs whose epoch predates the
+        field are skipped (tantivy missing-fast-field semantics). Only
+        O(buckets) / O(distinct values) integer state returns to the
+        driver — sums are exact int64, so the cross-shard merge is
+        associative with no float drift."""
+        docs, _ = self._match_set(query, df_map)
+        kind = spec["kind"]
+        if kind == "cardinality":
+            vals = self._facet_values(docs, spec["field"])
+            return {
+                "matches": int(len(docs)),
+                "values": sorted(str(v) for v in np.unique(vals)),
+            }
+        field = spec["field"]
+        if field not in self._meta_num:
+            raise ValueError(f"no such numeric fast field: {field!r}")
+        if len(docs):
+            pos = np.searchsorted(self._meta_ids, docs)
+            ok = self._meta_num_ok[field][pos]
+            v = self._meta_num[field][pos][ok]
+        else:
+            v = np.empty(0, np.int64)
+        if kind == "stats":
+            return {
+                "count": int(len(v)),
+                "min": int(v.min()) if len(v) else None,
+                "max": int(v.max()) if len(v) else None,
+                "sum": int(v.sum()),
+            }
+        if kind == "histogram":
+            interval = int(spec["interval"])
+            if interval <= 0:
+                raise ValueError("histogram interval must be positive")
+            keys = (v // interval) * interval  # floor division: ES keys
+            uk, cnt = np.unique(keys, return_counts=True)
+            return {
+                "buckets": {int(kk): int(cc) for kk, cc in zip(uk, cnt)}
+            }
+        if kind == "range":
+            edges = [int(e) for e in spec["edges"]]
+            if edges != sorted(edges) or len(set(edges)) != len(edges):
+                raise ValueError("range edges must be strictly increasing")
+            # ES range semantics: bucket i = [edges[i-1], edges[i])
+            idx = np.searchsorted(np.asarray(edges, np.int64), v, "right")
+            cnt = np.bincount(idx, minlength=len(edges) + 1)
+            bounds = ["*", *map(str, edges), "*"]
+            return {
+                "ranges": {
+                    f"{bounds[i]}-{bounds[i + 1]}": int(cnt[i])
+                    for i in range(len(edges) + 1)
+                }
+            }
+        raise ValueError(f"unknown aggregation kind: {kind!r}")
+
+    def query_bucket_topk(
+        self, query: str, facet_field: str, k: int, df_map=None
+    ) -> dict:
+        """Per-facet-bucket top-k (the ES ``terms`` + ``top_hits``
+        composite): every match is scored exactly (TAAT), bucketed by
+        its shard-local facet value, and each bucket keeps its local
+        top-k by (score desc, doc_id asc). O(distinct values * k) rows
+        return to the driver. The per-value loop is over the facet's
+        distinct values (small by facet contract — lang, repo), never
+        over matches."""
+        docs, acc = self._match_set(query, df_map)
+        if not len(docs):
+            self._facet_values(docs, facet_field)
+            return {}
+        vals = self._facet_values(docs, facet_field)
+        pos = np.searchsorted(self._meta_ids, docs)
+        paths = np.asarray(self._meta["path"])[pos]
+        order = np.lexsort((docs, -acc.astype(np.float64)))
+        docs, acc = docs[order], acc[order]
+        vals, paths = vals[order], paths[order]
+        out = {}
+        for u in np.unique(vals):
+            m = vals == u
+            out[str(u)] = (docs[m][:k], acc[m][:k], paths[m][:k])
+        return out
 
     def ready(self) -> bool:
         return True
@@ -1980,6 +2108,88 @@ class BM25Engine:
             for v, c in f.items():
                 facets[v] = facets.get(v, 0) + c
         return total, facets
+
+    def search_aggregate(self, query: str, spec: dict) -> dict:
+        """Tantivy-style aggregation over the whole index's match set
+        (the ES-compatible aggregation module: ``histogram`` / ``range``
+        / ``stats`` / ``cardinality``). Doc partitioning makes every
+        merge exact and integer-only: histogram/range counts sum,
+        stats merge as (sum count, min min, max max, sum sum) with avg
+        derived once at the end, cardinality unions the shards'
+        distinct-value sets (bounded by field cardinality, never by
+        matches)."""
+        self._maybe_reload()
+        df_map = self._df_map_for([query])
+        rep = self._next_replica(query)
+        parts = ray.get(
+            [s.query_aggregate.remote(query, spec, df_map) for s in rep]
+        )
+        kind = spec["kind"]
+        if kind == "cardinality":
+            vals = sorted({v for p in parts for v in p["values"]})
+            return {
+                "matches": sum(p["matches"] for p in parts),
+                "cardinality": len(vals),
+                "values": vals,
+            }
+        if kind == "stats":
+            count = sum(p["count"] for p in parts)
+            mins = [p["min"] for p in parts if p["min"] is not None]
+            maxs = [p["max"] for p in parts if p["max"] is not None]
+            total = sum(p["sum"] for p in parts)
+            return {
+                "count": count,
+                "min": min(mins) if mins else None,
+                "max": max(maxs) if maxs else None,
+                "sum": total,
+                # exact-int operands -> one IEEE divide, SQL-replicable
+                "avg": (float(total) / float(count)) if count else None,
+            }
+        if kind == "histogram":
+            buckets: dict[int, int] = {}
+            for p in parts:
+                for kk, cc in p["buckets"].items():
+                    buckets[kk] = buckets.get(kk, 0) + cc
+            return {"buckets": dict(sorted(buckets.items()))}
+        if kind == "range":
+            ranges: dict[str, int] = {}
+            for p in parts:
+                for lab, cc in p["ranges"].items():
+                    ranges[lab] = ranges.get(lab, 0) + cc
+            return {"ranges": ranges}
+        raise ValueError(f"unknown aggregation kind: {kind!r}")
+
+    def search_top_hits(
+        self, query: str, facet_field: str = "lang", top_k: int = 3
+    ) -> dict:
+        """Per-facet-bucket top-k over the full match set (the ES
+        ``terms`` + ``top_hits`` composite): each shard returns its
+        local per-bucket top-k, the driver merges per bucket — traffic
+        is O(shards * distinct values * k). Returns
+        ``{facet: (doc_ids, scores, paths)}`` sorted (score desc,
+        doc_id asc) within each bucket; ``paths`` is the stored ``path``
+        metadata per hit."""
+        self._maybe_reload()
+        df_map = self._df_map_for([query])
+        rep = self._next_replica(query)
+        parts = ray.get(
+            [
+                s.query_bucket_topk.remote(query, facet_field, top_k, df_map)
+                for s in rep
+            ]
+        )
+        merged: dict[str, list] = {}
+        for p in parts:
+            for v, chunk in p.items():
+                merged.setdefault(v, []).append(chunk)
+        out = {}
+        for v, chunks in merged.items():
+            d = np.concatenate([c[0] for c in chunks])
+            s = np.concatenate([c[1] for c in chunks])
+            pth = np.concatenate([c[2] for c in chunks])
+            order = np.lexsort((d, -s.astype(np.float64)))[:top_k]
+            out[v] = (d[order], s[order], pth[order])
+        return out
 
     def select_like_terms(
         self,

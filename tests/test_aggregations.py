@@ -1,0 +1,171 @@
+"""Aggregation collectors over the FULL match set (tantivy's
+ES-compatible aggregation module: histogram / range / stats /
+cardinality, plus the terms+top_hits composite). Ground truth is brute-
+forced on the driver from the corpus table and the engine's own full
+ranked match list — every integer must be exact, scores bit-equal."""
+
+import numpy as np
+import pytest
+
+from ck_ray.query import BM25Engine
+from ck_ray.tokenizer import tokenize_text
+
+BIG = 10**6  # top_k large enough to drain every match
+
+
+@pytest.fixture(scope="module")
+def eng(ray_session, tiny_index):
+    e = BM25Engine(tiny_index, num_shards=3, auto_reload=False)
+    yield e
+    e.close()
+
+
+def _truth(eng, tiny_corpus, query):
+    """Brute-force per-matched-doc (path, lang, n_bytes, dl) from the
+    corpus table, in the engine's ranked order."""
+    df = eng.search(query, top_k=BIG, with_metadata=True)
+    by_path = {
+        p: c
+        for p, c in zip(
+            tiny_corpus["path"].to_pylist(),
+            tiny_corpus["content"].to_pylist(),
+        )
+    }
+    rows = []
+    for p, lang, score in zip(df["path"], df["lang"], df["score"]):
+        c = by_path[p]
+        rows.append(
+            (
+                p,
+                lang,
+                len(c.encode("utf-8")),
+                len(tokenize_text(c)),
+                float(score),
+            )
+        )
+    return rows
+
+
+def test_stats_exact(eng, tiny_corpus):
+    q = "merge stream"
+    rows = _truth(eng, tiny_corpus, q)
+    dls = [r[3] for r in rows]
+    res = eng.search_aggregate(q, {"kind": "stats", "field": "dl_content"})
+    assert res["count"] == len(dls)
+    assert res["min"] == min(dls)
+    assert res["max"] == max(dls)
+    assert res["sum"] == sum(dls)
+    assert res["avg"] == float(sum(dls)) / float(len(dls))
+
+
+def test_histogram_exact_and_consistent(eng, tiny_corpus):
+    q = "merge"
+    rows = _truth(eng, tiny_corpus, q)
+    interval = 64
+    want = {}
+    for r in rows:
+        k = (r[2] // interval) * interval
+        want[k] = want.get(k, 0) + 1
+    res = eng.search_aggregate(
+        q, {"kind": "histogram", "field": "n_bytes", "interval": interval}
+    )
+    assert res["buckets"] == dict(sorted(want.items()))
+    # collector consistency: histogram total == stats count over the
+    # same field/query
+    st = eng.search_aggregate(q, {"kind": "stats", "field": "n_bytes"})
+    assert sum(res["buckets"].values()) == st["count"]
+
+
+def test_range_es_semantics(eng, tiny_corpus):
+    q = "merge"
+    rows = _truth(eng, tiny_corpus, q)
+    edges = [150, 600]
+    res = eng.search_aggregate(
+        q, {"kind": "range", "field": "n_bytes", "edges": edges}
+    )
+    # [from, to) buckets, open ends, EMPTY buckets still present
+    assert list(res["ranges"]) == ["*-150", "150-600", "600-*"]
+    nb = [r[2] for r in rows]
+    assert res["ranges"]["*-150"] == sum(v < 150 for v in nb)
+    assert res["ranges"]["150-600"] == sum(150 <= v < 600 for v in nb)
+    assert res["ranges"]["600-*"] == sum(v >= 600 for v in nb)
+    assert sum(res["ranges"].values()) == len(nb)
+
+
+def test_cardinality_exact_sets(eng, tiny_corpus):
+    q = "stream"
+    rows = _truth(eng, tiny_corpus, q)
+    langs = sorted({r[1] for r in rows})
+    res = eng.search_aggregate(q, {"kind": "cardinality", "field": "lang"})
+    assert res["matches"] == len(rows)
+    assert res["cardinality"] == len(langs)
+    assert res["values"] == langs
+
+
+def test_top_hits_matches_global_ranking(eng, tiny_corpus):
+    """Each lang bucket's top-k must equal the engine's own full ranked
+    list restricted to that lang — same paths, bit-equal scores."""
+    q = "merge stream"
+    k = 4
+    rows = _truth(eng, tiny_corpus, q)
+    hits = eng.search_top_hits(q, "lang", top_k=k)
+    want = {}
+    for p, lang, _, _, score in rows:  # rows already in ranked order
+        want.setdefault(lang, []).append((p, score))
+    assert set(hits) == set(want)
+    for lang, (docs, scores, paths) in hits.items():
+        exp = want[lang][:k]
+        assert list(paths) == [p for p, _ in exp]
+        assert [float(s) for s in scores] == [s for _, s in exp]
+        assert len(docs) == len(exp)
+
+
+def test_empty_match_set(eng):
+    res = eng.search_aggregate(
+        "zzzzunknowntermzzzz", {"kind": "stats", "field": "n_bytes"}
+    )
+    assert res == {"count": 0, "min": None, "max": None, "sum": 0,
+                   "avg": None}
+    res = eng.search_aggregate(
+        "zzzzunknowntermzzzz", {"kind": "histogram", "field": "n_bytes",
+                                "interval": 10}
+    )
+    assert res["buckets"] == {}
+    assert eng.search_top_hits("zzzzunknowntermzzzz", "lang", 3) == {}
+
+
+def test_bad_field_and_spec_raise(eng):
+    with pytest.raises(Exception, match="no such numeric fast field"):
+        eng.search_aggregate("merge", {"kind": "stats", "field": "lang"})
+    with pytest.raises(Exception, match="no such facet field"):
+        eng.search_aggregate(
+            "merge", {"kind": "cardinality", "field": "nope"}
+        )
+    with pytest.raises(Exception, match="interval must be positive"):
+        eng.search_aggregate(
+            "merge", {"kind": "histogram", "field": "n_bytes",
+                      "interval": 0}
+        )
+    with pytest.raises(Exception, match="strictly increasing"):
+        eng.search_aggregate(
+            "merge", {"kind": "range", "field": "n_bytes",
+                      "edges": [5, 5]}
+        )
+    with pytest.raises(Exception, match="unknown aggregation kind"):
+        eng.search_aggregate("merge", {"kind": "percentiles",
+                                       "field": "n_bytes"})
+
+
+def test_aggregate_agrees_with_facets(eng):
+    """Count consistency across independent collector paths: the facet
+    collector's total == cardinality's match count, and per-facet
+    counts bound each bucket's top-hits length."""
+    q = "merge stream"
+    total, facets = eng.search_facets(q, "lang")
+    card = eng.search_aggregate(q, {"kind": "cardinality",
+                                    "field": "lang"})
+    assert card["matches"] == total
+    assert card["cardinality"] == len(facets)
+    hits = eng.search_top_hits(q, "lang", top_k=3)
+    for lang, (docs, _, _) in hits.items():
+        assert len(docs) == min(3, facets[lang])
