@@ -681,6 +681,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_agg_range": docsearch.bm25_agg_range,
         "bm25_cardinality": docsearch.bm25_cardinality,
         "bm25_top_hits_per_lang": docsearch.bm25_top_hits_per_lang,
+        # top-k ordered by a numeric fast field instead of the score
+        # (tantivy TopDocs::order_by_u64_field) — exact-int comparisons
+        "bm25_sort_by_field": docsearch.bm25_sort_by_field,
         "bm25_phrase_prefix": docsearch.bm25_phrase_prefix,
         "bm25_phrase": docsearch.bm25_phrase,
         "bm25_phrase_slop": docsearch.bm25_phrase_slop,
@@ -1512,6 +1515,16 @@ ranked AS (
 )
 SELECT lang, doc_id, score FROM ranked WHERE rn <= 3
 ORDER BY lang, score DESC, doc_id
+""",
+        # top-15 of the `window` match set ordered by the n_bytes fast
+        # field (desc, doc_id-asc ties) — tantivy order_by_u64_field
+        "bm25_sort_by_field": f"""
+WITH {_TOKS},
+m AS (SELECT DISTINCT doc_id FROM toks2 WHERE term = 'window')
+SELECT doc_id, CAST(strlen(d.text) AS BIGINT) AS n_bytes
+FROM m JOIN documents d USING (doc_id)
+ORDER BY n_bytes DESC, doc_id
+LIMIT 15
 """,
         # more-like-this 'window window merge fast spark' (3-term cut):
         # SQL replicates the ENGINE'S term selection — tf from the

@@ -131,6 +131,30 @@ def _cmd_query(args) -> int:
         for q in queries:
             total, buckets = eng.search_facets(q, args.facets)
             facets[q] = {"total": total, args.facets: buckets}
+    aggs = {}
+    if args.agg:  # KIND:FIELD[:ARG] aggregations over the match set
+        spec = _parse_agg_spec(args.agg)
+        for q in queries:
+            aggs[q] = eng.search_aggregate(q, spec)
+    sorts = {}
+    if args.sort_by:  # fast-field ordering (order_by_u64_field)
+        field, _, direction = args.sort_by.partition(":")
+        res_by_q = {
+            q: eng.search_sort_by_field(
+                q, field, top_k=args.top_k,
+                ascending=direction == "asc",
+            )
+            for q in queries
+        }
+        sorts = {
+            q: [
+                {"doc_id": int(d), "path": str(p), field: int(v)}
+                for d, p, v in zip(
+                    r["doc_ids"], r["paths"], r["values"]
+                )
+            ]
+            for q, r in res_by_q.items()
+        }
     eng.close()
     out = {
         "job": "query",
@@ -143,8 +167,37 @@ def _cmd_query(args) -> int:
     }
     if facets:
         out["facets"] = facets
+    if aggs:
+        out["aggregations"] = aggs
+    if sorts:
+        out["sorted_by_field"] = sorts
     _emit(out)
     return 0
+
+
+def _parse_agg_spec(text: str) -> dict:
+    """``KIND:FIELD[:ARG]`` -> search_aggregate spec. Kinds: stats,
+    cardinality (no ARG); histogram (ARG = interval); range (ARG =
+    comma-separated ascending edges)."""
+    parts = text.split(":")
+    kind = parts[0]
+    if kind in ("stats", "cardinality"):
+        if len(parts) != 2:
+            raise SystemExit(f"--agg {kind} takes {kind}:FIELD")
+        return {"kind": kind, "field": parts[1]}
+    if kind == "histogram":
+        if len(parts) != 3:
+            raise SystemExit("--agg histogram takes histogram:FIELD:INTERVAL")
+        return {"kind": kind, "field": parts[1], "interval": int(parts[2])}
+    if kind == "range":
+        if len(parts) != 3:
+            raise SystemExit("--agg range takes range:FIELD:E1,E2,...")
+        return {
+            "kind": kind,
+            "field": parts[1],
+            "edges": [int(e) for e in parts[2].split(",")],
+        }
+    raise SystemExit(f"unknown aggregation kind: {kind!r}")
 
 
 def _cmd_pipeline(args) -> int:
@@ -253,6 +306,18 @@ def _parser() -> argparse.ArgumentParser:
         "--facets", metavar="FIELD",
         help="also report full-match-set counts bucketed by this "
              "metadata field (lang/repo)",
+    )
+    q.add_argument(
+        "--agg", metavar="KIND:FIELD[:ARG]",
+        help="full-match-set aggregation: stats:FIELD, "
+             "cardinality:FIELD, histogram:FIELD:INTERVAL, "
+             "range:FIELD:E1,E2,... (numeric fields: n_bytes, "
+             "dl_content)",
+    )
+    q.add_argument(
+        "--sort-by", metavar="FIELD[:asc]",
+        help="order top-k by a numeric fast field instead of the BM25 "
+             "score (tantivy order_by_u64_field); default desc",
     )
     q.set_defaults(fn=_cmd_query)
 

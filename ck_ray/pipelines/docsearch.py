@@ -547,6 +547,43 @@ def bm25_top_hits_per_lang(
     return pd.concat(frames, ignore_index=True)
 
 
+def bm25_sort_by_field(
+    sf_dir: str, query: str = "window", field: str = "n_bytes",
+    k: int = 15,
+) -> pd.DataFrame:
+    """Top-k of the match set ordered by a numeric FAST FIELD instead
+    of the BM25 score (tantivy ``TopDocs::order_by_u64_field``).
+    Comparisons are exact int64, so unlike the score entries no
+    rounding is involved; the oracle tie-break is the ORIGINAL doc id,
+    so the entry overfetches until the boundary VALUE group is fully
+    contained (strictly closed: last fetched value < k-th value) and
+    re-cuts on (value desc, original id asc) — airtight because values
+    compare exactly."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2)
+    try:
+        fetch = k + 64
+        while True:
+            res = eng.search_sort_by_field(query, field, top_k=fetch)
+            v = res["values"]
+            if len(v) < fetch or int(v[-1]) < int(v[k - 1]):
+                break
+            fetch *= 4
+    finally:
+        eng.close()
+    out = pd.DataFrame(
+        {
+            "doc_id": res["paths"].astype("int64"),
+            "n_bytes": v.astype("int64"),
+        }
+    )
+    return (
+        out.sort_values(["n_bytes", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
 def bm25_phrase_slop(
     sf_dir: str, query: str = '"merge window batch"~2', k: int = 20
 ) -> pd.DataFrame:

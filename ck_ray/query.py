@@ -1669,6 +1669,34 @@ class LocalIndex:
             }
         raise ValueError(f"unknown aggregation kind: {kind!r}")
 
+    def query_topk_by_field(
+        self, query: str, field: str, k: int, ascending: bool = False,
+        df_map=None,
+    ) -> dict:
+        """Top-k of the match set ordered by a NUMERIC FAST FIELD
+        instead of the BM25 score (tantivy ``TopDocs::order_by_u64_field``).
+        Exact-int comparisons, (value, doc_id asc) order; docs missing
+        the field are skipped. Returns this shard's local top-k — the
+        cross-shard merge re-applies the same total order."""
+        docs, _ = self._match_set(query, df_map)
+        if field not in self._meta_num:
+            raise ValueError(f"no such numeric fast field: {field!r}")
+        if len(docs):
+            pos = np.searchsorted(self._meta_ids, docs)
+            ok = self._meta_num_ok[field][pos]
+            docs, pos = docs[ok], pos[ok]
+            vals = self._meta_num[field][pos]
+            paths = np.asarray(self._meta["path"])[pos]
+        else:
+            vals = np.empty(0, np.int64)
+            paths = np.empty(0, object)
+        order = np.lexsort((docs, vals if ascending else -vals))[:k]
+        return {
+            "values": vals[order],
+            "doc_ids": docs[order],
+            "paths": paths[order],
+        }
+
     def query_bucket_topk(
         self, query: str, facet_field: str, k: int, df_map=None
     ) -> dict:
@@ -2158,6 +2186,36 @@ class BM25Engine:
                     ranges[lab] = ranges.get(lab, 0) + cc
             return {"ranges": ranges}
         raise ValueError(f"unknown aggregation kind: {kind!r}")
+
+    def search_sort_by_field(
+        self, query: str, field: str, top_k: int = 100,
+        ascending: bool = False,
+    ) -> dict:
+        """Top-k of the whole index's match set ordered by a numeric
+        fast field (tantivy ``TopDocs::order_by_u64_field``): each shard
+        returns its local top-k by exact-int (value, doc_id asc) order,
+        the driver merges <= shards * k rows under the same total order.
+        Returns ``{"values", "doc_ids", "paths"}`` arrays."""
+        self._maybe_reload()
+        df_map = self._df_map_for([query])
+        rep = self._next_replica(query)
+        parts = ray.get(
+            [
+                s.query_topk_by_field.remote(
+                    query, field, top_k, ascending, df_map
+                )
+                for s in rep
+            ]
+        )
+        vals = np.concatenate([p["values"] for p in parts])
+        docs = np.concatenate([p["doc_ids"] for p in parts])
+        paths = np.concatenate([p["paths"] for p in parts])
+        order = np.lexsort((docs, vals if ascending else -vals))[:top_k]
+        return {
+            "values": vals[order],
+            "doc_ids": docs[order],
+            "paths": paths[order],
+        }
 
     def search_top_hits(
         self, query: str, facet_field: str = "lang", top_k: int = 3

@@ -156,6 +156,32 @@ def test_bad_field_and_spec_raise(eng):
                                        "field": "n_bytes"})
 
 
+def test_sort_by_field_both_directions(eng, tiny_corpus):
+    """order_by_u64_field: top-k by fast-field value must equal the
+    brute-force sort of the full match set; ascending flips exactly."""
+    q = "merge"
+    k = 7
+    rows = _truth(eng, tiny_corpus, q)
+    nb = sorted(((r[2], r[0]) for r in rows))  # (n_bytes, path)
+    res = eng.search_sort_by_field(q, "n_bytes", top_k=k, ascending=True)
+    assert [int(v) for v in res["values"]] == [v for v, _ in nb[:k]]
+    res_d = eng.search_sort_by_field(q, "n_bytes", top_k=k)
+    assert [int(v) for v in res_d["values"]] == [
+        v for v, _ in sorted(nb, key=lambda p: -p[0])[:k]
+    ]
+    assert len(res_d["paths"]) == len(res_d["doc_ids"]) == k
+    with pytest.raises(Exception, match="no such numeric fast field"):
+        eng.search_sort_by_field(q, "lang", top_k=k)
+
+
+def test_sort_by_field_drains_small_match_set(eng, tiny_corpus):
+    q = "merge stream"
+    rows = _truth(eng, tiny_corpus, q)
+    res = eng.search_sort_by_field(q, "n_bytes", top_k=10**6)
+    assert len(res["values"]) == len(rows)
+    assert sorted(res["paths"]) == sorted(r[0] for r in rows)
+
+
 def test_aggregate_agrees_with_facets(eng):
     """Count consistency across independent collector paths: the facet
     collector's total == cardinality's match count, and per-facet

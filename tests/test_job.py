@@ -69,6 +69,33 @@ def test_query_subcommand_facets(built_index, capsys):
     assert q["facets"]["mrege~2"]["total"] >= f["total"]
 
 
+def test_query_subcommand_agg_and_sort(built_index, capsys):
+    """--agg runs a full-match-set aggregation; --sort-by orders top-k
+    by a numeric fast field (desc default, :asc flips)."""
+    rc = job.main([
+        "query", "--index-dir", built_index, "--top-k", "5",
+        "--agg", "stats:dl_content", "--sort-by", "n_bytes", "merge",
+    ])
+    assert rc == 0
+    q = _last_json(capsys)
+    st = q["aggregations"]["merge"]
+    assert st["count"] > 0 and st["sum"] >= st["count"] * st["min"]
+    hits = q["sorted_by_field"]["merge"]
+    vals = [h["n_bytes"] for h in hits]
+    assert vals == sorted(vals, reverse=True) and len(vals) <= 5
+    rc = job.main([
+        "query", "--index-dir", built_index, "--top-k", "5",
+        "--agg", "histogram:n_bytes:256", "--sort-by", "n_bytes:asc",
+        "merge",
+    ])
+    assert rc == 0
+    q = _last_json(capsys)
+    h = q["aggregations"]["merge"]["buckets"]
+    assert sum(h.values()) == st["count"]  # same match set, same total
+    vals = [x["n_bytes"] for x in q["sorted_by_field"]["merge"]]
+    assert vals == sorted(vals)
+
+
 def test_pipeline_subcommand_writes_parquet(ray_session, tmp_path, capsys):
     out_dir = str(tmp_path / "out")
     rc = job.main([
