@@ -679,6 +679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_agg_histogram": docsearch.bm25_agg_histogram,
         "bm25_agg_stats": docsearch.bm25_agg_stats,
         "bm25_agg_range": docsearch.bm25_agg_range,
+        "bm25_agg_percentiles": docsearch.bm25_agg_percentiles,
         "bm25_cardinality": docsearch.bm25_cardinality,
         "bm25_top_hits_per_lang": docsearch.bm25_top_hits_per_lang,
         # top-k ordered by a numeric fast field instead of the score
@@ -1466,6 +1467,23 @@ FROM specs s LEFT JOIN v
   ON (s.lo IS NULL OR v.nb >= s.lo) AND (s.hi IS NULL OR v.nb < s.hi)
 GROUP BY s.bucket
 ORDER BY s.bucket
+""",
+        # exact discrete percentiles of dl_content over the `merge`
+        # match set: value at row_number >= ceil(q * n) — the identical
+        # double multiply + ceil the engine's merged value-count walk
+        # performs
+        "bm25_agg_percentiles": f"""
+WITH {_TOKS},
+m AS (SELECT DISTINCT doc_id FROM toks2 WHERE term = 'merge'),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+vals AS (SELECT dl.dl AS v FROM m JOIN dl USING (doc_id)),
+ranked AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+                  count(*) OVER () AS n FROM vals),
+qs AS (SELECT * FROM (VALUES (0.25), (0.5), (0.75), (0.99)) AS q(q))
+SELECT q.q AS q, CAST(min(r.v) AS BIGINT) AS value
+FROM qs q JOIN ranked r ON r.rn >= greatest(1, ceil(q.q * r.n))
+GROUP BY q.q
+ORDER BY q.q
 """,
         # exact cardinality of lang over the `merge` match set
         "bm25_cardinality": f"""

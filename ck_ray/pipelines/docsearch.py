@@ -474,6 +474,35 @@ def bm25_agg_range(
     return out.sort_values("bucket").reset_index(drop=True)
 
 
+def bm25_agg_percentiles(
+    sf_dir: str, query: str = "merge"
+) -> pd.DataFrame:
+    """PERCENTILES aggregation of ``dl_content`` over the full match
+    set — EXACT where ES/tantivy would sketch: shards ship VALUE ->
+    COUNT maps (O(distinct values), bounded for doc-stat fields), the
+    driver merges and takes the discrete quantile (the ceil(q*n)-th
+    smallest, 1-indexed). The SQL oracle performs the identical double
+    multiply + ceil over a row_number ranking, so ranks are
+    bit-identical."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2)
+    try:
+        res = eng.search_aggregate(
+            query, {"kind": "percentiles", "field": "dl_content"}
+        )
+    finally:
+        eng.close()
+    qs = sorted(res["percentiles"])
+    return pd.DataFrame(
+        {
+            "q": pd.Series(qs, dtype="float64"),
+            "value": pd.Series(
+                [res["percentiles"][q] for q in qs], dtype="int64"
+            ),
+        }
+    )
+
+
 def bm25_cardinality(
     sf_dir: str, query: str = "merge", field: str = "lang"
 ) -> pd.DataFrame:

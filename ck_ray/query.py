@@ -1653,6 +1653,17 @@ class LocalIndex:
             return {
                 "buckets": {int(kk): int(cc) for kk, cc in zip(uk, cnt)}
             }
+        if kind == "percentiles":
+            # exact where ES would sketch: the shard ships its VALUE ->
+            # COUNT map (O(distinct values) — bounded for doc-stat
+            # fields like token counts; a t-digest is the scale path
+            # for unbounded-cardinality fields)
+            uk, cnt = np.unique(v, return_counts=True)
+            return {
+                "value_counts": {
+                    int(kk): int(cc) for kk, cc in zip(uk, cnt)
+                }
+            }
         if kind == "range":
             edges = [int(e) for e in spec["edges"]]
             if edges != sorted(edges) or len(set(edges)) != len(edges):
@@ -2179,6 +2190,28 @@ class BM25Engine:
                 for kk, cc in p["buckets"].items():
                     buckets[kk] = buckets.get(kk, 0) + cc
             return {"buckets": dict(sorted(buckets.items()))}
+        if kind == "percentiles":
+            import math
+
+            vc: dict[int, int] = {}
+            for p in parts:
+                for kk, cc in p["value_counts"].items():
+                    vc[kk] = vc.get(kk, 0) + cc
+            n = sum(vc.values())
+            qs = [float(q) for q in spec.get("qs", (0.25, 0.5, 0.75, 0.99))]
+            out: dict[float, int | None] = {}
+            if n:
+                keys = sorted(vc)
+                cum = np.cumsum([vc[kk] for kk in keys])
+                for q in qs:
+                    # discrete quantile: the ceil(q*n)-th smallest value
+                    # (1-indexed) — the same double multiply + ceil the
+                    # SQL oracle performs, so the rank is bit-identical
+                    rank = max(1, math.ceil(q * n))
+                    out[q] = int(keys[int(np.searchsorted(cum, rank))])
+            else:
+                out = {q: None for q in qs}
+            return {"count": n, "percentiles": out}
         if kind == "range":
             ranges: dict[str, int] = {}
             for p in parts:

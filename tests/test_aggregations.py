@@ -152,8 +152,39 @@ def test_bad_field_and_spec_raise(eng):
                       "edges": [5, 5]}
         )
     with pytest.raises(Exception, match="unknown aggregation kind"):
-        eng.search_aggregate("merge", {"kind": "percentiles",
+        eng.search_aggregate("merge", {"kind": "geo_bounds",
                                        "field": "n_bytes"})
+
+
+def test_percentiles_exact(eng, tiny_corpus):
+    """Discrete quantile = the ceil(q*n)-th smallest value (1-indexed),
+    brute-forced on the sorted match-set values."""
+    import math
+
+    q = "merge"
+    rows = _truth(eng, tiny_corpus, q)
+    dls = sorted(r[3] for r in rows)
+    res = eng.search_aggregate(
+        q, {"kind": "percentiles", "field": "dl_content"}
+    )
+    assert res["count"] == len(dls)
+    for qq, got in res["percentiles"].items():
+        rank = max(1, math.ceil(qq * len(dls)))
+        assert got == dls[rank - 1], qq
+    # custom quantile list, incl. the extremes
+    res = eng.search_aggregate(
+        q,
+        {"kind": "percentiles", "field": "dl_content", "qs": [0.0, 1.0]},
+    )
+    assert res["percentiles"][0.0] == dls[0]  # rank clamps to 1
+    assert res["percentiles"][1.0] == dls[-1]
+    # empty match set -> None quantiles
+    res = eng.search_aggregate(
+        "zzzzunknowntermzzzz",
+        {"kind": "percentiles", "field": "dl_content"},
+    )
+    assert res["count"] == 0
+    assert set(res["percentiles"].values()) == {None}
 
 
 def test_sort_by_field_both_directions(eng, tiny_corpus):
