@@ -258,6 +258,21 @@ def run_suite() -> dict:
     assert len(res) == len(qps_batch)
     timings["bm25_batch"] = round(qps_dt, 3)
     extra["bm25_batch_qps"] = round(len(qps_batch) / qps_dt, 1)
+
+    # ---- full-match-set collectors (aggregation module): these visit
+    # EVERY match (exact TAAT, no pruning), so they cost like the
+    # heaviest latency shapes; one pass over three collector kinds
+    tq0 = time.perf_counter()
+    eng.search_facets("merge", "lang")
+    eng.search_aggregate(
+        "merge", {"kind": "histogram", "field": "n_bytes",
+                  "interval": 256}
+    )
+    eng.search_aggregate(
+        "def", {"kind": "stats", "field": "dl_content"}
+    )
+    eng.search_top_hits("merge window", "lang", top_k=3)
+    timings["bm25_collectors"] = round(time.perf_counter() - tq0, 3)
     eng.close()
 
     # ---- sf-table pipelines
