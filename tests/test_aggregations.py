@@ -213,6 +213,125 @@ def test_sort_by_field_drains_small_match_set(eng, tiny_corpus):
     assert sorted(res["paths"]) == sorted(r[0] for r in rows)
 
 
+@pytest.mark.parametrize("seed", [11, 23])
+def test_collectors_fuzz_vs_match_set(ray_session, tmp_path, seed):
+    """Randomized conformance for the collector family: on a random
+    corpus with random langs, every collector (facets, stats,
+    histogram, range, percentiles, cardinality, top-hits, fast-field
+    sort) must agree with brute force over the engine's own exhaustive
+    match set (search_raw is itself fuzz-proven rank-identical to the
+    independent oracle)."""
+    import math
+
+    import ray.data
+
+    import ck_ray.build as ckb
+    from ck_ray.ids import doc_id_for
+    from test_fuzz_conformance import _random_corpus, _random_queries
+
+    rng = np.random.RandomState(seed)
+    corpus = _random_corpus(rng, int(rng.randint(40, 100)))
+    langs = [
+        ["py", "rs", "go"][j] for j in rng.randint(0, 3, corpus.num_rows)
+    ]
+    import pyarrow as pa
+
+    corpus = corpus.set_column(
+        corpus.schema.get_field_index("lang"), "lang",
+        pa.array(langs, pa.string()),
+    )
+    meta = {}
+    for row in corpus.to_pylist():
+        did = doc_id_for(row["repo"], row["path"], row["commit"])
+        meta[did] = (
+            row["lang"],
+            len(row["content"].encode("utf-8")),
+            len(tokenize_text(row["content"])),
+        )
+    d = str(tmp_path / f"aggidx{seed}")
+    ckb.build_index(
+        ray.data.from_arrow(corpus), d,
+        ckb.IndexConfig(num_parts=2, batch_size=16),
+    )
+    e = BM25Engine(d, num_shards=3)
+    try:
+        for q in _random_queries(rng, 10):
+            docs, scores = e.search_raw(q, BIG, pruning=False)
+            docs = [int(x) for x in docs]
+            m = [meta[x] for x in docs]
+            # facets + cardinality
+            total, facets = e.search_facets(q, "lang")
+            want_f = {}
+            for lang, _, _ in m:
+                want_f[lang] = want_f.get(lang, 0) + 1
+            assert total == len(docs) and facets == want_f, q
+            card = e.search_aggregate(
+                q, {"kind": "cardinality", "field": "lang"}
+            )
+            assert card["cardinality"] == len(want_f), q
+            # stats + histogram + range + percentiles on n_bytes
+            nb = sorted(x[1] for x in m)
+            st = e.search_aggregate(
+                q, {"kind": "stats", "field": "n_bytes"}
+            )
+            assert st["count"] == len(nb) and st["sum"] == sum(nb), q
+            iv = int(rng.choice([7, 64]))
+            h = e.search_aggregate(
+                q, {"kind": "histogram", "field": "n_bytes",
+                    "interval": iv}
+            )
+            want_h = {}
+            for v in nb:
+                want_h[(v // iv) * iv] = want_h.get((v // iv) * iv, 0) + 1
+            assert h["buckets"] == want_h, q
+            edges = sorted(
+                set(int(x) for x in rng.randint(0, 400, 2))
+            ) or [100]
+            r = e.search_aggregate(
+                q, {"kind": "range", "field": "n_bytes", "edges": edges}
+            )
+            assert sum(r["ranges"].values()) == len(nb), q
+            pq = float(rng.choice([0.25, 0.5, 1.0]))
+            p = e.search_aggregate(
+                q, {"kind": "percentiles", "field": "n_bytes",
+                    "qs": [pq]}
+            )
+            if nb:
+                assert p["percentiles"][pq] == nb[
+                    max(1, math.ceil(pq * len(nb))) - 1
+                ], q
+            # top-hits per lang == ranked list filtered per bucket
+            k = int(rng.randint(1, 5))
+            th = e.search_top_hits(q, "lang", top_k=k)
+            want_th = {}
+            for did, s in zip(docs, scores):
+                want_th.setdefault(meta[did][0], []).append(
+                    (did, float(s))
+                )
+            assert set(th) == set(want_th), q
+            for lang, (hd, hs, _) in th.items():
+                exp = want_th[lang][:k]
+                assert [int(x) for x in hd] == [x for x, _ in exp], q
+                assert [float(x) for x in hs] == [x for _, x in exp], q
+            # fast-field sort: (value, doc asc) total order both ways
+            for asc in (True, False):
+                sr = e.search_sort_by_field(
+                    q, "n_bytes", top_k=k, ascending=asc
+                )
+                key = sorted(
+                    ((meta[did][1], did) for did in docs),
+                    key=lambda t: (t[0] if asc else -t[0], t[1]),
+                )[:k]
+                assert [int(v) for v in sr["values"]] == [
+                    v for v, _ in key
+                ], q
+                assert [int(x) for x in sr["doc_ids"]] == [
+                    x for _, x in key
+                ], q
+    finally:
+        e.close()
+
+
 def test_aggregate_agrees_with_facets(eng):
     """Count consistency across independent collector paths: the facet
     collector's total == cardinality's match count, and per-facet
