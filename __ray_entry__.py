@@ -685,6 +685,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # top-k ordered by a numeric fast field instead of the score
         # (tantivy TopDocs::order_by_u64_field) — exact-int comparisons
         "bm25_sort_by_field": docsearch.bm25_sort_by_field,
+        # page 2 of the ranked list (tantivy TopDocs::and_offset):
+        # engine-native offset, rounded page boundaries for the oracle
+        "bm25_paged": docsearch.bm25_paged,
         "bm25_phrase_prefix": docsearch.bm25_phrase_prefix,
         "bm25_phrase": docsearch.bm25_phrase,
         "bm25_phrase_slop": docsearch.bm25_phrase_slop,
@@ -1533,6 +1536,37 @@ ranked AS (
 )
 SELECT lang, doc_id, score FROM ranked WHERE rn <= 3
 ORDER BY lang, score DESC, doc_id
+""",
+        # rows 11-20 of the `merge window` ranked list: LIMIT 10
+        # OFFSET 10 on the 4dp-rounded ordering (deep pagination)
+        "bm25_paged": f"""
+WITH {_TOKS},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN ('merge', 'window') GROUP BY term
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * ((tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) ) AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+page AS (SELECT doc_id, round(score, 4) AS score FROM scores
+         ORDER BY round(score, 4) DESC, doc_id LIMIT 10 OFFSET 10)
+SELECT doc_id, score FROM page
+ORDER BY score DESC, doc_id
 """,
         # top-15 of the `window` match set ordered by the n_bytes fast
         # field (desc, doc_id-asc ties) — tantivy order_by_u64_field

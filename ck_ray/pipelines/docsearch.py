@@ -197,7 +197,8 @@ def bm25_boolean(
 
 
 def _bm25_rounded_cut(
-    sf_dir: str, query: str, k: int, eng: BM25Engine | None = None
+    sf_dir: str, query: str, k: int, eng: BM25Engine | None = None,
+    offset: int = 0,
 ) -> pd.DataFrame:
     """Top-k with the CUT taken on the 4dp-ROUNDED score (doc_id-asc
     tie-break), so the k boundary is deterministic even when two docs'
@@ -205,19 +206,23 @@ def _bm25_rounded_cut(
     ``log1p`` and the oracle's ``ln(1+x)`` (sf0.1 exposed exactly such a
     flip). Overfetches adaptively until the boundary rounded-score group
     is fully contained, so the rounded cut is exact, never clipped.
-    A caller-provided ``eng`` is used as-is and left open."""
+    ``offset`` pages past the first N rounded-rank rows (both
+    boundaries — offset and offset+k — sit inside the closed fetch, so
+    the page slice is deterministic too). A caller-provided ``eng`` is
+    used as-is and left open."""
     caller_owns = eng is not None
     if eng is None:
         idx = documents_index(sf_dir)
         eng = BM25Engine(idx, num_shards=2, dtype=np.float64)
+    cut = offset + k
     try:
-        fetch = k + 64
+        fetch = cut + 64
         while True:
             df = eng.search(query, top_k=fetch, with_metadata=True)
             if len(df) < fetch:
                 break  # every match fetched
             r = round_half_away(df["score"], 4)
-            if float(r[-1]) < float(r[k - 1]):
+            if float(r[-1]) < float(r[cut - 1]):
                 break  # boundary group closed
             fetch *= 4
     finally:
@@ -234,7 +239,7 @@ def _bm25_rounded_cut(
     )
     return (
         out.sort_values(["score", "doc_id"], ascending=[False, True])
-        .head(k)
+        .iloc[offset:cut]
         .reset_index(drop=True)
     )
 
@@ -574,6 +579,30 @@ def bm25_top_hits_per_lang(
             }
         )
     return pd.concat(frames, ignore_index=True)
+
+
+def bm25_paged(
+    sf_dir: str, query: str = "merge window", k: int = 10,
+    offset: int = 10,
+) -> pd.DataFrame:
+    """PAGE 2 of the ranked list (tantivy ``TopDocs::and_offset``, the
+    deep-pagination shape): the engine's ``offset`` parameter fetches
+    offset+k per shard and the driver discards the first offset merged
+    rows — this entry additionally takes both page boundaries on the
+    4dp-rounded score so the SQL ``LIMIT k OFFSET offset`` oracle is
+    deterministic. Sanity: the engine's native offset path must agree
+    with its own page-1 list before the rounded re-cut."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2, dtype=np.float64)
+    try:
+        # native engine offset vs slicing the full list: identical
+        d_all, s_all = eng.search_raw(query, top_k=offset + k)
+        d_off, s_off = eng.search_raw(query, top_k=k, offset=offset)
+        assert list(d_off) == list(d_all[offset:])
+        assert list(s_off) == list(s_all[offset:])
+        return _bm25_rounded_cut(sf_dir, query, k, eng=eng, offset=offset)
+    finally:
+        eng.close()
 
 
 def bm25_sort_by_field(

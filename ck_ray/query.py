@@ -2002,20 +2002,32 @@ class BM25Engine:
         return docs[order], scores[order]
 
     def search_raw(
-        self, query: str, top_k: int | None = None, *, pruning: bool = True
+        self, query: str, top_k: int | None = None, *,
+        pruning: bool = True, offset: int = 0,
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Top-k (doc_ids, raw scores), sorted score desc / doc_id asc."""
+        """Top-k (doc_ids, raw scores), sorted score desc / doc_id asc.
+        ``offset`` skips the first N ranked hits (tantivy
+        ``TopDocs::and_offset``, the deep-pagination shape): each shard
+        returns its top (offset+k) — a shard cannot know how many of
+        another shard's hits outrank its own — and the driver's merge
+        discards the first ``offset`` rows. Traffic stays
+        O(shards * (offset + k)); cursor-style pagination (the MCP
+        session path) is the right tool once offsets grow large."""
         self._maybe_reload()
         k = top_k if top_k is not None else 100
+        if offset < 0:
+            raise ValueError("offset must be >= 0")
+        fetch = k + offset
         df_map = self._df_map_for([query])
         parts = ray.get(
             [
-                s.query_topk.remote(query, k, pruning, df_map)
+                s.query_topk.remote(query, fetch, pruning, df_map)
                 for s in self._next_replica(query)
             ]
         )
         self.last_fanout_rows = int(sum(len(p[0]) for p in parts))
-        return self._merge_topk(parts, k)
+        docs, scores = self._merge_topk(parts, fetch)
+        return docs[offset:], scores[offset:]
 
     def _next_replica(self, query: str | None = None) -> list:
         """Replica routing. Single queries route STICKY by query hash:
@@ -2039,30 +2051,38 @@ class BM25Engine:
         top_k: int | None = None,
         threshold: float | None = None,
         with_metadata: bool = True,
+        offset: int = 0,
     ):
         """Full reference semantics: normalize by max score, then threshold
         (``ck-engine/src/lib.rs:820-844``). Returns a pandas DataFrame.
         Metadata comes back WITH each shard's top-k (doc-range-local
         lookup) — no driver-side doc-table scan. ``with_metadata=False``
         skips the shard-side metadata fetch entirely and returns only
-        doc_id/score/normalized_score."""
+        doc_id/score/normalized_score. ``offset`` pages past the first N
+        ranked hits (see ``search_raw``); normalization still uses the
+        GLOBAL rank-1 score, which the offset+k overfetch always
+        contains, so page 2's normalized scores equal page 1's for the
+        same docs."""
         import pandas as pd
 
         self._maybe_reload()
         k = top_k if top_k is not None else 100
+        if offset < 0:
+            raise ValueError("offset must be >= 0")
+        fetch = k + offset
         df_map = self._df_map_for([query])
         rep = self._next_replica(query)
         if with_metadata:
             parts = ray.get(
                 [
-                    s.query_topk_meta.remote(query, k, True, df_map)
+                    s.query_topk_meta.remote(query, fetch, True, df_map)
                     for s in rep
                 ]
             )
         else:
             raw = ray.get(
                 [
-                    s.query_topk.remote(query, k, True, df_map)
+                    s.query_topk.remote(query, fetch, True, df_map)
                     for s in rep
                 ]
             )
@@ -2074,9 +2094,13 @@ class BM25Engine:
         if len(docs) == 0:
             return pd.DataFrame(columns=out_cols)
         scores = np.concatenate([p["score"] for p in parts])
-        order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
+        order = np.lexsort((docs, -scores.astype(np.float64)))[:fetch]
         docs, scores = docs[order], scores[order]
         max_s = scores[0] if scores[0] > 0 else self.dtype(1.0)
+        order = order[offset:]
+        docs, scores = docs[offset:], scores[offset:]
+        if len(docs) == 0:
+            return pd.DataFrame(columns=out_cols)
         norm = scores / max_s
         cols = {
             "doc_id": docs.astype(np.int64),

@@ -83,3 +83,39 @@ def test_replicas_identical_and_batch_split(ray_session, tiny_index):
     finally:
         rep.close()
         base.close()
+
+
+def test_offset_pagination_matches_full_list(ray_session, tiny_index):
+    """offset=N must equal slicing the full ranked list — raw and
+    DataFrame paths, incl. normalization by the GLOBAL rank-1 score
+    (page 2's normalized scores equal page 1's for the same docs)."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    eng = BM25Engine(tiny_index, num_shards=3, auto_reload=False)
+    q = "merge stream tokenize"
+    try:
+        full_d, full_s = eng.search_raw(q, top_k=200)
+        for off in (0, 3, 7, len(full_d) - 2, len(full_d) + 50):
+            d, s = eng.search_raw(q, top_k=5, offset=off)
+            assert list(d) == list(full_d[off:off + 5]), off
+            assert list(s) == list(full_s[off:off + 5]), off
+        df_all = eng.search(q, top_k=200)
+        df2 = eng.search(q, top_k=5, offset=5)
+        pd.testing.assert_frame_equal(
+            df2, df_all.iloc[5:10].reset_index(drop=True)
+        )
+        assert np.array_equal(
+            df2["normalized_score"].to_numpy(),
+            df_all["normalized_score"].to_numpy()[5:10],
+        )
+        # offset past the match set: empty, stable schema
+        df = eng.search(q, top_k=5, offset=10**6)
+        assert len(df) == 0 and list(df.columns) == list(df_all.columns)
+        with pytest.raises(ValueError):
+            eng.search_raw(q, top_k=5, offset=-1)
+        with pytest.raises(ValueError):
+            eng.search(q, top_k=5, offset=-1)
+    finally:
+        eng.close()
