@@ -1715,9 +1715,11 @@ class LocalIndex:
         composite): every match is scored exactly (TAAT), bucketed by
         its shard-local facet value, and each bucket keeps its local
         top-k by (score desc, doc_id asc). O(distinct values * k) rows
-        return to the driver. The per-value loop is over the facet's
-        distinct values (small by facet contract — lang, repo), never
-        over matches."""
+        return to the driver. Bucketing is one stable argsort over the
+        score-ordered rows + boundary split — O(matches log matches)
+        regardless of facet cardinality (a per-value boolean mask would
+        be O(matches * values), quadratic on high-cardinality facets
+        like repo/path prefixes)."""
         docs, acc = self._match_set(query, df_map)
         if not len(docs):
             self._facet_values(docs, facet_field)
@@ -1728,10 +1730,14 @@ class LocalIndex:
         order = np.lexsort((docs, -acc.astype(np.float64)))
         docs, acc = docs[order], acc[order]
         vals, paths = vals[order], paths[order]
+        # stable sort by value preserves the score order within groups
+        grp = np.argsort(vals, kind="stable")
+        uniq, starts = np.unique(vals[grp], return_index=True)
+        bounds = np.append(starts, len(grp))
         out = {}
-        for u in np.unique(vals):
-            m = vals == u
-            out[str(u)] = (docs[m][:k], acc[m][:k], paths[m][:k])
+        for i, u in enumerate(uniq):
+            sel = grp[bounds[i]:min(bounds[i] + k, bounds[i + 1])]
+            out[str(u)] = (docs[sel], acc[sel], paths[sel])
         return out
 
     def ready(self) -> bool:
