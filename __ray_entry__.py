@@ -680,6 +680,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_agg_stats": docsearch.bm25_agg_stats,
         "bm25_agg_range": docsearch.bm25_agg_range,
         "bm25_agg_percentiles": docsearch.bm25_agg_percentiles,
+        # ES multi-agg request: N aggregations over ONE match-set pass
+        "bm25_multi_agg": docsearch.bm25_multi_agg,
         "bm25_cardinality": docsearch.bm25_cardinality,
         "bm25_top_hits_per_lang": docsearch.bm25_top_hits_per_lang,
         # top-k ordered by a numeric fast field instead of the score
@@ -1487,6 +1489,26 @@ SELECT q.q AS q, CAST(min(r.v) AS BIGINT) AS value
 FROM qs q JOIN ranked r ON r.rn >= greatest(1, ceil(q.q * r.n))
 GROUP BY q.q
 ORDER BY q.q
+""",
+        # one-pass multi-agg: stats of n_bytes AND dl_content over the
+        # `merge window batch` (OR) match set
+        "bm25_multi_agg": f"""
+WITH {_TOKS},
+m AS (SELECT DISTINCT doc_id FROM toks2
+      WHERE term IN ('merge', 'window', 'batch')),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+j AS (SELECT strlen(d.text) AS nb, dl.dl AS dl
+      FROM m JOIN documents d USING (doc_id) JOIN dl USING (doc_id))
+SELECT CAST(count(*) AS BIGINT) AS cnt,
+       CAST(min(nb) AS BIGINT) AS nb_min,
+       CAST(max(nb) AS BIGINT) AS nb_max,
+       CAST(sum(nb) AS BIGINT) AS nb_sum,
+       CAST(sum(nb) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS nb_avg,
+       CAST(min(dl) AS BIGINT) AS dl_min,
+       CAST(max(dl) AS BIGINT) AS dl_max,
+       CAST(sum(dl) AS BIGINT) AS dl_sum,
+       CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dl_avg
+FROM j
 """,
         # exact cardinality of lang over the `merge` match set
         "bm25_cardinality": f"""

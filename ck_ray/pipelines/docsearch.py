@@ -508,6 +508,43 @@ def bm25_agg_percentiles(
     )
 
 
+def bm25_multi_agg(
+    sf_dir: str, query: str = "merge window batch"
+) -> pd.DataFrame:
+    """One-pass MULTI-AGGREGATION (the ES multi-agg request body):
+    stats over BOTH numeric fast fields ride a single match-set
+    evaluation per shard — one fan-out, one TAAT pass, N reductions.
+    The entry also asserts the one-pass results equal the two
+    single-pass calls (collector consistency)."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2)
+    specs = {
+        "nb": {"kind": "stats", "field": "n_bytes"},
+        "dl": {"kind": "stats", "field": "dl_content"},
+    }
+    try:
+        res = eng.search_aggregate_multi(query, specs)
+        for name, spec in specs.items():
+            assert res[name] == eng.search_aggregate(query, spec)
+    finally:
+        eng.close()
+    nb, dl = res["nb"], res["dl"]
+    assert nb["count"] == dl["count"]
+    return pd.DataFrame(
+        {
+            "cnt": pd.Series([nb["count"]], dtype="int64"),
+            "nb_min": pd.Series([nb["min"]], dtype="int64"),
+            "nb_max": pd.Series([nb["max"]], dtype="int64"),
+            "nb_sum": pd.Series([nb["sum"]], dtype="int64"),
+            "nb_avg": pd.Series([nb["avg"]], dtype="float64"),
+            "dl_min": pd.Series([dl["min"]], dtype="int64"),
+            "dl_max": pd.Series([dl["max"]], dtype="int64"),
+            "dl_sum": pd.Series([dl["sum"]], dtype="int64"),
+            "dl_avg": pd.Series([dl["avg"]], dtype="float64"),
+        }
+    )
+
+
 def bm25_cardinality(
     sf_dir: str, query: str = "merge", field: str = "lang"
 ) -> pd.DataFrame:

@@ -1613,14 +1613,27 @@ class LocalIndex:
     def query_aggregate(self, query: str, spec: dict, df_map=None) -> dict:
         """Shard-local tantivy-style numeric AGGREGATION over the FULL
         match set (tantivy's ES-compatible aggregation module:
-        ``histogram`` / ``range`` / ``stats`` / ``cardinality``).
-        Values come from the shard's numeric fast-field columns
-        (``_META_NUM_COLS``); matched docs whose epoch predates the
-        field are skipped (tantivy missing-fast-field semantics). Only
-        O(buckets) / O(distinct values) integer state returns to the
-        driver — sums are exact int64, so the cross-shard merge is
-        associative with no float drift."""
+        ``histogram`` / ``range`` / ``stats`` / ``percentiles`` /
+        ``cardinality``). Values come from the shard's numeric
+        fast-field columns (``_META_NUM_COLS``); matched docs whose
+        epoch predates the field are skipped (tantivy
+        missing-fast-field semantics). Only O(buckets) / O(distinct
+        values) integer state returns to the driver — sums are exact
+        int64, so the cross-shard merge is associative with no float
+        drift."""
         docs, _ = self._match_set(query, df_map)
+        return self._agg_over(docs, spec)
+
+    def query_aggregate_multi(
+        self, query: str, specs: dict, df_map=None
+    ) -> dict:
+        """N named aggregations over ONE match-set evaluation (the ES
+        multi-agg request body): the TAAT pass — the expensive part —
+        runs once, each spec then reduces the same doc array."""
+        docs, _ = self._match_set(query, df_map)
+        return {name: self._agg_over(docs, s) for name, s in specs.items()}
+
+    def _agg_over(self, docs: np.ndarray, spec: dict) -> dict:
         kind = spec["kind"]
         if kind == "cardinality":
             vals = self._facet_values(docs, spec["field"])
@@ -2193,6 +2206,28 @@ class BM25Engine:
         parts = ray.get(
             [s.query_aggregate.remote(query, spec, df_map) for s in rep]
         )
+        return self._merge_agg(spec, parts)
+
+    def search_aggregate_multi(self, query: str, specs: dict) -> dict:
+        """N named aggregations in ONE pass (the ES multi-agg request):
+        every shard evaluates the match set once and reduces it under
+        each spec, so the driver pays one fan-out and the shards one
+        TAAT evaluation regardless of how many aggregations ride it."""
+        self._maybe_reload()
+        df_map = self._df_map_for([query])
+        rep = self._next_replica(query)
+        parts = ray.get(
+            [
+                s.query_aggregate_multi.remote(query, specs, df_map)
+                for s in rep
+            ]
+        )
+        return {
+            name: self._merge_agg(spec, [p[name] for p in parts])
+            for name, spec in specs.items()
+        }
+
+    def _merge_agg(self, spec: dict, parts: list) -> dict:
         kind = spec["kind"]
         if kind == "cardinality":
             vals = sorted({v for p in parts for v in p["values"]})

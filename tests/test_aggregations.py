@@ -332,6 +332,23 @@ def test_collectors_fuzz_vs_match_set(ray_session, tmp_path, seed):
         e.close()
 
 
+def test_multi_agg_equals_single_pass(eng):
+    """One-pass multi-agg must equal N independent single-pass calls —
+    for every aggregation kind, over the same query."""
+    q = "merge stream"
+    specs = {
+        "st": {"kind": "stats", "field": "n_bytes"},
+        "h": {"kind": "histogram", "field": "dl_content", "interval": 32},
+        "r": {"kind": "range", "field": "n_bytes", "edges": [300]},
+        "p": {"kind": "percentiles", "field": "dl_content", "qs": [0.5]},
+        "c": {"kind": "cardinality", "field": "lang"},
+    }
+    multi = eng.search_aggregate_multi(q, specs)
+    assert set(multi) == set(specs)
+    for name, spec in specs.items():
+        assert multi[name] == eng.search_aggregate(q, spec), name
+
+
 def test_aggregate_agrees_with_facets(eng):
     """Count consistency across independent collector paths: the facet
     collector's total == cardinality's match count, and per-facet
