@@ -682,6 +682,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_agg_percentiles": docsearch.bm25_agg_percentiles,
         # ES multi-agg request: N aggregations over ONE match-set pass
         "bm25_multi_agg": docsearch.bm25_multi_agg,
+        # ES sub-aggregation: terms bucket + nested stats per bucket
+        "bm25_facet_stats": docsearch.bm25_facet_stats,
         "bm25_cardinality": docsearch.bm25_cardinality,
         "bm25_top_hits_per_lang": docsearch.bm25_top_hits_per_lang,
         # top-k ordered by a numeric fast field instead of the score
@@ -1489,6 +1491,25 @@ SELECT q.q AS q, CAST(min(r.v) AS BIGINT) AS value
 FROM qs q JOIN ranked r ON r.rn >= greatest(1, ceil(q.q * r.n))
 GROUP BY q.q
 ORDER BY q.q
+""",
+        # sub-aggregation: per-lang stats of dl_content over the
+        # `merge window` (OR) match set — GROUP BY lang
+        "bm25_facet_stats": f"""
+WITH {_TOKS},
+m AS (SELECT DISTINCT doc_id FROM toks2
+      WHERE term IN ('merge', 'window')),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+j AS (SELECT d.lang AS lang, dl.dl AS dl
+      FROM m JOIN documents d USING (doc_id) JOIN dl USING (doc_id))
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(min(dl) AS BIGINT) AS min_v,
+       CAST(max(dl) AS BIGINT) AS max_v,
+       CAST(sum(dl) AS BIGINT) AS sum_v,
+       CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_v
+FROM j
+GROUP BY lang
+ORDER BY lang
 """,
         # one-pass multi-agg: stats of n_bytes AND dl_content over the
         # `merge window batch` (OR) match set

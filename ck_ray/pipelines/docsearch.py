@@ -508,6 +508,43 @@ def bm25_agg_percentiles(
     )
 
 
+def bm25_facet_stats(
+    sf_dir: str, query: str = "merge window",
+    facet_field: str = "lang", value_field: str = "dl_content",
+) -> pd.DataFrame:
+    """SUB-AGGREGATION (ES terms bucket + nested stats): per-lang exact
+    stats of the analyzer token count over the full match set. All
+    cross-shard state is int64; avg is one IEEE divide per bucket,
+    replicated in SQL."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2)
+    try:
+        res = eng.search_facet_stats(query, facet_field, value_field)
+    finally:
+        eng.close()
+    langs = sorted(res)
+    return pd.DataFrame(
+        {
+            facet_field: pd.Series(langs, dtype="object"),
+            "cnt": pd.Series(
+                [res[v]["count"] for v in langs], dtype="int64"
+            ),
+            "min_v": pd.Series(
+                [res[v]["min"] for v in langs], dtype="int64"
+            ),
+            "max_v": pd.Series(
+                [res[v]["max"] for v in langs], dtype="int64"
+            ),
+            "sum_v": pd.Series(
+                [res[v]["sum"] for v in langs], dtype="int64"
+            ),
+            "avg_v": pd.Series(
+                [res[v]["avg"] for v in langs], dtype="float64"
+            ),
+        }
+    )
+
+
 def bm25_multi_agg(
     sf_dir: str, query: str = "merge window batch"
 ) -> pd.DataFrame:

@@ -1721,6 +1721,36 @@ class LocalIndex:
             "paths": paths[order],
         }
 
+    def query_facet_stats(
+        self, query: str, facet_field: str, value_field: str, df_map=None
+    ) -> dict:
+        """SUB-AGGREGATION (ES terms bucket + nested stats): per facet
+        value, exact (count, min, max, sum) of a numeric fast field
+        over this shard's match set. One argsort-split groups the
+        matched values — O(matches log matches) at any facet
+        cardinality; O(distinct values) integer rows return."""
+        docs, _ = self._match_set(query, df_map)
+        if value_field not in self._meta_num:
+            raise ValueError(f"no such numeric fast field: {value_field!r}")
+        vals = self._facet_values(docs, facet_field)
+        if not len(docs):
+            return {}
+        pos = np.searchsorted(self._meta_ids, docs)
+        ok = self._meta_num_ok[value_field][pos]
+        vals = vals[ok]
+        nums = self._meta_num[value_field][pos][ok]
+        grp = np.argsort(vals, kind="stable")
+        uniq, starts = np.unique(vals[grp], return_index=True)
+        bounds = np.append(starts, len(grp))
+        out = {}
+        for i, u in enumerate(uniq):
+            seg = nums[grp[bounds[i]:bounds[i + 1]]]
+            out[str(u)] = (
+                int(len(seg)), int(seg.min()), int(seg.max()),
+                int(seg.sum()),
+            )
+        return out
+
     def query_bucket_topk(
         self, query: str, facet_field: str, k: int, df_map=None
     ) -> dict:
@@ -2313,6 +2343,44 @@ class BM25Engine:
             "values": vals[order],
             "doc_ids": docs[order],
             "paths": paths[order],
+        }
+
+    def search_facet_stats(
+        self, query: str, facet_field: str = "lang",
+        value_field: str = "dl_content",
+    ) -> dict:
+        """Per-facet-bucket stats of a numeric fast field over the full
+        match set (ES terms + nested stats sub-aggregation). Shards
+        return O(distinct values) exact-int rows; the merge is
+        associative (sum count/sum, min min, max max) with avg derived
+        once — no float drift. Returns
+        ``{facet: {count, min, max, sum, avg}}``."""
+        self._maybe_reload()
+        df_map = self._df_map_for([query])
+        rep = self._next_replica(query)
+        parts = ray.get(
+            [
+                s.query_facet_stats.remote(
+                    query, facet_field, value_field, df_map
+                )
+                for s in rep
+            ]
+        )
+        acc: dict[str, list] = {}
+        for p in parts:
+            for v, (c, mn, mx, sm) in p.items():
+                if v in acc:
+                    a = acc[v]
+                    acc[v] = [a[0] + c, min(a[1], mn), max(a[2], mx),
+                              a[3] + sm]
+                else:
+                    acc[v] = [c, mn, mx, sm]
+        return {
+            v: {
+                "count": c, "min": mn, "max": mx, "sum": sm,
+                "avg": float(sm) / float(c),
+            }
+            for v, (c, mn, mx, sm) in acc.items()
         }
 
     def search_top_hits(

@@ -332,6 +332,30 @@ def test_collectors_fuzz_vs_match_set(ray_session, tmp_path, seed):
         e.close()
 
 
+def test_facet_stats_exact(eng, tiny_corpus):
+    """Sub-aggregation (terms + nested stats): per-lang stats must
+    equal brute force over the match set, and be consistent with the
+    flat facet counts."""
+    q = "merge stream"
+    rows = _truth(eng, tiny_corpus, q)
+    want = {}
+    for _, lang, _, dl, _ in rows:
+        want.setdefault(lang, []).append(dl)
+    res = eng.search_facet_stats(q, "lang", "dl_content")
+    assert set(res) == set(want)
+    for lang, dls in want.items():
+        st = res[lang]
+        assert st["count"] == len(dls)
+        assert st["min"] == min(dls) and st["max"] == max(dls)
+        assert st["sum"] == sum(dls)
+        assert st["avg"] == float(sum(dls)) / float(len(dls))
+    _, facets = eng.search_facets(q, "lang")
+    assert {v: s["count"] for v, s in res.items()} == facets
+    with pytest.raises(Exception, match="no such numeric fast field"):
+        eng.search_facet_stats(q, "lang", "repo")
+    assert eng.search_facet_stats("zzzzunknowntermzzzz") == {}
+
+
 def test_multi_agg_equals_single_pass(eng):
     """One-pass multi-agg must equal N independent single-pass calls —
     for every aggregation kind, over the same query."""
