@@ -127,6 +127,13 @@ class CkRayMCP:
         "index_status": "Index statistics (docs, terms, postings, epochs)",
         "reindex": "Incrementally update the index from the corpus",
         "health_check": "Server liveness + component status",
+        # beyond the reference's 7: the aggregation module for agents —
+        # full-match-set counts/buckets without paging result rows
+        "facet_search": "Full-match-set facet counts by a metadata "
+                        "field (tantivy Count+TermsAggregation)",
+        "aggregate": "Full-match-set numeric aggregation: stats / "
+                     "histogram / range / percentiles / cardinality "
+                     "over a fast field (n_bytes, dl_content)",
     }
 
     def list_tools(self) -> list[dict]:
@@ -141,6 +148,11 @@ class CkRayMCP:
                         "page_size": {"type": "integer"},
                         "cursor": {"type": "string"},
                         "top_k": {"type": "integer"},
+                        "field": {"type": "string"},
+                        "kind": {"type": "string"},
+                        "interval": {"type": "integer"},
+                        "edges": {"type": "array"},
+                        "qs": {"type": "array"},
                     },
                 },
             }
@@ -200,6 +212,23 @@ class CkRayMCP:
                 "num_docs": man["num_docs"],
             }
         query = args.get("query", "")
+        if name == "facet_search":
+            total, facets = self._bm25().search_facets(
+                query, args.get("field", "lang")
+            )
+            return {"total": total, "facets": facets}
+        if name == "aggregate":
+            spec = {
+                "kind": args.get("kind", "stats"),
+                "field": args.get("field", "dl_content"),
+            }
+            if "interval" in args:
+                spec["interval"] = int(args["interval"])
+            if "edges" in args:
+                spec["edges"] = [int(e) for e in args["edges"]]
+            if "qs" in args:
+                spec["qs"] = [float(q) for q in args["qs"]]
+            return self._bm25().search_aggregate(query, spec)
         if name == "regex_search":
             from .regex_search import regex_search
 

@@ -44,6 +44,7 @@ def test_initialize_and_tool_list(mcp):
     assert names == {
         "regex_search", "lexical_search", "semantic_search",
         "hybrid_search", "index_status", "reindex", "health_check",
+        "facet_search", "aggregate",
     }
 
 
@@ -72,6 +73,30 @@ def test_lexical_search_tool(mcp):
     out = _call(mcp, "lexical_search", query="uq0000042marker", top_k=5)
     assert out["total_count"] == 1 and len(out["matches"]) == 1
     assert out["next_cursor"] is None
+
+
+def test_facet_and_aggregate_tools(mcp):
+    """The aggregation-module tools: full-match-set facet counts and
+    numeric aggregations, consistent with each other."""
+    f = _call(mcp, "facet_search", query="merge", field="lang")
+    assert f["total"] == sum(f["facets"].values()) > 0
+    st = _call(mcp, "aggregate", query="merge", kind="stats",
+               field="dl_content")
+    assert st["count"] == f["total"]
+    assert st["min"] <= st["max"] and st["sum"] >= st["count"] * st["min"]
+    h = _call(mcp, "aggregate", query="merge", kind="histogram",
+              field="n_bytes", interval=256)
+    assert sum(h["buckets"].values()) == f["total"]
+    r = _call(mcp, "aggregate", query="merge", kind="range",
+              field="n_bytes", edges=[300, 900])
+    assert sum(r["ranges"].values()) == f["total"]
+    p = _call(mcp, "aggregate", query="merge", kind="percentiles",
+              field="dl_content", qs=[0.5])
+    # JSON stringifies the float quantile keys
+    assert st["min"] <= p["percentiles"]["0.5"] <= st["max"]
+    c = _call(mcp, "aggregate", query="merge", kind="cardinality",
+              field="lang")
+    assert c["cardinality"] == len(f["facets"])
 
 
 def test_pagination_walks_all_results(mcp):
