@@ -272,6 +272,9 @@ def run_suite() -> dict:
         "def", {"kind": "stats", "field": "dl_content"}
     )
     eng.search_top_hits("merge window", "lang", top_k=3)
+    # worst-case facet cardinality: path is ~unique per doc, so this
+    # exercises the argsort-split bucketing at O(matches) buckets
+    eng.search_facets("def", "path")
     timings["bm25_collectors"] = round(time.perf_counter() - tq0, 3)
     eng.close()
 
