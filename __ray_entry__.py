@@ -692,6 +692,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # page 2 of the ranked list (tantivy TopDocs::and_offset):
         # engine-native offset, rounded page boundaries for the oracle
         "bm25_paged": docsearch.bm25_paged,
+        # cursor deep pagination (ES search_after): every page costs
+        # O(shards*k) no matter how deep — the scale-correct
+        # alternative to offset paging, verified against it in-entry
+        "bm25_search_after": docsearch.bm25_search_after,
+        # DisjunctionMax ranking (Lucene/ES dis_max, tantivy
+        # DisjunctionMaxQuery): best clause + tie_breaker * the rest
+        "bm25_dismax": docsearch.bm25_dismax,
+        # ES extended_stats: exact big-int moments -> one-divide
+        # variance + IEEE-sqrt std, bit-identical in SQL
+        "bm25_agg_extended_stats": docsearch.bm25_agg_extended_stats,
         "bm25_phrase_prefix": docsearch.bm25_phrase_prefix,
         "bm25_phrase": docsearch.bm25_phrase,
         "bm25_phrase_slop": docsearch.bm25_phrase_slop,
@@ -1610,6 +1620,111 @@ page AS (SELECT doc_id, round(score, 4) AS score FROM scores
          ORDER BY round(score, 4) DESC, doc_id LIMIT 10 OFFSET 10)
 SELECT doc_id, score FROM page
 ORDER BY score DESC, doc_id
+""",
+        # cursor deep pagination (ES search_after): the engine walks 3
+        # pages of 8 with the raw (score, doc_id) cursor and asserts it
+        # reconstructs the offset ranking; the oracle is page 3 =
+        # LIMIT 8 OFFSET 16 of the rounded ordering
+        "bm25_search_after": f"""
+WITH {_TOKS},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN ('merge', 'window') GROUP BY term
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * ((tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) ) AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+page AS (SELECT doc_id, round(score, 4) AS score FROM scores
+         ORDER BY round(score, 4) DESC, doc_id LIMIT 8 OFFSET 16)
+SELECT doc_id, score FROM page
+ORDER BY score DESC, doc_id
+""",
+        # DisjunctionMax (Lucene/ES dis_max, tie_breaker 0.3): clause 1
+        # is the two-term OR `merge window` (sum of term scores —
+        # commutative, so float64-exact vs the engine's TAAT order),
+        # clause 2 the single term `spark`; combine order mirrors the
+        # engine exactly: greatest + tie * ((s1 + s2) - greatest)
+        "bm25_dismax": f"""
+WITH {_TOKS},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN ('merge', 'window', 'spark') GROUP BY term
+),
+bm AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * ((tf.tf * 2.2)
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+c1 AS (SELECT doc_id, sum(score) AS s FROM bm
+       WHERE term IN ('merge', 'window') GROUP BY doc_id),
+c2 AS (SELECT doc_id, score AS s FROM bm WHERE term = 'spark'),
+u AS (
+  SELECT coalesce(c1.doc_id, c2.doc_id) AS doc_id,
+         coalesce(c1.s, 0) AS s1, coalesce(c2.s, 0) AS s2
+  FROM c1 FULL OUTER JOIN c2 ON c1.doc_id = c2.doc_id
+),
+scored AS (
+  SELECT doc_id,
+         greatest(s1, s2) + 0.3 * ((s1 + s2) - greatest(s1, s2)) AS score
+  FROM u
+),
+topk AS (SELECT doc_id, round(score, 4) AS score FROM scored
+         ORDER BY round(score, 4) DESC, doc_id LIMIT 15)
+SELECT doc_id, score FROM topk
+ORDER BY score DESC, doc_id
+""",
+        # ES extended_stats of dl_content over the `merge` match set:
+        # exact integer moments (HUGEINT in SQL, Python big-ints in the
+        # engine), then the IDENTICAL double ops both sides — one
+        # divide for avg, one divide of (n*ssq - sum^2) for variance,
+        # IEEE sqrt for std — so the doubles match bit-for-bit
+        "bm25_agg_extended_stats": f"""
+WITH {_TOKS},
+m AS (SELECT DISTINCT doc_id FROM toks2 WHERE term = 'merge'),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+j AS (SELECT dl.dl AS dl FROM m JOIN dl USING (doc_id)),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS cnt,
+         CAST(min(dl) AS BIGINT) AS min_v,
+         CAST(max(dl) AS BIGINT) AS max_v,
+         CAST(sum(dl) AS BIGINT) AS sum_v,
+         CAST(sum(CAST(dl AS HUGEINT) * dl) AS HUGEINT) AS ssq
+  FROM j
+)
+SELECT cnt, min_v, max_v, sum_v,
+       CAST(ssq AS BIGINT) AS sum_sq,
+       CAST(sum_v AS DOUBLE) / CAST(cnt AS DOUBLE) AS avg_v,
+       CAST(CAST(cnt AS HUGEINT) * ssq
+            - CAST(sum_v AS HUGEINT) * sum_v AS DOUBLE)
+         / (CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE)) AS var_v,
+       sqrt(CAST(CAST(cnt AS HUGEINT) * ssq
+                 - CAST(sum_v AS HUGEINT) * sum_v AS DOUBLE)
+            / (CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE))) AS std_v
+FROM agg
 """,
         # top-15 of the `window` match set ordered by the n_bytes fast
         # field (desc, doc_id-asc ties) — tantivy order_by_u64_field

@@ -679,6 +679,114 @@ def bm25_paged(
         eng.close()
 
 
+def bm25_search_after(
+    sf_dir: str, query: str = "merge window", k: int = 8,
+    pages: int = 3,
+) -> pd.DataFrame:
+    """Cursor deep pagination (ES ``search_after``): walk ``pages``
+    pages of size ``k`` with the raw ``(score, doc_id)`` cursor, assert
+    the walk reconstructs the offset path's ranking exactly (every page
+    costs O(shards * k) — offset paging's fetch grows O(offset + k),
+    which is the scale difference this API exists for), and return the
+    FINAL page under the 4dp-rounded deterministic cut so the SQL
+    ``LIMIT k OFFSET (pages-1)*k`` oracle compares exactly."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2, dtype=np.float64)
+    try:
+        walked_docs: list = []
+        walked_scores: list = []
+        cursor = None
+        for _ in range(pages):
+            d, s = eng.search_after(query, after=cursor, top_k=k)
+            if len(d) == 0:
+                break
+            walked_docs.extend(d.tolist())
+            walked_scores.extend(s.tolist())
+            cursor = (float(s[-1]), int(d[-1]))
+        # the cursor walk must equal one deep fetch, page for page
+        d_all, s_all = eng.search_raw(query, top_k=pages * k)
+        assert walked_docs == d_all[: len(walked_docs)].tolist()
+        assert walked_scores == s_all[: len(walked_scores)].tolist()
+        return _bm25_rounded_cut(
+            sf_dir, query, k, eng=eng, offset=(pages - 1) * k
+        )
+    finally:
+        eng.close()
+
+
+def bm25_dismax(
+    sf_dir: str, clauses: tuple = ("merge window", "spark"),
+    tie: float = 0.3, k: int = 15,
+) -> pd.DataFrame:
+    """DisjunctionMax ranking (Lucene/ES ``dis_max``, tantivy
+    ``DisjunctionMaxQuery``): per doc, ``best + tie * (total - best)``
+    over the clause scores — "best field wins" with a tie-breaker
+    instead of the boolean OR's sum. Engine scoring runs in float64
+    with that exact operation order, so the SQL oracle (per-clause BM25
+    via FULL OUTER JOIN, then ``greatest(s1,s2) + tie*((s1+s2) -
+    greatest(s1,s2))``) reproduces it bit-for-bit before the shared 4dp
+    rounded cut."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2, dtype=np.float64)
+    try:
+        fetch = k + 64
+        while True:
+            res = eng.search_dismax(list(clauses), tie=tie, top_k=fetch)
+            if len(res["doc_ids"]) < fetch:
+                break
+            r = round_half_away(res["scores"], 4)
+            if float(r[-1]) < float(r[k - 1]):
+                break  # rounded boundary group closed
+            fetch *= 4
+    finally:
+        eng.close()
+    out = pd.DataFrame(
+        {
+            "doc_id": res["paths"].astype("int64"),
+            "score": round_half_away(res["scores"], 4),
+        }
+    )
+    return (
+        out.sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def bm25_agg_extended_stats(
+    sf_dir: str, query: str = "merge"
+) -> pd.DataFrame:
+    """EXTENDED_STATS aggregation (the ES shape): count/min/max/sum
+    plus sum_of_squares, population variance and std_deviation of the
+    ``dl_content`` fast field over the full match set. Shards ship
+    exact big-int moments (Python ints — no int64 overflow at any doc
+    count); the driver derives variance as ONE double divide of the
+    exact integer ``n*ssq - sum^2`` (>= 0 by Cauchy-Schwarz) and std as
+    its IEEE sqrt — the SQL oracle performs the identical HUGEINT ->
+    DOUBLE conversion, divide and sqrt, so all three doubles match
+    bit-for-bit."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2)
+    try:
+        res = eng.search_aggregate(
+            query, {"kind": "extended_stats", "field": "dl_content"}
+        )
+    finally:
+        eng.close()
+    return pd.DataFrame(
+        {
+            "cnt": pd.Series([res["count"]], dtype="int64"),
+            "min_v": pd.Series([res["min"]], dtype="int64"),
+            "max_v": pd.Series([res["max"]], dtype="int64"),
+            "sum_v": pd.Series([res["sum"]], dtype="int64"),
+            "sum_sq": pd.Series([res["sum_sq"]], dtype="int64"),
+            "avg_v": pd.Series([res["avg"]], dtype="float64"),
+            "var_v": pd.Series([res["variance"]], dtype="float64"),
+            "std_v": pd.Series([res["std_deviation"]], dtype="float64"),
+        }
+    )
+
+
 def bm25_sort_by_field(
     sf_dir: str, query: str = "window", field: str = "n_bytes",
     k: int = 15,

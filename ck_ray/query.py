@@ -1657,6 +1657,24 @@ class LocalIndex:
                 "max": int(v.max()) if len(v) else None,
                 "sum": int(v.sum()),
             }
+        if kind == "extended_stats":
+            # exact big-int moments via the value->count map: numpy
+            # int64 sum(v^2) overflows long before the doc counts this
+            # engine targets, Python ints never do; the loop is
+            # O(distinct values), not O(matches)
+            uk, cnt = np.unique(v, return_counts=True)
+            ssum = 0
+            ssq = 0
+            for kk, cc in zip(uk.tolist(), cnt.tolist()):
+                ssum += cc * kk
+                ssq += cc * kk * kk
+            return {
+                "count": int(len(v)),
+                "min": int(v.min()) if len(v) else None,
+                "max": int(v.max()) if len(v) else None,
+                "sum": ssum,
+                "sum_sq": ssq,
+            }
         if kind == "histogram":
             interval = int(spec["interval"])
             if interval <= 0:
@@ -1782,6 +1800,73 @@ class LocalIndex:
             sel = grp[bounds[i]:min(bounds[i] + k, bounds[i + 1])]
             out[str(u)] = (docs[sel], acc[sel], paths[sel])
         return out
+
+    def query_dismax(
+        self, queries: list[str], tie: float = 0.0, k: int = 100,
+        df_map=None,
+    ) -> dict:
+        """DisjunctionMax over N sub-queries (Lucene/ES ``dis_max``,
+        tantivy ``DisjunctionMaxQuery``): a doc matching ANY clause
+        scores ``best + tie * (sum_of_other_clauses)`` where ``best``
+        is its highest clause score. Each clause is a full
+        query-language expression evaluated exactly (TAAT) over this
+        shard's match set; the combine runs in float64 with a FIXED
+        operation order — ``best + tie * (total - best)`` — so the SQL
+        oracle can reproduce it bit-for-bit. Returns this shard's local
+        top-k (score desc, doc_id asc) with stored ``path`` metadata."""
+        per = [self._match_set(q, df_map) for q in queries]
+        nonempty = [d for d, _ in per if len(d)]
+        if not nonempty:
+            return {
+                "doc_ids": np.empty(0, np.uint64),
+                "scores": np.empty(0, np.float64),
+                "paths": np.empty(0, object),
+            }
+        all_docs = np.unique(np.concatenate(nonempty))
+        best = np.zeros(len(all_docs), np.float64)
+        total = np.zeros(len(all_docs), np.float64)
+        for docs, acc in per:
+            if not len(docs):
+                continue
+            pos = np.searchsorted(all_docs, docs)
+            s = acc.astype(np.float64)
+            total[pos] += s
+            np.maximum.at(best, pos, s)
+        scores = best + tie * (total - best)
+        order = np.lexsort((all_docs, -scores))[:k]
+        docs, scores = all_docs[order], scores[order]
+        paths = np.full(len(docs), None, dtype=object)
+        if len(docs) and len(self._meta_ids):
+            pos = np.clip(
+                np.searchsorted(self._meta_ids, docs),
+                0, len(self._meta_ids) - 1,
+            )
+            found = self._meta_ids[pos] == docs
+            paths[found] = np.asarray(self._meta["path"])[pos[found]]
+        return {"doc_ids": docs, "scores": scores, "paths": paths}
+
+    def query_topk_after(
+        self, query: str, k: int, after: tuple | None = None,
+        df_map=None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k strictly AFTER the cursor ``(score, doc_id)`` in
+        (score desc, doc_id asc) rank order — the ES ``search_after``
+        deep-pagination shape. Unlike offset paging, per-shard heap and
+        driver traffic stay O(k) regardless of page DEPTH: the cursor
+        itself bounds the page, so page 1000 costs what page 1 does.
+        The filter compares raw float64 scores exactly; the cursor is
+        the previous page's last raw (score, doc_id), produced by this
+        same deterministic evaluation, so equality is bit-identical."""
+        docs, acc = self._match_set(query, df_map)
+        if not len(docs):
+            return np.empty(0, np.uint64), np.empty(0, self.dtype)
+        if after is not None:
+            a_s, a_d = float(after[0]), int(after[1])
+            s64 = acc.astype(np.float64)
+            keep = (s64 < a_s) | ((s64 == a_s) & (docs > a_d))
+            docs, acc = docs[keep], acc[keep]
+        order = np.lexsort((docs, -acc.astype(np.float64)))[:k]
+        return docs[order], acc[order]
 
     def ready(self) -> bool:
         return True
@@ -2078,6 +2163,65 @@ class BM25Engine:
         docs, scores = self._merge_topk(parts, fetch)
         return docs[offset:], scores[offset:]
 
+    def search_after(
+        self, query: str, after: tuple | None = None,
+        top_k: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Cursor pagination (the ES ``search_after`` shape): returns
+        the top-k ranked strictly after the ``(score, doc_id)`` cursor,
+        which is the last row of the previous page. Unlike ``offset``
+        paging — whose per-shard fetch and driver merge grow
+        O(offset + k) with page depth — the cursor bounds the page, so
+        every page costs O(shards * k) traffic no matter how deep. The
+        cursor carries RAW float64 scores: both pages come from the
+        same deterministic shard evaluation, so the strict-after filter
+        compares bit-identical values."""
+        self._maybe_reload()
+        k = top_k if top_k is not None else 100
+        df_map = self._df_map_for([query])
+        rep = self._next_replica(query)
+        parts = ray.get(
+            [
+                s.query_topk_after.remote(query, k, after, df_map)
+                for s in rep
+            ]
+        )
+        self.last_fanout_rows = int(sum(len(p[0]) for p in parts))
+        return self._merge_topk(parts, k)
+
+    def search_dismax(
+        self, queries: list[str], tie: float = 0.0,
+        top_k: int | None = None,
+    ) -> dict:
+        """DisjunctionMax over N sub-queries (Lucene/ES ``dis_max``,
+        tantivy ``DisjunctionMaxQuery``): per doc,
+        ``best_clause_score + tie * (sum_of_other_clause_scores)``.
+        ``tie=0`` is the pure "best field wins" max; ``tie=1`` degrades
+        to the boolean OR's sum (both tested invariants). Doc
+        partitioning keeps every clause score exact and shard-local;
+        the merge is the standard O(shards * k) (score desc, doc_id
+        asc) cut. Returns ``{"doc_ids", "scores", "paths"}``."""
+        self._maybe_reload()
+        k = top_k if top_k is not None else 100
+        qs = list(queries)
+        df_map = self._df_map_for(qs)
+        rep = self._next_replica("\x00".join(qs))
+        parts = ray.get(
+            [s.query_dismax.remote(qs, tie, k, df_map) for s in rep]
+        )
+        self.last_fanout_rows = int(
+            sum(len(p["doc_ids"]) for p in parts)
+        )
+        docs = np.concatenate([p["doc_ids"] for p in parts])
+        scores = np.concatenate([p["scores"] for p in parts])
+        paths = np.concatenate([p["paths"] for p in parts])
+        order = np.lexsort((docs, -scores))[:k]
+        return {
+            "doc_ids": docs[order],
+            "scores": scores[order],
+            "paths": paths[order],
+        }
+
     def _next_replica(self, query: str | None = None) -> list:
         """Replica routing. Single queries route STICKY by query hash:
         a repeated query always lands on the replica whose posting cache
@@ -2278,6 +2422,39 @@ class BM25Engine:
                 "sum": total,
                 # exact-int operands -> one IEEE divide, SQL-replicable
                 "avg": (float(total) / float(count)) if count else None,
+            }
+        if kind == "extended_stats":
+            import math
+
+            count = sum(p["count"] for p in parts)
+            mins = [p["min"] for p in parts if p["min"] is not None]
+            maxs = [p["max"] for p in parts if p["max"] is not None]
+            total = sum(p["sum"] for p in parts)
+            ssq = sum(p["sum_sq"] for p in parts)
+            if count:
+                avg = float(total) / float(count)
+                # population variance from exact integer moments:
+                # n*ssq - sum^2 >= 0 by Cauchy-Schwarz, so the single
+                # float divide can never produce a negative variance
+                # and sqrt is always safe — the SQL oracle performs the
+                # identical HUGEINT->DOUBLE conversion and divide, so
+                # variance and std match bit-for-bit (ES extended_stats
+                # semantics, exact where ES accumulates in doubles)
+                var = float(count * ssq - total * total) / (
+                    float(count) * float(count)
+                )
+                std = math.sqrt(var)
+            else:
+                avg = var = std = None
+            return {
+                "count": count,
+                "min": min(mins) if mins else None,
+                "max": max(maxs) if maxs else None,
+                "sum": total,
+                "sum_sq": ssq,
+                "avg": avg,
+                "variance": var,
+                "std_deviation": std,
             }
         if kind == "histogram":
             buckets: dict[int, int] = {}

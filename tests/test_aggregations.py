@@ -58,6 +58,47 @@ def test_stats_exact(eng, tiny_corpus):
     assert res["avg"] == float(sum(dls)) / float(len(dls))
 
 
+def test_extended_stats_exact(eng, tiny_corpus):
+    """ES extended_stats: exact integer moments, variance as ONE
+    double divide of (n*ssq - sum^2), std as its IEEE sqrt."""
+    import math
+
+    q = "merge stream"
+    rows = _truth(eng, tiny_corpus, q)
+    dls = [r[3] for r in rows]
+    res = eng.search_aggregate(
+        q, {"kind": "extended_stats", "field": "dl_content"}
+    )
+    n = len(dls)
+    ssq = sum(d * d for d in dls)
+    assert res["count"] == n
+    assert res["min"] == min(dls)
+    assert res["max"] == max(dls)
+    assert res["sum"] == sum(dls)
+    assert res["sum_sq"] == ssq
+    assert res["avg"] == float(sum(dls)) / float(n)
+    var = float(n * ssq - sum(dls) * sum(dls)) / (float(n) * float(n))
+    assert res["variance"] == var
+    assert res["std_deviation"] == math.sqrt(var)
+    # shard-count invariance: the big-int merge is associative
+    one = BM25Engine(eng.index_dir, num_shards=1, auto_reload=False)
+    try:
+        assert one.search_aggregate(
+            q, {"kind": "extended_stats", "field": "dl_content"}
+        ) == res
+    finally:
+        one.close()
+
+
+def test_extended_stats_empty_match_set(eng):
+    res = eng.search_aggregate(
+        "zzznosuchterm", {"kind": "extended_stats", "field": "dl_content"}
+    )
+    assert res["count"] == 0 and res["sum"] == 0 and res["sum_sq"] == 0
+    assert res["min"] is None and res["variance"] is None
+    assert res["std_deviation"] is None and res["avg"] is None
+
+
 def test_histogram_exact_and_consistent(eng, tiny_corpus):
     q = "merge"
     rows = _truth(eng, tiny_corpus, q)

@@ -119,3 +119,87 @@ def test_offset_pagination_matches_full_list(ray_session, tiny_index):
             eng.search(q, top_k=5, offset=-1)
     finally:
         eng.close()
+
+
+def test_search_after_cursor_walk(ray_session, tiny_index):
+    """Cursor pagination (ES search_after): walking pages with the raw
+    (score, doc_id) cursor reconstructs the full ranked list exactly,
+    and — the scale point — a DEEP page's shard traffic stays O(k),
+    unlike the offset path whose fetch grows O(offset + k)."""
+    eng = BM25Engine(tiny_index, num_shards=3, auto_reload=False)
+    q = "merge stream tokenize"
+    k = 4
+    try:
+        full_d, full_s = eng.search_raw(q, top_k=200)
+        walked_d, walked_s = [], []
+        cursor = None
+        while True:
+            d, s = eng.search_after(q, after=cursor, top_k=k)
+            # deep pages cost what page 1 costs: <= shards * k rows
+            assert eng.last_fanout_rows <= 3 * k
+            if len(d) == 0:
+                break
+            walked_d.extend(d.tolist())
+            walked_s.extend(s.tolist())
+            cursor = (float(s[-1]), int(d[-1]))
+        assert walked_d == list(full_d)
+        assert walked_s == list(full_s)
+        # after=None is page 1
+        d0, s0 = eng.search_after(q, top_k=k)
+        assert list(d0) == list(full_d[:k])
+        # cursor past the end: empty page, never an error
+        d, s = eng.search_after(q, after=(0.0, 2**63), top_k=k)
+        assert len(d) == 0 and len(s) == 0
+    finally:
+        eng.close()
+
+
+def test_dismax_tie_breaker_invariants(ray_session, tiny_index):
+    """dis_max degenerate cases pin the combine semantics: tie=1 equals
+    the boolean OR's sum over the same clauses; tie=0 equals the
+    per-doc max of the clause scores (brute-forced from the full
+    per-clause match lists)."""
+    import numpy as np
+
+    eng = BM25Engine(tiny_index, num_shards=3, dtype=np.float64,
+                     auto_reload=False)
+    clauses = ["merge stream", "tokenize"]
+    try:
+        per = {}
+        for c in clauses:
+            d, s = eng.search_raw(c, top_k=10**6, pruning=False)
+            per[c] = dict(zip(d.tolist(), s.tolist()))
+        union = sorted(set().union(*[p.keys() for p in per.values()]))
+        best = {d: max(p.get(d, 0.0) for p in per.values()) for d in union}
+        total = {d: sum(p.get(d, 0.0) for p in per.values()) for d in union}
+
+        res0 = eng.search_dismax(clauses, tie=0.0, top_k=10**6)
+        got0 = dict(zip(res0["doc_ids"].tolist(), res0["scores"].tolist()))
+        assert set(got0) == set(union)
+        for d in union:
+            assert got0[d] == best[d], d
+
+        res1 = eng.search_dismax(clauses, tie=1.0, top_k=10**6)
+        got1 = dict(zip(res1["doc_ids"].tolist(), res1["scores"].tolist()))
+        for d in union:
+            # best + 1.0 * (total - best), bit-for-bit
+            assert got1[d] == best[d] + 1.0 * (total[d] - best[d]), d
+
+        # paths carry stored metadata for every hit
+        assert all(p is not None for p in res0["paths"])
+        # ordering contract: score desc, doc_id asc
+        s = res0["scores"]
+        d = res0["doc_ids"]
+        for i in range(1, len(s)):
+            assert s[i] < s[i - 1] or (
+                s[i] == s[i - 1] and d[i] > d[i - 1]
+            )
+        # clause absent from every doc: harmless zero contribution
+        res = eng.search_dismax(["merge stream", "zzznosuchterm"],
+                                tie=0.5, top_k=10)
+        assert len(res["doc_ids"]) > 0
+        # all clauses empty: empty result, stable shapes
+        res = eng.search_dismax(["zzznosuchterm"], tie=0.5, top_k=10)
+        assert len(res["doc_ids"]) == 0 and len(res["paths"]) == 0
+    finally:
+        eng.close()
