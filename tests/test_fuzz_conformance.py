@@ -300,3 +300,82 @@ def test_prefix_cap_is_global_across_shards(ray_session, tmp_path):
         eng.close()
     with pytest.raises(ValueError, match="expands to"):
         BM25Oracle(corpus).search_raw("pa*", 10)
+
+
+# ------------------------------------------------- dis_max + search_after
+
+
+@pytest.mark.parametrize("seed", [404, 505])
+def test_random_dismax_and_cursor_identity(ray_session, tmp_path, seed):
+    """dis_max with random clause sets and tie-breakers must equal the
+    oracle combine (best + tie * (total - best), float64, clause-list
+    accumulation order — every clause is itself a random query shape);
+    search_after cursor walks at random page sizes must reconstruct the
+    oracle's full ranking bitwise."""
+    import ray.data
+
+    rng = np.random.RandomState(seed)
+    corpus = _random_corpus(rng, int(rng.randint(40, 100)))
+    d = str(tmp_path / f"idxdm{seed}")
+    ckb.build_index(
+        ray.data.from_arrow(corpus), d,
+        ckb.IndexConfig(num_parts=4, batch_size=16),
+    )
+    eng = BM25Engine(d, num_shards=2)
+    oracle = BM25Oracle(corpus)
+    BIG = 10**6
+    try:
+        for _ in range(8):
+            n_cl = 2 + int(rng.randint(3))
+            clauses = _random_queries(rng, n_cl)
+            tie = float(rng.choice([0.0, 0.1, 0.3, 0.7, 1.0]))
+            per = []
+            for c in clauses:
+                do, so = oracle.search_raw(c, BIG)
+                per.append(
+                    dict(
+                        zip(
+                            do.tolist(),
+                            np.asarray(so, np.float64).tolist(),
+                        )
+                    )
+                )
+            union = sorted(set().union(*[p.keys() for p in per]))
+            truth = {}
+            for doc in union:
+                ss = [p.get(doc, 0.0) for p in per]
+                best = max(ss)
+                total = 0.0
+                for s in ss:  # clause-list order, like the engine
+                    total += s
+                truth[doc] = best + tie * (total - best)
+            res = eng.search_dismax(clauses, tie=tie, top_k=BIG)
+            got = dict(
+                zip(res["doc_ids"].tolist(), res["scores"].tolist())
+            )
+            assert got == truth, (
+                f"seed={seed} clauses={clauses!r} tie={tie}"
+            )
+
+            q = _random_queries(rng, 1)[0]
+            do, so = oracle.search_raw(q, BIG)
+            walked_d: list = []
+            walked_s: list = []
+            cursor = None
+            ksz = int(rng.choice([1, 2, 5]))
+            pages = 0
+            while True:
+                dd, ss = eng.search_after(q, after=cursor, top_k=ksz)
+                if len(dd) == 0:
+                    break
+                walked_d.extend(dd.tolist())
+                walked_s.extend(ss.tolist())
+                cursor = (float(ss[-1]), int(dd[-1]))
+                pages += 1
+                assert pages <= len(do) + 2, "cursor failed to advance"
+            assert walked_d == do.tolist(), f"seed={seed} q={q!r}"
+            assert np.array_equal(
+                np.asarray(walked_s, dtype=so.dtype), so
+            ), f"seed={seed} q={q!r}"
+    finally:
+        eng.close()
