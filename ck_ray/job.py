@@ -181,7 +181,7 @@ def _parse_agg_spec(text: str) -> dict:
     comma-separated ascending edges)."""
     parts = text.split(":")
     kind = parts[0]
-    if kind in ("stats", "cardinality"):
+    if kind in ("stats", "extended_stats", "cardinality"):
         if len(parts) != 2:
             raise SystemExit(f"--agg {kind} takes {kind}:FIELD")
         return {"kind": kind, "field": parts[1]}
@@ -197,6 +197,18 @@ def _parse_agg_spec(text: str) -> dict:
             "field": parts[1],
             "edges": [int(e) for e in parts[2].split(",")],
         }
+    if kind == "percentiles":
+        if len(parts) == 2:
+            return {"kind": kind, "field": parts[1]}
+        if len(parts) == 3:
+            return {
+                "kind": kind,
+                "field": parts[1],
+                "qs": [float(x) for x in parts[2].split(",")],
+            }
+        raise SystemExit(
+            "--agg percentiles takes percentiles:FIELD[:Q1,Q2,...]"
+        )
     raise SystemExit(f"unknown aggregation kind: {kind!r}")
 
 
@@ -310,6 +322,7 @@ def _parser() -> argparse.ArgumentParser:
     q.add_argument(
         "--agg", metavar="KIND:FIELD[:ARG]",
         help="full-match-set aggregation: stats:FIELD, "
+             "extended_stats:FIELD (adds sum_sq/variance/std), "
              "cardinality:FIELD, histogram:FIELD:INTERVAL, "
              "range:FIELD:E1,E2,... (numeric fields: n_bytes, "
              "dl_content)",

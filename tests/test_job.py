@@ -96,6 +96,32 @@ def test_query_subcommand_agg_and_sort(built_index, capsys):
     assert vals == sorted(vals)
 
 
+def test_query_subcommand_extended_stats_and_percentiles(
+    built_index, capsys
+):
+    """--agg extended_stats adds exact moments + variance/std; --agg
+    percentiles reports exact discrete quantiles (optional Q list)."""
+    import math
+
+    rc = job.main([
+        "query", "--index-dir", built_index,
+        "--agg", "extended_stats:dl_content", "merge",
+    ])
+    assert rc == 0
+    xs = _last_json(capsys)["aggregations"]["merge"]
+    assert xs["count"] > 0 and xs["sum_sq"] >= xs["sum"]
+    assert math.isclose(
+        xs["std_deviation"], math.sqrt(xs["variance"]), rel_tol=0
+    )
+    rc = job.main([
+        "query", "--index-dir", built_index,
+        "--agg", "percentiles:dl_content:0.5,0.9", "merge",
+    ])
+    assert rc == 0
+    ps = _last_json(capsys)["aggregations"]["merge"]["percentiles"]
+    assert set(ps) == {"0.5", "0.9"} and ps["0.5"] <= ps["0.9"]
+
+
 def test_pipeline_subcommand_writes_parquet(ray_session, tmp_path, capsys):
     out_dir = str(tmp_path / "out")
     rc = job.main([
