@@ -1830,8 +1830,10 @@ class LocalIndex:
                 continue
             pos = np.searchsorted(all_docs, docs)
             s = acc.astype(np.float64)
+            # a clause's doc ids are unique, so fancy indexing is safe
+            # here (and much faster than the unbuffered np.maximum.at)
             total[pos] += s
-            np.maximum.at(best, pos, s)
+            best[pos] = np.maximum(best[pos], s)
         scores = best + tie * (total - best)
         order = np.lexsort((all_docs, -scores))[:k]
         docs, scores = all_docs[order], scores[order]
