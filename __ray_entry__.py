@@ -702,6 +702,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ES extended_stats: exact big-int moments -> one-divide
         # variance + IEEE-sqrt std, bit-identical in SQL
         "bm25_agg_extended_stats": docsearch.bm25_agg_extended_stats,
+        # boolean OR with minimum_should_match=2 of 3 (Lucene/ES
+        # parameter, tantivy with_minimum_required_clauses)
+        "bm25_min_should_match": docsearch.bm25_min_should_match,
         "bm25_phrase_prefix": docsearch.bm25_phrase_prefix,
         "bm25_phrase": docsearch.bm25_phrase,
         "bm25_phrase_slop": docsearch.bm25_phrase_slop,
@@ -1693,6 +1696,38 @@ scored AS (
   FROM u
 ),
 topk AS (SELECT doc_id, round(score, 4) AS score FROM scored
+         ORDER BY round(score, 4) DESC, doc_id LIMIT 15)
+SELECT doc_id, score FROM topk
+ORDER BY score DESC, doc_id
+""",
+        # minimum_should_match=2 of the 3 should-clauses: per-term BM25
+        # grouped per doc, HAVING count(*) >= 2, score = sum of the
+        # matching term scores (same accumulation the engine performs)
+        "bm25_min_should_match": f"""
+WITH {_TOKS},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN ('merge', 'window', 'batch') GROUP BY term
+),
+bm AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * ((tf.tf * 2.2)
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+g AS (
+  SELECT doc_id, sum(score) AS score FROM bm
+  GROUP BY doc_id HAVING count(*) >= 2
+),
+topk AS (SELECT doc_id, round(score, 4) AS score FROM g
          ORDER BY round(score, 4) DESC, doc_id LIMIT 15)
 SELECT doc_id, score FROM topk
 ORDER BY score DESC, doc_id

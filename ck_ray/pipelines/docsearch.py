@@ -753,6 +753,43 @@ def bm25_dismax(
     )
 
 
+def bm25_min_should_match(
+    sf_dir: str, terms: tuple = ("merge", "window", "batch"),
+    m: int = 2, k: int = 15,
+) -> pd.DataFrame:
+    """Boolean OR with ``minimum_should_match=2`` of 3 term clauses
+    (the Lucene/ES parameter; tantivy
+    ``BooleanQuery::with_minimum_required_clauses``): docs matching
+    only one term are excluded, the rest score the sum of their
+    matching term scores. The SQL oracle is the per-term BM25 table
+    grouped per doc with ``HAVING count(*) >= m``."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2, dtype=np.float64)
+    try:
+        fetch = k + 64
+        while True:
+            res = eng.search_min_should(list(terms), m, top_k=fetch)
+            if len(res["doc_ids"]) < fetch:
+                break
+            r = round_half_away(res["scores"], 4)
+            if float(r[-1]) < float(r[k - 1]):
+                break  # rounded boundary group closed
+            fetch *= 4
+    finally:
+        eng.close()
+    out = pd.DataFrame(
+        {
+            "doc_id": res["paths"].astype("int64"),
+            "score": round_half_away(res["scores"], 4),
+        }
+    )
+    return (
+        out.sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
 def bm25_agg_extended_stats(
     sf_dir: str, query: str = "merge"
 ) -> pd.DataFrame:

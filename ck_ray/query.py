@@ -1847,6 +1847,48 @@ class LocalIndex:
             paths[found] = np.asarray(self._meta["path"])[pos[found]]
         return {"doc_ids": docs, "scores": scores, "paths": paths}
 
+    def query_min_should(
+        self, clauses: list[str], m: int, k: int = 100, df_map=None,
+    ) -> dict:
+        """Boolean OR with a MINIMUM_SHOULD_MATCH floor (the Lucene/ES
+        ``minimum_should_match`` parameter; tantivy
+        ``BooleanQuery::with_minimum_required_clauses``): a doc scores
+        the SUM of its matching clause scores, but only qualifies when
+        it matches at least ``m`` of the N should-clauses. ``m=1`` is
+        the plain OR; ``m=N`` is the AND over the same clauses (both
+        pinned BITWISE by pytest — the accumulator adds clause scores
+        left-to-right in clause-list order, the identical association
+        the boolean evaluator uses; np.add.reduceat would associate
+        right-to-left and drift an ulp on 3+ clause docs)."""
+        per = [self._match_set(q, df_map) for q in clauses]
+        nonempty = [(d, a) for d, a in per if len(d)]
+        if not nonempty or m > len(clauses):
+            return {
+                "doc_ids": np.empty(0, np.uint64),
+                "scores": np.empty(0, np.float64),
+                "paths": np.empty(0, object),
+            }
+        uniq = np.unique(np.concatenate([d for d, _ in nonempty]))
+        sums = np.zeros(len(uniq), np.float64)
+        counts = np.zeros(len(uniq), np.int32)
+        for d, a in nonempty:
+            pos = np.searchsorted(uniq, d)
+            sums[pos] += a.astype(np.float64)
+            counts[pos] += 1
+        keep = counts >= max(1, int(m))
+        uniq, sums = uniq[keep], sums[keep]
+        cut = np.lexsort((uniq, -sums))[:k]
+        docs, sums = uniq[cut], sums[cut]
+        paths = np.full(len(docs), None, dtype=object)
+        if len(docs) and len(self._meta_ids):
+            pos = np.clip(
+                np.searchsorted(self._meta_ids, docs),
+                0, len(self._meta_ids) - 1,
+            )
+            found = self._meta_ids[pos] == docs
+            paths[found] = np.asarray(self._meta["path"])[pos[found]]
+        return {"doc_ids": docs, "scores": sums, "paths": paths}
+
     def query_topk_after(
         self, query: str, k: int, after: tuple | None = None,
         df_map=None,
@@ -2210,6 +2252,37 @@ class BM25Engine:
         rep = self._next_replica("\x00".join(qs))
         parts = ray.get(
             [s.query_dismax.remote(qs, tie, k, df_map) for s in rep]
+        )
+        self.last_fanout_rows = int(
+            sum(len(p["doc_ids"]) for p in parts)
+        )
+        docs = np.concatenate([p["doc_ids"] for p in parts])
+        scores = np.concatenate([p["scores"] for p in parts])
+        paths = np.concatenate([p["paths"] for p in parts])
+        order = np.lexsort((docs, -scores))[:k]
+        return {
+            "doc_ids": docs[order],
+            "scores": scores[order],
+            "paths": paths[order],
+        }
+
+    def search_min_should(
+        self, clauses: list[str], m: int, top_k: int | None = None,
+    ) -> dict:
+        """Boolean OR over N should-clauses with a
+        ``minimum_should_match`` floor (Lucene/ES parameter, tantivy
+        ``BooleanQuery::with_minimum_required_clauses``): docs matching
+        fewer than ``m`` clauses are excluded, qualifying docs score
+        the sum of their matching clause scores. Shard-local counting
+        is exact under doc partitioning; the merge is the standard
+        O(shards * k) cut. Returns ``{"doc_ids", "scores", "paths"}``."""
+        self._maybe_reload()
+        k = top_k if top_k is not None else 100
+        qs = list(clauses)
+        df_map = self._df_map_for(qs)
+        rep = self._next_replica("\x00".join(qs) + f"#{m}")
+        parts = ray.get(
+            [s.query_min_should.remote(qs, m, k, df_map) for s in rep]
         )
         self.last_fanout_rows = int(
             sum(len(p["doc_ids"]) for p in parts)

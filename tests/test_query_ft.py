@@ -203,3 +203,49 @@ def test_dismax_tie_breaker_invariants(ray_session, tiny_index):
         assert len(res["doc_ids"]) == 0 and len(res["paths"]) == 0
     finally:
         eng.close()
+
+
+def test_min_should_match_invariants(ray_session, tiny_index):
+    """minimum_should_match degenerate cases pin the semantics: m=1 is
+    the plain boolean OR; m=N is the AND over the same clauses (both
+    score the sum of matching clause scores in clause order); m>N is
+    empty; docs below the floor are excluded, the rest keep the OR sum."""
+    import numpy as np
+
+    eng = BM25Engine(tiny_index, num_shards=3, dtype=np.float64,
+                     auto_reload=False)
+    terms = ["merge", "stream", "tokenize"]
+    try:
+        d_or, s_or = eng.search_raw(" ".join(terms), top_k=10**6,
+                                    pruning=False)
+        res1 = eng.search_min_should(terms, 1, top_k=10**6)
+        assert res1["doc_ids"].tolist() == d_or.tolist()
+        assert np.array_equal(res1["scores"], s_or)
+
+        d_and, s_and = eng.search_raw(" AND ".join(terms), top_k=10**6,
+                                      pruning=False)
+        res3 = eng.search_min_should(terms, 3, top_k=10**6)
+        assert res3["doc_ids"].tolist() == d_and.tolist()
+        assert np.array_equal(res3["scores"], s_and)
+
+        # m=2 sits between: subset of OR docs, superset of AND docs,
+        # and each kept doc keeps its OR score
+        res2 = eng.search_min_should(terms, 2, top_k=10**6)
+        got2 = set(res2["doc_ids"].tolist())
+        assert got2 <= set(d_or.tolist())
+        assert set(d_and.tolist()) <= got2
+        or_score = dict(zip(d_or.tolist(), s_or.tolist()))
+        for doc, s in zip(res2["doc_ids"].tolist(),
+                          res2["scores"].tolist()):
+            assert s == or_score[doc]
+        # brute-force the floor itself: count matching clauses per doc
+        per = [set(eng.search_raw(t, top_k=10**6)[0].tolist())
+               for t in terms]
+        expect2 = {d for d in or_score
+                   if sum(d in p for p in per) >= 2}
+        assert got2 == expect2
+
+        assert len(eng.search_min_should(terms, 4, top_k=5)["doc_ids"]) == 0
+        assert all(p is not None for p in res2["paths"])
+    finally:
+        eng.close()
