@@ -379,3 +379,57 @@ def test_random_dismax_and_cursor_identity(ray_session, tmp_path, seed):
             ), f"seed={seed} q={q!r}"
     finally:
         eng.close()
+
+
+@pytest.mark.parametrize("seed", [606])
+def test_random_min_should_identity(ray_session, tmp_path, seed):
+    """minimum_should_match at random m over random clause sets must
+    equal the brute-force floor: count per-clause membership from the
+    oracle's match lists, keep docs at >= m, score = left-to-right
+    clause-order float64 sum."""
+    import ray.data
+
+    rng = np.random.RandomState(seed)
+    corpus = _random_corpus(rng, int(rng.randint(40, 100)))
+    d = str(tmp_path / f"idxms{seed}")
+    ckb.build_index(
+        ray.data.from_arrow(corpus), d,
+        ckb.IndexConfig(num_parts=4, batch_size=16),
+    )
+    eng = BM25Engine(d, num_shards=2)
+    oracle = BM25Oracle(corpus)
+    BIG = 10**6
+    try:
+        for _ in range(6):
+            n_cl = 2 + int(rng.randint(3))
+            clauses = _random_queries(rng, n_cl)
+            m = 1 + int(rng.randint(n_cl))
+            per = []
+            for c in clauses:
+                do, so = oracle.search_raw(c, BIG)
+                per.append(
+                    dict(
+                        zip(
+                            do.tolist(),
+                            np.asarray(so, np.float64).tolist(),
+                        )
+                    )
+                )
+            truth = {}
+            for doc in sorted(set().union(*[p.keys() for p in per])):
+                hits = [p[doc] for p in per if doc in p]
+                if len(hits) < m:
+                    continue
+                s = 0.0
+                for h in hits:  # clause-list order, like the engine
+                    s += h
+                truth[doc] = s
+            res = eng.search_min_should(clauses, m, top_k=BIG)
+            got = dict(
+                zip(res["doc_ids"].tolist(), res["scores"].tolist())
+            )
+            assert got == truth, (
+                f"seed={seed} clauses={clauses!r} m={m}"
+            )
+    finally:
+        eng.close()
