@@ -132,8 +132,9 @@ class CkRayMCP:
         "facet_search": "Full-match-set facet counts by a metadata "
                         "field (tantivy Count+TermsAggregation)",
         "aggregate": "Full-match-set numeric aggregation: stats / "
-                     "histogram / range / percentiles / cardinality "
-                     "over a fast field (n_bytes, dl_content)",
+                     "extended_stats / histogram / range / "
+                     "percentiles / cardinality over a fast field "
+                     "(n_bytes, dl_content)",
     }
 
     def list_tools(self) -> list[dict]:

@@ -97,6 +97,10 @@ def test_facet_and_aggregate_tools(mcp):
     c = _call(mcp, "aggregate", query="merge", kind="cardinality",
               field="lang")
     assert c["cardinality"] == len(f["facets"])
+    xs = _call(mcp, "aggregate", query="merge", kind="extended_stats",
+               field="dl_content")
+    assert xs["count"] == st["count"] and xs["sum"] == st["sum"]
+    assert xs["sum_sq"] >= xs["sum"] and xs["variance"] >= 0
 
 
 def test_pagination_walks_all_results(mcp):
