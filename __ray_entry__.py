@@ -667,6 +667,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # regex term query `/pat/` (tantivy RegexQuery): anchored
         # dictionary expansion, const-score membership
         "bm25_regexterm": docsearch.bm25_regexterm,
+        # wildcard term query `w?nd*w` (Lucene WildcardQuery): rewritten
+        # onto the anchored-regex expansion, const-score membership
+        "bm25_wildcard": docsearch.bm25_wildcard,
         # more-like-this (tantivy MoreLikeThisQuery shape): tf*idf term
         # selection from input text, then a BM25 disjunction
         "bm25_more_like_this": docsearch.bm25_more_like_this,
@@ -1853,6 +1856,45 @@ scores AS (
          coalesce(b.score, 0)
            + (CASE WHEN z.doc_id IS NOT NULL THEN 1.0 ELSE 0 END) AS score
   FROM bm b FULL OUTER JOIN rxm z ON b.doc_id = z.doc_id
+),
+topk AS (SELECT doc_id, round(score, 4) AS score FROM scores
+         ORDER BY round(score, 4) DESC, doc_id LIMIT {_BM25_K})
+SELECT doc_id, score FROM topk
+ORDER BY score DESC, doc_id
+""",
+        # wildcard `merge w?nd*w` (Lucene WildcardQuery): docs holding
+        # ANY term the pattern matches in full score 1.0 once (the
+        # parser rewrites `?`->`.`/`*`->`.*` onto the regex clause;
+        # SQL LIKE's `_`/`%` are the identical automaton on the
+        # alnum-only dictionary), plus the scored BM25 leg
+        "bm25_wildcard": f"""
+WITH {_TOKS},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf WHERE term = 'merge' GROUP BY term
+),
+bm AS (
+  SELECT tf.doc_id,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * ((tf.tf * 2.2)
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term = 'merge'
+),
+wcm AS (
+  SELECT DISTINCT doc_id FROM tf WHERE term LIKE 'w_nd%w'
+),
+scores AS (
+  SELECT coalesce(b.doc_id, z.doc_id) AS doc_id,
+         coalesce(b.score, 0)
+           + (CASE WHEN z.doc_id IS NOT NULL THEN 1.0 ELSE 0 END) AS score
+  FROM bm b FULL OUTER JOIN wcm z ON b.doc_id = z.doc_id
 ),
 topk AS (SELECT doc_id, round(score, 4) AS score FROM scores
          ORDER BY round(score, 4) DESC, doc_id LIMIT {_BM25_K})

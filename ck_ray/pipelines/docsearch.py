@@ -337,6 +337,22 @@ def bm25_regexterm(
     return _bm25_rounded_cut(sf_dir, query, k)
 
 
+def bm25_wildcard(
+    sf_dir: str, query: str = "merge w?nd*w", k: int = 20
+) -> pd.DataFrame:
+    """Top-k mixing a scored term with a WILDCARD term query (Lucene
+    ``WildcardQuery``: ``?`` = one char, ``*`` = any run; a `*` anywhere
+    but trailing, or any `?`, distinguishes it from the scored prefix
+    query — the same split Lucene's QueryParser makes). The parser
+    rewrites the pattern onto the anchored-regex clause
+    (``query._wildcard_to_regex``), so expansion, the global cap and
+    const-score semantics are the regex query's, and docs containing ANY
+    matching term contribute exactly ``boost*1.0``. Oracle: BM25(merge)
+    + EXISTS(term LIKE 'w_nd%w') — LIKE's ``_``/``%`` are exactly
+    ``?``/``*`` on the alnum-only dictionary."""
+    return _bm25_rounded_cut(sf_dir, query, k)
+
+
 def bm25_more_like_this(
     sf_dir: str,
     text: str = "window window merge fast spark",

@@ -313,6 +313,17 @@ def _lex(query: str) -> list[tuple[str, object]]:
                 break
             if word == "*":
                 out.append(("all", None))  # tantivy AllQuery
+            elif word and (
+                "?" in word or "*" in word.rstrip("*")
+                or (word.endswith("*") and len(word.rstrip("*")) == 0)
+            ):
+                # Lucene WildcardQuery (`te?t`, `m*ge`, `*fix`): any `?`,
+                # or a `*` anywhere but a pure trailing run. A single
+                # trailing `*` stays the PREFIX query below (Lucene's
+                # QueryParser makes the same split: `te*` -> PrefixQuery,
+                # `te*t` -> WildcardQuery); a bare run of stars matches
+                # every term (match-any wildcard).
+                out.append(("wildcard", (field or "content", word)))
             elif word:
                 out.append(("word", (field or "content", word, False)))
             if fuzzy is not None:
@@ -352,6 +363,30 @@ def _bind_fields(toks: list[tuple[str, object]]) -> list[tuple[str, object]]:
         out.append(toks[i])
         i += 1
     return out
+
+
+def _wildcard_to_regex(pat: str) -> str:
+    """Lucene WildcardQuery pattern -> anchored regex over the term
+    dictionary: ``*`` = any char run (incl. empty), ``?`` = exactly one
+    char, everything else literal (lowercased first, mirroring the
+    analyzer's LowerCaser — dictionary terms are always lowercase).
+    The translation makes wildcard a pure REWRITE onto the regex-query
+    machinery (same AutomatonWeight -> ConstScorer family, same
+    expansion cap): Lucene's own WildcardQuery compiles to exactly this
+    automaton. On the alnum-only dictionary the SQL ``LIKE`` translation
+    (``*``->``%``, ``?``->``_``) is equivalent, which is what the
+    driver's oracle uses."""
+    import re
+
+    out = []
+    for ch in pat.lower():
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "".join(out)
 
 
 # ----------------------------------------------------------------- parser
@@ -441,6 +476,17 @@ class _Parser:
             self.i += 1
             return self._apply_boost(
                 Clause(field, [], const_score=True, regex_spec=pat)
+            )
+        if t == "wildcard":
+            # Lucene WildcardQuery — rewritten onto the regex clause at
+            # parse time (identical expansion + const-score semantics)
+            field, pat = self.toks[self.i][1]
+            self.i += 1
+            return self._apply_boost(
+                Clause(
+                    field, [], const_score=True,
+                    regex_spec=_wildcard_to_regex(pat),
+                )
             )
         if t == "brack":
             field, il, ih, parts = self.toks[self.i][1]

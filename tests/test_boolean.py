@@ -612,6 +612,63 @@ def test_regex_expansion_cap_enforced():
         )
 
 
+# ----------------------------------------------- wildcard queries te?t
+
+
+def test_wildcard_parse_shapes():
+    """Lucene WildcardQuery split: `?` anywhere or a non-trailing `*`
+    makes a wildcard (rewritten to an anchored regex clause at parse
+    time); a single trailing `*` run stays the scored PREFIX query —
+    the same split Lucene's QueryParser makes."""
+    w = parse_query("te?t")
+    assert isinstance(w, Clause) and w.const_score
+    assert w.regex_spec == "te.t" and w.terms == []
+    assert parse_query("m*ge").regex_spec == "m.*ge"
+    assert parse_query("*fix").regex_spec == ".*fix"
+    f = parse_query("path:ma?n")
+    assert f.field == "path" and f.regex_spec == "ma.n"
+    b = parse_query("w?nd*w^2")
+    assert b.regex_spec == "w.nd.*w" and b.boost == 2.0
+    # trailing-star-only stays a prefix query (scored, not const)
+    p = parse_query("te*")
+    assert p.prefix and not p.const_score and p.terms == ["te"]
+    # literal non-alnum chars are escaped, never regex metachars
+    assert parse_query("a.b?c").regex_spec == r"a\.b.c"
+    # fuzzy suffix on a wildcard is ignored leniently
+    assert parse_query("te?t~1").regex_spec == "te.t"
+
+
+WILDCARD_QUERIES = [
+    "m?rge",                 # single-char hole
+    "wind?w AND merge",      # wildcard under MUST with a scored term
+    "w*w",                   # bounded both ends, any middle
+    "+*dow -spark",          # leading wildcard under MUST with exclusion
+    "s??rk window",          # two holes mixed with a scored term
+    "zz?qq*zz",              # unmatchable
+]
+
+
+@pytest.mark.parametrize(
+    "q", WILDCARD_QUERIES, ids=[q[:24] for q in WILDCARD_QUERIES]
+)
+def test_wildcard_rank_identity(bool_engine, bool_oracle, q):
+    """Engine (shard-local dictionary expansion) vs oracle (global
+    dictionary): rank + f32 score identity."""
+    de, se = bool_engine.search_raw(q, 50)
+    do, so = bool_oracle.search_raw(q, 50)
+    assert de.tolist() == do.tolist(), f"{q}: docs differ"
+    assert np.array_equal(se, so), f"{q}: scores differ"
+
+
+def test_wildcard_equals_regex_rewrite(bool_engine):
+    """`m*ge` is exactly `/m.*ge/` — same docs, same const scores."""
+    dw, sw = bool_engine.search_raw("m*ge", 10_000)
+    dr, sr = bool_engine.search_raw("/m.*ge/", 10_000)
+    assert dw.tolist() == dr.tolist()
+    assert np.array_equal(sw, sr)
+    assert np.all(sw == np.float32(1.0))
+
+
 # --------------------------------------------------------- more-like-this
 
 

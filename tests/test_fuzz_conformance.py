@@ -111,6 +111,21 @@ def _random_queries(rng: np.random.RandomState, k: int) -> list[str]:
                 out.append("*")
             else:
                 out.append(f"* -{VOCAB[int(rng.randint(len(VOCAB)))]}")
+        elif shape == 14:
+            # WILDCARD term (Lucene WildcardQuery -> regex rewrite,
+            # const-score): punch `?`/`*` holes into a vocab word at
+            # random positions; alone or inside a boolean
+            w = VOCAB[int(rng.randint(len(VOCAB)))]
+            chars = list(w)
+            for _ in range(1 + int(rng.randint(2))):
+                i = int(rng.randint(len(chars)))
+                chars[i] = "?" if rng.rand() < 0.6 else "*"
+            q = "".join(chars)
+            if q.strip("*?") == "":
+                q = f"?{w[1:]}"  # keep at least one literal char
+            if rng.rand() < 0.4:
+                q = f"{q} AND {VOCAB[int(rng.randint(len(VOCAB)))]}"
+            out.append(q)
         elif shape == 15:
             # REGEX term (anchored dictionary expansion, const-score):
             # prefix/suffix/infix shapes over a vocab word, char class,
