@@ -708,6 +708,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # boolean OR with minimum_should_match=2 of 3 (Lucene/ES
         # parameter, tantivy with_minimum_required_clauses)
         "bm25_min_should_match": docsearch.bm25_min_should_match,
+        # boosting query (Lucene/ES `boosting`): demote-don't-exclude —
+        # negative matches keep ranking at score * negative_boost
+        "bm25_boosting": docsearch.bm25_boosting,
         "bm25_phrase_prefix": docsearch.bm25_phrase_prefix,
         "bm25_phrase": docsearch.bm25_phrase,
         "bm25_phrase_slop": docsearch.bm25_phrase_slop,
@@ -1697,6 +1700,43 @@ scored AS (
   SELECT doc_id,
          greatest(s1, s2) + 0.3 * ((s1 + s2) - greatest(s1, s2)) AS score
   FROM u
+),
+topk AS (SELECT doc_id, round(score, 4) AS score FROM scored
+         ORDER BY round(score, 4) DESC, doc_id LIMIT 15)
+SELECT doc_id, score FROM topk
+ORDER BY score DESC, doc_id
+""",
+        # boosting query: positive = OR over ('merge','window') summed
+        # per doc (2-term sum is commutative, float64-exact vs TAAT),
+        # then ONE multiply by 0.5 for docs that also contain 'scan' —
+        # the negative side demotes, never excludes
+        "bm25_boosting": f"""
+WITH {_TOKS},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN ('merge', 'window') GROUP BY term
+),
+bm AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * ((tf.tf * 2.2)
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+posq AS (SELECT doc_id, sum(score) AS s FROM bm GROUP BY doc_id),
+negq AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'scan'),
+scored AS (
+  SELECT p.doc_id,
+         p.s * (CASE WHEN n.doc_id IS NOT NULL THEN 0.5 ELSE 1 END)
+           AS score
+  FROM posq p LEFT JOIN negq n ON p.doc_id = n.doc_id
 ),
 topk AS (SELECT doc_id, round(score, 4) AS score FROM scored
          ORDER BY round(score, 4) DESC, doc_id LIMIT 15)

@@ -769,6 +769,46 @@ def bm25_dismax(
     )
 
 
+def bm25_boosting(
+    sf_dir: str, positive: str = "merge window", negative: str = "scan",
+    negative_boost: float = 0.5, k: int = 15,
+) -> pd.DataFrame:
+    """BOOSTING query (the Lucene/ES ``boosting`` compound): rank by
+    BM25(positive), demoting — never excluding — docs that also match
+    the negative query by one float64 multiply with ``negative_boost``.
+    The soft alternative to ``-scan``'s hard NOT. The SQL oracle is the
+    positive OR-sum per doc times ``CASE WHEN doc matches negative THEN
+    0.5 ELSE 1 END`` — the identical single multiply, bit-for-bit
+    before the shared 4dp rounded cut."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2, dtype=np.float64)
+    try:
+        fetch = k + 64
+        while True:
+            res = eng.search_boosting(
+                positive, negative, negative_boost, top_k=fetch
+            )
+            if len(res["doc_ids"]) < fetch:
+                break
+            r = round_half_away(res["scores"], 4)
+            if float(r[-1]) < float(r[k - 1]):
+                break  # rounded boundary group closed
+            fetch *= 4
+    finally:
+        eng.close()
+    out = pd.DataFrame(
+        {
+            "doc_id": res["paths"].astype("int64"),
+            "score": round_half_away(res["scores"], 4),
+        }
+    )
+    return (
+        out.sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
 def bm25_min_should_match(
     sf_dir: str, terms: tuple = ("merge", "window", "batch"),
     m: int = 2, k: int = 15,

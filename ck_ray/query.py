@@ -1935,6 +1935,52 @@ class LocalIndex:
             paths[found] = np.asarray(self._meta["path"])[pos[found]]
         return {"doc_ids": docs, "scores": sums, "paths": paths}
 
+    def query_boosting(
+        self, positive: str, negative: str, negative_boost: float,
+        k: int = 100, df_map=None,
+    ) -> dict:
+        """BOOSTING query (the Lucene/ES ``boosting`` compound): the
+        match set and scores are the POSITIVE query's alone; a doc that
+        ALSO matches the negative query stays in the match set but has
+        its score demoted by ONE float64 multiply with ``negative_boost``
+        (and re-ranks accordingly)
+        (Lucene's BoostingQuery contract — the negative side never
+        matches or excludes by itself, unlike MUST_NOT). Both sides are
+        full query-language expressions evaluated exactly (TAAT) on this
+        shard; ``negative_boost=1`` is bitwise the positive query alone
+        and ``negative_boost=0`` zeroes demoted docs (both pinned by
+        pytest). Returns this shard's local top-k (score desc, doc_id
+        asc) with stored ``path`` metadata."""
+        docs, acc = self._match_set(positive, df_map)
+        if not len(docs):
+            return {
+                "doc_ids": np.empty(0, np.uint64),
+                "scores": np.empty(0, np.float64),
+                "paths": np.empty(0, object),
+            }
+        scores = acc.astype(np.float64)
+        neg_docs, _ = self._match_set(negative, df_map)
+        if len(neg_docs):
+            # positive-match docs are unique and both arrays are doc_id
+            # sets, so a sorted-membership test suffices (O(n log m))
+            neg_sorted = np.sort(neg_docs)
+            pos = np.clip(
+                np.searchsorted(neg_sorted, docs), 0, len(neg_sorted) - 1
+            )
+            demote = neg_sorted[pos] == docs
+            scores[demote] *= np.float64(negative_boost)
+        order = np.lexsort((docs, -scores))[:k]
+        docs, scores = docs[order], scores[order]
+        paths = np.full(len(docs), None, dtype=object)
+        if len(docs) and len(self._meta_ids):
+            pos = np.clip(
+                np.searchsorted(self._meta_ids, docs),
+                0, len(self._meta_ids) - 1,
+            )
+            found = self._meta_ids[pos] == docs
+            paths[found] = np.asarray(self._meta["path"])[pos[found]]
+        return {"doc_ids": docs, "scores": scores, "paths": paths}
+
     def query_topk_after(
         self, query: str, k: int, after: tuple | None = None,
         df_map=None,
@@ -2298,6 +2344,43 @@ class BM25Engine:
         rep = self._next_replica("\x00".join(qs))
         parts = ray.get(
             [s.query_dismax.remote(qs, tie, k, df_map) for s in rep]
+        )
+        self.last_fanout_rows = int(
+            sum(len(p["doc_ids"]) for p in parts)
+        )
+        docs = np.concatenate([p["doc_ids"] for p in parts])
+        scores = np.concatenate([p["scores"] for p in parts])
+        paths = np.concatenate([p["paths"] for p in parts])
+        order = np.lexsort((docs, -scores))[:k]
+        return {
+            "doc_ids": docs[order],
+            "scores": scores[order],
+            "paths": paths[order],
+        }
+
+    def search_boosting(
+        self, positive: str, negative: str, negative_boost: float = 0.5,
+        top_k: int | None = None,
+    ) -> dict:
+        """BOOSTING query (Lucene/ES ``boosting``): rank by the positive
+        query's scores, demoting — never excluding — docs that also
+        match the negative query by one float64 multiply with
+        ``negative_boost``. The soft counterpart of ``-term``: a
+        relevance penalty instead of a hard NOT. Doc partitioning keeps
+        both match sets shard-local and exact; the merge is the standard
+        O(shards * k) (score desc, doc_id asc) cut. Returns
+        ``{"doc_ids", "scores", "paths"}``."""
+        self._maybe_reload()
+        k = top_k if top_k is not None else 100
+        df_map = self._df_map_for([positive, negative])
+        rep = self._next_replica(f"{positive}\x00{negative}")
+        parts = ray.get(
+            [
+                s.query_boosting.remote(
+                    positive, negative, negative_boost, k, df_map
+                )
+                for s in rep
+            ]
         )
         self.last_fanout_rows = int(
             sum(len(p["doc_ids"]) for p in parts)

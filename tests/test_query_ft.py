@@ -205,6 +205,62 @@ def test_dismax_tie_breaker_invariants(ray_session, tiny_index):
         eng.close()
 
 
+def test_boosting_query_invariants(ray_session, tiny_index):
+    """Boosting-query degenerate cases pin the semantics:
+    negative_boost=1 is bitwise the positive query alone; demoted docs
+    are exactly the positive ∩ negative match-set intersection, each
+    scoring positive_score * negative_boost (one float64 multiply);
+    docs outside the negative set keep their positive score bit-for-bit;
+    the negative side never adds or removes docs."""
+    import numpy as np
+
+    eng = BM25Engine(tiny_index, num_shards=3, dtype=np.float64,
+                     auto_reload=False)
+    positive, negative = "merge stream", "tokenize"
+    try:
+        d_pos, s_pos = eng.search_raw(positive, top_k=10**6, pruning=False)
+        pos_score = dict(zip(d_pos.tolist(), s_pos.tolist()))
+        d_neg, _ = eng.search_raw(negative, top_k=10**6, pruning=False)
+        neg_set = set(d_neg.tolist())
+        # the intersection must be non-trivial or the test proves nothing
+        assert set(d_pos.tolist()) & neg_set
+
+        res1 = eng.search_boosting(positive, negative, 1.0, top_k=10**6)
+        assert sorted(res1["doc_ids"].tolist()) == sorted(d_pos.tolist())
+        got1 = dict(zip(res1["doc_ids"].tolist(), res1["scores"].tolist()))
+        for d in pos_score:
+            assert got1[d] == pos_score[d], d
+
+        nb = 0.25
+        res = eng.search_boosting(positive, negative, nb, top_k=10**6)
+        got = dict(zip(res["doc_ids"].tolist(), res["scores"].tolist()))
+        assert set(got) == set(pos_score)  # membership never changes
+        for d, s in got.items():
+            want = pos_score[d] * nb if d in neg_set else pos_score[d]
+            assert s == want, d
+
+        # negative_boost=0 zeroes demoted docs (they rank last)
+        res0 = eng.search_boosting(positive, negative, 0.0, top_k=10**6)
+        got0 = dict(zip(res0["doc_ids"].tolist(), res0["scores"].tolist()))
+        for d in pos_score:
+            assert got0[d] == (0.0 if d in neg_set else pos_score[d])
+
+        # ordering contract: score desc, doc_id asc
+        s_arr, d_arr = res["scores"], res["doc_ids"]
+        for i in range(1, len(s_arr)):
+            assert s_arr[i] < s_arr[i - 1] or (
+                s_arr[i] == s_arr[i - 1] and d_arr[i] > d_arr[i - 1]
+            )
+        assert all(p is not None for p in res["paths"])
+        # absent negative: harmless no-op; absent positive: empty
+        r = eng.search_boosting(positive, "zzznosuchterm", 0.5, top_k=10)
+        assert len(r["doc_ids"]) > 0
+        r = eng.search_boosting("zzznosuchterm", negative, 0.5, top_k=10)
+        assert len(r["doc_ids"]) == 0 and len(r["paths"]) == 0
+    finally:
+        eng.close()
+
+
 def test_min_should_match_invariants(ray_session, tiny_index):
     """minimum_should_match degenerate cases pin the semantics: m=1 is
     the plain boolean OR; m=N is the AND over the same clauses (both
