@@ -676,6 +676,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # facet counts over the FULL match set (tantivy Count +
         # TermsAggregation collectors), shard-local metadata buckets
         "bm25_facet_counts": docsearch.bm25_facet_counts,
+        # significant_terms (ES bucket agg, JLH): which field values are
+        # anomalously frequent in the match set vs the whole index
+        "bm25_significant_langs": docsearch.bm25_significant_langs,
         # tantivy's ES-compatible aggregation module over the full
         # match set: numeric fast-field histogram / range / stats,
         # exact distinct-set cardinality, per-bucket top hits
@@ -1444,6 +1447,33 @@ SELECT d.lang AS lang, count(*) AS n_docs
 FROM m JOIN documents d USING (doc_id)
 GROUP BY d.lang
 ORDER BY lang
+""",
+        # significant_terms over the `merge window` match set (ES JLH):
+        # exact int fg/bg counts per lang, then the engine's exact
+        # double expression (fg% - bg%) * (fg% / bg%); positive scores
+        # only, cut on the RAW score (bit-identical both sides), 4dp
+        # rounding applied after the cut
+        "bm25_significant_langs": f"""
+WITH {_TOKS},
+m AS (SELECT DISTINCT doc_id FROM toks2
+      WHERE term IN ('merge', 'window')),
+fg AS (SELECT d.lang, count(*) AS fg_count
+       FROM m JOIN documents d USING (doc_id) GROUP BY d.lang),
+bg AS (SELECT lang, count(*) AS bg_count FROM documents GROUP BY lang),
+tot AS (SELECT (SELECT count(*) FROM m) AS fgt,
+               (SELECT count(*) FROM documents) AS bgt),
+scored AS (
+  SELECT fg.lang, fg.fg_count, bg.bg_count,
+         (CAST(fg.fg_count AS DOUBLE) / t.fgt
+            - CAST(bg.bg_count AS DOUBLE) / t.bgt)
+           * ((CAST(fg.fg_count AS DOUBLE) / t.fgt)
+              / (CAST(bg.bg_count AS DOUBLE) / t.bgt)) AS score
+  FROM fg JOIN bg USING (lang) CROSS JOIN tot t
+),
+topk AS (SELECT lang, fg_count, bg_count, score FROM scored
+         WHERE score > 0 ORDER BY score DESC, lang LIMIT 3)
+SELECT lang, fg_count, bg_count, round(score, 4) AS score FROM topk
+ORDER BY score DESC, lang
 """,
         # histogram aggregation over the `merge AND window` match set:
         # n_bytes fast field = strlen(text) bytes, ES floor-key buckets

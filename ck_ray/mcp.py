@@ -135,6 +135,9 @@ class CkRayMCP:
                      "extended_stats / histogram / range / "
                      "percentiles / cardinality over a fast field "
                      "(n_bytes, dl_content)",
+        "significant_terms": "Field values anomalously frequent in the "
+                             "match set vs the whole index (ES "
+                             "significant_terms, JLH score)",
     }
 
     def list_tools(self) -> list[dict]:
@@ -218,6 +221,11 @@ class CkRayMCP:
                 query, args.get("field", "lang")
             )
             return {"total": total, "facets": facets}
+        if name == "significant_terms":
+            return self._bm25().search_significant_terms(
+                query, args.get("field", "lang"),
+                int(args.get("size", 10)),
+            )
         if name == "aggregate":
             spec = {
                 "kind": args.get("kind", "stats"),

@@ -411,6 +411,42 @@ def bm25_facet_counts(
     return out
 
 
+def bm25_significant_langs(
+    sf_dir: str, query: str = "merge window", field: str = "lang",
+    size: int = 3,
+) -> pd.DataFrame:
+    """SIGNIFICANT-TERMS aggregation (ES ``significant_terms``, JLH
+    heuristic) over the ``lang`` keyword field: which languages are
+    anomalously frequent among the query's matches vs the whole corpus?
+    Shards ship exact-int foreground/background counts; the driver
+    scores once in float64 — ``(fg% - bg%) * (fg% / bg%)`` — keeps
+    positive scores only, sorts score desc / value asc, cuts to
+    ``size``. Oracle: the identical counts from GROUP BY lang and the
+    identical double expression, bit-for-bit before the shared 4dp
+    rounding."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2)
+    try:
+        res = eng.search_significant_terms(query, field, size)
+    finally:
+        eng.close()
+    b = res["buckets"]
+    return pd.DataFrame(
+        {
+            field: pd.Series([r["value"] for r in b], dtype="object"),
+            "fg_count": pd.Series(
+                [r["fg_count"] for r in b], dtype="int64"
+            ),
+            "bg_count": pd.Series(
+                [r["bg_count"] for r in b], dtype="int64"
+            ),
+            "score": round_half_away(
+                np.asarray([r["score"] for r in b], dtype=np.float64), 4
+            ),
+        }
+    )
+
+
 def bm25_agg_histogram(
     sf_dir: str, query: str = "merge AND window", interval: int = 64
 ) -> pd.DataFrame:

@@ -1656,6 +1656,36 @@ class LocalIndex:
             str(v): int(c) for v, c in zip(uniq, counts)
         }
 
+    def query_significant(
+        self, query: str, field: str = "lang", df_map=None
+    ) -> dict:
+        """Shard-local state for a SIGNIFICANT-TERMS aggregation (the ES
+        ``significant_terms`` bucket agg over a keyword field): exact
+        integer value counts of the FOREGROUND (this shard's match set)
+        and the BACKGROUND (this shard's full live doc set, the ES
+        default background). Both maps are O(field cardinality), never
+        O(matches); the background counts are over the dead-filtered
+        metadata, so deletions shift significance exactly as they shift
+        the facet counts. All scoring happens on the driver AFTER the
+        integer merge — shards ship no floats, so the cross-shard merge
+        is associative and drift-free."""
+        docs, _ = self._match_set(query, df_map)
+        vals = self._facet_values(docs, field)  # also validates field
+        fg_u, fg_c = (
+            np.unique(vals, return_counts=True)
+            if len(vals)
+            else (np.empty(0, object), np.empty(0, np.int64))
+        )
+        bg_u, bg_c = np.unique(
+            np.asarray(self._meta[field]), return_counts=True
+        )
+        return {
+            "fg_total": int(len(docs)),
+            "bg_total": int(len(self._meta_ids)),
+            "fg": {str(v): int(c) for v, c in zip(fg_u, fg_c)},
+            "bg": {str(v): int(c) for v, c in zip(bg_u, bg_c)},
+        }
+
     def query_aggregate(self, query: str, spec: dict, df_map=None) -> dict:
         """Shard-local tantivy-style numeric AGGREGATION over the FULL
         match set (tantivy's ES-compatible aggregation module:
@@ -2568,6 +2598,67 @@ class BM25Engine:
             for v, c in f.items():
                 facets[v] = facets.get(v, 0) + c
         return total, facets
+
+    def search_significant_terms(
+        self, query: str, field: str = "lang", size: int = 10
+    ) -> dict:
+        """SIGNIFICANT-TERMS aggregation (the ES ``significant_terms``
+        bucket agg, JLH heuristic) over a keyword metadata field: which
+        field values are anomalously frequent in the query's match set
+        (foreground) relative to the whole index (background)?
+
+        Doc partitioning makes both count families exact-int and
+        shard-local; the driver merges O(shards * cardinality) integers,
+        then scores each foreground value ONCE in float64 with ES's JLH:
+        ``(fg% - bg%) * (fg% / bg%)`` — absolute lift times relative
+        lift. Only values with positive score (fg% > bg%) qualify
+        (ES's filter); buckets sort score desc, value asc, cut to
+        ``size``. The fixed operation order — two divides, a subtract, a
+        divide, a multiply — lets a SQL oracle reproduce every double
+        bit-for-bit from the same integer counts. Returns ``{"fg_total",
+        "bg_total", "buckets": [{"value", "fg_count", "bg_count",
+        "score"}, ...]}``."""
+        self._maybe_reload()
+        df_map = self._df_map_for([query])
+        rep = self._next_replica(query + "\x00#significant")
+        parts = ray.get(
+            [
+                s.query_significant.remote(query, field, df_map)
+                for s in rep
+            ]
+        )
+        fg_total = sum(p["fg_total"] for p in parts)
+        bg_total = sum(p["bg_total"] for p in parts)
+        fg: dict[str, int] = {}
+        bg: dict[str, int] = {}
+        for p in parts:
+            for v, c in p["fg"].items():
+                fg[v] = fg.get(v, 0) + c
+            for v, c in p["bg"].items():
+                bg[v] = bg.get(v, 0) + c
+        buckets = []
+        if fg_total and bg_total:
+            for v in sorted(fg):
+                # a foreground value always exists in the background:
+                # matched docs are live docs of the same shards
+                fgp = fg[v] / fg_total
+                bgp = bg[v] / bg_total
+                score = (fgp - bgp) * (fgp / bgp)
+                if score > 0:
+                    buckets.append(
+                        {
+                            "value": v,
+                            "fg_count": fg[v],
+                            "bg_count": bg[v],
+                            "score": score,
+                        }
+                    )
+        buckets.sort(key=lambda r: (-r["score"], r["value"]))
+        return {
+            "fg_total": fg_total,
+            "bg_total": bg_total,
+            "buckets": buckets[: max(0, int(size))],
+        }
 
     def search_aggregate(self, query: str, spec: dict) -> dict:
         """Tantivy-style aggregation over the whole index's match set

@@ -44,7 +44,7 @@ def test_initialize_and_tool_list(mcp):
     assert names == {
         "regex_search", "lexical_search", "semantic_search",
         "hybrid_search", "index_status", "reindex", "health_check",
-        "facet_search", "aggregate",
+        "facet_search", "aggregate", "significant_terms",
     }
 
 
@@ -101,6 +101,14 @@ def test_facet_and_aggregate_tools(mcp):
                field="dl_content")
     assert xs["count"] == st["count"] and xs["sum"] == st["sum"]
     assert xs["sum_sq"] >= xs["sum"] and xs["variance"] >= 0
+    sig = _call(mcp, "significant_terms", query="merge", field="lang",
+                size=3)
+    assert sig["fg_total"] == f["total"] and len(sig["buckets"]) <= 3
+    for b in sig["buckets"]:  # fg% must exceed bg% for every bucket
+        assert b["score"] > 0
+        assert b["fg_count"] * sig["bg_total"] > (
+            b["bg_count"] * sig["fg_total"]
+        )
 
 
 def test_pagination_walks_all_results(mcp):

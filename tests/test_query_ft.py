@@ -205,6 +205,55 @@ def test_dismax_tie_breaker_invariants(ray_session, tiny_index):
         eng.close()
 
 
+def test_significant_terms_jlh(ray_session, tiny_index):
+    """significant_terms == JLH hand-computed from the facet collectors:
+    foreground counts are the query's facet counts, background counts
+    are the match-all facet counts, score = (fg% - bg%) * (fg% / bg%),
+    positive-only, score-desc/value-asc order, size cut."""
+    import numpy as np
+
+    eng = BM25Engine(tiny_index, num_shards=3, dtype=np.float64,
+                     auto_reload=False)
+    q, field = "merge stream", "lang"
+    try:
+        fg_total, fg = eng.search_facets(q, field)
+        bg_total, bg = eng.search_facets("*", field)
+        want = []
+        for v in sorted(fg):
+            fgp, bgp = fg[v] / fg_total, bg[v] / bg_total
+            score = (fgp - bgp) * (fgp / bgp)
+            if score > 0:
+                want.append((v, fg[v], bg[v], score))
+        want.sort(key=lambda r: (-r[3], r[0]))
+        assert want  # the corpus must yield a non-trivial case
+
+        res = eng.search_significant_terms(q, field, size=100)
+        assert res["fg_total"] == fg_total
+        assert res["bg_total"] == bg_total
+        got = [
+            (r["value"], r["fg_count"], r["bg_count"], r["score"])
+            for r in res["buckets"]
+        ]
+        assert got == want  # bit-for-bit, including the float64 scores
+
+        # size cut keeps the top bucket of the same ordering
+        res1 = eng.search_significant_terms(q, field, size=1)
+        assert [(r["value"], r["score"]) for r in res1["buckets"]] == [
+            (want[0][0], want[0][3])
+        ]
+
+        # no matches -> no buckets, totals still exact
+        res0 = eng.search_significant_terms("zzznosuchterm", field)
+        assert res0["buckets"] == [] and res0["bg_total"] == bg_total
+        # unknown field fails loudly
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="no such facet field"):
+            eng.search_significant_terms(q, "nofield")
+    finally:
+        eng.close()
+
+
 def test_boosting_query_invariants(ray_session, tiny_index):
     """Boosting-query degenerate cases pin the semantics:
     negative_boost=1 is bitwise the positive query alone; demoted docs
