@@ -714,6 +714,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # boosting query (Lucene/ES `boosting`): demote-don't-exclude —
         # negative matches keep ranking at score * negative_boost
         "bm25_boosting": docsearch.bm25_boosting,
+        # function_score + field_value_factor (ES): relevance times a
+        # fast-field prior — bm25 * log1p(dl_content)
+        "bm25_function_score": docsearch.bm25_function_score,
         "bm25_phrase_prefix": docsearch.bm25_phrase_prefix,
         "bm25_phrase": docsearch.bm25_phrase,
         "bm25_phrase_slop": docsearch.bm25_phrase_slop,
@@ -1767,6 +1770,41 @@ scored AS (
          p.s * (CASE WHEN n.doc_id IS NOT NULL THEN 0.5 ELSE 1 END)
            AS score
   FROM posq p LEFT JOIN negq n ON p.doc_id = n.doc_id
+),
+topk AS (SELECT doc_id, round(score, 4) AS score FROM scored
+         ORDER BY round(score, 4) DESC, doc_id LIMIT 15)
+SELECT doc_id, score FROM topk
+ORDER BY score DESC, doc_id
+""",
+        # function_score/field_value_factor: the positive OR-sum per doc
+        # times ln(1 + dl) where dl = the doc's kept-token count (the
+        # dl_content fast field the build emits); engine log1p vs SQL
+        # ln(1+x) ulp is absorbed by the 4dp rounded cut
+        "bm25_function_score": f"""
+WITH {_TOKS},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN ('merge', 'window') GROUP BY term
+),
+bm AS (
+  SELECT tf.doc_id,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * ((tf.tf * 2.2)
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+posq AS (SELECT doc_id, sum(score) AS s FROM bm GROUP BY doc_id),
+scored AS (
+  SELECT p.doc_id,
+         p.s * ln(1 + 1.0 * d.dl) AS score
+  FROM posq p JOIN dl d USING (doc_id)
 ),
 topk AS (SELECT doc_id, round(score, 4) AS score FROM scored
          ORDER BY round(score, 4) DESC, doc_id LIMIT 15)

@@ -845,6 +845,48 @@ def bm25_boosting(
     )
 
 
+def bm25_function_score(
+    sf_dir: str, query: str = "merge window", field: str = "dl_content",
+    factor: float = 1.0, k: int = 15,
+) -> pd.DataFrame:
+    """FUNCTION-SCORE with a FIELD-VALUE-FACTOR (ES ``function_score``
+    + ``field_value_factor``): rank by ``bm25 * log1p(factor * dl)`` —
+    relevance times a document-length prior, the classic
+    "boost substantial documents" shape, computed from the fast field
+    with no reindex. Oracle: the per-doc BM25 OR-sum times
+    ``ln(1 + dl)`` from the same token counts (the engine's ``log1p``
+    vs SQL ``ln(1+x)`` ulp is absorbed by the shared 4dp rounded cut,
+    the same contract every BM25 idf entry relies on)."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2, dtype=np.float64)
+    try:
+        fetch = k + 64
+        while True:
+            res = eng.search_function_score(
+                query, field, factor=factor, modifier="log1p",
+                boost_mode="multiply", top_k=fetch,
+            )
+            if len(res["doc_ids"]) < fetch:
+                break
+            r = round_half_away(res["scores"], 4)
+            if float(r[-1]) < float(r[k - 1]):
+                break  # rounded boundary group closed
+            fetch *= 4
+    finally:
+        eng.close()
+    out = pd.DataFrame(
+        {
+            "doc_id": res["paths"].astype("int64"),
+            "score": round_half_away(res["scores"], 4),
+        }
+    )
+    return (
+        out.sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
 def bm25_min_should_match(
     sf_dir: str, terms: tuple = ("merge", "window", "batch"),
     m: int = 2, k: int = 15,

@@ -2011,6 +2011,68 @@ class LocalIndex:
             paths[found] = np.asarray(self._meta["path"])[pos[found]]
         return {"doc_ids": docs, "scores": scores, "paths": paths}
 
+    def query_function_score(
+        self, query: str, field: str, factor: float = 1.0,
+        modifier: str = "log1p", boost_mode: str = "multiply",
+        missing: float = 1.0, k: int = 100, df_map=None,
+    ) -> dict:
+        """FUNCTION-SCORE query with a FIELD-VALUE-FACTOR (the ES
+        ``function_score`` + ``field_value_factor`` pair): every match
+        keeps its exact BM25 score, then combines it with a function of
+        a numeric fast field —
+
+            fvf   = modifier(factor * field_value)   (float64)
+            score = bm25 <boost_mode> fvf
+
+        ``modifier`` in {'none', 'log1p', 'sqrt'}, ``boost_mode`` in
+        {'multiply', 'sum'}; docs from epochs that predate the field use
+        ``missing`` as their field value (the ES ``missing`` parameter).
+        The operation order is FIXED — one multiply into the modifier,
+        one combine — so a SQL oracle reproduces the doubles from the
+        same integer field values (modulo the documented log1p-vs-ln(1+x)
+        ulp, absorbed by the shared rounded cut). Returns this shard's
+        local top-k (score desc, doc_id asc) with stored ``path``."""
+        if modifier not in ("none", "log1p", "sqrt"):
+            raise ValueError(f"unknown modifier: {modifier!r}")
+        if boost_mode not in ("multiply", "sum"):
+            raise ValueError(f"unknown boost_mode: {boost_mode!r}")
+        if field not in self._meta_num:
+            raise ValueError(f"no such numeric fast field: {field!r}")
+        docs, acc = self._match_set(query, df_map)
+        if not len(docs):
+            return {
+                "doc_ids": np.empty(0, np.uint64),
+                "scores": np.empty(0, np.float64),
+                "paths": np.empty(0, object),
+            }
+        pos = np.searchsorted(self._meta_ids, docs)
+        ok = self._meta_num_ok[field][pos]
+        v = np.where(
+            ok,
+            self._meta_num[field][pos].astype(np.float64),
+            np.float64(missing),
+        )
+        x = np.float64(factor) * v
+        if modifier == "log1p":
+            fvf = np.log1p(x)
+        elif modifier == "sqrt":
+            fvf = np.sqrt(x)
+        else:
+            fvf = x
+        s = acc.astype(np.float64)
+        scores = s * fvf if boost_mode == "multiply" else s + fvf
+        order = np.lexsort((docs, -scores))[:k]
+        docs, scores = docs[order], scores[order]
+        paths = np.full(len(docs), None, dtype=object)
+        if len(docs) and len(self._meta_ids):
+            mpos = np.clip(
+                np.searchsorted(self._meta_ids, docs),
+                0, len(self._meta_ids) - 1,
+            )
+            found = self._meta_ids[mpos] == docs
+            paths[found] = np.asarray(self._meta["path"])[mpos[found]]
+        return {"doc_ids": docs, "scores": scores, "paths": paths}
+
     def query_topk_after(
         self, query: str, k: int, after: tuple | None = None,
         df_map=None,
@@ -2408,6 +2470,45 @@ class BM25Engine:
             [
                 s.query_boosting.remote(
                     positive, negative, negative_boost, k, df_map
+                )
+                for s in rep
+            ]
+        )
+        self.last_fanout_rows = int(
+            sum(len(p["doc_ids"]) for p in parts)
+        )
+        docs = np.concatenate([p["doc_ids"] for p in parts])
+        scores = np.concatenate([p["scores"] for p in parts])
+        paths = np.concatenate([p["paths"] for p in parts])
+        order = np.lexsort((docs, -scores))[:k]
+        return {
+            "doc_ids": docs[order],
+            "scores": scores[order],
+            "paths": paths[order],
+        }
+
+    def search_function_score(
+        self, query: str, field: str, factor: float = 1.0,
+        modifier: str = "log1p", boost_mode: str = "multiply",
+        missing: float = 1.0, top_k: int | None = None,
+    ) -> dict:
+        """FUNCTION-SCORE with a FIELD-VALUE-FACTOR (ES
+        ``function_score`` + ``field_value_factor``): rank by
+        ``bm25 <boost_mode> modifier(factor * fast_field)`` — the
+        standard "relevance x document-prior" shape (e.g. demote tiny
+        files, boost long ones) without reindexing. Fast-field lookup is
+        a shard-local searchsorted over doc-partitioned metadata; the
+        merge is the standard O(shards * k) (score desc, doc_id asc)
+        cut. Returns ``{"doc_ids", "scores", "paths"}``."""
+        self._maybe_reload()
+        k = top_k if top_k is not None else 100
+        df_map = self._df_map_for([query])
+        rep = self._next_replica(f"{query}\x00#fvf:{field}")
+        parts = ray.get(
+            [
+                s.query_function_score.remote(
+                    query, field, factor, modifier, boost_mode,
+                    missing, k, df_map,
                 )
                 for s in rep
             ]

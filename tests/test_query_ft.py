@@ -205,6 +205,78 @@ def test_dismax_tie_breaker_invariants(ray_session, tiny_index):
         eng.close()
 
 
+def test_function_score_field_value_factor(ray_session, tiny_index):
+    """function_score + field_value_factor invariants: the combine is
+    exactly ``bm25 <boost_mode> modifier(factor * dl_content)`` in
+    float64 (cross-checked against search_raw scores and the fast-field
+    values from the order-by-field collector); sum/factor=0/none is
+    bitwise the plain query; bad modifier / boost_mode / field fail
+    loudly."""
+    import numpy as np
+
+    eng = BM25Engine(tiny_index, num_shards=3, dtype=np.float64,
+                     auto_reload=False)
+    q, field = "merge stream", "dl_content"
+    try:
+        d_raw, s_raw = eng.search_raw(q, top_k=10**6, pruning=False)
+        bm25 = dict(zip(d_raw.tolist(), s_raw.tolist()))
+        byf = eng.search_sort_by_field(q, field, top_k=10**6)
+        dl = dict(zip(byf["doc_ids"].tolist(), byf["values"].tolist()))
+        assert set(dl) == set(bm25)  # every match carries the field
+
+        # boost_mode=sum with factor=0, modifier=none: fvf == 0 ->
+        # scores are the plain BM25 scores, bit-for-bit
+        r0 = eng.search_function_score(q, field, factor=0.0,
+                                       modifier="none", boost_mode="sum",
+                                       top_k=10**6)
+        got0 = dict(zip(r0["doc_ids"].tolist(), r0["scores"].tolist()))
+        assert got0 == bm25
+
+        # multiply/none/factor=1: score == bm25 * dl exactly
+        r1 = eng.search_function_score(q, field, factor=1.0,
+                                       modifier="none", top_k=10**6)
+        got1 = dict(zip(r1["doc_ids"].tolist(), r1["scores"].tolist()))
+        assert set(got1) == set(bm25)
+        for d, s in got1.items():
+            assert s == bm25[d] * np.float64(dl[d]), d
+
+        # multiply/log1p/factor=0.5: one multiply into log1p, bitwise
+        r2 = eng.search_function_score(q, field, factor=0.5,
+                                       modifier="log1p", top_k=10**6)
+        for d, s in zip(r2["doc_ids"].tolist(), r2["scores"].tolist()):
+            assert s == bm25[d] * np.log1p(np.float64(0.5)
+                                           * np.float64(dl[d])), d
+
+        # sum/sqrt: bm25 + sqrt(dl), bitwise
+        r3 = eng.search_function_score(q, field, factor=1.0,
+                                       modifier="sqrt", boost_mode="sum",
+                                       top_k=10**6)
+        for d, s in zip(r3["doc_ids"].tolist(), r3["scores"].tolist()):
+            assert s == bm25[d] + np.sqrt(np.float64(dl[d])), d
+
+        # ordering contract: score desc, doc_id asc
+        s_arr, d_arr = r2["scores"], r2["doc_ids"]
+        for i in range(1, len(s_arr)):
+            assert s_arr[i] < s_arr[i - 1] or (
+                s_arr[i] == s_arr[i - 1] and d_arr[i] > d_arr[i - 1]
+            )
+        assert all(p is not None for p in r2["paths"])
+
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="unknown modifier"):
+            eng.search_function_score(q, field, modifier="exp")
+        with _pytest.raises(Exception, match="unknown boost_mode"):
+            eng.search_function_score(q, field, boost_mode="max")
+        with _pytest.raises(Exception, match="fast field"):
+            eng.search_function_score(q, "nofield")
+        # empty match set: stable empty shapes
+        r = eng.search_function_score("zzznosuchterm", field, top_k=5)
+        assert len(r["doc_ids"]) == 0 and len(r["paths"]) == 0
+    finally:
+        eng.close()
+
+
 def test_significant_terms_jlh(ray_session, tiny_index):
     """significant_terms == JLH hand-computed from the facet collectors:
     foreground counts are the query's facet counts, background counts
