@@ -684,6 +684,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact distinct-set cardinality, per-bucket top hits
         "bm25_agg_histogram": docsearch.bm25_agg_histogram,
         "bm25_agg_stats": docsearch.bm25_agg_stats,
+        # ES filters bucket agg: N named filter queries, one spec,
+        # one shard fan-out
+        "bm25_filters_agg": docsearch.bm25_filters_agg,
         "bm25_agg_range": docsearch.bm25_agg_range,
         "bm25_agg_percentiles": docsearch.bm25_agg_percentiles,
         # ES multi-agg request: N aggregations over ONE match-set pass
@@ -1509,6 +1512,38 @@ SELECT CAST(count(*) AS BIGINT) AS cnt,
        CAST(sum(dl) AS BIGINT) AS sum_v,
        CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_v
 FROM j
+""",
+        # filters bucket agg: stats of dl_content per NAMED filter
+        # match set — `merge` and `window -batch` (boolean NOT in a
+        # filter), one UNION ALL branch per bucket
+        "bm25_filters_agg": f"""
+WITH {_TOKS},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+m1 AS (SELECT DISTINCT doc_id FROM toks2 WHERE term = 'merge'),
+m2 AS (
+  SELECT doc_id FROM toks2 WHERE term = 'window'
+  EXCEPT SELECT doc_id FROM toks2 WHERE term = 'batch'
+),
+b1 AS (
+  SELECT 'has_merge' AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(min(dl) AS BIGINT) AS min_v,
+         CAST(max(dl) AS BIGINT) AS max_v,
+         CAST(sum(dl) AS BIGINT) AS sum_v,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_v
+  FROM m1 JOIN dl USING (doc_id)
+),
+b2 AS (
+  SELECT 'win_not_batch' AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(min(dl) AS BIGINT) AS min_v,
+         CAST(max(dl) AS BIGINT) AS max_v,
+         CAST(sum(dl) AS BIGINT) AS sum_v,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_v
+  FROM m2 JOIN dl USING (doc_id)
+)
+SELECT * FROM b1 UNION ALL SELECT * FROM b2
+ORDER BY bucket
 """,
         # range aggregation over n_bytes for the `window` match set —
         # ES [from, to) buckets incl. EMPTY ones (label set is spec-

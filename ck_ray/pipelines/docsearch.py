@@ -501,6 +501,50 @@ def bm25_agg_stats(
     )
 
 
+def bm25_filters_agg(
+    sf_dir: str,
+    filters: tuple = (
+        ("has_merge", "merge"),
+        ("win_not_batch", "window -batch"),
+    ),
+) -> pd.DataFrame:
+    """FILTERS bucket aggregation (ES ``filters``): N named filter
+    queries — full query-language expressions, boolean NOT included —
+    each reduced under the same stats sub-aggregation, in ONE shard
+    fan-out (the dual of the multi-agg request). All bucket state is
+    exact int64; avg is one IEEE divide per bucket. Oracle: one stats
+    SELECT per filter's match set, UNION ALL with the bucket label."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2)
+    try:
+        res = eng.search_filters_agg(
+            dict(filters), {"kind": "stats", "field": "dl_content"}
+        )
+    finally:
+        eng.close()
+    names = [n for n, _ in filters]
+    return pd.DataFrame(
+        {
+            "bucket": pd.Series(names, dtype="object"),
+            "cnt": pd.Series(
+                [res[n]["count"] for n in names], dtype="int64"
+            ),
+            "min_v": pd.Series(
+                [res[n]["min"] for n in names], dtype="int64"
+            ),
+            "max_v": pd.Series(
+                [res[n]["max"] for n in names], dtype="int64"
+            ),
+            "sum_v": pd.Series(
+                [res[n]["sum"] for n in names], dtype="int64"
+            ),
+            "avg_v": pd.Series(
+                [res[n]["avg"] for n in names], dtype="float64"
+            ),
+        }
+    )
+
+
 def bm25_agg_range(
     sf_dir: str, query: str = "window", edges: tuple = (200, 400, 800)
 ) -> pd.DataFrame:

@@ -1787,6 +1787,21 @@ class LocalIndex:
             }
         raise ValueError(f"unknown aggregation kind: {kind!r}")
 
+    def query_filters_agg(
+        self, filters: dict, spec: dict, df_map=None
+    ) -> dict:
+        """FILTERS bucket aggregation (the ES ``filters`` agg): N NAMED
+        filter queries — each a full query-language expression — each
+        reduced under the same sub-aggregation spec, all in ONE shard
+        visit. The driver pays one fan-out for the whole request; each
+        bucket's state is the usual O(buckets)/O(distinct) exact-int
+        payload, so the cross-shard merge per name is the standard
+        associative aggregation merge."""
+        return {
+            name: self._agg_over(self._match_set(q, df_map)[0], spec)
+            for name, q in filters.items()
+        }
+
     def query_topk_by_field(
         self, query: str, field: str, k: int, ascending: bool = False,
         df_map=None,
@@ -2777,6 +2792,27 @@ class BM25Engine:
             [s.query_aggregate.remote(query, spec, df_map) for s in rep]
         )
         return self._merge_agg(spec, parts)
+
+    def search_filters_agg(self, filters: dict, spec: dict) -> dict:
+        """FILTERS bucket aggregation (ES ``filters``): N named filter
+        queries, each reduced under the same sub-aggregation ``spec``,
+        in ONE fan-out — the dual of ``search_aggregate_multi`` (N specs
+        over one query there; one spec over N queries here). Returns
+        ``{name: merged aggregation}``."""
+        self._maybe_reload()
+        names = list(filters)
+        df_map = self._df_map_for([filters[n] for n in names])
+        rep = self._next_replica("\x00".join(filters[n] for n in names))
+        parts = ray.get(
+            [
+                s.query_filters_agg.remote(dict(filters), spec, df_map)
+                for s in rep
+            ]
+        )
+        return {
+            name: self._merge_agg(spec, [p[name] for p in parts])
+            for name in names
+        }
 
     def search_aggregate_multi(self, query: str, specs: dict) -> dict:
         """N named aggregations in ONE pass (the ES multi-agg request):

@@ -414,6 +414,41 @@ def test_multi_agg_equals_single_pass(eng):
         assert multi[name] == eng.search_aggregate(q, spec), name
 
 
+def test_filters_agg_equals_per_query_calls(eng):
+    """One-pass filters agg (ES `filters`: N named filter queries, one
+    spec) must equal N independent search_aggregate calls — including
+    boolean filters, a never-matching filter, and every agg kind."""
+    filters = {
+        "both": "merge AND stream",
+        "either": "merge stream",
+        "not_merge": "stream -merge",
+        "nothing": "zzznosuchterm",
+    }
+    for spec in (
+        {"kind": "stats", "field": "dl_content"},
+        {"kind": "histogram", "field": "n_bytes", "interval": 256},
+        {"kind": "cardinality", "field": "lang"},
+    ):
+        got = eng.search_filters_agg(filters, spec)
+        assert set(got) == set(filters)
+        for name, q in filters.items():
+            assert got[name] == eng.search_aggregate(q, spec), (
+                name, spec["kind"],
+            )
+    # count consistency: both + disjoint splits == either
+    st = eng.search_filters_agg(
+        filters, {"kind": "stats", "field": "dl_content"}
+    )
+    only_merge = eng.search_aggregate(
+        "merge -stream", {"kind": "stats", "field": "dl_content"}
+    )
+    assert (
+        st["both"]["count"] + st["not_merge"]["count"]
+        + only_merge["count"] == st["either"]["count"]
+    )
+    assert st["nothing"]["count"] == 0
+
+
 def test_aggregate_agrees_with_facets(eng):
     """Count consistency across independent collector paths: the facet
     collector's total == cardinality's match count, and per-facet
