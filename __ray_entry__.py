@@ -679,6 +679,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # significant_terms (ES bucket agg, JLH): which field values are
         # anomalously frequent in the match set vs the whole index
         "bm25_significant_langs": docsearch.bm25_significant_langs,
+        # delete-by-query (ES _delete_by_query): tombstone a match set
+        # in one epoch, probe that later queries exclude it exactly
+        "bm25_delete_by_query": docsearch.bm25_delete_by_query,
         # tantivy's ES-compatible aggregation module over the full
         # match set: numeric fast-field histogram / range / stats,
         # exact distinct-set cardinality, per-bucket top hits
@@ -1512,6 +1515,21 @@ SELECT CAST(count(*) AS BIGINT) AS cnt,
        CAST(sum(dl) AS BIGINT) AS sum_v,
        CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_v
 FROM j
+""",
+        # delete-by-query probe: after tombstoning every doc containing
+        # 'batch', the (merge OR window) facet counts must equal the
+        # corpus match set EXCEPT the delete set, per lang
+        "bm25_delete_by_query": f"""
+WITH {_TOKS},
+m AS (
+  SELECT DISTINCT doc_id FROM toks2 WHERE term IN ('merge', 'window')
+  EXCEPT
+  SELECT doc_id FROM toks2 WHERE term = 'batch'
+)
+SELECT d.lang AS lang, count(*) AS n_docs
+FROM m JOIN documents d USING (doc_id)
+GROUP BY d.lang
+ORDER BY lang
 """,
         # filters bucket agg: stats of dl_content per NAMED filter
         # match set — `merge` and `window -batch` (boolean NOT in a

@@ -208,3 +208,86 @@ def incremental_update(
         json.dump(root, fh, indent=1)
     os.replace(tmp, os.path.join(index_dir, MANIFEST_NAME))
     return root
+
+
+def delete_by_query(
+    index_dir: str, query: str, num_shards: int = 2
+) -> dict:
+    """DELETE-BY-QUERY (the ES ``_delete_by_query`` maintenance op):
+    tombstone every live doc matching a full query-language expression —
+    boolean trees, phrases, prefix/fuzzy/regex/wildcard included — in
+    ONE new epoch, without touching a single posting byte.
+
+    The match set is evaluated exactly (TAAT) by doc-partitioned shards;
+    what reaches the driver is the matched doc_id list — O(deleted),
+    never O(corpus), and irreducible: the tombstone file IS that list.
+    Global stats (num_docs, total tokens -> avgdl) are adjusted exactly
+    from the per-doc ``dl_*`` columns, so post-delete BM25 scores equal
+    a from-scratch index without the docs (the same contract
+    ``incremental_update`` keeps, tested). The deletion epoch is LATER
+    than every surviving doc entry, so the epoch-scoped supersede rule
+    applies it to all of them; a doc re-added by a later
+    ``incremental_update`` is live again (regression-tested for epoch
+    deletions generally). No matches -> no epoch, manifest unchanged.
+    Returns the updated manifest."""
+    from .query import BM25Engine
+
+    man = load_manifest(index_dir)
+    epochs = man.get("epochs", [man["epoch_dir"]])
+    eng = BM25Engine(index_dir, num_shards=num_shards, auto_reload=False)
+    try:
+        # top_k = num_docs drains the full match set (every shard's
+        # local top-k is capped by its live doc count)
+        docs, _ = eng.search_raw(
+            query, top_k=max(1, int(man["num_docs"])), pruning=False
+        )
+    finally:
+        eng.close()
+    if not len(docs):
+        return man
+    deleted = np.sort(docs.astype(np.int64))
+
+    epoch = f"epoch-{len(epochs) + 1:04d}"
+    prev = _live_prev_docs(index_dir, man)
+    stale = prev[prev["doc_id"].isin(set(deleted.tolist()))]
+    totals = {
+        "content": man["fields"]["content"]["total_tokens"]
+        - int(stale["dl_content"].sum()),
+        "path": man["fields"]["path"]["total_tokens"]
+        - int(stale["dl_path"].sum()),
+    }
+    n_docs = int(man["num_docs"]) - len(deleted)
+
+    os.makedirs(os.path.join(index_dir, epoch), exist_ok=True)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(deleted, pa.int64())}),
+        os.path.join(index_dir, epoch, "deleted.parquet"),
+    )
+    root = dict(man)
+    root.update(
+        {
+            "epoch": epoch,
+            "epoch_dir": man["epoch_dir"],
+            "epochs": [*epochs, epoch],
+            "num_docs": n_docs,
+            "fields": {
+                "content": {
+                    "field_id": 0,
+                    "total_tokens": totals["content"],
+                    "avgdl": totals["content"] / n_docs if n_docs else 0.0,
+                },
+                "path": {
+                    "field_id": 1,
+                    "total_tokens": totals["path"],
+                    "avgdl": totals["path"] / n_docs if n_docs else 0.0,
+                },
+            },
+            "n_changed": 0,
+            "n_deleted": int(len(deleted)),
+        }
+    )
+    tmp = os.path.join(index_dir, f".{MANIFEST_NAME}.tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump(root, fh, indent=1)
+    os.replace(tmp, os.path.join(index_dir, MANIFEST_NAME))
+    return root

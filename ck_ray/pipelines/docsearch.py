@@ -447,6 +447,52 @@ def bm25_significant_langs(
     )
 
 
+def bm25_delete_by_query(
+    sf_dir: str, delete_q: str = "batch", probe_q: str = "merge window",
+) -> pd.DataFrame:
+    """DELETE-BY-QUERY (ES ``_delete_by_query``) end to end: build a
+    THROWAWAY index over documents, tombstone every doc matching
+    ``delete_q`` (one epoch, no posting bytes touched, stats adjusted
+    exactly — see ``incremental.delete_by_query``), then report the
+    per-lang facet counts of ``probe_q``'s matches on the mutated
+    index. Oracle: docs matching (merge OR window) EXCEPT docs matching
+    batch, grouped by lang — the tombstones must hide exactly the
+    delete set from every later query. The index is rebuilt fresh per
+    call (the op mutates it), in a temp dir, removed afterwards."""
+    import shutil
+    import tempfile
+
+    from ck_ray.incremental import delete_by_query
+
+    tmp = tempfile.mkdtemp(prefix="ck_ray_delq_")
+    idx = os.path.join(tmp, "idx")
+    try:
+        build_index(
+            _doc_corpus(sf_dir), idx,
+            IndexConfig(num_parts=8, batch_size=512),
+        )
+        delete_by_query(idx, delete_q)
+        eng = BM25Engine(idx, num_shards=2)
+        try:
+            # the delete set must be gone from its own match set
+            assert len(eng.search_raw(delete_q, 10)[0]) == 0
+            total, facets = eng.search_facets(probe_q, "lang")
+        finally:
+            eng.close()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    out = pd.DataFrame(
+        {
+            "lang": pd.Series(sorted(facets), dtype="object"),
+            "n_docs": pd.Series(
+                [facets[v] for v in sorted(facets)], dtype="int64"
+            ),
+        }
+    )
+    assert int(out["n_docs"].sum()) == total
+    return out
+
+
 def bm25_agg_histogram(
     sf_dir: str, query: str = "merge AND window", interval: int = 64
 ) -> pd.DataFrame:

@@ -128,6 +128,71 @@ def test_delete_then_readd(ray_session, tiny_corpus, tmp_path):
     assert man2.get("epochs") == man.get("epochs")
 
 
+def test_delete_by_query(ray_session, tiny_corpus, tmp_path):
+    """delete_by_query (ES _delete_by_query): after tombstoning every
+    doc matching the query, the index is QUERY-IDENTICAL to a
+    from-scratch build over the corpus minus those docs (num_docs,
+    avgdl and live dfs all adjust) — rank and f32 scores verified
+    against the brute-force oracle on the filtered corpus. A
+    no-match delete is a manifest no-op; a later incremental_update
+    re-adds deleted docs (epoch-scoped deletions)."""
+    import ray.data
+
+    from ck_ray.incremental import delete_by_query
+    from ck_ray.tokenizer import tokenize_text
+
+    cfg = ckb.IndexConfig(num_parts=4, batch_size=64)
+    d = str(tmp_path / "idx")
+    ckb.build_index(ray.data.from_arrow(tiny_corpus), d, cfg)
+
+    man0 = ckb.load_manifest(d)
+    assert delete_by_query(d, "zzznosuchterm") == man0  # no-op
+    assert ckb.load_manifest(d).get("epochs", None) == man0.get(
+        "epochs", None
+    )
+
+    # delete a boolean match set: docs with 'merge' but not 'stream'
+    q_del = "merge -stream"
+    keep_mask = []
+    for c in tiny_corpus["content"].to_pylist():
+        toks = set(tokenize_text(c))
+        keep_mask.append(not ("merge" in toks and "stream" not in toks))
+    kept = tiny_corpus.filter(pa.array(keep_mask))
+    n_deleted = tiny_corpus.num_rows - kept.num_rows
+    assert n_deleted > 0  # the corpus must exercise a real deletion
+
+    man = delete_by_query(d, q_del)
+    assert man["n_deleted"] == n_deleted
+    assert man["num_docs"] == kept.num_rows
+
+    eng = BM25Engine(d, num_shards=2)
+    oracle = BM25Oracle(kept)
+    try:
+        # the deleted docs are gone from their own match set
+        assert len(eng.search_raw(q_del, 50)[0]) == 0
+        for q in ("merge", "stream", "def", "the merge window"):
+            di, si = eng.search_raw(q, 50)
+            do, so = oracle.search_raw(q, 50)
+            assert di.tolist() == do.tolist(), f"{q}: docs differ"
+            assert np.array_equal(si, so), f"{q}: scores differ"
+    finally:
+        eng.close()
+
+    # re-adding the full corpus restores the deleted docs
+    man2 = incremental_update(ray.data.from_arrow(tiny_corpus), d, cfg)
+    assert man2["n_changed"] == n_deleted
+    assert man2["num_docs"] == tiny_corpus.num_rows
+    eng = BM25Engine(d, num_shards=2)
+    full_oracle = BM25Oracle(tiny_corpus)
+    try:
+        di, si = eng.search_raw(q_del, 50)
+        do, so = full_oracle.search_raw(q_del, 50)
+        assert di.tolist() == do.tolist()
+        assert np.array_equal(si, so)
+    finally:
+        eng.close()
+
+
 def test_engine_auto_reload_after_update(ray_session, tiny_corpus, tmp_path):
     """An open BM25Engine must not serve a stale epoch set: after an
     incremental_update commits a new manifest, the next search on the SAME
