@@ -97,6 +97,25 @@ def _cmd_compact(args) -> int:
     return 0
 
 
+def _cmd_delete(args) -> int:
+    from .incremental import delete_by_query
+
+    t0 = time.perf_counter()
+    root = delete_by_query(
+        args.index_dir, args.query, num_shards=args.shards
+    )
+    _emit({
+        "job": "delete-by-query",
+        "index_dir": args.index_dir,
+        "query": args.query,
+        "wall_s": round(time.perf_counter() - t0, 3),
+        "n_deleted": root.get("n_deleted", 0),
+        "num_docs": root["num_docs"],
+        "epoch": root.get("epoch"),
+    })
+    return 0
+
+
 def _cmd_query(args) -> int:
     import numpy as np
 
@@ -305,6 +324,15 @@ def _parser() -> argparse.ArgumentParser:
     )
     c.add_argument("--index-dir", required=True)
     c.set_defaults(fn=_cmd_compact)
+
+    dq = sub.add_parser(
+        "delete-by-query",
+        help="tombstone every doc matching a query (one epoch)",
+    )
+    dq.add_argument("query", help="query-language expression to delete")
+    dq.add_argument("--index-dir", required=True)
+    dq.add_argument("--shards", type=int, default=4)
+    dq.set_defaults(fn=_cmd_delete)
 
     q = sub.add_parser("query", help="run BM25 queries against an index")
     q.add_argument("queries", nargs="*", help="query strings")

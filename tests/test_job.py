@@ -152,6 +152,32 @@ def test_compact_subcommand(built_index, capsys):
     assert len(_last_json(capsys)["results"]["def"]) > 0
 
 
+def test_delete_by_query_subcommand(ray_session, tmp_path, capsys):
+    """delete-by-query mutates the index, so it gets a private one: the
+    deleted match set must vanish from later queries and the emitted
+    metrics must carry the tombstone count."""
+    corpus = corpus_parquet(150, seed=13)
+    idx = str(tmp_path / "idx")
+    assert job.main([
+        "build", "--corpus", corpus, "--index-dir", idx,
+        "--num-parts", "2",
+    ]) == 0
+    rc = job.main(["query", "--index-dir", idx, "--top-k", "5", "merge"])
+    assert rc == 0
+    before = len(_last_json(capsys)["results"]["merge"])
+    assert before > 0
+
+    rc = job.main(["delete-by-query", "--index-dir", idx, "merge"])
+    assert rc == 0
+    d = _last_json(capsys)
+    assert d["job"] == "delete-by-query" and d["n_deleted"] > 0
+    assert d["epoch"] == "epoch-0002"
+
+    rc = job.main(["query", "--index-dir", idx, "--top-k", "5", "merge"])
+    assert rc == 0
+    assert len(_last_json(capsys)["results"]["merge"]) == 0
+
+
 def test_curate_subcommand(ray_session, tmp_path, capsys):
     out_dir = str(tmp_path / "cleaned")
     rc = job.main([
