@@ -670,6 +670,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wildcard term query `w?nd*w` (Lucene WildcardQuery): rewritten
         # onto the anchored-regex expansion, const-score membership
         "bm25_wildcard": docsearch.bm25_wildcard,
+        # explain API (Lucene explain / ES _explain): per-term BM25
+        # evidence rows (df/tf/dl/contribution) for the top-1 doc
+        "bm25_explain": docsearch.bm25_explain,
         # more-like-this (tantivy MoreLikeThisQuery shape): tf*idf term
         # selection from input text, then a BM25 disjunction
         "bm25_more_like_this": docsearch.bm25_more_like_this,
@@ -2022,6 +2025,37 @@ topk AS (SELECT doc_id, round(score, 4) AS score FROM scores
          ORDER BY round(score, 4) DESC, doc_id LIMIT {_BM25_K})
 SELECT doc_id, score FROM topk
 ORDER BY score DESC, doc_id
+""",
+        # explain: re-derive the top-1 doc of `merge window batch` under
+        # the shared rounded convention, then one row per term present
+        # in it with the exact BM25 evidence (df, tf, dl, contribution)
+        "bm25_explain": f"""
+WITH {_TOKS},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN ('merge', 'window', 'batch') GROUP BY term
+),
+bm AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dl.dl, df.df,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * ((tf.tf * 2.2)
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+docsum AS (SELECT doc_id, sum(score) AS s FROM bm GROUP BY doc_id),
+top1 AS (SELECT doc_id FROM docsum
+         ORDER BY round(s, 4) DESC, doc_id LIMIT 1)
+SELECT b.term AS term, b.doc_id AS doc_id, b.df AS df, b.tf AS tf,
+       b.dl AS dl, round(b.score, 4) AS score
+FROM bm b JOIN top1 USING (doc_id)
+ORDER BY term
 """,
         # wildcard `merge w?nd*w` (Lucene WildcardQuery): docs holding
         # ANY term the pattern matches in full score 1.0 once (the

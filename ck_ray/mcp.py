@@ -138,6 +138,8 @@ class CkRayMCP:
         "significant_terms": "Field values anomalously frequent in the "
                              "match set vs the whole index (ES "
                              "significant_terms, JLH score)",
+        "explain": "Score breakdown for one (query, doc_id) pair: "
+                   "per-term BM25 evidence (Lucene explain)",
     }
 
     def list_tools(self) -> list[dict]:
@@ -221,6 +223,9 @@ class CkRayMCP:
                 query, args.get("field", "lang")
             )
             return {"total": total, "facets": facets}
+        if name == "explain":
+            ex = self._bm25().explain(query, int(args["doc_id"]))
+            return ex if ex is not None else {"matched": False}
         if name == "significant_terms":
             return self._bm25().search_significant_terms(
                 query, args.get("field", "lang"),

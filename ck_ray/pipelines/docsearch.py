@@ -128,6 +128,55 @@ def bm25_topk(
     )
 
 
+def bm25_explain(
+    sf_dir: str, query: str = "merge window batch", k_probe: int = 16
+) -> pd.DataFrame:
+    """EXPLAIN (Lucene ``explain()`` / ES ``_explain``) for the global
+    top-1 doc of ``query``: one row per matched term leaf carrying the
+    full BM25 evidence — global df, the doc's tf and dl, and the 4dp
+    contribution. The top-1 pick uses the shared rounded convention
+    (round(score,4) desc, original doc_id asc), so the SQL oracle —
+    which re-derives the same top doc and computes each term's
+    ``idf * tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))`` — selects the same
+    doc and reproduces every row."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2, dtype=np.float64)
+    try:
+        fetch = k_probe
+        while True:
+            df = eng.search(query, top_k=fetch, with_metadata=True)
+            assert len(df) > 0, "probe query matched nothing"
+            r = round_half_away(df["score"], 4)
+            if len(df) < fetch or float(r[-1]) < float(r[0]):
+                break  # the rank-1 rounded group is fully fetched
+            fetch *= 4
+        orig = df["path"].astype("int64")
+        pick = sorted(zip(-r, orig, df["doc_id"]))[0]
+        orig_id, internal = int(pick[1]), int(pick[2])
+        ex = eng.explain(query, internal)
+    finally:
+        eng.close()
+    rows = [
+        (det["term"], det["df"], det["tf"], det["dl"], leaf["score"])
+        for leaf in ex["leaves"]
+        if leaf["matched"] and leaf["kind"] == "term"
+        for det in leaf["details"]
+    ]
+    rows.sort()
+    return pd.DataFrame(
+        {
+            "term": pd.Series([r[0] for r in rows], dtype="object"),
+            "doc_id": pd.Series([orig_id] * len(rows), dtype="int64"),
+            "df": pd.Series([r[1] for r in rows], dtype="int64"),
+            "tf": pd.Series([r[2] for r in rows], dtype="int64"),
+            "dl": pd.Series([r[3] for r in rows], dtype="int64"),
+            "score": round_half_away(
+                np.asarray([r[4] for r in rows], dtype=np.float64), 4
+            ),
+        }
+    )
+
+
 def bm25_snippets(
     sf_dir: str, query: str = "merge window batch", k: int = 20
 ) -> pd.DataFrame:

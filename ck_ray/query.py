@@ -2088,6 +2088,117 @@ class LocalIndex:
             paths[found] = np.asarray(self._meta["path"])[mpos[found]]
         return {"doc_ids": docs, "scores": scores, "paths": paths}
 
+    def query_explain(
+        self, query: str, doc_id: int, df_map=None
+    ) -> dict | None:
+        """EXPLAIN for one doc (the Lucene ``explain()`` / ES
+        ``_explain`` API): did ``doc_id`` match, what is its exact
+        score, and how does each leaf clause contribute? Returns None
+        when the doc doesn't match — or lives in another shard (doc
+        partitioning: exactly one shard answers, the driver keeps the
+        non-None response).
+
+        Payload: ``total`` is bit-identical to the score the ranked
+        path returns (same ``_eval_node``); ``leaves`` carries one row
+        per leaf clause in evaluation order — kind (term / phrase /
+        const), matched flag, the leaf's f-dtype contribution, and for
+        scored term leaves the full BM25 evidence: global df, the
+        doc's tf and dl, and the idf weight, each re-derivable by
+        hand (``score = idf * tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))``).
+        For unboosted trees the contributions of matched non-MUST_NOT
+        leaves sum to ``total`` in leaf order (pinned by pytest)."""
+        doc = np.uint64(doc_id)
+        tree = parse_query(query)
+        if tree is None:
+            return None
+        if any(
+            c.prefix
+            or c.fuzzy
+            or c.range_spec is not None
+            or c.regex_spec is not None
+            for c in collect_clauses(tree)
+        ):
+            tree = expand_prefix_tree(
+                tree, self._expand_prefix, self._expand_range,
+                self._expand_fuzzy, self._expand_regex,
+            )
+        leaves = collect_clauses(tree)
+        keys = dict.fromkeys(
+            (FIELD_IDS[c.field], t) for c in leaves for t in c.terms
+        )
+        rows = self._rows_for(keys)
+        res = self._eval_node(tree, rows, df_map)
+        if res is None:
+            return None
+        docs, acc = res
+        pos = int(np.searchsorted(docs, doc))
+        if pos >= len(docs) or docs[pos] != doc:
+            return None
+        man = self.manifest
+        out_leaves = []
+        for c in leaves:
+            fid = FIELD_IDS[c.field]
+            r = self._clause_contrib(c, rows, df_map)
+            matched, score = False, 0.0
+            if r is not None:
+                d, s = r
+                p = int(np.searchsorted(d, doc))
+                if p < len(d) and d[p] == doc:
+                    matched, score = True, float(s[p])
+            kind = (
+                "const" if c.const_score or c.match_all
+                else ("phrase" if c.is_phrase else "term")
+            )
+            details = []
+            if kind == "term":
+                v = rows.get((fid, c.terms[0]))
+                if v is not None and v.df > 0:
+                    df = int(self._df_of((fid, c.terms[0]), v, df_map))
+                    p = int(np.searchsorted(v.docs, doc))
+                    hit = p < len(v.docs) and v.docs[p] == doc
+                    details.append(
+                        {
+                            "term": c.terms[0],
+                            "df": df,
+                            "tf": int(v.tfs[p]) if hit else 0,
+                            "dl": int(v.dls[p]) if hit else None,
+                            "idf": float(
+                                scoring.idf(
+                                    df, man["num_docs"], dtype=self.dtype
+                                )
+                            ),
+                        }
+                    )
+            elif kind == "phrase":
+                for t in c.terms:
+                    v = rows.get((fid, t))
+                    if v is not None and v.df > 0:
+                        details.append(
+                            {
+                                "term": t,
+                                "df": int(
+                                    self._df_of((fid, t), v, df_map)
+                                ),
+                            }
+                        )
+            out_leaves.append(
+                {
+                    "field": c.field,
+                    "terms": list(c.terms),
+                    "kind": kind,
+                    "boost": float(c.boost),
+                    "matched": matched,
+                    "score": score,
+                    "details": details,
+                }
+            )
+        return {
+            "doc_id": int(doc_id),
+            "matched": True,
+            "total": float(acc[pos]),
+            "leaves": out_leaves,
+        }
+
     def query_topk_after(
         self, query: str, k: int, after: tuple | None = None,
         df_map=None,
@@ -2464,6 +2575,26 @@ class BM25Engine:
             "scores": scores[order],
             "paths": paths[order],
         }
+
+    def explain(self, query: str, doc_id: int) -> dict | None:
+        """Lucene ``explain()`` / ES ``_explain``: the full score
+        breakdown for ONE (query, doc) pair — exact total (bit-identical
+        to the ranked path), per-leaf contributions in evaluation order,
+        and the BM25 evidence (df/tf/dl/idf) behind every scored term.
+        Doc partitioning means exactly one shard holds the doc; the
+        fan-out keeps the single non-None answer. None = no match."""
+        self._maybe_reload()
+        df_map = self._df_map_for([query])
+        rep = self._next_replica(query)
+        parts = ray.get(
+            [
+                s.query_explain.remote(query, int(doc_id), df_map)
+                for s in rep
+            ]
+        )
+        hits = [p for p in parts if p is not None]
+        assert len(hits) <= 1, "doc partitioning violated: doc in 2 shards"
+        return hits[0] if hits else None
 
     def search_boosting(
         self, positive: str, negative: str, negative_boost: float = 0.5,

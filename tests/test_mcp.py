@@ -44,7 +44,7 @@ def test_initialize_and_tool_list(mcp):
     assert names == {
         "regex_search", "lexical_search", "semantic_search",
         "hybrid_search", "index_status", "reindex", "health_check",
-        "facet_search", "aggregate", "significant_terms",
+        "facet_search", "aggregate", "significant_terms", "explain",
     }
 
 
@@ -101,6 +101,13 @@ def test_facet_and_aggregate_tools(mcp):
                field="dl_content")
     assert xs["count"] == st["count"] and xs["sum"] == st["sum"]
     assert xs["sum_sq"] >= xs["sum"] and xs["variance"] >= 0
+    top = _call(mcp, "lexical_search", query="merge", top_k=1)
+    did = top["matches"][0]["doc_id"]
+    ex = _call(mcp, "explain", query="merge", doc_id=did)
+    assert ex["matched"] and ex["doc_id"] == did
+    assert ex["leaves"][0]["details"][0]["tf"] >= 1
+    miss = _call(mcp, "explain", query="zzznosuchterm", doc_id=did)
+    assert miss == {"matched": False}
     sig = _call(mcp, "significant_terms", query="merge", field="lang",
                 size=3)
     assert sig["fg_total"] == f["total"] and len(sig["buckets"]) <= 3

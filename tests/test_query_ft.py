@@ -277,6 +277,68 @@ def test_function_score_field_value_factor(ray_session, tiny_index):
         eng.close()
 
 
+def test_explain_breakdown(ray_session, tiny_index, tiny_corpus):
+    """explain(): the total is bit-identical to the ranked path's score;
+    matched leaf contributions sum to it (leaf order) for unboosted
+    trees; the per-term evidence (df/tf/dl/idf) reconstructs each term
+    score from the BM25 formula exactly; df agrees with the brute-force
+    oracle's postings."""
+    import numpy as np
+
+    import ck_ray.build as ckb
+    from ck_ray import scoring
+    from ck_ray.oracle import BM25Oracle
+
+    eng = BM25Engine(tiny_index, num_shards=3, dtype=np.float64,
+                     auto_reload=False)
+    oracle = BM25Oracle(tiny_corpus)
+    man = ckb.load_manifest(tiny_index)
+    avgdl = man["fields"]["content"]["avgdl"]
+    n = man["num_docs"]
+    try:
+        for q in (
+            "merge stream",
+            "merge AND stream -tokenize",
+            '"merge stream" tokenize',
+            "merge^2 stream",
+        ):
+            d, s = eng.search_raw(q, 10, pruning=False)
+            assert len(d), q
+            ex = eng.explain(q, int(d[0]))
+            assert ex is not None and ex["matched"]
+            assert ex["total"] == s[0], q  # bitwise vs the ranked path
+            acc = np.float64(0.0)
+            for leaf in ex["leaves"]:
+                if leaf["matched"]:
+                    acc = acc + np.float64(leaf["score"])
+                for det in leaf["details"]:
+                    # df agrees with the oracle's corpus-global postings
+                    assert det["df"] == len(
+                        oracle.postings[0][det["term"]]
+                    ), det
+                    if leaf["kind"] == "term" and leaf["matched"]:
+                        want = np.float64(
+                            scoring.idf(det["df"], n, dtype=np.float64)
+                        ) * scoring.tf_factor(
+                            np.float64(det["tf"]), np.float64(det["dl"]),
+                            avgdl, dtype=np.float64,
+                        )
+                        if leaf["boost"] != 1.0:
+                            want = want * np.float64(leaf["boost"])
+                        assert float(want) == leaf["score"], det
+                        assert det["idf"] == float(
+                            scoring.idf(det["df"], n, dtype=np.float64)
+                        )
+            assert float(acc) == ex["total"], q  # leaf sums reconstruct
+
+        # a doc outside the match set (or the index) explains to None
+        assert eng.explain("merge stream", 2**63) is None
+        nm, _ = eng.search_raw("-merge *", 10**6)  # docs WITHOUT merge
+        assert eng.explain("merge", int(nm[0])) is None
+    finally:
+        eng.close()
+
+
 def test_significant_terms_jlh(ray_session, tiny_index):
     """significant_terms == JLH hand-computed from the facet collectors:
     foreground counts are the query's facet counts, background counts
