@@ -720,6 +720,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # boolean OR with minimum_should_match=2 of 3 (Lucene/ES
         # parameter, tantivy with_minimum_required_clauses)
         "bm25_min_should_match": docsearch.bm25_min_should_match,
+        # two-phase rescore (ES rescore): OR recall pass, exact-phrase
+        # precision pass over the top-40 window, total score_mode
+        "bm25_rescore": docsearch.bm25_rescore,
         # boosting query (Lucene/ES `boosting`): demote-don't-exclude —
         # negative matches keep ranking at score * negative_boost
         "bm25_boosting": docsearch.bm25_boosting,
@@ -2182,6 +2185,57 @@ scores AS (
 ),
 topk AS (SELECT doc_id, round(score, 4) AS score FROM scores
          ORDER BY round(score, 4) DESC, doc_id LIMIT {_BM25_K})
+SELECT doc_id, score FROM topk
+ORDER BY score DESC, doc_id
+""",
+        # two-phase rescore: primary = OR-sum over (merge, window);
+        # window = its raw top-40 (float64 desc, doc_id asc — bit-
+        # identical both sides); secondary = the exact phrase scored by
+        # adjacency pairs on window docs; combined = 1.0*p + 2.0*s
+        "bm25_rescore": f"""
+WITH {_TOKS_POS},
+dl AS (SELECT doc_id, count(*) AS dl FROM tokp GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tokp
+       WHERE term IN ('merge', 'window') GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tokp
+       WHERE term IN ('merge', 'window') GROUP BY term),
+bm AS (
+  SELECT tf.doc_id,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * ((tf.tf * 2.2)
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+prim AS (SELECT doc_id, sum(score) AS s FROM bm GROUP BY doc_id),
+win AS (SELECT doc_id, s FROM prim ORDER BY s DESC, doc_id LIMIT 40),
+w AS (SELECT sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))) AS wsum
+      FROM df CROSS JOIN stats s),
+p0 AS (SELECT doc_id, pos FROM tokp WHERE term = 'merge'),
+p1 AS (SELECT doc_id, pos FROM tokp WHERE term = 'window'),
+chain AS (SELECT p0.doc_id, p0.pos AS q0, min(p1.pos) AS q1
+          FROM p0 JOIN p1 ON p1.doc_id = p0.doc_id AND p1.pos > p0.pos
+          GROUP BY p0.doc_id, p0.pos),
+tfm AS (SELECT doc_id, count(*) AS tf FROM chain
+        WHERE q1 - q0 - 1 <= 0 GROUP BY doc_id),
+sec AS (
+  SELECT t.doc_id,
+         (SELECT wsum FROM w)
+           * ((t.tf * 2.2)
+              / (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl))) AS s2
+  FROM tfm t JOIN dl d USING (doc_id) CROSS JOIN stats s
+),
+comb AS (
+  SELECT win.doc_id,
+         1.0 * win.s + 2.0 * coalesce(sec.s2, 0) AS score
+  FROM win LEFT JOIN sec USING (doc_id)
+),
+topk AS (SELECT doc_id, round(score, 4) AS score FROM comb
+         ORDER BY round(score, 4) DESC, doc_id LIMIT 15)
 SELECT doc_id, score FROM topk
 ORDER BY score DESC, doc_id
 """,

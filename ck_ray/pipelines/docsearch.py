@@ -1026,6 +1026,50 @@ def bm25_function_score(
     )
 
 
+def bm25_rescore(
+    sf_dir: str, query: str = "merge window",
+    rescore_query: str = '"merge window"', window: int = 40,
+    qw: float = 1.0, rw: float = 2.0, k: int = 15,
+) -> pd.DataFrame:
+    """RESCORE (the ES two-phase ``rescore`` request): a cheap OR
+    recall pass ranks the corpus, then the EXACT PHRASE precision pass
+    re-scores only the top-``window`` docs — combined =
+    ``qw*primary + rw*secondary`` (score_mode total). The window cut
+    uses raw float64 (score desc, doc_id asc) order, bit-identical in
+    SQL; the oracle re-derives the window, scores the phrase via
+    position-adjacency pairs, and applies the same two multiplies and
+    one add."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2, dtype=np.float64)
+    try:
+        res = eng.search_rescore(
+            query, rescore_query, window_size=window,
+            query_weight=qw, rescore_query_weight=rw, top_k=window,
+        )
+        # internal doc_id -> original id via the stored path metadata
+        # of the same primary window
+        m = eng.search(query, top_k=window, with_metadata=True)
+    finally:
+        eng.close()
+    id_map = dict(
+        zip(m["doc_id"].tolist(), m["path"].astype("int64").tolist())
+    )
+    out = pd.DataFrame(
+        {
+            "doc_id": [
+                id_map[int(d)] for d in res["doc_ids"].tolist()
+            ],
+            "score": round_half_away(res["scores"], 4),
+        }
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return (
+        out.sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
 def bm25_min_should_match(
     sf_dir: str, terms: tuple = ("merge", "window", "batch"),
     m: int = 2, k: int = 15,

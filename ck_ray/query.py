@@ -2199,6 +2199,24 @@ class LocalIndex:
             "leaves": out_leaves,
         }
 
+    def query_scores_at(
+        self, query: str, doc_ids: np.ndarray, df_map=None
+    ) -> np.ndarray:
+        """Exact float64 scores of ``query`` at the GIVEN doc ids —
+        0.0 where the doc doesn't match or isn't owned by this shard
+        (doc partitioning: summing the aligned arrays across shards
+        yields each doc's single owner's value). The window primitive
+        behind rescoring: O(window) returns, one TAAT evaluation."""
+        ids = np.asarray(doc_ids, dtype=np.uint64)
+        out = np.zeros(len(ids), np.float64)
+        docs, acc = self._match_set(query, df_map)
+        if not len(docs) or not len(ids):
+            return out
+        pos = np.clip(np.searchsorted(docs, ids), 0, len(docs) - 1)
+        hit = docs[pos] == ids
+        out[hit] = acc.astype(np.float64)[pos[hit]]
+        return out
+
     def query_topk_after(
         self, query: str, k: int, after: tuple | None = None,
         df_map=None,
@@ -2595,6 +2613,68 @@ class BM25Engine:
         hits = [p for p in parts if p is not None]
         assert len(hits) <= 1, "doc partitioning violated: doc in 2 shards"
         return hits[0] if hits else None
+
+    def search_rescore(
+        self, query: str, rescore_query: str, window_size: int = 50,
+        query_weight: float = 1.0, rescore_query_weight: float = 1.0,
+        top_k: int | None = None,
+    ) -> dict:
+        """RESCORE (the ES ``rescore`` request): rank the cheap primary
+        query, take its top ``window_size`` docs, score the (usually
+        more expensive) ``rescore_query`` ONLY at those docs, and
+        re-rank the window by
+
+            query_weight * primary + rescore_query_weight * secondary
+
+        (ES ``score_mode: total``, the default) — the classic two-phase
+        retrieval shape: a fast recall pass, a precise re-rank confined
+        to O(window). The window cut uses the primary (raw float64
+        score desc, doc_id asc) order; the secondary pass ships only
+        the window's doc ids to the shards and gets one aligned float64
+        array back per shard (each doc scored by its single owner).
+        Both combine multiplies and the add run in float64 in that
+        fixed order, so a SQL oracle reproduces every double. Returns
+        the re-ranked window's top-k as ``{"doc_ids", "scores",
+        "primary", "secondary"}``."""
+        self._maybe_reload()
+        k = top_k if top_k is not None else 10
+        w = max(int(window_size), 1)
+        df_map = self._df_map_for([query, rescore_query])
+        rep = self._next_replica(f"{query}\x00{rescore_query}")
+        # phase 1: primary top-window (standard O(shards * w) merge)
+        parts = ray.get(
+            [s.query_topk.remote(query, w, True, df_map) for s in rep]
+        )
+        docs = np.concatenate([p[0] for p in parts])
+        prim = np.concatenate([p[1] for p in parts]).astype(np.float64)
+        if not len(docs):
+            return {
+                "doc_ids": np.empty(0, np.uint64),
+                "scores": np.empty(0, np.float64),
+                "primary": np.empty(0, np.float64),
+                "secondary": np.empty(0, np.float64),
+            }
+        order = np.lexsort((docs, -prim))[:w]
+        docs, prim = docs[order], prim[order]
+        # phase 2: secondary scores at exactly the window's ids
+        sec_parts = ray.get(
+            [
+                s.query_scores_at.remote(rescore_query, docs, df_map)
+                for s in rep
+            ]
+        )
+        sec = np.sum(sec_parts, axis=0)  # one owner per doc -> no overlap
+        scores = (
+            np.float64(query_weight) * prim
+            + np.float64(rescore_query_weight) * sec
+        )
+        cut = np.lexsort((docs, -scores))[:k]
+        return {
+            "doc_ids": docs[cut],
+            "scores": scores[cut],
+            "primary": prim[cut],
+            "secondary": sec[cut],
+        }
 
     def search_boosting(
         self, positive: str, negative: str, negative_boost: float = 0.5,

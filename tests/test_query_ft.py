@@ -277,6 +277,67 @@ def test_function_score_field_value_factor(ray_session, tiny_index):
         eng.close()
 
 
+def test_rescore_two_phase(ray_session, tiny_index):
+    """rescore invariants: weights (1,0) with a full-coverage window is
+    the plain primary ranking; every combined score equals
+    qw*primary + rw*secondary hand-computed bitwise from two full
+    evaluations; a small window confines results to the primary top-w;
+    docs outside the rescore query's match set keep secondary == 0."""
+    import numpy as np
+
+    eng = BM25Engine(tiny_index, num_shards=3, dtype=np.float64,
+                     auto_reload=False)
+    q, rq = "merge stream", '"merge stream" tokenize'
+    try:
+        d_p, s_p = eng.search_raw(q, top_k=10**6, pruning=False)
+        prim = dict(zip(d_p.tolist(), s_p.tolist()))
+        d_s, s_s = eng.search_raw(rq, top_k=10**6, pruning=False)
+        sec = dict(zip(d_s.tolist(), s_s.tolist()))
+
+        # full-coverage window, secondary weight 0 -> primary ranking
+        r = eng.search_rescore(q, rq, window_size=10**6,
+                               query_weight=1.0,
+                               rescore_query_weight=0.0, top_k=10)
+        assert r["doc_ids"].tolist() == d_p[:10].tolist()
+        assert np.array_equal(r["scores"], s_p[:10])
+
+        # combined = 0.5*p + 2*s, bitwise, over the whole match set
+        qw, rw = 0.5, 2.0
+        r = eng.search_rescore(q, rq, window_size=10**6,
+                               query_weight=qw,
+                               rescore_query_weight=rw, top_k=10**6)
+        assert set(r["doc_ids"].tolist()) == set(prim)  # window = all
+        hit_secondary = 0
+        for d, s, p0, s0 in zip(r["doc_ids"].tolist(),
+                                r["scores"].tolist(),
+                                r["primary"].tolist(),
+                                r["secondary"].tolist()):
+            assert p0 == prim[d]
+            assert s0 == sec.get(d, 0.0)
+            assert s == np.float64(qw) * np.float64(p0) + np.float64(
+                rw
+            ) * np.float64(s0), d
+            hit_secondary += s0 > 0
+        assert 0 < hit_secondary < len(prim)  # both cases exercised
+
+        # a small window confines the re-rank to the primary top-w
+        w = 5
+        topw = set(d_p[:w].tolist())
+        r = eng.search_rescore(q, rq, window_size=w, top_k=w)
+        assert set(r["doc_ids"].tolist()) <= topw
+        # ordering contract on the combined score
+        s_arr, d_arr = r["scores"], r["doc_ids"]
+        for i in range(1, len(s_arr)):
+            assert s_arr[i] < s_arr[i - 1] or (
+                s_arr[i] == s_arr[i - 1] and d_arr[i] > d_arr[i - 1]
+            )
+        # empty primary -> stable empty shapes
+        r = eng.search_rescore("zzznosuchterm", rq, top_k=5)
+        assert len(r["doc_ids"]) == 0 and len(r["secondary"]) == 0
+    finally:
+        eng.close()
+
+
 def test_explain_breakdown(ray_session, tiny_index, tiny_corpus):
     """explain(): the total is bit-identical to the ranked path's score;
     matched leaf contributions sum to it (leaf order) for unboosted
