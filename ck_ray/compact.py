@@ -139,9 +139,13 @@ class _CompactDecoder:
         self._live = None
 
     def _epoch_i(self, file_path: str) -> int:
-        for part in file_path.split(os.sep):
-            if part in self.epoch_of_dir:
-                return self.epoch_of_dir[part]
+        # keys are ABSOLUTE epoch-dir prefixes (ending in os.sep): two
+        # merge sources both have an "epoch-0001", so a bare dir-name
+        # match would mis-attribute postings across indexes
+        p = os.path.abspath(file_path)
+        for prefix, i in self.epoch_of_dir.items():
+            if p.startswith(prefix):
+                return i
         raise ValueError(f"no epoch dir in {file_path}")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -224,49 +228,44 @@ class _CompactDecoder:
         })
 
 
-def compact_index(index_dir: str, config: IndexConfig | None = None) -> dict:
-    """Merge all epochs into one; returns the new root manifest."""
-    man = load_manifest(index_dir)
-    epochs = man.get("epochs", [man["epoch_dir"]])
-    cfg = config or IndexConfig(
-        num_parts=man["num_parts"],
-        store_positions=man["store_positions"],
-        serving_buckets=man["num_serving_buckets"],
-    )
-    new_epoch = f"epoch-{len(epochs) + 1:04d}"
-    while new_epoch in epochs:  # paranoia against odd custom names
-        new_epoch += "c"
-    staging = os.path.join(index_dir, f"_staging-{new_epoch}")
-    final_dir = os.path.join(index_dir, new_epoch)
-    if os.path.exists(staging):
-        shutil.rmtree(staging)
+def _seg_files_of(index_dir: str, epochs: list[str]) -> list[str]:
+    out = []
+    for e in epochs:
+        sroot = os.path.join(index_dir, e, "segments")
+        if not os.path.isdir(sroot):
+            continue
+        for pdir, _, files in os.walk(sroot):
+            out += [
+                os.path.join(pdir, f)
+                for f in files
+                if f.endswith(".parquet")
+            ]
+    return out
+
+
+def _rewrite_epochs(
+    live: pd.DataFrame,
+    epoch_of_dir: dict[str, int],
+    seg_files: list[str],
+    staging: str,
+    cfg: IndexConfig,
+) -> tuple[list[dict], int, int, int]:
+    """The shared compact/merge core: decode every source segment, keep
+    each posting iff its (doc, source epoch) wins the live map, exchange
+    by term hash, re-encode with the build's own stage, write docs +
+    serving docs + exact stats into ``staging``. Returns
+    (lineage, n_docs, total_content, total_path)."""
     seg_dir = os.path.join(staging, "segments")
     os.makedirs(seg_dir, exist_ok=True)
     launch = uuid.uuid4().hex[:8]
     backend, hot_backend = cfg.make_backends(staging, launch)
 
-    # ---- 1. winner map + live metadata
-    live = _live_docs_full(index_dir, man)
     order = np.argsort(live["doc_id"].to_numpy())
     live = live.iloc[order].reset_index(drop=True)
     live_ref = ray.put((
         live["doc_id"].to_numpy(),
         live["epoch_i"].to_numpy().astype(np.int32),
     ))
-    epoch_of_dir = {e: i for i, e in enumerate(epochs)}
-
-    # ---- 2. decode + filter + re-exchange
-    seg_files = []
-    for e in epochs:
-        sroot = os.path.join(index_dir, e, "segments")
-        if not os.path.isdir(sroot):
-            continue
-        for pdir, _, files in os.walk(sroot):
-            seg_files += [
-                os.path.join(pdir, f)
-                for f in files
-                if f.endswith(".parquet")
-            ]
     man_df = (
         ray.data.read_parquet(seg_files, include_paths=True)
         .map_batches(
@@ -307,7 +306,7 @@ def compact_index(index_dir: str, config: IndexConfig | None = None) -> dict:
     backend.cleanup()
     hot_backend.cleanup()
 
-    # ---- 4. docs + serving docs + exact stats
+    # ---- docs + serving docs + exact stats
     docs_dir = os.path.join(staging, "docs")
     os.makedirs(docs_dir, exist_ok=True)
     docs_t = pa.Table.from_pandas(
@@ -321,11 +320,17 @@ def compact_index(index_dir: str, config: IndexConfig | None = None) -> dict:
             os.path.join(docs_dir, f"docs-compact-{fi // rows_per_file:05d}.parquet"),
         )
     _build_serving_docs(staging, docs_dir, cfg)
-    n_docs = len(live)
-    total_content = int(live["dl_content"].sum())
-    total_path = int(live["dl_path"].sum())
+    return (
+        lineage, len(live), int(live["dl_content"].sum()),
+        int(live["dl_path"].sum()),
+    )
 
-    manifest = {
+
+def _epoch_manifest(
+    new_epoch: str, cfg: IndexConfig, lineage: list[dict],
+    n_docs: int, total_content: int, total_path: int,
+) -> dict:
+    return {
         "version": 1,
         "epoch": new_epoch,
         "num_docs": n_docs,
@@ -344,14 +349,47 @@ def compact_index(index_dir: str, config: IndexConfig | None = None) -> dict:
                 "avgdl": (total_path / n_docs) if n_docs else 0.0,
             },
         },
-        "parts": sorted(lineage, key=lambda r: (r["part"], r.get("kind", "cold"))),
+        "parts": sorted(
+            lineage, key=lambda r: (r["part"], r.get("kind", "cold"))
+        ),
         "hot_terms": [],
         "epochs": [new_epoch],
-        "compacted_from": list(epochs),
     }
+
+
+def compact_index(index_dir: str, config: IndexConfig | None = None) -> dict:
+    """Merge all epochs into one; returns the new root manifest."""
+    man = load_manifest(index_dir)
+    epochs = man.get("epochs", [man["epoch_dir"]])
+    cfg = config or IndexConfig(
+        num_parts=man["num_parts"],
+        store_positions=man["store_positions"],
+        serving_buckets=man["num_serving_buckets"],
+    )
+    new_epoch = f"epoch-{len(epochs) + 1:04d}"
+    while new_epoch in epochs:  # paranoia against odd custom names
+        new_epoch += "c"
+    staging = os.path.join(index_dir, f"_staging-{new_epoch}")
+    final_dir = os.path.join(index_dir, new_epoch)
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+
+    live = _live_docs_full(index_dir, man)
+    epoch_of_dir = {
+        os.path.abspath(os.path.join(index_dir, e)) + os.sep: i
+        for i, e in enumerate(epochs)
+    }
+    lineage, n_docs, total_content, total_path = _rewrite_epochs(
+        live, epoch_of_dir, _seg_files_of(index_dir, epochs), staging, cfg
+    )
+
+    manifest = _epoch_manifest(
+        new_epoch, cfg, lineage, n_docs, total_content, total_path
+    )
+    manifest["compacted_from"] = list(epochs)
     with open(os.path.join(staging, MANIFEST_NAME), "w") as fh:
         json.dump(manifest, fh, indent=1)
-    # ---- 5. atomic commit, then old-chain cleanup
+    # ---- atomic commit, then old-chain cleanup
     os.replace(staging, final_dir)
     root = dict(manifest, epoch_dir=new_epoch)
     tmp = os.path.join(index_dir, f".{MANIFEST_NAME}.tmp-{uuid.uuid4().hex}")
@@ -360,4 +398,89 @@ def compact_index(index_dir: str, config: IndexConfig | None = None) -> dict:
     os.replace(tmp, os.path.join(index_dir, MANIFEST_NAME))
     for e in epochs:
         shutil.rmtree(os.path.join(index_dir, e), ignore_errors=True)
+    return root
+
+
+def merge_indexes(
+    index_dirs: list[str], out_dir: str,
+    config: IndexConfig | None = None,
+) -> dict:
+    """Merge N INDEPENDENT indexes into one fresh index (Lucene's
+    cross-index ``IndexWriter.addIndexes`` / ES shrink-style segment
+    merge): decode every source's live postings at the posting level —
+    no corpus access — re-exchange by term hash, and re-encode through
+    the build's own stage, so the output is layout-identical to a clean
+    ``build_index`` and QUERY-IDENTICAL to building over the
+    concatenated corpora (the test gate).
+
+    Conflict rule: content-addressed doc_ids collide only when the SAME
+    (repo, path, commit) doc was indexed in several sources; the
+    RIGHT-MOST index in ``index_dirs`` wins, exactly like a later epoch
+    supersedes an earlier one (each source's internal epoch chain is
+    resolved first by its own supersede+deletion rule). Sources may
+    disagree on num_parts / serving_buckets — postings are
+    re-partitioned anyway — but must agree on ``store_positions``
+    (mixed position availability cannot be reconciled at merge time).
+    Output stats (N, total tokens, avgdl) are recomputed exactly from
+    the surviving docs. The merge never mutates a source; the output
+    commits atomically (staging dir -> rename)."""
+    if not index_dirs:
+        raise ValueError("merge_indexes needs at least one source index")
+    if os.path.exists(os.path.join(out_dir, MANIFEST_NAME)):
+        raise FileExistsError(f"{out_dir} already holds an index")
+    mans = [load_manifest(d) for d in index_dirs]
+    positions = {m["store_positions"] for m in mans}
+    if len(positions) != 1:
+        raise ValueError(
+            "sources disagree on store_positions; rebuild one side"
+        )
+    cfg = config or IndexConfig(
+        num_parts=mans[0]["num_parts"],
+        store_positions=mans[0]["store_positions"],
+        serving_buckets=mans[0]["num_serving_buckets"],
+    )
+    cfg.store_positions = mans[0]["store_positions"]
+
+    # global epoch order: sources left to right, each source's own
+    # chain in its own order -> right-most source wins doc conflicts
+    frames, epoch_of_dir, seg_files = [], {}, []
+    offset = 0
+    for d, m in zip(index_dirs, mans):
+        epochs = m.get("epochs", [m["epoch_dir"]])
+        live = _live_docs_full(d, m)
+        live["epoch_i"] = live["epoch_i"] + offset
+        frames.append(live)
+        for i, e in enumerate(epochs):
+            epoch_of_dir[
+                os.path.abspath(os.path.join(d, e)) + os.sep
+            ] = offset + i
+        seg_files += _seg_files_of(d, epochs)
+        offset += len(epochs)
+    live = (
+        pd.concat(frames, ignore_index=True)
+        .sort_values("epoch_i")
+        .drop_duplicates("doc_id", keep="last")
+        .reset_index(drop=True)
+    )
+
+    new_epoch = "epoch-0001"
+    os.makedirs(out_dir, exist_ok=True)
+    staging = os.path.join(out_dir, f"_staging-{new_epoch}")
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    lineage, n_docs, total_content, total_path = _rewrite_epochs(
+        live, epoch_of_dir, seg_files, staging, cfg
+    )
+    manifest = _epoch_manifest(
+        new_epoch, cfg, lineage, n_docs, total_content, total_path
+    )
+    manifest["merged_from"] = [os.path.abspath(d) for d in index_dirs]
+    with open(os.path.join(staging, MANIFEST_NAME), "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    os.replace(staging, os.path.join(out_dir, new_epoch))
+    root = dict(manifest, epoch_dir=new_epoch)
+    tmp = os.path.join(out_dir, f".{MANIFEST_NAME}.tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump(root, fh, indent=1)
+    os.replace(tmp, os.path.join(out_dir, MANIFEST_NAME))
     return root

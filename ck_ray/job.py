@@ -97,6 +97,22 @@ def _cmd_compact(args) -> int:
     return 0
 
 
+def _cmd_merge(args) -> int:
+    from .compact import merge_indexes
+
+    t0 = time.perf_counter()
+    root = merge_indexes(args.sources, args.out_dir)
+    _emit({
+        "job": "merge",
+        "out_dir": args.out_dir,
+        "n_sources": len(args.sources),
+        "wall_s": round(time.perf_counter() - t0, 3),
+        "num_docs": root["num_docs"],
+        "num_parts": root["num_parts"],
+    })
+    return 0
+
+
 def _cmd_delete(args) -> int:
     from .incremental import delete_by_query
 
@@ -324,6 +340,15 @@ def _parser() -> argparse.ArgumentParser:
     )
     c.add_argument("--index-dir", required=True)
     c.set_defaults(fn=_cmd_compact)
+
+    mg = sub.add_parser(
+        "merge",
+        help="merge N source indexes into one fresh index "
+             "(right-most wins doc conflicts)",
+    )
+    mg.add_argument("sources", nargs="+", help="source index dirs")
+    mg.add_argument("--out-dir", required=True)
+    mg.set_defaults(fn=_cmd_merge)
 
     dq = sub.add_parser(
         "delete-by-query",

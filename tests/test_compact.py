@@ -52,6 +52,63 @@ def chain(ray_session, tiny_corpus, tmp_path_factory):
     return d, v3
 
 
+def test_merge_indexes_query_identity(ray_session, tiny_corpus, tmp_path):
+    """merge_indexes(A, B): the output is query-identical (rank + f32
+    score, phrases included) to a clean build over the B-wins union of
+    the two corpora — doc_id conflicts resolved right-most, positions
+    surviving the posting-level rewrite, stats recomputed exactly.
+    Sources stay untouched; mixed num_parts across sources is fine
+    (postings re-partition); an occupied output dir is refused."""
+    import ray.data
+
+    from ck_ray.compact import merge_indexes
+    from ck_ray.oracle import BM25Oracle
+
+    a = tiny_corpus
+    b = _mutate(tiny_corpus)  # overlapping ids with changed content
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    ckb.build_index(
+        ray.data.from_arrow(a), da,
+        ckb.IndexConfig(num_parts=4, batch_size=64),
+    )
+    ckb.build_index(
+        ray.data.from_arrow(b), db,
+        ckb.IndexConfig(num_parts=2, batch_size=64),  # mixed num_parts
+    )
+    out = str(tmp_path / "merged")
+    root = merge_indexes([da, db], out)
+
+    def key(r):
+        return (r["repo"], r["path"], r["commit"])
+
+    union = {key(r): r for r in a.to_pylist()}
+    union.update({key(r): r for r in b.to_pylist()})  # B wins
+    rows = sorted(union.values(), key=lambda r: (r["repo"], r["path"]))
+    expect = pa.table({
+        k: pa.array([r[k] for r in rows])
+        for k in ("repo", "path", "commit", "lang", "content")
+    })
+    assert root["num_docs"] == len(rows)
+    assert root["merged_from"] == [os.path.abspath(da), os.path.abspath(db)]
+
+    eng = BM25Engine(out, num_shards=2)
+    oracle = BM25Oracle(expect)
+    try:
+        for q in QUERIES + ["path:core"]:
+            di, si = eng.search_raw(q, 50)
+            do, so = oracle.search_raw(q, 50)
+            assert di.tolist() == do.tolist(), f"{q}: docs differ"
+            assert np.array_equal(si, so), f"{q}: scores differ"
+    finally:
+        eng.close()
+
+    # sources untouched and still loadable
+    assert ckb.load_manifest(da)["num_docs"] == a.num_rows
+    assert ckb.load_manifest(db)["num_docs"] == b.num_rows
+    with pytest.raises(FileExistsError):
+        merge_indexes([da], out)
+
+
 def test_compact_query_identity_and_layout(chain, tmp_path):
     import ray.data
 

@@ -178,6 +178,27 @@ def test_delete_by_query_subcommand(ray_session, tmp_path, capsys):
     assert len(_last_json(capsys)["results"]["merge"]) == 0
 
 
+def test_merge_subcommand(ray_session, tmp_path, capsys):
+    """`job merge A B --out-dir M`: fresh output index answering
+    queries from both sources; sources untouched."""
+    ca = corpus_parquet(80, seed=21, out_dir=str(tmp_path / "ca"))
+    cb = corpus_parquet(60, seed=22, out_dir=str(tmp_path / "cb"))
+    ia, ib = str(tmp_path / "ia"), str(tmp_path / "ib")
+    for c, i in ((ca, ia), (cb, ib)):
+        assert job.main([
+            "build", "--corpus", c, "--index-dir", i, "--num-parts", "2",
+        ]) == 0
+    out = str(tmp_path / "merged")
+    rc = job.main(["merge", ia, ib, "--out-dir", out])
+    assert rc == 0
+    m = _last_json(capsys)
+    assert m["job"] == "merge" and m["n_sources"] == 2
+    assert m["num_docs"] > 0
+    rc = job.main(["query", "--index-dir", out, "--top-k", "3", "def"])
+    assert rc == 0
+    assert len(_last_json(capsys)["results"]["def"]) > 0
+
+
 def test_curate_subcommand(ray_session, tmp_path, capsys):
     out_dir = str(tmp_path / "cleaned")
     rc = job.main([
