@@ -676,6 +676,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # more-like-this (tantivy MoreLikeThisQuery shape): tf*idf term
         # selection from input text, then a BM25 disjunction
         "bm25_more_like_this": docsearch.bm25_more_like_this,
+        # term suggester (ES term suggest / Lucene DirectSpellChecker):
+        # spell-correction candidates ranked (distance, df desc)
+        "bm25_suggest": docsearch.bm25_suggest,
         # facet counts over the FULL match set (tantivy Count +
         # TermsAggregation collectors), shard-local metadata buckets
         "bm25_facet_counts": docsearch.bm25_facet_counts,
@@ -2028,6 +2031,24 @@ topk AS (SELECT doc_id, round(score, 4) AS score FROM scores
          ORDER BY round(score, 4) DESC, doc_id LIMIT {_BM25_K})
 SELECT doc_id, score FROM topk
 ORDER BY score DESC, doc_id
+""",
+        # term suggester for the typo `mergw`: dictionary terms within
+        # 2 Levenshtein edits, ranked distance asc / doc-frequency desc
+        # / term asc, input excluded — all-integer, exactly the engine's
+        # (distance, -df, term) sort
+        "bm25_suggest": f"""
+WITH {_TOKS},
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks2
+        GROUP BY term),
+cand AS (
+  SELECT term, df, levenshtein(term, 'mergw') AS distance
+  FROM dfs
+  WHERE levenshtein(term, 'mergw') <= 2 AND term <> 'mergw'
+)
+SELECT term, CAST(distance AS BIGINT) AS distance,
+       CAST(df AS BIGINT) AS df
+FROM cand
+ORDER BY distance, df DESC, term LIMIT 5
 """,
         # explain: re-derive the top-1 doc of `merge window batch` under
         # the shared rounded convention, then one row per term present

@@ -140,6 +140,8 @@ class CkRayMCP:
                              "significant_terms, JLH score)",
         "explain": "Score breakdown for one (query, doc_id) pair: "
                    "per-term BM25 evidence (Lucene explain)",
+        "suggest": "Spell-correction candidates for a term (ES term "
+                   "suggester: distance asc, doc frequency desc)",
     }
 
     def list_tools(self) -> list[dict]:
@@ -223,6 +225,13 @@ class CkRayMCP:
                 query, args.get("field", "lang")
             )
             return {"total": total, "facets": facets}
+        if name == "suggest":
+            return {
+                "suggestions": self._bm25().search_suggest(
+                    query, int(args.get("size", 5)),
+                    int(args.get("max_edits", 2)),
+                )
+            }
         if name == "explain":
             ex = self._bm25().explain(query, int(args["doc_id"]))
             return ex if ex is not None else {"matched": False}

@@ -402,6 +402,33 @@ def bm25_wildcard(
     return _bm25_rounded_cut(sf_dir, query, k)
 
 
+def bm25_suggest(
+    sf_dir: str, term: str = "mergw", size: int = 5
+) -> pd.DataFrame:
+    """TERM SUGGESTER (ES ``term`` suggest / Lucene DirectSpellChecker):
+    spell-correction candidates for the typo ``mergw`` — dictionary
+    terms within 2 Levenshtein edits ranked (distance asc, df desc,
+    term asc), input excluded. All-integer state (distances + live
+    dfs), so the SQL oracle — DuckDB ``levenshtein`` over the distinct
+    term dictionary with per-term doc frequencies — reproduces the
+    ranking exactly."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2)
+    try:
+        res = eng.search_suggest(term, size)
+    finally:
+        eng.close()
+    return pd.DataFrame(
+        {
+            "term": pd.Series([r["text"] for r in res], dtype="object"),
+            "distance": pd.Series(
+                [r["distance"] for r in res], dtype="int64"
+            ),
+            "df": pd.Series([r["df"] for r in res], dtype="int64"),
+        }
+    )
+
+
 def bm25_more_like_this(
     sf_dir: str,
     text: str = "window window merge fast spark",

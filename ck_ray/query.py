@@ -2199,6 +2199,22 @@ class LocalIndex:
             "leaves": out_leaves,
         }
 
+    def query_suggest(
+        self, term: str, max_edits: int = 2, field: str = "content"
+    ) -> dict:
+        """Shard-local state for a TERM SUGGESTER (the ES ``term``
+        suggest / Lucene DirectSpellChecker shape): every LOCAL
+        dictionary term within ``max_edits`` Levenshtein edits of the
+        input, each with its LIVE local doc frequency. Doc partitioning
+        makes the driver's df merge an exact integer sum (global live
+        df = Σ shard dfs); candidates absent from a shard's dictionary
+        simply contribute nothing there. O(candidates) integers
+        return — never postings."""
+        cands = self._expand_fuzzy(field, term, int(max_edits))
+        fid = FIELD_IDS[field]
+        dfs = self.local_dfs([(fid, t) for t in cands])
+        return {t: int(d) for t, d in zip(cands, dfs) if d > 0}
+
     def query_scores_at(
         self, query: str, doc_ids: np.ndarray, df_map=None
     ) -> np.ndarray:
@@ -2613,6 +2629,49 @@ class BM25Engine:
         hits = [p for p in parts if p is not None]
         assert len(hits) <= 1, "doc partitioning violated: doc in 2 shards"
         return hits[0] if hits else None
+
+    def search_suggest(
+        self, term: str, size: int = 5, max_edits: int = 2,
+        field: str = "content",
+    ) -> list[dict]:
+        """TERM SUGGESTER (ES ``term`` suggest / Lucene
+        DirectSpellChecker): spell-correction candidates for a
+        possibly-misspelled term — dictionary terms within ``max_edits``
+        Levenshtein edits, ranked the ES way: distance asc (closer is
+        better), doc frequency desc (more common is better), term asc
+        tiebreak; the input term itself is excluded (ES
+        ``suggest_mode`` never suggests the input back). The input is
+        analyzer-normalized first, so ``MerGW`` suggests like
+        ``mergw``. All moving state is integers: shards ship their
+        local (candidate, live df) maps, the driver sums dfs and
+        recomputes the distances. Returns
+        ``[{"text", "distance", "df"}, ...]``."""
+        from .strdist import edit_distance
+        from .tokenizer import tokenize_text
+
+        toks = tokenize_text(term)
+        if not toks:
+            return []
+        t0 = toks[0]
+        self._maybe_reload()
+        rep = self._next_replica(f"#suggest:{t0}")
+        parts = ray.get(
+            [
+                s.query_suggest.remote(t0, int(max_edits), field)
+                for s in rep
+            ]
+        )
+        df: dict[str, int] = {}
+        for p in parts:
+            for t, c in p.items():
+                df[t] = df.get(t, 0) + c
+        df.pop(t0, None)
+        out = [
+            {"text": t, "distance": int(edit_distance(t0, t)), "df": c}
+            for t, c in df.items()
+        ]
+        out.sort(key=lambda r: (r["distance"], -r["df"], r["text"]))
+        return out[: max(0, int(size))]
 
     def search_rescore(
         self, query: str, rescore_query: str, window_size: int = 50,

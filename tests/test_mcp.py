@@ -45,6 +45,7 @@ def test_initialize_and_tool_list(mcp):
         "regex_search", "lexical_search", "semantic_search",
         "hybrid_search", "index_status", "reindex", "health_check",
         "facet_search", "aggregate", "significant_terms", "explain",
+        "suggest",
     }
 
 
@@ -108,6 +109,9 @@ def test_facet_and_aggregate_tools(mcp):
     assert ex["leaves"][0]["details"][0]["tf"] >= 1
     miss = _call(mcp, "explain", query="zzznosuchterm", doc_id=did)
     assert miss == {"matched": False}
+    sg = _call(mcp, "suggest", query="mergw", size=3)
+    assert sg["suggestions"][0]["text"] == "merge"
+    assert sg["suggestions"][0]["distance"] == 1
     sig = _call(mcp, "significant_terms", query="merge", field="lang",
                 size=3)
     assert sig["fg_total"] == f["total"] and len(sig["buckets"]) <= 3

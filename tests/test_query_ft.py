@@ -277,6 +277,50 @@ def test_function_score_field_value_factor(ray_session, tiny_index):
         eng.close()
 
 
+def test_term_suggester(ray_session, tiny_index, tiny_corpus):
+    """Term suggester == brute force over the corpus dictionary:
+    candidates within max_edits, ranked (distance asc, df desc, term
+    asc), input excluded, analyzer-normalized input, exact dfs."""
+    import numpy as np
+
+    from ck_ray.strdist import edit_distance
+    from ck_ray.tokenizer import tokenize_text
+
+    eng = BM25Engine(tiny_index, num_shards=3, auto_reload=False)
+    try:
+        # brute-force dictionary + df from the corpus
+        df: dict[str, int] = {}
+        for c in tiny_corpus["content"].to_pylist():
+            for t in set(tokenize_text(c)):
+                df[t] = df.get(t, 0) + 1
+        for typo in ("mergw", "strem", "tokenzie"):
+            want = sorted(
+                (
+                    (edit_distance(typo, t), -n, t)
+                    for t, n in df.items()
+                    if t != typo and edit_distance(typo, t) <= 2
+                ),
+            )[:5]
+            got = eng.search_suggest(typo, size=5)
+            assert [
+                (g["distance"], -g["df"], g["text"]) for g in got
+            ] == want, typo
+        # the obvious correction ranks first
+        top = eng.search_suggest("mergw", size=3)
+        assert top[0]["text"] == "merge" and top[0]["distance"] == 1
+        # analyzer normalization: case-insensitive input
+        assert eng.search_suggest("MerGW") == eng.search_suggest("mergw")
+        # degenerate inputs
+        assert eng.search_suggest("") == []
+        # the input term is never suggested back, even when it exists
+        assert all(
+            g["text"] != "merge"
+            for g in eng.search_suggest("merge", size=10)
+        )
+    finally:
+        eng.close()
+
+
 def test_rescore_two_phase(ray_session, tiny_index):
     """rescore invariants: weights (1,0) with a full-coverage window is
     the plain primary ranking; every combined score equals
