@@ -679,6 +679,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # term suggester (ES term suggest / Lucene DirectSpellChecker):
         # spell-correction candidates ranked (distance, df desc)
         "bm25_suggest": docsearch.bm25_suggest,
+        # query-time synonyms (Lucene SynonymQuery): blended pseudo-term
+        # with summed tf and max-member df, not a boolean OR
+        "bm25_synonyms": docsearch.bm25_synonyms,
         # facet counts over the FULL match set (tantivy Count +
         # TermsAggregation collectors), shard-local metadata buckets
         "bm25_facet_counts": docsearch.bm25_facet_counts,
@@ -2026,6 +2029,55 @@ scores AS (
          coalesce(b.score, 0)
            + (CASE WHEN z.doc_id IS NOT NULL THEN 1.0 ELSE 0 END) AS score
   FROM bm b FULL OUTER JOIN rxm z ON b.doc_id = z.doc_id
+),
+topk AS (SELECT doc_id, round(score, 4) AS score FROM scores
+         ORDER BY round(score, 4) DESC, doc_id LIMIT {_BM25_K})
+SELECT doc_id, score FROM topk
+ORDER BY score DESC, doc_id
+""",
+        # query-time synonyms merge->batch: the blended pseudo-term's
+        # per-doc tf is tf(merge)+tf(batch) and its idf uses
+        # greatest(df_merge, df_batch) — ONE score, not an OR of two —
+        # summed with the ordinary window leaf
+        "bm25_synonyms": f"""
+WITH {_TOKS},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+dfb AS (
+  SELECT max(df) AS df FROM (
+    SELECT count(*) AS df FROM tf
+    WHERE term IN ('merge', 'batch') GROUP BY term
+  )
+),
+blend AS (
+  SELECT doc_id, sum(tf) AS tf FROM tf
+  WHERE term IN ('merge', 'batch') GROUP BY doc_id
+),
+bs AS (
+  SELECT b.doc_id,
+         ln(1 + (s.n - x.df + 0.5) / (x.df + 0.5))
+           * ((b.tf * 2.2)
+              / (b.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM blend b JOIN dl USING (doc_id) CROSS JOIN dfb x CROSS JOIN stats s
+),
+dfw AS (SELECT count(*) AS df FROM tf WHERE term = 'window'),
+ws AS (
+  SELECT tf.doc_id,
+         ln(1 + (s.n - w.df + 0.5) / (w.df + 0.5))
+           * ((tf.tf * 2.2)
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM tf JOIN dl USING (doc_id) CROSS JOIN dfw w CROSS JOIN stats s
+  WHERE tf.term = 'window'
+),
+scores AS (
+  SELECT coalesce(b.doc_id, w.doc_id) AS doc_id,
+         coalesce(b.score, 0) + coalesce(w.score, 0) AS score
+  FROM bs b FULL OUTER JOIN ws w ON b.doc_id = w.doc_id
 ),
 topk AS (SELECT doc_id, round(score, 4) AS score FROM scores
          ORDER BY round(score, 4) DESC, doc_id LIMIT {_BM25_K})

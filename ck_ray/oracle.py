@@ -27,13 +27,18 @@ from .query import (
     collect_clauses,
     expand_prefix_tree,
     parse_query,
+    rewrite_synonyms,
 )
 from .tokenizer import tokenize_text_with_positions
 
 
 class BM25Oracle:
-    def __init__(self, corpus: pa.Table, dtype=np.float32):
+    def __init__(
+        self, corpus: pa.Table, dtype=np.float32,
+        synonyms: dict | None = None,
+    ):
         self.dtype = dtype
+        self._synonyms = synonyms or {}  # analyzer-token keys/values
         self.n_docs = corpus.num_rows
         # per field: term -> {doc_id: (tf, positions)}; doc_id -> dl
         self.postings: list[dict[str, dict[int, tuple[int, list[int]]]]] = [{}, {}]
@@ -73,6 +78,28 @@ class BM25Oracle:
                     docs |= set(p)
             return {d: b for d in docs}
         avgdl = self.avgdl[fid]
+        if getattr(clause, "blended", False):
+            # Lucene SynonymQuery: summed tf, blended (max-member) df
+            b = dtype(clause.boost)
+            tf_sum: dict[int, int] = {}
+            dfs: list[int] = []
+            for t in clause.terms:
+                p = self.postings[fid].get(t)
+                if not p:
+                    continue
+                dfs.append(len(p))
+                for d, (tf, _) in p.items():
+                    tf_sum[d] = tf_sum.get(d, 0) + tf
+            if not tf_sum:
+                return {}
+            df = max(dfs)
+            return {
+                d: scoring.term_scores(
+                    tf, self.dl[fid][d], df, self.n_docs, avgdl,
+                    dtype=dtype,
+                ) * b
+                for d, tf in tf_sum.items()
+            }
         plists = [self.postings[fid].get(t) for t in clause.terms]
         if any(p is None for p in plists):
             return {}
@@ -216,7 +243,7 @@ class BM25Oracle:
 
     def search_raw(self, query: str, top_k: int | None = None):
         k = top_k if top_k is not None else 100
-        tree = parse_query(query)
+        tree = rewrite_synonyms(parse_query(query), self._synonyms)
         if tree is not None and any(
             c.prefix
             or c.fuzzy

@@ -402,6 +402,27 @@ def bm25_wildcard(
     return _bm25_rounded_cut(sf_dir, query, k)
 
 
+def bm25_synonyms(
+    sf_dir: str, query: str = "merge window", k: int = 20
+) -> pd.DataFrame:
+    """Query-time SYNONYMS (Lucene SynonymQuery / the ES synonym
+    filter): the engine is configured with ``{"merge": ["batch"]}``, so
+    the 'merge' leaf scores as ONE blended pseudo-term — union docs,
+    per-doc tf = tf(merge) + tf(batch), idf from the blended df =
+    max(df(merge), df(batch)) — NOT as a boolean OR (which would
+    over-reward docs saying both). Oracle: the identical summed-tf /
+    greatest-df expression per doc plus the ordinary 'window' leaf."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(
+        idx, num_shards=2, dtype=np.float64,
+        synonyms={"merge": ["batch"]},
+    )
+    try:
+        return _bm25_rounded_cut(sf_dir, query, k, eng=eng)
+    finally:
+        eng.close()
+
+
 def bm25_suggest(
     sf_dir: str, term: str = "mergw", size: int = 5
 ) -> pd.DataFrame:

@@ -121,10 +121,23 @@ class Clause:
     # matching term set and evaluates CONST-SCORE — same AutomatonWeight
     # -> ConstScorer family as fuzzy. Invalid patterns raise ValueError.
     regex_spec: str | None = None
+    # BLENDED synonym clause (Lucene SynonymQuery, what ES's query-time
+    # ``synonym`` filter produces for single-token synonyms): ``terms``
+    # are scored AS ONE TERM — per doc tf = Σ member tfs, idf from the
+    # blended df = max member df — so a doc saying "quick" twice and
+    # "fast" once scores like tf=3 of one pseudo-term, NOT like a
+    # boolean OR (which would sum three separate BM25 scores and
+    # over-reward synonym diversity). Produced by ``rewrite_synonyms``,
+    # never by the parser (synonyms are analyzer config, not syntax).
+    blended: bool = False
 
     @property
     def is_phrase(self) -> bool:
-        return len(self.terms) > 1 and not self.const_score
+        return (
+            len(self.terms) > 1
+            and not self.const_score
+            and not self.blended
+        )
 
 
 # Occur flags (Lucene/tantivy BooleanQuery semantics)
@@ -599,6 +612,39 @@ def collect_clauses(node) -> list[Clause]:
     return out
 
 
+def rewrite_synonyms(node, synmap: dict):
+    """Apply a query-time synonym map (term -> [synonym, ...]) to a
+    parse tree: every eligible single-term scored leaf whose term has
+    synonyms becomes a BLENDED clause over {term} ∪ synonyms (Lucene
+    SynonymQuery — one scorer, summed tf, max-df idf; boost preserved).
+    Phrases, const-score family, prefix/fuzzy/regex leaves are left
+    alone (Lucene's graph filter has richer phrase handling; out of
+    scope and documented). The map's keys/values must already be
+    analyzer tokens (``BM25Engine`` normalizes them)."""
+    if node is None or not synmap:
+        return node
+    if isinstance(node, Clause):
+        if (
+            not node.const_score
+            and not node.prefix
+            and not node.fuzzy
+            and node.regex_spec is None
+            and not node.blended
+            and len(node.terms) == 1
+            and node.terms[0] in synmap
+        ):
+            t = node.terms[0]
+            members = [t, *[s for s in synmap[t] if s != t]]
+            return Clause(
+                node.field, members, boost=node.boost, blended=True
+            )
+        return node
+    node.children = [
+        (o, rewrite_synonyms(c, synmap)) for o, c in node.children
+    ]
+    return node
+
+
 MAX_PREFIX_EXPANSIONS = 1024  # Lucene BooleanQuery.maxClauseCount
 _NEVER_TERM = "\x00∅"  # unmatchable: real tokens are alnum-only
 
@@ -872,8 +918,9 @@ class LocalIndex:
     """
 
     def __init__(self, index_dir: str, buckets: list[int] | None = None,
-                 dtype=np.float32):
+                 dtype=np.float32, synonyms: dict | None = None):
         self.index_dir = index_dir
+        self._synonyms = synonyms or {}
         self.manifest = load_manifest(index_dir)
         if "num_serving_buckets" not in self.manifest:
             raise RuntimeError(
@@ -1261,6 +1308,33 @@ class LocalIndex:
         avgdl = man["fields"][clause.field]["avgdl"]
         keys = [(fid, t) for t in clause.terms]
         views = [rows.get(k) for k in keys]
+        if clause.blended:
+            # Lucene SynonymQuery: members score AS ONE TERM — union
+            # the docs, SUM the tfs, idf from the blended df = max
+            # member GLOBAL df. A missing member just contributes
+            # nothing (unlike phrases, which require every term).
+            live = [
+                (k, v) for k, v in zip(keys, views)
+                if v is not None and v.df > 0
+            ]
+            if not live:
+                return None
+            uniq, _ = _unique_inverse(
+                np.concatenate([v.docs for _, v in live])
+            )
+            tf_sum = np.zeros(len(uniq), np.int64)
+            dl = np.zeros(len(uniq), np.int64)
+            for _, v in live:
+                pos = np.searchsorted(uniq, v.docs)
+                tf_sum[pos] += v.tfs
+                dl[pos] = v.dls  # same doc -> same dl from any member
+            df_b = max(self._df_of(k, v, df_map) for k, v in live)
+            contrib = scoring.term_scores(
+                tf_sum, dl, df_b, n_docs, avgdl, dtype=self.dtype
+            )
+            if clause.boost != 1.0:
+                contrib = contrib * self.dtype(clause.boost)
+            return uniq, contrib
         if any(v is None or v.df == 0 for v in views):
             return None
         if not clause.is_phrase:
@@ -1416,6 +1490,9 @@ class LocalIndex:
             and all(c.boost >= 0.0 for c in clauses)  # U stays an upper bound
             # const-score leaves (term sets / match-all) take exact TAAT
             and all(not c.const_score for c in clauses)
+            # blended synonym clauses score a UNION with summed tfs —
+            # the per-term posting caches can't bound them; exact TAAT
+            and all(not c.blended for c in clauses)
             and len(clauses) > 1
         )
 
@@ -1538,11 +1615,16 @@ class LocalIndex:
 
     # ------------------------------------------------------------ querying
 
+    def _parse(self, query: str):
+        """parse + query-time synonym rewrite (every query entry point
+        funnels through here so the synonym map applies uniformly)."""
+        return rewrite_synonyms(parse_query(query), self._synonyms)
+
     def query_topk(
         self, query: str, k: int = 100, pruning: bool = True, df_map=None
     ) -> tuple[np.ndarray, np.ndarray]:
         """This shard's top-k (doc_ids, raw scores) for the query."""
-        tree = parse_query(query)
+        tree = self._parse(query)
         if tree is None:
             return np.empty(0, np.uint64), np.empty(0, self.dtype)
         if any(
@@ -1608,7 +1690,7 @@ class LocalIndex:
         aggregations / per-bucket top hits) share this path; it is
         always the exact TAAT evaluation — MaxScore pruning only helps
         ranked cuts, never full-set collection."""
-        tree = parse_query(query)
+        tree = self._parse(query)
         if tree is None:
             return np.empty(0, np.uint64), np.empty(0, self.dtype)
         if any(
@@ -2108,7 +2190,7 @@ class LocalIndex:
         For unboosted trees the contributions of matched non-MUST_NOT
         leaves sum to ``total`` in leaf order (pinned by pytest)."""
         doc = np.uint64(doc_id)
-        tree = parse_query(query)
+        tree = self._parse(query)
         if tree is None:
             return None
         if any(
@@ -2147,7 +2229,10 @@ class LocalIndex:
                     matched, score = True, float(s[p])
             kind = (
                 "const" if c.const_score or c.match_all
-                else ("phrase" if c.is_phrase else "term")
+                else (
+                    "synonym" if c.blended
+                    else ("phrase" if c.is_phrase else "term")
+                )
             )
             details = []
             if kind == "term":
@@ -2169,7 +2254,7 @@ class LocalIndex:
                             ),
                         }
                     )
-            elif kind == "phrase":
+            elif kind in ("phrase", "synonym"):
                 for t in c.terms:
                     v = rows.get((fid, t))
                     if v is not None and v.df > 0:
@@ -2300,10 +2385,22 @@ class BM25Engine:
         dtype=np.float32,
         auto_reload: bool = True,
         num_replicas: int = 1,
+        synonyms: dict | None = None,
     ):
         self.index_dir = index_dir
         self.dtype = dtype
         self._requested_shards = num_shards
+        # query-time synonym map (ES synonym filter / Lucene
+        # SynonymQuery): normalized through the analyzer so config like
+        # {"Fast": ["QUICK"]} behaves like its lowercase tokens; only
+        # single-token keys/values participate (multi-token synonym
+        # graphs are out of scope, documented in rewrite_synonyms)
+        self._synonyms = {}
+        for k, vs in (synonyms or {}).items():
+            kt = tokenize_text(k)
+            vts = [t for v in vs for t in tokenize_text(v)]
+            if len(kt) == 1 and vts:
+                self._synonyms[kt[0]] = sorted(dict.fromkeys(vts))
         # num_replicas: R independent full shard sets. Latency of ONE
         # query is bounded by in-shard work (more shards); THROUGHPUT of
         # many concurrent queries is bounded by each shard processing
@@ -2343,7 +2440,10 @@ class BM25Engine:
         )
         self.replicas = [
             [
-                DocShard.remote(self.index_dir, a, dtype=self.dtype)
+                DocShard.remote(
+                    self.index_dir, a, dtype=self.dtype,
+                    synonyms=self._synonyms,
+                )
                 for a in assign
             ]
             for _ in range(self._requested_replicas)
@@ -2392,7 +2492,11 @@ class BM25Engine:
 
     def _df_map_for(self, queries: list[str]) -> dict | None:
         clauses = [
-            c for q in queries for c in collect_clauses(parse_query(q))
+            c
+            for q in queries
+            for c in collect_clauses(
+                rewrite_synonyms(parse_query(q), self._synonyms)
+            )
         ]
         # prefix clauses: the expansion set is dictionary-dependent, so
         # union the shards' local expansions first (terms only — tiny).

@@ -277,6 +277,69 @@ def test_function_score_field_value_factor(ray_session, tiny_index):
         eng.close()
 
 
+def test_synonym_blended_scoring(ray_session, tiny_index, tiny_corpus):
+    """Query-time synonyms (Lucene SynonymQuery): an engine built with
+    synonyms={'merge': ['stream']} scores 'merge' as ONE blended term —
+    union docs, summed tf, max-member df — rank+f32-identical to the
+    brute oracle under the same map; phrases and boolean structure are
+    untouched; pruned and exhaustive paths agree."""
+    import numpy as np
+
+    from ck_ray import scoring
+    from ck_ray.oracle import BM25Oracle
+
+    syn = {"merge": ["stream"]}
+    eng = BM25Engine(tiny_index, num_shards=3, synonyms=syn,
+                     auto_reload=False)
+    plain = BM25Engine(tiny_index, num_shards=3, auto_reload=False)
+    oracle = BM25Oracle(tiny_corpus, synonyms=syn)
+    try:
+        for q in (
+            "merge",
+            "merge tokenize",
+            "merge AND tokenize",
+            "+merge -tokenize",
+            "merge^2 tokenize",
+            '"merge stream" merge',  # phrase NOT rewritten; term is
+        ):
+            de, se = eng.search_raw(q, 50)
+            do, so = oracle.search_raw(q, 50)
+            assert de.tolist() == do.tolist(), f"{q}: docs differ"
+            assert np.array_equal(se, so), f"{q}: scores differ"
+            dp, sp = eng.search_raw(q, 50, pruning=False)
+            assert de.tolist() == dp.tolist() and np.array_equal(se, sp)
+
+        # match set = union of the member terms' match sets
+        db, _ = eng.search_raw("merge", 10**6)
+        dm, _ = plain.search_raw("merge", 10**6)
+        ds, _ = plain.search_raw("stream", 10**6)
+        assert set(db.tolist()) == set(dm.tolist()) | set(ds.tolist())
+        assert set(db.tolist()) > set(dm.tolist())  # really widened
+
+        # blended formula spot-check: summed tf, max-member df
+        fid0 = 0
+        pm = oracle.postings[fid0]["merge"]
+        ps = oracle.postings[fid0]["stream"]
+        df_b = max(len(pm), len(ps))
+        d0 = int(db[0])
+        tf = pm.get(d0, (0, []))[0] + ps.get(d0, (0, []))[0]
+        want = scoring.term_scores(
+            tf, oracle.dl[fid0][d0], df_b, oracle.n_docs,
+            oracle.avgdl[fid0], dtype=np.float32,
+        )
+        got = dict(zip(*[x.tolist() for x in eng.search_raw("merge", 5)]))
+        assert got[d0] == float(want)
+
+        # the phrase leg is bitwise IDENTICAL to the synonym-free engine
+        pe = plain.search_raw('"merge stream"', 50)
+        se_ = eng.search_raw('"merge stream"', 50)
+        assert pe[0].tolist() == se_[0].tolist()
+        assert np.array_equal(pe[1], se_[1])
+    finally:
+        eng.close()
+        plain.close()
+
+
 def test_term_suggester(ray_session, tiny_index, tiny_corpus):
     """Term suggester == brute force over the corpus dictionary:
     candidates within max_edits, ranked (distance asc, df desc, term
