@@ -1,0 +1,269 @@
+"""Percolator: match a document stream against a registry of stored queries.
+
+The reverse of search (Elasticsearch ``percolate`` query / Lucene Monitor,
+née Luwak): the QUERIES are registered up front and every incoming document
+is checked against all of them — the standard primitive behind alerting,
+saved searches, and routing documents to training-data buckets by stored
+predicate. The reference engine has no percolator; this extends its query
+language (``ck_ray.query.parse_query``, the tantivy-QueryParser subset —
+reference parser entry ``ck-engine/src/lib.rs:765-769``) to streamed
+match-only evaluation.
+
+Ray-Data-first shape: the stored-query registry is the SMALL side — each
+``map_batches`` actor parses it once in ``__init__`` (never per batch) and
+the document stream never shuffles: one streaming pass, each batch
+tokenized with the engine's own analyzer kernel (``ck_ray.tokenizer``) and
+every query evaluated as vectorized set/position algebra over the batch's
+flat token table. No per-row Python, no driver loop; output is the
+(query_name, doc_id) match pairs, which at 100 TB would stream straight to
+a partitioned sink.
+
+Supported query surface (the parser's match-expressible subset):
+
+- term / blended-synonym / const-score term-set (``IN [a b c]``) leaves
+  — flat set membership;
+- exact phrases (``"a b"``, slop=0) — positional key intersection;
+- boolean ``AND``/``OR``/``NOT``/``+``/``-``/parens with Lucene occur
+  semantics (MUST set = intersection; no MUST ⇒ at least one SHOULD;
+  MUST_NOT-only node matches nothing — identical to ``BM25Engine``);
+- ``*`` match-all;
+- dictionary-expanded leaves — prefix ``te*``, range ``[a TO b]``, fuzzy
+  ``term~N``, regex ``/pat/`` — expanded against the BATCH vocabulary via
+  the engine's own ``expand_prefix_tree``. Batch-local expansion is
+  match-exact for the same reason shard-local expansion is in the scoring
+  engine: a dictionary term absent from a batch matches no row of that
+  batch.
+
+Sloppy phrases (slop>0) raise ``ValueError`` (percolation is match-only;
+the greedy-chain matcher lives on the scoring path, ``query.py``).
+Boosts are ignored — percolation has no scores, only membership, matching
+ES's constant-score percolate semantics.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..query import (
+    MUST,
+    MUST_NOT,
+    SHOULD,
+    BoolNode,
+    Clause,
+    expand_prefix_tree,
+    parse_query,
+)
+from ..strdist import edit_within
+from ..tokenizer import tokenize_array
+
+_POS_BITS = 32  # (row << 32) | position packs both into one int64 key
+
+
+class _BatchTokens:
+    """Flat token view of one batch plus the lazy per-term structures the
+    evaluators need: sorted vocabulary (for dictionary expansion) and
+    (row, pos) packed keys per selected term set."""
+
+    def __init__(self, arr: pa.Array | pa.ChunkedArray, n_rows: int):
+        tb = tokenize_array(arr)
+        self.n_rows = n_rows
+        self.term = tb.term
+        self.row = tb.row_index
+        self.pos = tb.position.astype(np.int64)
+        self._vocab = None
+
+    @property
+    def vocab(self) -> np.ndarray:
+        if self._vocab is None:
+            u = pc.unique(self.term)
+            self._vocab = np.sort(
+                u.to_numpy(zero_copy_only=False).astype(object)
+            )
+        return self._vocab
+
+    def _select(self, terms: list[str]) -> np.ndarray:
+        """Indices of flat tokens whose term is in ``terms``."""
+        m = pc.is_in(self.term, value_set=pa.array(terms, pa.string()))
+        return np.nonzero(m.to_numpy(zero_copy_only=False))[0]
+
+    def member_rows(self, terms: list[str]) -> np.ndarray:
+        """Boolean row mask: row contains ANY of ``terms``."""
+        out = np.zeros(self.n_rows, dtype=bool)
+        sel = self._select(terms)
+        if len(sel):
+            out[self.row[sel]] = True
+        return out
+
+    def phrase_rows(self, terms: list[str]) -> np.ndarray:
+        """Boolean row mask: row contains the EXACT phrase (slop=0).
+
+        Intersects packed (row, pos−j) keys: a head occurrence at
+        position p survives iff every following term j sits at p+j."""
+        base = np.int64(1) << np.int64(_POS_BITS)
+        keys = np.empty(0, np.int64)
+        for j, t in enumerate(terms):
+            sel = self._select([t])
+            # arithmetic (not bitwise) so pos-j < 0 yields a key no head
+            # occurrence (pos >= 0) can ever equal
+            kj = self.row[sel] * base + (self.pos[sel] - np.int64(j))
+            keys = kj if j == 0 else keys[np.isin(keys, kj)]
+            if len(keys) == 0:
+                return np.zeros(self.n_rows, dtype=bool)
+        out = np.zeros(self.n_rows, dtype=bool)
+        out[keys // base] = True
+        return out
+
+    # dictionary expansion over the batch vocabulary (same callback
+    # shapes LocalIndex/BM25Oracle feed expand_prefix_tree)
+    def expand_prefix(self, _field: str, prefix: str) -> list[str]:
+        v = self.vocab
+        lo = np.searchsorted(v, prefix, side="left")
+        hi = np.searchsorted(v, prefix + "\U0010ffff", side="right")
+        return list(v[lo:hi])
+
+    def expand_range(self, _field, lo, hi, il, ih) -> list[str]:
+        v = self.vocab
+        a = 0 if lo is None else np.searchsorted(
+            v, lo, side="left" if il else "right"
+        )
+        b = len(v) if hi is None else np.searchsorted(
+            v, hi, side="right" if ih else "left"
+        )
+        return list(v[a:b])
+
+    def expand_fuzzy(self, _field, term, dist, transpose) -> list[str]:
+        v = self.vocab
+        return list(v[edit_within(term, v, dist, transpose)])
+
+    def expand_regex(self, _field, pat) -> list[str]:
+        rx = re.compile(pat)
+        return [t for t in self.vocab if rx.fullmatch(t)]
+
+
+def _eval(node, bt: _BatchTokens) -> np.ndarray:
+    """Boolean row mask of ``node`` over the batch — mirrors the match
+    rule of ``BM25Engine``'s scorer bit-for-bit (minus scores)."""
+    if node is None:
+        return np.zeros(bt.n_rows, dtype=bool)
+    if isinstance(node, Clause):
+        if node.field != "content":
+            raise ValueError(
+                f"percolate streams have no {node.field!r} field"
+            )
+        if node.match_all:
+            return np.ones(bt.n_rows, dtype=bool)
+        if node.const_score or node.blended or len(node.terms) == 1:
+            return bt.member_rows(node.terms)
+        if node.slop:
+            raise ValueError("sloppy phrases are not percolatable")
+        return bt.phrase_rows(node.terms)
+    musts = [_eval(c, bt) for o, c in node.children if o == MUST]
+    shoulds = [_eval(c, bt) for o, c in node.children if o == SHOULD]
+    nots = [_eval(c, bt) for o, c in node.children if o == MUST_NOT]
+    if musts:
+        acc = np.logical_and.reduce(musts)
+    elif shoulds:
+        acc = np.logical_or.reduce(shoulds)
+    else:  # only MUST_NOT children: matches nothing (Lucene rule)
+        return np.zeros(bt.n_rows, dtype=bool)
+    for n in nots:
+        acc &= ~n
+    return acc
+
+
+class Percolator:
+    """``map_batches`` callable: parse the stored registry once per actor
+    (``__init__``), evaluate every query per batch (``__call__``)."""
+
+    def __init__(
+        self,
+        queries: dict[str, str],
+        *,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ):
+        self.parsed = {
+            name: parse_query(q) for name, q in sorted(queries.items())
+        }
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        names: list[str] = []
+        ids: list[np.ndarray] = []
+        if t.num_rows:
+            bt = _BatchTokens(t[self.text_col], t.num_rows)
+            doc_ids = t[self.id_col].to_numpy(zero_copy_only=False)
+            for name, node in self.parsed.items():
+                node = expand_prefix_tree(
+                    node,
+                    bt.expand_prefix,
+                    bt.expand_range,
+                    bt.expand_fuzzy,
+                    bt.expand_regex,
+                )
+                hit = doc_ids[_eval(node, bt)]
+                names.extend([name] * len(hit))
+                ids.append(hit)
+        return pa.table(
+            {
+                "query_name": pa.array(names, pa.string()),
+                "doc_id": pa.array(
+                    np.concatenate(ids) if ids else
+                    np.empty(0, np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+
+def percolate(
+    docs: ray.data.Dataset,
+    queries: dict[str, str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pd.DataFrame:
+    """Match every doc against every stored query; (query_name, doc_id)
+    pairs sorted for determinism. One streaming pass, no shuffle."""
+    out = docs.map_batches(
+        Percolator,
+        fn_constructor_args=(queries,),
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    ).to_pandas()
+    return (
+        out.sort_values(["query_name", "doc_id"])
+        .reset_index(drop=True)
+    )
+
+
+# --- driver entry ----------------------------------------------------------
+
+# One stored query per supported shape (SQL-oracled in __ray_entry__.py):
+# AND, exact phrase, SHOULD+MUST_NOT, nested boolean, const term set,
+# prefix expansion.
+STORED_QUERIES = {
+    "dup_and_merge": "dup AND merge",
+    "phrase_key_order": '"key order"',
+    "spark_not_dup": "spark -dup",
+    "nested_bool": "(key OR dup) AND sort",
+    "set_rare": "IN [dup flink nosuchterm]",
+    "prefix_win": "win*",
+}
+
+
+def percolate_matches(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    return percolate(ds, STORED_QUERIES)
