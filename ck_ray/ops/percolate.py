@@ -34,10 +34,15 @@ Supported query surface (the parser's match-expressible subset):
   engine: a dictionary term absent from a batch matches no row of that
   batch.
 
-Sloppy phrases (slop>0) raise ``ValueError`` (percolation is match-only;
-the greedy-chain matcher lives on the scoring path, ``query.py``).
-Boosts are ignored — percolation has no scores, only membership, matching
-ES's constant-score percolate semantics.
+Sloppy phrases (slop>0) and non-``content`` fields raise ``ValueError``
+at REGISTRATION time (``Percolator.__init__`` walks every parsed tree),
+never mid-stream in a worker (percolation is match-only; the greedy-chain
+slop matcher lives on the scoring path, ``query.py``). Dictionary
+expansion runs UNCAPPED (``max_expansions=None``): Lucene's clause cap
+bounds scored-disjunction width, which percolation doesn't build, and a
+batch-local cap would make failure depend on batch boundaries. Boosts are
+ignored — percolation has no scores, only membership, matching ES's
+constant-score percolate semantics.
 """
 
 from __future__ import annotations
@@ -147,22 +152,36 @@ class _BatchTokens:
         return [t for t in self.vocab if rx.fullmatch(t)]
 
 
+def _validate(node) -> None:
+    """Registration-time walk: reject stored queries the percolator
+    cannot evaluate (sloppy phrases, non-``content`` fields) when the
+    registry is parsed — NOT mid-stream in a Ray worker, where a bad
+    entry would fail the job per batch (or pass silently on empty
+    batches)."""
+    if node is None:
+        return
+    if isinstance(node, Clause):
+        if node.field != "content":
+            raise ValueError(
+                f"percolate streams have no {node.field!r} field"
+            )
+        if node.slop:
+            raise ValueError("sloppy phrases are not percolatable")
+        return
+    for _occur, child in node.children:
+        _validate(child)
+
+
 def _eval(node, bt: _BatchTokens) -> np.ndarray:
     """Boolean row mask of ``node`` over the batch — mirrors the match
     rule of ``BM25Engine``'s scorer bit-for-bit (minus scores)."""
     if node is None:
         return np.zeros(bt.n_rows, dtype=bool)
     if isinstance(node, Clause):
-        if node.field != "content":
-            raise ValueError(
-                f"percolate streams have no {node.field!r} field"
-            )
         if node.match_all:
             return np.ones(bt.n_rows, dtype=bool)
         if node.const_score or node.blended or len(node.terms) == 1:
             return bt.member_rows(node.terms)
-        if node.slop:
-            raise ValueError("sloppy phrases are not percolatable")
         return bt.phrase_rows(node.terms)
     musts = [_eval(c, bt) for o, c in node.children if o == MUST]
     shoulds = [_eval(c, bt) for o, c in node.children if o == SHOULD]
@@ -192,22 +211,30 @@ class Percolator:
         self.parsed = {
             name: parse_query(q) for name, q in sorted(queries.items())
         }
+        for node in self.parsed.values():
+            _validate(node)
         self.text_col = text_col
         self.id_col = id_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
         names: list[str] = []
         ids: list[np.ndarray] = []
+        id_type = t.schema.field(self.id_col).type
         if t.num_rows:
             bt = _BatchTokens(t[self.text_col], t.num_rows)
             doc_ids = t[self.id_col].to_numpy(zero_copy_only=False)
             for name, node in self.parsed.items():
+                # max_expansions=None: the Lucene clause cap bounds
+                # SCORED disjunction width; percolation builds membership
+                # sets, so the batch-local expansion is uncapped — match
+                # results never depend on batch boundaries
                 node = expand_prefix_tree(
                     node,
                     bt.expand_prefix,
                     bt.expand_range,
                     bt.expand_fuzzy,
                     bt.expand_regex,
+                    max_expansions=None,
                 )
                 hit = doc_ids[_eval(node, bt)]
                 names.extend([name] * len(hit))
@@ -215,10 +242,11 @@ class Percolator:
         return pa.table(
             {
                 "query_name": pa.array(names, pa.string()),
-                "doc_id": pa.array(
-                    np.concatenate(ids) if ids else
-                    np.empty(0, np.int64),
-                    type=pa.int64(),
+                # preserve the stream's own id type (string ids, int32,
+                # ...) instead of forcing int64
+                self.id_col: pa.array(
+                    np.concatenate(ids) if ids else [],
+                    type=id_type,
                 ),
             }
         )
@@ -241,16 +269,17 @@ def percolate(
         concurrency=(1, 4),
     ).to_pandas()
     return (
-        out.sort_values(["query_name", "doc_id"])
+        out.sort_values(["query_name", id_col])
         .reset_index(drop=True)
     )
 
 
 # --- driver entry ----------------------------------------------------------
 
-# One stored query per supported shape (SQL-oracled in __ray_entry__.py):
-# AND, exact phrase, SHOULD+MUST_NOT, nested boolean, const term set,
-# prefix expansion.
+# One stored query per supported shape (SQL-oracled in __ray_entry__.py,
+# entry ``percolate_matches``): AND, exact phrase, SHOULD+MUST_NOT, nested
+# boolean, const term set, prefix / range / fuzzy / regex dictionary
+# expansion, match-all.
 STORED_QUERIES = {
     "dup_and_merge": "dup AND merge",
     "phrase_key_order": '"key order"',
@@ -258,6 +287,10 @@ STORED_QUERIES = {
     "nested_bool": "(key OR dup) AND sort",
     "set_rare": "IN [dup flink nosuchterm]",
     "prefix_win": "win*",
+    "range_dup_merge": "[dup TO merge]",
+    "fuzzy_spark": "spark~1",
+    "regex_wnd": "/w[io]nd.*/",
+    "all_docs": "*",
 }
 
 

@@ -650,7 +650,8 @@ _NEVER_TERM = "\x00∅"  # unmatchable: real tokens are alnum-only
 
 
 def expand_prefix_tree(
-    node, expand, expand_range=None, expand_fuzzy=None, expand_regex=None
+    node, expand, expand_range=None, expand_fuzzy=None, expand_regex=None,
+    max_expansions=MAX_PREFIX_EXPANSIONS,
 ):
     """Rewrite prefix Clauses into SHOULD disjunctions of dictionary
     terms (Lucene SCORING_BOOLEAN_REWRITE). ``expand(field, prefix) ->
@@ -664,7 +665,10 @@ def expand_prefix_tree(
     membership, not a scored disjunction), under the same cap. Fuzzy
     Clauses rewrite via ``expand_fuzzy(field, term, dist, transpose)``
     into the same const-score shape (tantivy AutomatonWeight →
-    ConstScorer). Raises ValueError past MAX_PREFIX_EXPANSIONS."""
+    ConstScorer). Raises ValueError past ``max_expansions``
+    (default MAX_PREFIX_EXPANSIONS, Lucene's maxClauseCount — the cap
+    bounds SCORED disjunction width; ``max_expansions=None`` disables it
+    for match-only consumers like the percolator)."""
     if node is None or (
         isinstance(node, Clause)
         and not node.prefix
@@ -678,10 +682,10 @@ def expand_prefix_tree(
             if expand_regex is None:
                 raise ValueError("regex expansion needs a dictionary")
             terms = list(expand_regex(node.field, node.regex_spec))
-            if len(terms) > MAX_PREFIX_EXPANSIONS:
+            if max_expansions is not None and len(terms) > max_expansions:
                 raise ValueError(
                     f"regex /{node.regex_spec}/ expands to {len(terms)} "
-                    f"terms (max {MAX_PREFIX_EXPANSIONS})"
+                    f"terms (max {max_expansions})"
                 )
             return Clause(
                 node.field, terms or [_NEVER_TERM],
@@ -696,10 +700,10 @@ def expand_prefix_tree(
                     node.fuzzy_transpose,
                 )
             )
-            if len(terms) > MAX_PREFIX_EXPANSIONS:
+            if max_expansions is not None and len(terms) > max_expansions:
                 raise ValueError(
                     f"fuzzy '{node.terms[0]}~{node.fuzzy}' expands to "
-                    f"{len(terms)} terms (max {MAX_PREFIX_EXPANSIONS})"
+                    f"{len(terms)} terms (max {max_expansions})"
                 )
             return Clause(
                 node.field, terms or [_NEVER_TERM],
@@ -710,10 +714,10 @@ def expand_prefix_tree(
             if expand_range is None:
                 raise ValueError("range expansion needs a dictionary")
             terms = list(expand_range(node.field, lo, hi, il, ih))
-            if len(terms) > MAX_PREFIX_EXPANSIONS:
+            if max_expansions is not None and len(terms) > max_expansions:
                 raise ValueError(
                     f"range [{lo} TO {hi}] expands to {len(terms)} terms "
-                    f"(max {MAX_PREFIX_EXPANSIONS})"
+                    f"(max {max_expansions})"
                 )
             return Clause(
                 node.field, terms or [_NEVER_TERM],
@@ -725,10 +729,10 @@ def expand_prefix_tree(
         # carries into each expanded phrase)
         head = node.terms[:-1]
         terms = expand(node.field, node.terms[-1])
-        if len(terms) > MAX_PREFIX_EXPANSIONS:
+        if max_expansions is not None and len(terms) > max_expansions:
             raise ValueError(
                 f"prefix '{node.terms[-1]}*' expands to {len(terms)} terms "
-                f"(max {MAX_PREFIX_EXPANSIONS})"
+                f"(max {max_expansions})"
             )
         if not terms:
             return Clause(node.field, [_NEVER_TERM], boost=node.boost)
@@ -751,7 +755,8 @@ def expand_prefix_tree(
             (
                 o,
                 expand_prefix_tree(
-                    c, expand, expand_range, expand_fuzzy, expand_regex
+                    c, expand, expand_range, expand_fuzzy, expand_regex,
+                    max_expansions,
                 ),
             )
             for o, c in node.children
@@ -2521,7 +2526,7 @@ class BM25Engine:
                 if len(union) > MAX_PREFIX_EXPANSIONS:
                     raise ValueError(
                         f"prefix '{p}*' expands to {len(union)} terms "
-                        f"(max {MAX_PREFIX_EXPANSIONS})"
+                        f"(max {max_expansions})"
                     )
                 expanded[(f, p)] = union
         # range clauses: enforce the GLOBAL expansion cap on the union of
@@ -2544,7 +2549,7 @@ class BM25Engine:
                 if len(union) > MAX_PREFIX_EXPANSIONS:
                     raise ValueError(
                         f"range [{spec[0]} TO {spec[1]}] expands to "
-                        f"{len(union)} terms (max {MAX_PREFIX_EXPANSIONS})"
+                        f"{len(union)} terms (max {max_expansions})"
                     )
         # fuzzy clauses: const-score like ranges (no df round needed);
         # the GLOBAL expansion cap is enforced on the union of the
@@ -2565,7 +2570,7 @@ class BM25Engine:
                 if len(union) > MAX_PREFIX_EXPANSIONS:
                     raise ValueError(
                         f"fuzzy '{t}~{d}' expands to {len(union)} terms "
-                        f"(max {MAX_PREFIX_EXPANSIONS})"
+                        f"(max {max_expansions})"
                     )
         # regex clauses: const-score like ranges/fuzzy — validate the
         # pattern and enforce the GLOBAL cap on the shard-union
@@ -2592,7 +2597,7 @@ class BM25Engine:
                 if len(union) > MAX_PREFIX_EXPANSIONS:
                     raise ValueError(
                         f"regex /{pat}/ expands to {len(union)} terms "
-                        f"(max {MAX_PREFIX_EXPANSIONS})"
+                        f"(max {max_expansions})"
                     )
         if not self._needs_df_round:
             return None

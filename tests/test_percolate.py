@@ -1,0 +1,215 @@
+"""Percolator semantics: stored-query matching over a document stream.
+
+Most cases drive ``Percolator`` directly on a pyarrow batch (it is a pure
+``map_batches`` callable); the end-to-end Ray path and batch-boundary
+invariance are covered at the bottom. The driver entry
+``percolate_matches`` is additionally gated by a DuckDB oracle
+(``__ray_entry__.py``)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from ck_ray.ops.percolate import Percolator, percolate
+
+
+def _table(texts, ids=None, id_type=pa.int64()):
+    if ids is None:
+        ids = list(range(len(texts)))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, id_type),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def _matches(queries, texts, **kw):
+    """{query_name: sorted doc_id list} from one direct batch call."""
+    out = Percolator(queries, text_col="text", **kw)(_table(texts))
+    df = out.to_pandas()
+    return {
+        n: sorted(g["doc_id"]) for n, g in df.groupby("query_name")
+    }
+
+
+DOCS = [
+    "merge sort window",            # 0
+    "merge only here",              # 1
+    "the window stays open",        # 2
+    "sort then merge the Window",   # 3
+    "",                             # 4 (tokenless)
+    "wind and windmill turn",       # 5
+]
+
+
+def test_single_term():
+    m = _matches({"q": "merge"}, DOCS)
+    assert m["q"] == [0, 1, 3]
+
+
+def test_and_intersection():
+    m = _matches({"q": "merge AND window"}, DOCS)
+    assert m["q"] == [0, 3]
+
+
+def test_or_union():
+    m = _matches({"q": "merge OR open"}, DOCS)
+    assert m["q"] == [0, 1, 2, 3]
+
+
+def test_must_not():
+    m = _matches({"q": "window -sort"}, DOCS)
+    assert m["q"] == [2]
+
+
+def test_must_not_only_matches_nothing():
+    # Lucene rule: a node with only MUST_NOT children matches nothing
+    m = _matches({"q": "-merge"}, DOCS)
+    assert "q" not in m
+
+
+def test_nested_boolean():
+    m = _matches({"q": "(open OR sort) AND window"}, DOCS)
+    assert m["q"] == [0, 2, 3]
+
+
+def test_phrase_adjacency():
+    m = _matches({"q": '"merge sort"'}, DOCS)
+    assert m["q"] == [0]  # doc 3 has both terms but not adjacent
+
+
+def test_phrase_order_sensitive():
+    m = _matches({"q": '"sort merge"'}, DOCS)
+    assert "q" not in m
+
+
+def test_const_term_set():
+    m = _matches({"q": "IN [open windmill nosuch]"}, DOCS)
+    assert m["q"] == [2, 5]
+
+
+def test_match_all_includes_tokenless_docs():
+    m = _matches({"q": "*"}, DOCS)
+    assert m["q"] == [0, 1, 2, 3, 4, 5]
+
+
+def test_prefix_expansion():
+    m = _matches({"q": "wind*"}, DOCS)
+    assert m["q"] == [0, 2, 3, 5]  # window, windmill, wind
+
+
+def test_range_expansion():
+    m = _matches({"q": "[open TO sort]"}, DOCS)
+    # vocab in [open, sort]: open, sort, stays ("only" < "open")
+    assert m["q"] == [0, 2, 3]
+
+
+def test_fuzzy_expansion():
+    m = _matches({"q": "wand~1"}, DOCS)  # wind is 1 edit away
+    assert m["q"] == [5]
+
+
+def test_regex_expansion():
+    m = _matches({"q": "/w[io]nd.*/"}, DOCS)
+    assert m["q"] == [0, 2, 3, 5]
+
+
+def test_multiple_queries_one_pass():
+    m = _matches({"a": "merge", "b": "window -sort"}, DOCS)
+    assert m["a"] == [0, 1, 3] and m["b"] == [2]
+
+
+def test_slop_rejected_at_registration():
+    with pytest.raises(ValueError, match="percolat"):
+        Percolator({"q": '"merge window"~2'})
+
+
+def test_nested_slop_rejected_at_registration():
+    with pytest.raises(ValueError, match="percolat"):
+        Percolator({"q": 'merge AND (sort OR "a b"~1)'})
+
+
+def test_non_content_field_rejected_at_registration():
+    with pytest.raises(ValueError, match="path"):
+        Percolator({"q": "path:src AND merge"})
+
+
+def test_string_ids_preserved():
+    ids = [f"d{i}" for i in range(len(DOCS))]
+    out = Percolator({"q": "merge"})(
+        _table(DOCS, ids=ids, id_type=pa.string())
+    )
+    assert out.schema.field("doc_id").type == pa.string()
+    assert sorted(out["doc_id"].to_pylist()) == ["d0", "d1", "d3"]
+
+
+def test_empty_batch_keeps_schema():
+    out = Percolator({"q": "merge"})(_table([], ids=[]))
+    assert out.num_rows == 0
+    assert out.schema.field("doc_id").type == pa.int64()
+
+
+def test_wide_expansion_uncapped():
+    # >1024 dictionary terms under one prefix: scored search would cap
+    # (Lucene maxClauseCount) but match-only percolation must not —
+    # results can't depend on vocabulary size or batch boundaries
+    texts = [" ".join(f"term{j:05d}" for j in range(i, i + 600))
+             for i in range(0, 1800, 600)]
+    m = _matches({"q": "term*"}, texts)
+    assert m["q"] == [0, 1, 2]
+
+
+def test_batch_boundary_invariance(ray_session):
+    # same matches whether the stream arrives as 1 batch or 6
+    import ray.data
+
+    queries = {
+        "a": "merge AND window",
+        "b": '"merge sort"',
+        "c": "wind*",
+        "d": "[open TO sort]",
+    }
+    whole = percolate(
+        ray.data.from_arrow(_table(DOCS)), queries, id_col="doc_id"
+    )
+    split = percolate(
+        ray.data.from_arrow(_table(DOCS)).repartition(6),
+        queries,
+        id_col="doc_id",
+    )
+    pd.testing.assert_frame_equal(whole, split)
+    assert list(whole.columns) == ["query_name", "doc_id"]
+
+
+def test_end_to_end_entry_shape(ray_session, tmp_path):
+    # the driver-entry wrapper over a miniature documents.parquet
+    import pyarrow.parquet as pq
+
+    from ck_ray.ops.percolate import STORED_QUERIES, percolate_matches
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "dup merge key order",
+                    "spark streams win the race",
+                    "sort key wins dup",
+                ]
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    df = percolate_matches(str(tmp_path))
+    got = {n: sorted(g["doc_id"]) for n, g in df.groupby("query_name")}
+    assert got["dup_and_merge"] == [1]
+    assert got["phrase_key_order"] == [1]
+    assert got["spark_not_dup"] == [2]
+    assert got["nested_bool"] == [3]
+    assert got["set_rare"] == [1, 3]
+    assert got["prefix_win"] == [2, 3]
+    assert got["all_docs"] == [1, 2, 3]
+    assert got["fuzzy_spark"] == [2]
+    assert set(STORED_QUERIES) >= set(got)
