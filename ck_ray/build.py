@@ -69,8 +69,17 @@ class IndexConfig:
     # means one spill file per (task, partition) — the right default
     batch_size: int | None = None
     # Skew handling: terms with estimated df >= threshold get salted into
-    # doc_id-range buckets. None disables salting (fine till ~10M docs/part).
-    hot_df_threshold: int | None = None
+    # doc_id-range buckets. "auto" (the default) is PROPORTIONAL to
+    # corpus size: a term is hot when it appears in >=10% of sampled
+    # docs — the same rule as an absolute threshold of n_docs/10, but
+    # derived from the sample alone (no extra full count pass over a
+    # mapped Dataset); it engages once the sample reaches >=2000 docs,
+    # so small test corpora build unsalted and identical to before.
+    # An int is an explicit absolute df threshold; None disables
+    # salting entirely (fine till ~10M docs/part). Salted and unsalted
+    # builds are byte-identical after the merge (tested), so this only
+    # steers shuffle skew, never output.
+    hot_df_threshold: int | None | str = "auto"
     salt_buckets: int = 8
     df_sample_docs: int = 2048  # docs sampled to estimate hot terms
     dedupe_keep_latest: bool = False
@@ -758,7 +767,7 @@ def _build_serving_docs(staging: str, docs_dir: str, cfg: IndexConfig) -> None:
 
 
 def estimate_hot_terms(
-    ds: ray.data.Dataset, threshold: int, sample_docs: int
+    ds: ray.data.Dataset, threshold: int | None, sample_docs: int
 ) -> frozenset[str]:
     """Estimate terms whose corpus df will exceed ``threshold`` from a doc
     sample (selection only steers salting; any set yields identical output)."""
@@ -792,9 +801,18 @@ def estimate_hot_terms(
         return frozenset()
     n_seen = int(pc.sum(tbl["n_docs"]).as_py() or 0)
     g = pa.TableGroupBy(tbl, ["term"]).aggregate([("df", "sum")])
+    dfs = g["df_sum"].to_numpy()
+    if threshold is None:
+        # AUTO rule ("auto" config): hot = appears in >=10% of sampled
+        # docs == absolute threshold n_docs/10 without a count pass.
+        # Guard: only engage once the sample holds >=2000 docs, so tiny
+        # corpora (tests, toy builds) stay unsalted.
+        if n_seen < 2000:
+            return frozenset()
+        hot = g["term"].filter(pa.array(dfs >= 0.1 * n_seen))
+        return frozenset(hot.to_pylist())
     total = ds.count()
     scale = max(1.0, total / max(n_seen, 1))
-    dfs = g["df_sum"].to_numpy()
     hot = g["term"].filter(pa.array(dfs * scale >= threshold))
     return frozenset(hot.to_pylist())
 
@@ -838,7 +856,11 @@ def build_index(
     # ---- hot-term estimate (optional)
     hot_terms: frozenset[str] | None = None
     if cfg.hot_df_threshold is not None:
-        hot_terms = estimate_hot_terms(ds, cfg.hot_df_threshold, cfg.df_sample_docs)
+        thr = (
+            None if cfg.hot_df_threshold == "auto"
+            else cfg.hot_df_threshold
+        )
+        hot_terms = estimate_hot_terms(ds, thr, cfg.df_sample_docs)
     _mark("hot_estimate")
 
     # ---- resume bookkeeping: parts already on disk are skipped pre-shuffle

@@ -646,6 +646,7 @@ def rewrite_synonyms(node, synmap: dict):
 
 
 MAX_PREFIX_EXPANSIONS = 1024  # Lucene BooleanQuery.maxClauseCount
+_PARSE_MISS = object()  # parse-cache sentinel (None is a valid tree)
 _NEVER_TERM = "\x00∅"  # unmatchable: real tokens are alnum-only
 
 
@@ -1620,9 +1621,18 @@ class LocalIndex:
 
     # ------------------------------------------------------------ querying
 
-    def _parse(self, query: str):
+    def _parse(self, query):
         """parse + query-time synonym rewrite (every query entry point
-        funnels through here so the synonym map applies uniformly)."""
+        funnels through here so the synonym map applies uniformly).
+        Non-string input is a PRE-PARSED tree shipped by the engine
+        (parsed + synonym-rewritten ONCE on the driver, then fanned
+        out): the per-(query, shard) parse was the serving path's one
+        fixed cost that grew with shard count, so the tree — not the
+        string — crosses the wire. The engine's synonym map is the one
+        every shard was constructed with, so a driver-side rewrite is
+        bit-identical to a shard-side one."""
+        if not isinstance(query, str):
+            return query
         return rewrite_synonyms(parse_query(query), self._synonyms)
 
     def query_topk(
@@ -2421,6 +2431,10 @@ class BM25Engine:
         self.auto_reload = auto_reload
         self.shards: list = []
         self.replicas: list[list] = []
+        # driver-side parse cache: query string -> synonym-rewritten
+        # tree (parse is pure string work, so index reloads don't
+        # invalidate it; bounded by _PARSE_CACHE_MAX)
+        self._parse_cache: dict[str, object] = {}
         self._load()
 
     def _manifest_stamp(self) -> tuple[int, int]:
@@ -2495,13 +2509,32 @@ class BM25Engine:
                 self._df_cache[k] = int(sum(p[i] for p in per))
         return {k: self._df_cache[k] for k in keys}
 
+    _PARSE_CACHE_MAX = 65536
+
+    def _parse_global(self, query: str):
+        """Driver-side parse + synonym rewrite, cached by query string.
+        The hot serving paths (search / search_raw / search_many) fan
+        the TREE out to shards instead of the string, so each distinct
+        query is parsed once per engine rather than once per
+        (query, shard) — the repeated parse (~1-4 ms of pure-Python
+        lexing) was the only serving-path fixed cost that grew with
+        shard count (r3's qps-scaling gap)."""
+        tree = self._parse_cache.get(query, _PARSE_MISS)
+        if tree is not _PARSE_MISS:
+            return tree
+        tree = rewrite_synonyms(parse_query(query), self._synonyms)
+        if len(self._parse_cache) >= self._PARSE_CACHE_MAX:
+            self._parse_cache.clear()
+        self._parse_cache[query] = tree
+        return tree
+
     def _df_map_for(self, queries: list[str]) -> dict | None:
+        # dedupe first: df keys are a union, so repeated queries (batch
+        # workloads) cost one parse, and that one is cache-warm
         clauses = [
             c
-            for q in queries
-            for c in collect_clauses(
-                rewrite_synonyms(parse_query(q), self._synonyms)
-            )
+            for q in dict.fromkeys(queries)
+            for c in collect_clauses(self._parse_global(q))
         ]
         # prefix clauses: the expansion set is dictionary-dependent, so
         # union the shards' local expansions first (terms only — tiny).
@@ -2526,7 +2559,7 @@ class BM25Engine:
                 if len(union) > MAX_PREFIX_EXPANSIONS:
                     raise ValueError(
                         f"prefix '{p}*' expands to {len(union)} terms "
-                        f"(max {max_expansions})"
+                        f"(max {MAX_PREFIX_EXPANSIONS})"
                     )
                 expanded[(f, p)] = union
         # range clauses: enforce the GLOBAL expansion cap on the union of
@@ -2549,7 +2582,7 @@ class BM25Engine:
                 if len(union) > MAX_PREFIX_EXPANSIONS:
                     raise ValueError(
                         f"range [{spec[0]} TO {spec[1]}] expands to "
-                        f"{len(union)} terms (max {max_expansions})"
+                        f"{len(union)} terms (max {MAX_PREFIX_EXPANSIONS})"
                     )
         # fuzzy clauses: const-score like ranges (no df round needed);
         # the GLOBAL expansion cap is enforced on the union of the
@@ -2570,7 +2603,7 @@ class BM25Engine:
                 if len(union) > MAX_PREFIX_EXPANSIONS:
                     raise ValueError(
                         f"fuzzy '{t}~{d}' expands to {len(union)} terms "
-                        f"(max {max_expansions})"
+                        f"(max {MAX_PREFIX_EXPANSIONS})"
                     )
         # regex clauses: const-score like ranges/fuzzy — validate the
         # pattern and enforce the GLOBAL cap on the shard-union
@@ -2597,7 +2630,7 @@ class BM25Engine:
                 if len(union) > MAX_PREFIX_EXPANSIONS:
                     raise ValueError(
                         f"regex /{pat}/ expands to {len(union)} terms "
-                        f"(max {max_expansions})"
+                        f"(max {MAX_PREFIX_EXPANSIONS})"
                     )
         if not self._needs_df_round:
             return None
@@ -2650,9 +2683,10 @@ class BM25Engine:
             raise ValueError("offset must be >= 0")
         fetch = k + offset
         df_map = self._df_map_for([query])
+        tree = self._parse_global(query)
         parts = ray.get(
             [
-                s.query_topk.remote(query, fetch, pruning, df_map)
+                s.query_topk.remote(tree, fetch, pruning, df_map)
                 for s in self._next_replica(query)
             ]
         )
@@ -2993,18 +3027,19 @@ class BM25Engine:
             raise ValueError("offset must be >= 0")
         fetch = k + offset
         df_map = self._df_map_for([query])
+        tree = self._parse_global(query)
         rep = self._next_replica(query)
         if with_metadata:
             parts = ray.get(
                 [
-                    s.query_topk_meta.remote(query, fetch, True, df_map)
+                    s.query_topk_meta.remote(tree, fetch, True, df_map)
                     for s in rep
                 ]
             )
         else:
             raw = ray.get(
                 [
-                    s.query_topk.remote(query, fetch, True, df_map)
+                    s.query_topk.remote(tree, fetch, True, df_map)
                     for s in rep
                 ]
             )
@@ -3050,11 +3085,14 @@ class BM25Engine:
         self._maybe_reload()
         k = top_k if top_k is not None else 100
         df_map = self._df_map_for(queries)
+        # one parse per DISTINCT query for the whole batch (cache-warm:
+        # zero); shards receive trees and never parse
+        trees = [self._parse_global(q) for q in queries]
         R = min(len(self.replicas), max(1, len(queries)))
         bounds = np.linspace(0, len(queries), R + 1).astype(int)
         slices = []  # (start, queries, [shard refs]) — all async first
         for r in range(R):
-            qs = queries[bounds[r]:bounds[r + 1]]
+            qs = trees[bounds[r]:bounds[r + 1]]
             if not qs:
                 continue
             slices.append((

@@ -31,38 +31,83 @@ EMBED_DIM = 64
 def chunk_batch(
     t: pa.Table, *, target_lines: int = 20, overlap_lines: int = 4
 ) -> pa.Table:
-    """Flat-map: one corpus row -> N chunk rows (line windows w/ overlap)."""
+    """Flat-map: one corpus row -> N chunk rows (line windows w/ overlap).
 
-    doc_ids = doc_id_column(t["repo"], t["path"], t["commit"]).to_numpy()
-    paths = t["path"].to_pylist()
-    out_doc, out_path, out_cid, out_ls, out_le, out_text = [], [], [], [], [], []
+    Fully vectorized (offsets arithmetic over one ``\\n`` split, the same
+    shape the tokenizer uses): no per-row Python, so the stage scales
+    with BYTES, not rows. Line rule matches the SQL oracle exactly —
+    split on ``\\n``, and a trailing terminator does not open an empty
+    final line (``"a\\n"`` is one line). Windows: start every
+    ``target-overlap`` lines; a window that reaches the end closes the
+    doc (no window starts inside the last ``overlap`` lines)."""
+    import pyarrow.compute as pc
+
     step = max(1, target_lines - overlap_lines)
-    for i, content in enumerate(t["content"].to_pylist()):
-        lines = content.splitlines()
-        if not lines:
-            continue
-        s = 0
-        cid = 0
-        while s < len(lines):
-            e = min(s + target_lines, len(lines))
-            out_doc.append(doc_ids[i])
-            out_path.append(paths[i])
-            out_cid.append(cid)
-            out_ls.append(s + 1)  # 1-indexed like the reference Span
-            out_le.append(e)
-            out_text.append("\n".join(lines[s:e]))
-            cid += 1
-            if e == len(lines):
-                break
-            s += step
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "path": pa.array([], pa.string()),
+            "chunk_id": pa.array([], pa.int32()),
+            "line_start": pa.array([], pa.int32()),
+            "line_end": pa.array([], pa.int32()),
+            "text": pa.array([], pa.string()),
+        }
+    )
+    if t.num_rows == 0:
+        return empty
+    content = t["content"]
+    if isinstance(content, pa.ChunkedArray):
+        content = content.combine_chunks()
+    lists = pc.split_pattern(content.fill_null(""), pattern="\n")
+    vals = pc.list_flatten(lists)
+    off = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    cnt = np.diff(off)
+    # a trailing "\n" yields one empty final element — not a line
+    byte_len = pc.binary_length(vals).to_numpy(zero_copy_only=False)
+    last_idx = np.maximum(off[1:] - 1, 0)
+    n_lines = cnt - ((cnt > 0) & (byte_len[last_idx] == 0))
+    # chunks per row: 1 window if it fits, else one per step until a
+    # window reaches the end (ceil((n - target)/step) extra windows)
+    nch = np.where(
+        n_lines <= 0,
+        0,
+        np.where(
+            n_lines <= target_lines,
+            1,
+            1 + (n_lines - target_lines + step - 1) // step,
+        ),
+    ).astype(np.int64)
+    total = int(nch.sum())
+    if total == 0:
+        return empty
+    rep = np.repeat(np.arange(t.num_rows, dtype=np.int64), nch)
+    cum = np.concatenate(([0], np.cumsum(nch)))
+    cid = np.arange(total, dtype=np.int64) - cum[rep]
+    s = cid * step
+    e = np.minimum(s + target_lines, n_lines[rep])
+    # gather each window's lines into a fresh (non-overlapping) list
+    # array, then join with "\n" — duplication factor target/step
+    g0 = off[:-1][rep] + s
+    lens = e - s
+    lcum = np.concatenate(([0], np.cumsum(lens)))
+    idx = (
+        np.arange(int(lcum[-1]), dtype=np.int64)
+        - np.repeat(lcum[:-1], lens)
+        + np.repeat(g0, lens)
+    )
+    windows = pa.ListArray.from_arrays(
+        pa.array(lcum, pa.int32()), vals.take(pa.array(idx))
+    )
+    text = pc.binary_join(windows, "\n")
+    doc_ids = doc_id_column(t["repo"], t["path"], t["commit"]).to_numpy()
     return pa.table(
         {
-            "doc_id": pa.array(out_doc, pa.int64()),
-            "path": pa.array(out_path, pa.string()),
-            "chunk_id": pa.array(out_cid, pa.int32()),
-            "line_start": pa.array(out_ls, pa.int32()),
-            "line_end": pa.array(out_le, pa.int32()),
-            "text": pa.array(out_text, pa.string()),
+            "doc_id": pa.array(doc_ids[rep], pa.int64()),
+            "path": t["path"].take(pa.array(rep)),
+            "chunk_id": pa.array(cid, pa.int32()),
+            "line_start": pa.array(s + 1, pa.int32()),  # 1-indexed Span
+            "line_end": pa.array(e, pa.int32()),
+            "text": text,
         }
     )
 

@@ -222,3 +222,59 @@ def test_video_frame_sample_planted(ray_session, tmp_path):
         chunk = raw[j * 256 : (j + 1) * 256]
         assert int(row["frame_bytes"]) == len(chunk)
         assert row["frame_md5"] == hashlib.md5(chunk).hexdigest()[:16]
+
+
+def test_chunk_batch_vectorized_equals_loop():
+    """The offsets-arithmetic chunker reproduces the per-row loop
+    bit-for-bit on every window/terminator edge: empty doc, blank
+    lines, trailing newline, exact window multiples, overlap tails."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ck_ray.semantic import chunk_batch
+
+    cases = [
+        "",
+        "\n",
+        "one line",
+        "one line\n",
+        "\n\n\n",
+        "\n".join(f"l{i}" for i in range(19)),
+        "\n".join(f"l{i}" for i in range(20)),
+        "\n".join(f"l{i}" for i in range(21)),
+        "\n".join(f"l{i}" for i in range(36)),       # exact 2 windows
+        "\n".join(f"l{i}" for i in range(37)),
+        "\n".join(f"l{i}" for i in range(100)) + "\n",
+        "a\n\nb\n\n\nc\n",
+    ]
+    n = len(cases)
+    t = pa.table(
+        {
+            "repo": pa.array(["r"] * n),
+            "path": pa.array([f"p{i}" for i in range(n)]),
+            "commit": pa.array(["0"] * n),
+            "lang": pa.array(["text"] * n),
+            "content": pa.array(cases),
+        }
+    )
+    got = chunk_batch(t, target_lines=20, overlap_lines=4).to_pandas()
+
+    # reference loop (the pre-vectorization implementation, \n rule)
+    rows = []
+    step = 16
+    for i, content in enumerate(cases):
+        lines = content.split("\n")
+        if lines and lines[-1] == "":
+            lines = lines[:-1]
+        s, cid = 0, 0
+        while s < len(lines):
+            e = min(s + 20, len(lines))
+            rows.append((f"p{i}", cid, s + 1, e, "\n".join(lines[s:e])))
+            cid += 1
+            if e == len(lines):
+                break
+            s += step
+    assert len(got) == len(rows)
+    for (path, cid, ls, le, text), (_, r) in zip(rows, got.iterrows()):
+        assert (r["path"], r["chunk_id"], r["line_start"], r["line_end"],
+                r["text"]) == (path, cid, ls, le, text)

@@ -172,3 +172,38 @@ def test_stale_staging_artifacts_pruned(ray_session, tiny_corpus, tmp_path):
         os.path.join(epoch, "serving", "docs"), partitioning="hive"
     ).to_table()
     assert sdocs.num_rows == tiny_corpus.num_rows
+
+
+def test_default_config_salts_at_scale(ray_session):
+    """The DEFAULT IndexConfig must salt hot terms once the corpus is
+    big enough (>=2000 sampled docs) — so the driver-entry/document
+    pipelines are the same pipelines you'd run at 100x — while small
+    test corpora stay unsalted and byte-identical to the legacy
+    default."""
+    import pyarrow as pa
+    import ray.data
+
+    from ck_ray.build import IndexConfig, estimate_hot_terms
+
+    assert IndexConfig().hot_df_threshold == "auto"
+
+    def corpus(n):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "repo": ["r"] * n,
+                    "path": [f"f{i}.py" for i in range(n)],
+                    "commit": ["0"] * n,
+                    "lang": ["python"] * n,
+                    # "everyterm" in every doc (df 100%), rare{i} unique
+                    "content": [f"everyterm rare{i}" for i in range(n)],
+                }
+            )
+        )
+
+    # auto rule engages at >=2000 sampled docs: universal term is hot
+    hot = estimate_hot_terms(corpus(2500), None, sample_docs=2048)
+    assert "everyterm" in hot
+    assert not any(t.startswith("rare") for t in hot)
+    # ... and stays OFF for small corpora (tests build unsalted)
+    assert estimate_hot_terms(corpus(500), None, sample_docs=2048) == frozenset()
