@@ -796,7 +796,15 @@ def estimate_hot_terms(
     )
     import ray as _ray
 
-    tbl = pa.concat_tables([_ray.get(r) for r in partials])
+    # empty upstream blocks pass through map_batches schema-less
+    # (zero columns) — drop them before the concat
+    tbls = [
+        t for t in (_ray.get(r) for r in partials)
+        if t.num_rows and t.num_columns
+    ]
+    if not tbls:
+        return frozenset()
+    tbl = pa.concat_tables(tbls)
     if tbl.num_rows == 0:
         return frozenset()
     n_seen = int(pc.sum(tbl["n_docs"]).as_py() or 0)

@@ -251,6 +251,17 @@ class LangSpec:
     # (C++ template-prefix merge, reference
     # merge_cpp_template_prefix_chunks ck-chunk/src/lib.rs:498-561)
     prefix_extend: re.Pattern | None = None
+    # MULTI-LINE string forms a real parser skips but the line-local
+    # blanking can't see: (open regex, match -> closing delimiter)
+    # pairs, scanned left-to-right together with comments and carried
+    # across lines like /* */ — rust r#"..."#, JS/TS template
+    # literals, C++ R"tag(...)tag", C# @"..." (adversarial cases from
+    # the reference capture suites, ck-chunk/src/query_chunker.rs)
+    ml_strings: tuple = ()
+    # blank whole preprocessor-directive lines ('#...' plus backslash
+    # continuations) before brace counting: '#define OPEN {' must not
+    # open a structural brace (C/C++)
+    preproc_hash: bool = False
 
 
 _KW_NOT_NAME = frozenset(
@@ -287,6 +298,10 @@ _RUST = LangSpec(
     ),
     method_parents=frozenset({"module", "class"}),  # impl/trait bodies
     attr_prefixes=("#[", "#!["),
+    # raw (byte) strings r"..." / br#"..."# carry braces across lines
+    ml_strings=(
+        (re.compile(r'(?<!\w)b?r(#*)"'), lambda m: '"' + m.group(1)),
+    ),
 )
 
 _GO = LangSpec(
@@ -329,6 +344,8 @@ _JS = LangSpec(
     ),
     method_parents=frozenset({"class"}),
     attr_prefixes=("@",),
+    # template literals carry braces across lines
+    ml_strings=((re.compile(r"`"), lambda m: "`"),),
 )
 
 _JAVA = LangSpec(
@@ -387,6 +404,7 @@ _C = LangSpec(
     name="c",
     defs=(_C_STRUCT, _C_ENUM, _C_MACRO_FN, _C_MACRO, _C_FN),
     method_parents=frozenset(),
+    preproc_hash=True,
 )
 
 _CPP = LangSpec(
@@ -417,6 +435,14 @@ _CPP = LangSpec(
     # members read as methods
     method_parents=frozenset({"class"}),
     prefix_extend=re.compile(r"^\s*template\s*<"),
+    preproc_hash=True,
+    # C++11 raw strings R"tag(...)tag" carry braces across lines
+    ml_strings=(
+        (
+            re.compile(r'R"([^()\s\\]{0,16})\('),
+            lambda m: ")" + m.group(1) + '"',
+        ),
+    ),
 )
 
 _CSHARP = LangSpec(
@@ -587,13 +613,41 @@ _STR_RE = re.compile(r"'(?:\\.|[^'\\\n])*'|\"(?:\\.|[^\"\\\n])*\"|`[^`\n]*`")
 
 
 def _effective_lines(lines: list[str], spec: LangSpec) -> list[str]:
-    """Lines with string literals blanked, line comments cut and /* */
-    block comments blanked — so brace counting and def matching never
-    trip on quoted/commented braces."""
+    """Lines with string literals blanked, line comments cut, /* */
+    block comments blanked, multi-line strings (``spec.ml_strings``)
+    blanked across lines, and preprocessor directives dropped
+    (``spec.preproc_hash``) — so brace counting and def matching never
+    trip on quoted/commented/preprocessor braces."""
     out = []
     in_block = False
+    in_str: str | None = None  # closing delimiter of an open ml string
+    cont_preproc = False
     for ln in lines:
-        s = _STR_RE.sub(lambda m: '"' + " " * max(len(m.group()) - 2, 0) + '"', ln)
+        if (
+            spec.preproc_hash
+            and not in_block
+            and in_str is None
+        ):
+            if cont_preproc:
+                # a macro BODY continuation: fully blank (its text must
+                # match no def regex and count no brace)
+                cont_preproc = ln.rstrip().endswith("\\")
+                out.append("")
+                continue
+            if ln.lstrip().startswith("#"):
+                # directive line stays VISIBLE (the C spec captures
+                # #define as macro chunks) but its braces never count
+                cont_preproc = ln.rstrip().endswith("\\")
+                ln = ln.replace("{", " ").replace("}", " ")
+            else:
+                cont_preproc = False
+        s = (
+            ln
+            if in_block or in_str is not None
+            else _STR_RE.sub(
+                lambda m: '"' + " " * max(len(m.group()) - 2, 0) + '"', ln
+            )
+        )
         res = []
         i = 0
         while i < len(s):
@@ -606,19 +660,42 @@ def _effective_lines(lines: list[str], spec: LangSpec) -> list[str]:
                     res.append(" " * (j + 2 - i))
                     i = j + 2
                     in_block = False
+            elif in_str is not None:
+                j = s.find(in_str, i)
+                if j == -1:
+                    res.append(" " * (len(s) - i))
+                    i = len(s)
+                else:
+                    end = j + len(in_str)
+                    res.append(" " * (end - i))
+                    i = end
+                    in_str = None
             else:
                 j = s.find("/*", i)
                 k = s.find(spec.line_comment, i) if spec.line_comment else -1
-                if k != -1 and (j == -1 or k < j):
+                # earliest multi-line string opener from i
+                m_pos, m_match, m_close = -1, None, None
+                for rx, closer in spec.ml_strings:
+                    m = rx.search(s, i)
+                    if m and (m_pos == -1 or m.start() < m_pos):
+                        m_pos, m_match, m_close = m.start(), m, closer
+                first = min(
+                    x for x in (j, k, m_pos, len(s)) if x != -1
+                )
+                if first == len(s):
+                    res.append(s[i:])
+                    i = len(s)
+                elif first == k:
                     res.append(s[i:k])
                     i = len(s)
-                elif j != -1:
+                elif first == j:
                     res.append(s[i:j] + "  ")
                     i = j + 2
                     in_block = True
                 else:
-                    res.append(s[i:])
-                    i = len(s)
+                    res.append(s[i:m_pos] + " " * len(m_match.group()))
+                    i = m_match.end()
+                    in_str = m_close(m_match)
         out.append("".join(res))
     return out
 
@@ -709,7 +786,15 @@ def brace_chunks(
                 pending = None
         if pending is not None:
             if pending["def"].eol_emits and pending["match_line"] == ln_no:
-                emit(pending, ln_no)
+                # a directive's backslash continuations belong to its
+                # span (tree-sitter's preproc nodes include them)
+                end = ln_no
+                while (
+                    end < len(lines) - 1
+                    and lines[end].rstrip().endswith("\\")
+                ):
+                    end += 1
+                emit(pending, end)
                 pending = None
             elif ln_no - pending["match_line"] >= 8:  # odd syntax: give up
                 pending = None

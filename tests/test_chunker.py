@@ -8,6 +8,7 @@ from ck_ray.chunker import (
     ast_chunk_batch,
     line_window_chunks,
     python_chunks,
+    structural_chunks,
 )
 
 SRC = '''\
@@ -720,3 +721,117 @@ def test_haskell_equation_merge():
     # guard-style equation with no `=` on the head line
     assert by[("function", "clamp")][0:2] == (14, 16)
     assert ("class", "Shape") in by
+
+
+# --- adversarial capture fidelity (reference tree-sitter behaviors the
+# line heuristics historically missed: strings containing braces across
+# lines, preprocessor tricks, nested templates —
+# ck-chunk/src/query_chunker.rs capture suites)
+
+
+def test_rust_raw_string_braces_do_not_close_spans():
+    src = (
+        'fn raw() {\n'
+        '    let s = r#"\n'
+        '} } }\n'
+        '{\n'
+        '"#;\n'
+        '}\n'
+        '\n'
+        'fn after_raw() {}\n'
+    )
+    caps = {(c[2], c[3]): (c[0], c[1]) for c in structural_chunks(src, "rust")}
+    assert caps[("function", "raw")] == (1, 6)
+    assert caps[("function", "after_raw")] == (8, 8)
+
+
+def test_js_template_literal_braces_do_not_close_spans():
+    src = (
+        "function tmpl() {\n"
+        "  const s = `\n"
+        "  } } {\n"
+        "  `;\n"
+        "  return s;\n"
+        "}\n"
+        "\n"
+        "function after() { return 2; }\n"
+    )
+    caps = {(c[2], c[3]): (c[0], c[1]) for c in structural_chunks(src, "javascript")}
+    assert caps[("function", "tmpl")] == (1, 6)
+    assert caps[("function", "after")] == (8, 8)
+
+
+def test_c_define_brace_is_not_structural():
+    src = (
+        "#define OPEN {\n"
+        "#define SQUARE(x) ((x) * (x))\n"
+        "\n"
+        "void helper(int n) {\n"
+        '    printf("%d", n);\n'
+        "}\n"
+        "\n"
+        "int compute(int a, int b) {\n"
+        "    return a + b;\n"
+        "}\n"
+    )
+    caps = {(c[2], c[3]): (c[0], c[1]) for c in structural_chunks(src, "c")}
+    # the stray '#define OPEN {' must NOT become a container: helper and
+    # compute are top-level functions with exact spans, OPEN a 1-line
+    # macro, SQUARE a macro-function
+    assert caps[("text", "OPEN")] == (1, 1)
+    assert caps[("function", "SQUARE")] == (2, 2)
+    assert caps[("function", "helper")] == (4, 6)
+    assert caps[("function", "compute")] == (8, 10)
+
+
+def test_c_macro_continuation_spans_whole_body():
+    src = (
+        "#define MULTI(a, b) do { \\\n"
+        "    int x = (a); \\\n"
+        "    { (b); } \\\n"
+        "} while (0)\n"
+        "\n"
+        "int after_macro(void) { return 3; }\n"
+    )
+    caps = {(c[2], c[3]): (c[0], c[1]) for c in structural_chunks(src, "c")}
+    # tree-sitter's preproc_function_def spans the continuations; the
+    # body's unbalanced-looking braces never leak into the file scope
+    assert caps[("function", "MULTI")] == (1, 4)
+    assert caps[("function", "after_macro")] == (6, 6)
+
+
+def test_cpp_preproc_raw_string_and_nested_template():
+    src = (
+        "#if 0\n"
+        "} stray close\n"
+        "#endif\n"
+        "template <typename T, template <class> class C>\n"
+        "class Wrapper {\n"
+        "public:\n"
+        "    void run() {}\n"
+        "};\n"
+        "\n"
+        'const char* q = R"sql(\n'
+        "} } {\n"
+        ')sql";\n'
+        "\n"
+        "int plain() { return 1; }\n"
+    )
+    caps = {(c[2], c[3]): (c[0], c[1]) for c in structural_chunks(src, "cpp")}
+    # nested-template prefix merges into the class span; the raw string
+    # and the #if-guarded stray brace never open/close anything
+    assert caps[("class", "Wrapper")] == (4, 8)
+    assert caps[("method", "Wrapper.run")] == (7, 7)
+    assert caps[("function", "plain")] == (14, 14)
+
+
+def test_csharp_verbatim_string_single_line_braces():
+    src = (
+        "class P {\n"
+        '    string s = @"} } {";\n'
+        "    public void Go() {}\n"
+        "}\n"
+    )
+    caps = {(c[2], c[3]): (c[0], c[1]) for c in structural_chunks(src, "csharp")}
+    assert caps[("class", "P")] == (1, 4)
+    assert caps[("method", "P.Go")] == (3, 3)
