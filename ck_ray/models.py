@@ -174,16 +174,40 @@ def create_reranker(
     return rr
 
 
+# provider name -> factory(cfg: ModelConfig) -> embedder. The contract
+# an embedder must satisfy (what PseudoEmbedder implements):
+#   embed_texts(list[str]) -> np.ndarray[(n, cfg.dimensions), float32]
+#   __call__(pa.Table with a text column) -> same table + "embedding"
+#     fixed-size-list<float32, dimensions> column
+_EMBEDDER_PROVIDERS: dict[str, object] = {}
+
+
+def register_embedder_provider(provider: str, factory) -> None:
+    """Plug a REAL model backend in (the reference's fastembed/ONNX
+    providers, ``ck-embed/src/lib.rs:151-289``): any ModelConfig whose
+    ``provider`` matches is constructed by ``factory(cfg)`` instead of
+    the deterministic PseudoEmbedder. One call on the driver is enough —
+    the embed stage resolves the factory driver-side and cloudpickles it
+    into each pool actor, whose ``__init__`` runs it once (model load
+    happens once per actor, never per batch). Nothing else in the
+    pipeline changes (proved by tests/test_models.py seam test)."""
+    _EMBEDDER_PROVIDERS[provider] = factory
+
+
 def create_embedder(model: str | None = None, registry: ModelRegistry | None = None):
     """Provider swap point: alias/name -> embedder instance.
 
-    All providers resolve to the deterministic PseudoEmbedder here (this
-    container has no ONNX runtime/models — reference providers live in
-    ``ck-embed/src/lib.rs:151-289``); the returned embedder carries the
-    config's real dimensions."""
+    A provider registered via ``register_embedder_provider`` wins;
+    otherwise every provider resolves to the deterministic
+    PseudoEmbedder (this container has no ONNX runtime/models —
+    reference providers live in ``ck-embed/src/lib.rs:151-289``),
+    carrying the config's real dimensions."""
+    _, cfg = (registry or ModelRegistry()).resolve(model)
+    factory = _EMBEDDER_PROVIDERS.get(cfg.provider)
+    if factory is not None:
+        return factory(cfg)
     from .semantic import PseudoEmbedder
 
-    _, cfg = (registry or ModelRegistry()).resolve(model)
     return PseudoEmbedder(dim=cfg.dimensions)
 
 

@@ -143,6 +143,28 @@ def _embed_tokens(term_hashes: np.ndarray, row_index: np.ndarray, n_rows: int,
     return emb.astype(np.float32)
 
 
+def _pseudo_factory(dim: int):
+    return lambda: PseudoEmbedder(dim=dim)
+
+
+def _provider_factory(prov, cfg):
+    return lambda: prov(cfg)
+
+
+class EmbedStage:
+    """Actor-pool embed stage: the embedder — the 'model' — is built
+    ONCE per actor in ``__init__`` from a zero-arg factory resolved on
+    the driver (PseudoEmbedder by default; a registered provider's real
+    model otherwise — ``ck_ray.models.register_embedder_provider``).
+    ``__call__`` only runs the batch through it."""
+
+    def __init__(self, factory):
+        self.embedder = factory()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        return self.embedder(t)
+
+
 class PseudoEmbedder:
     """Actor-pool embed stage: 'model' state built once per actor."""
 
@@ -195,14 +217,22 @@ def build_chunk_embeddings(
             lambda t: chunk_batch(t, target_lines=target_lines, overlap_lines=overlap_lines),
             batch_format="pyarrow",
         )
-    dim = EMBED_DIM
     if model is not None:  # registry swap point (ck_ray.models)
-        from .models import ModelRegistry
+        from .models import _EMBEDDER_PROVIDERS, ModelRegistry
 
-        dim = ModelRegistry().resolve(model)[1].dimensions
+        _, cfg = ModelRegistry().resolve(model)
+        prov = _EMBEDDER_PROVIDERS.get(cfg.provider)
+        if prov is not None:
+            # resolved DRIVER-side (the provider registry lives in the
+            # driver process); the factory cloudpickles into each actor
+            factory = _provider_factory(prov, cfg)
+        else:
+            factory = _pseudo_factory(cfg.dimensions)
+    else:
+        factory = _pseudo_factory(EMBED_DIM)
     return chunks.map_batches(
-        PseudoEmbedder, batch_format="pyarrow", batch_size=512,
-        fn_constructor_kwargs={"dim": dim},
+        EmbedStage, batch_format="pyarrow", batch_size=512,
+        fn_constructor_args=(factory,),
         # autoscaling pool (min 1): a FIXED pool of size N waits for all N
         # CPUs and deadlocks when other actors (e.g. an open BM25Engine's
         # shards) hold part of a small cluster

@@ -88,3 +88,89 @@ def test_rerank_registry_resolution():
     # stand-in still scores deterministically
     s = rr.rerank("merge posting", ["merge posting runs", "unrelated"])
     assert len(s) == 2 and s[0] > s[1]
+
+
+def test_embedder_provider_seam(ray_session):
+    """register_embedder_provider swaps a user-supplied model backend
+    (simulating the reference's ONNX/fastembed provider) into the SAME
+    Ray pipeline: one registry call, nothing else changes — chunking,
+    actor-pool shape, schema and search all run unmodified against the
+    custom vectors. Documents the one-line swap claim
+    (ck-embed/src/lib.rs:151-289)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ck_ray.models import (
+        _EMBEDDER_PROVIDERS,
+        create_embedder,
+        register_embedder_provider,
+    )
+    from ck_ray.semantic import (
+        PseudoEmbedder,
+        build_chunk_embeddings,
+        semantic_search,
+    )
+
+    class FakeOnnxEmbedder:
+        """Stands in for a model-loading backend: 'loads' in __init__,
+        embeds deterministically (first-char code one-hot, unit norm)."""
+
+        def __init__(self, cfg):
+            self.dim = cfg.dimensions  # "model load" happens here
+            self.calls = 0
+
+        def embed_texts(self, texts):
+            out = np.zeros((len(texts), self.dim), dtype=np.float32)
+            for i, s in enumerate(texts):
+                out[i, (ord(s[0]) if s else 0) % self.dim] = 1.0
+            return out
+
+        def __call__(self, t):
+            emb = self.embed_texts(t["text"].to_pylist())
+            return t.append_column(
+                "embedding",
+                pa.array(list(emb), pa.list_(pa.float32(), self.dim)),
+            )
+
+    n = 6
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "repo": ["r"] * n,
+                "path": [f"p{i}" for i in range(n)],
+                "commit": ["0"] * n,
+                "lang": ["text"] * n,
+                "content": ["alpha one", "beta two", "gamma three",
+                            "delta four", "alpha five", "zeta six"],
+            }
+        )
+    )
+
+    base = build_chunk_embeddings(ds, concurrency=2).to_pandas()
+    register_embedder_provider("fastembed", FakeOnnxEmbedder)
+    try:
+        # resolves "minilm" -> provider "fastembed" -> the fake model
+        assert isinstance(create_embedder("minilm"), FakeOnnxEmbedder)
+        cust = build_chunk_embeddings(
+            ds, concurrency=2, model="minilm"
+        ).to_pandas()
+        # chunk layout identical — ONLY the vectors changed
+        for col in ("doc_id", "path", "chunk_id", "line_start",
+                    "line_end", "text"):
+            assert list(cust[col]) == list(base[col])
+        assert len(base["embedding"].iloc[0]) == 64       # pseudo dim
+        assert len(cust["embedding"].iloc[0]) == 384      # config dim
+        for _, r in cust.iterrows():
+            v = np.asarray(r["embedding"])
+            assert v[ord(r["text"][0]) % 384] == 1.0 and v.sum() == 1.0
+        # end-to-end search against the custom vectors: query "alpha..."
+        # matches exactly the chunks starting with 'a'
+        emb_ds = build_chunk_embeddings(ds, concurrency=2, model="minilm")
+        hits = semantic_search(emb_ds, "alpha query", top_k=6,
+                               model="minilm")
+        top = hits[hits["score"] > 0.99]
+        assert sorted(top["path"]) == ["p0", "p4"]
+    finally:
+        del _EMBEDDER_PROVIDERS["fastembed"]
+    assert isinstance(create_embedder("minilm"), PseudoEmbedder)
