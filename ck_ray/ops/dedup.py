@@ -32,6 +32,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from . import bind_ctor
+
 from ..ids import term_hash
 from ..scoring import round_half_away
 from ..tokenizer import tokenize_array
@@ -186,8 +188,8 @@ def minhash_lsh_pairs(
     docs_path = os.path.join(sf_dir, "documents.parquet")
     ds = ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
     sigs = ds.map_batches(
-        MinHasher, batch_format="pyarrow", concurrency=(1, 2),
-        fn_constructor_kwargs={"n_perm": n_perm, "k": k},
+        bind_ctor(MinHasher, n_perm=n_perm, k=k),
+        batch_format="pyarrow", concurrency=(1, 2),
     )
 
     def to_bands(t: pa.Table) -> pa.Table:

@@ -261,10 +261,12 @@ def percolate(
 ) -> pd.DataFrame:
     """Match every doc against every stored query; (query_name, doc_id)
     pairs sorted for determinism. One streaming pass, no shuffle."""
+    from . import bind_ctor
+
     out = docs.map_batches(
-        Percolator,
-        fn_constructor_args=(queries,),
-        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+        bind_ctor(
+            Percolator, queries=queries, text_col=text_col, id_col=id_col
+        ),
         batch_format="pyarrow",
         concurrency=(1, 4),
     ).to_pandas()
