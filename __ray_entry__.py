@@ -603,6 +603,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             shutil.rmtree(idx, ignore_errors=True)
         return out[["vec_id", "score"]]
 
+    def ann_sq8_topk(sf_dir: str):
+        """Symmetric int8 scalar-quantized ANN (SQ8): both sides coded
+        as round_half_away(v*127/max|v|), ranked by the exact INTEGER
+        code dot — the 4x-memory compression step of a production ANN
+        stack, hash-exact against SQL because no float enters the
+        ranking. Recall vs the exact baseline is pytest-gated."""
+        q = ann.query_vector_from(sf_dir, vec_id=0)
+        return ann.sq8_topk(sf_dir, q, k=10)
+
     def _orders_sorted_ranks(sf_dir: str):
         """Sampled-range global sort of orders by (price cents, orderkey):
         sorted range-partitioned parquet is written and the returned rows
@@ -761,6 +770,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": ann_cosine_topk,
         "ann_multi_topk": ann_multi_topk,  # broadcast query MATRIX
         "ann_ivf_topk": ann_ivf_topk,  # hyperplane-cell IVF: hash-exact
+        "ann_sq8_topk": ann_sq8_topk,  # int8 scalar quantization,
+        # integer-exact code-dot ranking (the 4x memory scale path)
         "ann_ivf_persisted": ann_ivf_persisted,  # cell-partitioned
         # parquet layout, probed cells opened by path (prune-at-read)
         # (the k-means-cell variant stays recall-gated in pytest)
@@ -819,8 +830,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup", "minhash_lsh_pairs", "simhash_pairs",
         "ngram_jaccard_pairs", "near_dup_groups", "embedding_near_dups",
         "ann_cosine_topk", "ann_multi_topk", "ann_ivf_topk",
-        "ann_ivf_persisted", "semantic_topk", "multimodal_features",
-        "image_resize_nn", "video_frame_sample", "code_index_stats",
+        "ann_ivf_persisted", "ann_sq8_topk", "semantic_topk",
+        "multimodal_features", "image_resize_nn", "video_frame_sample",
+        "code_index_stats",
         "decontaminate", "dup_ngram_spans", "stratified_sample",
         "source_quota_cap", "token_budget_sample", "corpus_clean",
         "pack_sequences", "dup_span_scrub", "line_dedup_scrub",
@@ -832,7 +844,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_multi_agg", "bm25_facet_stats", "bm25_cardinality",
         "bm25_top_hits_per_lang", "bm25_sort_by_field", "bm25_paged",
         "bm25_search_after", "bm25_dismax", "bm25_agg_extended_stats",
-        "bm25_min_should_match",
     ]
     assert set(first) <= set(base)
     return {k: base[k] for k in first} | {
@@ -3575,5 +3586,29 @@ m AS (
     EXCEPT SELECT doc_id FROM tset WHERE term = 'dup')
 )
 SELECT query_name, doc_id FROM m ORDER BY query_name, doc_id
+""",
+        # SQ8: both sides quantized round(x*127/max|x|) in DOUBLE (the
+        # exact arithmetic order the engine pins), ranked by the integer
+        # code dot — no float in the compared columns
+        "ann_sq8_topk": """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+qs AS (SELECT qe,
+         greatest(list_max(list_transform(qe, x -> abs(x::DOUBLE))), 1e-30) AS s
+       FROM q),
+qd AS (SELECT generate_subscripts(qe, 1) AS i,
+              round(unnest(qe)::DOUBLE * 127 / s)::BIGINT AS cq
+       FROM qs),
+vs AS (SELECT vec_id, embedding,
+         greatest(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 1e-30) AS s
+       FROM embeddings),
+vd AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+              round(unnest(embedding)::DOUBLE * 127 / s)::BIGINT AS cv
+       FROM vs),
+dots AS (
+  SELECT vec_id, CAST(sum(cq * cv) AS BIGINT) AS dot_int
+  FROM vd JOIN qd USING (i) GROUP BY vec_id
+)
+SELECT vec_id, dot_int FROM dots
+ORDER BY dot_int DESC, vec_id LIMIT 10
 """,
     }
