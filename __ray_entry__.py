@@ -735,6 +735,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # boolean OR with minimum_should_match=2 of 3 (Lucene/ES
         # parameter, tantivy with_minimum_required_clauses)
         "bm25_min_should_match": docsearch.bm25_min_should_match,
+        # span proximity (Lucene SpanNearQuery / ES span_near): docs
+        # where terms co-occur within n+slop positions, ranked by the
+        # MINIMAL covering window — positional postings algebra
+        "bm25_span_near": docsearch.bm25_span_near,
         # two-phase rescore (ES rescore): OR recall pass, exact-phrase
         # precision pass over the top-40 window, total score_mode
         "bm25_rescore": docsearch.bm25_rescore,
@@ -843,7 +847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_term_counts", "events_props_stats",
         "bm25_multi_agg", "bm25_facet_stats", "bm25_cardinality",
         "bm25_top_hits_per_lang", "bm25_sort_by_field", "bm25_paged",
-        "bm25_search_after", "bm25_dismax", "bm25_agg_extended_stats",
+        "bm25_search_after", "bm25_dismax", "bm25_span_near",
     ]
     assert set(first) <= set(base)
     return {k: base[k] for k in first} | {
@@ -3610,5 +3614,20 @@ dots AS (
 )
 SELECT vec_id, dot_int FROM dots
 ORDER BY dot_int DESC, vec_id LIMIT 10
+""",
+        # span_near (unordered, 2 terms): min window = min |pa-pb|+1
+        # over all position pairs; match iff min_window - 2 <= slop;
+        # ranked by proximity. Tie-break and cut identical to engine.
+        "bm25_span_near": f"""
+WITH {_TOKS_POS},
+a AS (SELECT doc_id, pos FROM tokp WHERE term = 'merge'),
+b AS (SELECT doc_id, pos FROM tokp WHERE term = 'window'),
+w AS (
+  SELECT a.doc_id, CAST(min(abs(a.pos - b.pos) + 1) AS BIGINT) AS min_window
+  FROM a JOIN b USING (doc_id) GROUP BY a.doc_id
+)
+SELECT doc_id, min_window FROM w
+WHERE min_window - 2 <= 4
+ORDER BY min_window, doc_id LIMIT 20
 """,
     }

@@ -1382,3 +1382,47 @@ def hybrid_rrf(
     out = out.sort_values(["rrf_score", "doc_id"], ascending=[False, True]).head(k)
     out["doc_id"] = out["doc_id"].astype("int64")
     return out.reset_index(drop=True)
+
+
+def bm25_span_near(
+    sf_dir: str, terms: tuple[str, ...] = ("merge", "window"),
+    slop: int = 4, in_order: bool = False, k: int = 20,
+) -> pd.DataFrame:
+    """Proximity search (Lucene SpanNearQuery / ES ``span_near``):
+    docs where the terms co-occur within len(terms)+slop positions,
+    ranked by MINIMAL covering window asc (proximity as relevance),
+    doc_id asc. Engine computes windows from the positional postings
+    (anchor-per-occurrence vectorized scan, ``query.py
+    query_span_near``); the oracle recomputes min |pa-pb|+1 from the
+    ``tokp`` CTE. ``path`` carries the original documents.doc_id."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2)
+    try:
+        # full match set (collector-style, like facets): the final cut
+        # ties on the ORIGINAL doc_id, which only exists after the
+        # path->id mapping, so a per-shard internal-id cut would keep a
+        # different 20 among window ties
+        df = eng.search_span_near(
+            list(terms), slop=slop, in_order=in_order, top_k=None,
+            with_meta=True,
+        )
+    finally:
+        eng.close()
+    if len(df) == 0:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "min_window": pd.Series([], dtype="int64"),
+            }
+        )
+    out = pd.DataFrame(
+        {
+            "doc_id": df["path"].astype("int64"),
+            "min_window": df["min_window"].astype("int64"),
+        }
+    )
+    return (
+        out.sort_values(["min_window", "doc_id"], ascending=[True, True])
+        .head(k)
+        .reset_index(drop=True)
+    )

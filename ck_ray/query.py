@@ -1699,6 +1699,116 @@ class LocalIndex:
     ) -> list[tuple[np.ndarray, np.ndarray]]:
         return [self.query_topk(q, k, pruning, df_map) for q in queries]
 
+    def query_span_near(
+        self, terms: list[str], slop: int = 0, in_order: bool = False,
+        k: int | None = None, field: str = "content",
+        with_meta: bool = False,
+    ) -> dict:
+        """Proximity matching (Lucene SpanNearQuery / ES ``span_near``):
+        this shard's docs where some per-term position tuple fits in a
+        window of <= len(terms)+slop positions; ``in_order=True``
+        additionally requires the tuple to ascend in query order
+        (Lucene's in-order spans). Returns ``{"doc_id", "min_window"
+        [, meta cols]}`` ranked (min_window asc, doc_id asc), cut to
+        ``k`` — min_window is the doc's smallest covering window, the
+        classic proximity-rank key.
+
+        Vectorized like the phrase matcher: occurrences pack into
+        (doc_rank << 32 | position) keys; every occurrence anchors a
+        candidate window whose other ends come from one searchsorted
+        per term (a minimal window's left edge is always some term
+        occurrence, so anchoring at every occurrence is exact);
+        per-doc minima via ``np.minimum.at``. No per-doc Python loop.
+        Repeated terms are rejected for the unordered form (Lucene's
+        non-overlap rule needs distinct positions)."""
+        n = len(terms)
+        empty = {
+            "doc_id": np.empty(0, np.uint64),
+            "min_window": np.empty(0, np.int64),
+        }
+        if with_meta:
+            for c in self._META_COLS:
+                empty[c] = np.empty(0, dtype=object)
+        if n == 0:
+            return empty
+        if not in_order and len(set(terms)) != n:
+            raise ValueError(
+                "unordered span_near needs distinct terms"
+            )
+        views = [self._view((FIELD_IDS[field], t)) for t in terms]
+        if any(v is None or v.df == 0 for v in views):
+            return empty
+        common = views[0].docs
+        for v in views[1:]:
+            common = common[np.isin(common, v.docs, assume_unique=True)]
+        if len(common) == 0:
+            return empty
+        keys_per_term = []
+        for j, v in enumerate(views):
+            flat, lens = v.positions_for_many(
+                np.searchsorted(v.docs, common)
+            )
+            doc_rank = np.repeat(
+                np.arange(len(common), dtype=np.uint64), lens
+            )
+            keys_per_term.append(
+                (doc_rank << np.uint64(32)) | flat.astype(np.uint64)
+            )
+        best = np.full(len(common), np.int64(1) << 60, np.int64)
+        if in_order:
+            cand = keys_per_term[0]
+            prev = cand
+            ok = np.ones(len(cand), bool)
+            for j in range(1, n):
+                kj = keys_per_term[j]
+                pos = np.searchsorted(kj, prev + np.uint64(1))
+                valid = pos < len(kj)
+                nxt = kj[np.clip(pos, 0, max(len(kj) - 1, 0))]
+                valid &= (nxt >> np.uint64(32)) == (prev >> np.uint64(32))
+                ok &= valid
+                prev = np.where(ok, nxt, prev)
+                if not ok.any():
+                    break
+            win = (prev - cand + np.uint64(1)).astype(np.int64)
+            d = (cand >> np.uint64(32)).astype(np.int64)
+            np.minimum.at(best, d[ok], win[ok])
+        else:
+            anchors = np.unique(np.concatenate(keys_per_term))
+            ends = anchors.copy()
+            ok = np.ones(len(anchors), bool)
+            for kj in keys_per_term:
+                pos = np.searchsorted(kj, anchors)  # first >= anchor
+                valid = pos < len(kj)
+                nxt = kj[np.clip(pos, 0, max(len(kj) - 1, 0))]
+                valid &= (nxt >> np.uint64(32)) == (
+                    anchors >> np.uint64(32)
+                )
+                ok &= valid
+                ends = np.where(ok, np.maximum(ends, nxt), ends)
+            win = (ends - anchors + np.uint64(1)).astype(np.int64)
+            d = (anchors >> np.uint64(32)).astype(np.int64)
+            np.minimum.at(best, d[ok], win[ok])
+        match = best - n <= slop
+        docs, wins = common[match], best[match]
+        order = np.lexsort((docs, wins))
+        if k is not None:
+            order = order[:k]
+        out = {"doc_id": docs[order], "min_window": wins[order]}
+        if with_meta and len(out["doc_id"]):
+            pos = np.clip(
+                np.searchsorted(self._meta_ids, out["doc_id"]),
+                0, max(len(self._meta_ids) - 1, 0),
+            )
+            found = self._meta_ids[pos] == out["doc_id"]
+            for c in self._META_COLS:
+                vals = np.full(len(out["doc_id"]), None, dtype=object)
+                vals[found] = self._meta[c][pos[found]]
+                out[c] = vals
+        elif with_meta:
+            for c in self._META_COLS:
+                out[c] = np.empty(0, dtype=object)
+        return out
+
     def _match_set(self, query: str, df_map=None):
         """(doc_ids, scores) of this shard's FULL match set. Collectors
         that visit every match (Count / TermsAggregation / numeric
@@ -3110,6 +3220,49 @@ class BM25Engine:
                     [ps[qi] for ps in per_shard], k
                 )
         return out
+
+    def search_span_near(
+        self, terms: list[str], slop: int = 0, in_order: bool = False,
+        top_k: int | None = None, with_meta: bool = False,
+    ):
+        """Proximity search (Lucene SpanNearQuery / ES ``span_near``):
+        docs where the terms co-occur within a window of
+        <= len(terms)+slop positions (``in_order`` restricts to
+        query-order tuples), ranked by the doc's MINIMAL covering
+        window (asc), doc_id asc — proximity as the rank key. Terms
+        run through the analyzer. Doc partitioning makes the merge a
+        concatenate of per-shard top-k; traffic O(shards * k)."""
+        import pandas as pd
+
+        self._maybe_reload()
+        toks = [t for term in terms for t in tokenize_text(term)]
+        rep = self._next_replica(
+            "span:" + " ".join(toks) + f"#{slop}#{in_order}"
+        )
+        parts = ray.get(
+            [
+                s.query_span_near.remote(
+                    toks, slop, in_order, top_k, with_meta=with_meta
+                )
+                for s in rep
+            ]
+        )
+        docs = np.concatenate([p["doc_id"] for p in parts])
+        wins = np.concatenate([p["min_window"] for p in parts])
+        order = np.lexsort((docs, wins))
+        if top_k is not None:
+            order = order[:top_k]
+        self.last_fanout_rows = int(sum(len(p["doc_id"]) for p in parts))
+        cols = {
+            "doc_id": docs[order].astype(np.int64),
+            "min_window": wins[order],
+        }
+        if with_meta:
+            for c in LocalIndex._META_COLS:
+                cols[c] = np.concatenate(
+                    [np.asarray(p[c], dtype=object) for p in parts]
+                )[order]
+        return pd.DataFrame(cols)
 
     def search_facets(
         self, query: str, facet_field: str = "lang"

@@ -6,6 +6,7 @@ method — on a real cluster one lost node must not brick an open engine
 (reference keeps its tantivy searcher in-process; the distributed
 analogue is shard respawn)."""
 
+import pytest
 import ray
 
 from ck_ray.query import BM25Engine
@@ -656,3 +657,111 @@ def test_min_should_match_invariants(ray_session, tiny_index):
         assert all(p is not None for p in res2["paths"])
     finally:
         eng.close()
+
+
+class TestSpanNear:
+    """Lucene SpanNearQuery / ES span_near: minimal-window proximity."""
+
+    @pytest.fixture(scope="class")
+    def span_idx(self, ray_session, tmp_path_factory):
+        import pyarrow as pa
+        import ray.data
+
+        from ck_ray.build import IndexConfig, build_index
+
+        docs = [
+            "merge window now",            # 0: adjacent (win 2)
+            "merge then a window",         # 1: ordered gap (win 4)
+            "window stuff merge",          # 2: reversed (win 3)
+            "merge alone here",            # 3: one term only
+            "window merge window merge",   # 4: interleaved (win 2)
+            "merge x x x x x x window",    # 5: far apart (win 8)
+        ]
+        t = pa.table(
+            {
+                "repo": ["r"] * len(docs),
+                "path": [str(i) for i in range(len(docs))],
+                "commit": ["0"] * len(docs),
+                "lang": ["text"] * len(docs),
+                "content": pa.array(docs),
+            }
+        )
+        d = str(tmp_path_factory.mktemp("span") / "idx")
+        build_index(ray.data.from_arrow(t), d, IndexConfig(num_parts=2))
+        return d
+
+    def _run(self, idx, **kw):
+        import numpy as np
+
+        from ck_ray.query import BM25Engine
+
+        eng = BM25Engine(idx, num_shards=2)
+        try:
+            df = eng.search_span_near(["merge", "window"], with_meta=True, **kw)
+        finally:
+            eng.close()
+        return dict(zip(df["path"], df["min_window"]))
+
+    def test_unordered_windows(self, span_idx):
+        got = self._run(span_idx, slop=6)
+        assert got == {"0": 2, "1": 4, "2": 3, "4": 2, "5": 8}
+
+    def test_slop_cuts(self, span_idx):
+        assert set(self._run(span_idx, slop=0)) == {"0", "4"}
+        assert set(self._run(span_idx, slop=1)) == {"0", "2", "4"}
+        assert set(self._run(span_idx, slop=2)) == {"0", "1", "2", "4"}
+
+    def test_in_order_excludes_reversed(self, span_idx):
+        got = self._run(span_idx, slop=6, in_order=True)
+        assert "2" not in got             # only window-before-merge
+        assert got["0"] == 2 and got["1"] == 4 and got["4"] == 2
+
+    def test_rank_is_proximity(self, span_idx):
+        import numpy as np
+
+        from ck_ray.query import BM25Engine
+
+        eng = BM25Engine(span_idx, num_shards=2)
+        try:
+            df = eng.search_span_near(["merge", "window"], slop=6)
+            assert df["min_window"].is_monotonic_increasing
+            top2 = eng.search_span_near(["merge", "window"], slop=6, top_k=2)
+            assert list(top2["min_window"]) == [2, 2]
+        finally:
+            eng.close()
+
+    def test_absent_term_matches_nothing(self, span_idx):
+        assert self._run(span_idx, slop=6, in_order=False) != {} \
+            and self._run.__name__  # sanity
+        from ck_ray.query import BM25Engine
+
+        eng = BM25Engine(span_idx, num_shards=2)
+        try:
+            df = eng.search_span_near(["merge", "zzznope"], slop=9)
+            assert len(df) == 0
+        finally:
+            eng.close()
+
+    def test_duplicate_terms_rejected_unordered(self, span_idx):
+        import pytest as _pytest
+
+        from ck_ray.query import LocalIndex
+
+        with _pytest.raises(Exception, match="distinct"):
+            import json
+
+            man = json.load(open(span_idx + "/manifest.json"))
+            li = LocalIndex(span_idx, list(range(man["num_serving_buckets"])))
+            li.query_span_near(["merge", "merge"], slop=2, in_order=False)
+
+    def test_ordered_duplicates_ok(self, span_idx):
+        import json
+
+        from ck_ray.query import LocalIndex
+
+        man = json.load(open(span_idx + "/manifest.json"))
+        li = LocalIndex(span_idx, list(range(man["num_serving_buckets"])))
+        out = li.query_span_near(["window", "merge", "window"], slop=0,
+                                 in_order=True)
+        # doc 4: window(0) merge(1) window(2) -> window 3 == n+0
+        assert len(out["doc_id"]) == 1 and out["min_window"][0] == 3
