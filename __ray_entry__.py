@@ -739,6 +739,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # where terms co-occur within n+slop positions, ranked by the
         # MINIMAL covering window — positional postings algebra
         "bm25_span_near": docsearch.bm25_span_near,
+        # ES composite aggregation: (terms, histogram) bucket keys
+        # paginated by after_key; entry walks every page and asserts
+        # the union equals the one-shot enumeration
+        "bm25_composite_agg": docsearch.bm25_composite_agg,
         # two-phase rescore (ES rescore): OR recall pass, exact-phrase
         # precision pass over the top-40 window, total score_mode
         "bm25_rescore": docsearch.bm25_rescore,
@@ -847,7 +851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_term_counts", "events_props_stats",
         "bm25_multi_agg", "bm25_facet_stats", "bm25_cardinality",
         "bm25_top_hits_per_lang", "bm25_sort_by_field", "bm25_paged",
-        "bm25_search_after", "bm25_dismax", "bm25_span_near",
+        "bm25_search_after", "bm25_span_near", "bm25_composite_agg",
     ]
     assert set(first) <= set(base)
     return {k: base[k] for k in first} | {
@@ -3629,5 +3633,17 @@ w AS (
 SELECT doc_id, min_window FROM w
 WHERE min_window - 2 <= 4
 ORDER BY min_window, doc_id LIMIT 20
+""",
+        # composite agg: (lang, strlen//64*64) buckets of the
+        # merge-OR-window match set, composite key order
+        "bm25_composite_agg": f"""
+WITH {_TOKS},
+m AS (SELECT DISTINCT doc_id FROM toks2 WHERE term IN ('merge', 'window'))
+SELECT d.lang AS lang,
+       CAST((strlen(d.text) // 64) * 64 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM m JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
 """,
     }

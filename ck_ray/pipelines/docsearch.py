@@ -1426,3 +1426,50 @@ def bm25_span_near(
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def bm25_composite_agg(
+    sf_dir: str, query: str = "merge window", size: int = 5,
+    interval: int = 64,
+) -> pd.DataFrame:
+    """COMPOSITE aggregation (ES composite: multi-source bucket keys
+    with after_key pagination): buckets of (lang terms, n_bytes
+    histogram) over the `merge OR window` match set, walked page by
+    page — the entry concatenates EVERY page and asserts the walk
+    equals the one-shot bucket list, proving after_key covers the key
+    space exactly once. Oracle: GROUP BY lang, (strlen//interval)."""
+    sources = [
+        {"field": "lang", "type": "terms"},
+        {"field": "n_bytes", "type": "histogram", "interval": interval},
+    ]
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2)
+    try:
+        pages = []
+        after = None
+        while True:
+            buckets, after = eng.search_composite_agg(
+                query, sources, size=size, after=after
+            )
+            if len(buckets) == 0:
+                break
+            assert len(buckets) <= size
+            pages.append(buckets)
+            if after is None:
+                break
+        oneshot, _ = eng.search_composite_agg(query, sources, size=10**6)
+    finally:
+        eng.close()
+    out = (
+        pd.concat(pages, ignore_index=True)
+        if pages
+        else oneshot.iloc[0:0]
+    )
+    assert out.equals(oneshot)  # pagination == one shot, exactly once
+    return pd.DataFrame(
+        {
+            "lang": out["lang"].astype("object"),
+            "bucket": out["n_bytes"].astype("int64"),
+            "n_docs": out["n_docs"].astype("int64"),
+        }
+    )

@@ -1916,6 +1916,62 @@ class LocalIndex:
         docs, _ = self._match_set(query, df_map)
         return {name: self._agg_over(docs, s) for name, s in specs.items()}
 
+    def query_composite(
+        self, query, sources: list[dict], df_map=None
+    ) -> dict:
+        """Shard-local state for an ES COMPOSITE aggregation: exact
+        integer counts per composite key tuple over this shard's FULL
+        match set. Each source is ``{"field", "type": "terms" |
+        "histogram" [, "interval"]}`` — terms sources read keyword
+        metadata, histogram sources bucket a numeric fast field by
+        ``floor(v/interval)*interval``; docs missing any source value
+        drop (ES's default missing-bucket behavior). State is
+        O(composite cardinality), never O(matches); counting is
+        vectorized (per-source np.unique codes combined into one
+        bincount key — no per-doc Python)."""
+        docs, _ = self._match_set(query, df_map)
+        if not len(docs):
+            return {"keys": [], "counts": []}
+        pos = np.searchsorted(self._meta_ids, docs)
+        cols = []
+        valid = np.ones(len(docs), bool)
+        for s in sources:
+            f = s["field"]
+            if s.get("type", "terms") == "histogram":
+                if f not in self._meta_num:
+                    raise ValueError(f"no such numeric fast field: {f!r}")
+                iv = int(s["interval"])
+                vals = (self._meta_num[f][pos] // iv) * iv
+                valid &= self._meta_num_ok[f][pos]
+                cols.append(vals)
+            else:
+                if f not in self._meta:
+                    raise ValueError(f"no such field: {f!r}")
+                vals = np.asarray(self._meta[f], dtype=object)[pos]
+                valid &= np.not_equal(vals, None)
+                cols.append(vals)
+        # combine per-source code columns into one bincount key
+        codes = np.zeros(int(valid.sum()), np.int64)
+        uniqs = []
+        for c in cols:
+            u, inv = np.unique(c[valid], return_inverse=True)
+            uniqs.append(u)
+            codes = codes * np.int64(len(u)) + inv.astype(np.int64)
+        kk, counts = np.unique(codes, return_counts=True)
+        # decode combined codes back to per-source values
+        keys = []
+        parts = []
+        rem = kk
+        for u in reversed(uniqs):
+            parts.append(u[rem % len(u)])
+            rem = rem // len(u)
+        for i in range(len(kk)):
+            keys.append(
+                tuple(p[i].item() if hasattr(p[i], "item") else p[i]
+                      for p in reversed(parts))
+            )
+        return {"keys": keys, "counts": [int(c) for c in counts]}
+
     def _agg_over(self, docs: np.ndarray, spec: dict) -> dict:
         kind = spec["kind"]
         if kind == "cardinality":
@@ -3094,6 +3150,69 @@ class BM25Engine:
             "scores": scores[order],
             "paths": paths[order],
         }
+
+    def search_composite_agg(
+        self,
+        query: str,
+        sources: list[dict],
+        size: int = 10,
+        after: tuple | None = None,
+    ):
+        """ES COMPOSITE aggregation: multi-source bucket keys
+        (terms / histogram), paginated by ``after_key`` — the
+        scale-correct way to enumerate a large bucket space (every page
+        costs one fan-out of O(cardinality) integers; deep pages never
+        re-ship earlier buckets, unlike from+size bucket paging).
+        Sources may set ``"order": "desc"`` (default asc). Returns
+        ``(buckets, after_key)``: buckets a DataFrame of source fields
+        + ``n_docs`` in composite key order, after_key the tuple to
+        pass back for the next page (None when the space is
+        exhausted)."""
+        import pandas as pd
+
+        self._maybe_reload()
+        df_map = self._df_map_for([query])
+        rep = self._next_replica(query + "\x00#composite")
+        parts = ray.get(
+            [
+                s.query_composite.remote(query, sources, df_map)
+                for s in rep
+            ]
+        )
+        total: dict[tuple, int] = {}
+        for p in parts:
+            for k, c in zip(p["keys"], p["counts"]):
+                total[k] = total.get(k, 0) + c
+        keys = list(total)
+        # multi-level sort honoring per-source direction (stable sorts
+        # applied last-source-first)
+        for i in range(len(sources) - 1, -1, -1):
+            keys.sort(
+                key=lambda k: k[i],
+                reverse=sources[i].get("order", "asc") == "desc",
+            )
+        if after is not None:
+            after = tuple(after)
+
+            def _gt(k: tuple) -> bool:
+                # k > after in composite order (per-level direction)
+                for i, s in enumerate(sources):
+                    if k[i] == after[i]:
+                        continue
+                    up = k[i] > after[i]
+                    return up != (s.get("order", "asc") == "desc")
+                return False
+
+            keys = [k for k in keys if _gt(k)]
+        page = keys[:size]
+        cols: dict[str, list] = {s["field"]: [] for s in sources}
+        for k in page:
+            for s, v in zip(sources, k):
+                cols[s["field"]].append(v)
+        cols["n_docs"] = [total[k] for k in page]
+        buckets = pd.DataFrame(cols)
+        after_key = tuple(page[-1]) if page else None
+        return buckets, after_key
 
     def _next_replica(self, query: str | None = None) -> list:
         """Replica routing. Single queries route STICKY by query hash:

@@ -462,3 +462,101 @@ def test_aggregate_agrees_with_facets(eng):
     hits = eng.search_top_hits(q, "lang", top_k=3)
     for lang, (docs, _, _) in hits.items():
         assert len(docs) == min(3, facets[lang])
+
+
+class TestCompositeAgg:
+    """ES composite aggregation: multi-source keys + after_key paging."""
+
+    @pytest.fixture(scope="class")
+    def comp_idx(self, ray_session, tmp_path_factory):
+        import pyarrow as pa
+        import ray.data
+
+        from ck_ray.build import IndexConfig, build_index
+
+        rows = []
+        for i in range(30):
+            lang = ["python", "rust", "go"][i % 3]
+            # content length varies so n_bytes buckets spread
+            rows.append((f"p{i:02d}", lang, "merge " * (i + 1)))
+        t = pa.table(
+            {
+                "repo": ["r"] * len(rows),
+                "path": [r[0] for r in rows],
+                "commit": ["0"] * len(rows),
+                "lang": [r[1] for r in rows],
+                "content": [r[2] for r in rows],
+            }
+        )
+        d = str(tmp_path_factory.mktemp("comp") / "idx")
+        build_index(ray.data.from_arrow(t), d, IndexConfig(num_parts=2))
+        return d
+
+    SOURCES = [
+        {"field": "lang", "type": "terms"},
+        {"field": "n_bytes", "type": "histogram", "interval": 64},
+    ]
+
+    def test_pages_equal_oneshot_and_counts_sum(self, comp_idx):
+        from ck_ray.query import BM25Engine
+
+        eng = BM25Engine(comp_idx, num_shards=2)
+        try:
+            oneshot, _ = eng.search_composite_agg(
+                "merge", self.SOURCES, size=10**6
+            )
+            pages, after = [], None
+            while True:
+                b, after = eng.search_composite_agg(
+                    "merge", self.SOURCES, size=3, after=after
+                )
+                if len(b) == 0:
+                    break
+                assert len(b) <= 3
+                pages.append(b)
+                if after is None:
+                    break
+            import pandas as pd
+
+            walked = pd.concat(pages, ignore_index=True)
+            assert walked.equals(oneshot)
+            assert int(oneshot["n_docs"].sum()) == 30  # every doc once
+            # composite key order: lang asc, then bucket asc within lang
+            langs = list(oneshot["lang"])
+            assert langs == sorted(langs)
+        finally:
+            eng.close()
+
+    def test_desc_order(self, comp_idx):
+        from ck_ray.query import BM25Engine
+
+        eng = BM25Engine(comp_idx, num_shards=2)
+        try:
+            src = [
+                {"field": "lang", "type": "terms", "order": "desc"},
+                {"field": "n_bytes", "type": "histogram", "interval": 64},
+            ]
+            b, _ = eng.search_composite_agg("merge", src, size=10**6)
+            langs = list(b["lang"])
+            assert langs == sorted(langs, reverse=True)
+            # paging respects the desc comparator too
+            p1, after = eng.search_composite_agg("merge", src, size=4)
+            p2, _ = eng.search_composite_agg("merge", src, size=10**6,
+                                             after=after)
+            import pandas as pd
+
+            assert pd.concat([p1, p2], ignore_index=True).equals(b)
+        finally:
+            eng.close()
+
+    def test_unknown_field_raises(self, comp_idx):
+        from ck_ray.query import BM25Engine
+
+        eng = BM25Engine(comp_idx, num_shards=2)
+        try:
+            with pytest.raises(Exception, match="no such"):
+                eng.search_composite_agg(
+                    "merge", [{"field": "nope", "type": "terms"}], size=5
+                )
+        finally:
+            eng.close()
