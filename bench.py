@@ -276,6 +276,22 @@ def run_suite() -> dict:
     # exercises the argsort-split bucketing at O(matches) buckets
     eng.search_facets("def", "path")
     timings["bm25_collectors"] = round(time.perf_counter() - tq0, 3)
+    # round-4 additions: proximity (minimal-window positional scan over
+    # common-term postings) and composite-agg paging (3 pages)
+    tq0 = time.perf_counter()
+    eng.search_span_near(["merge", "window"], slop=8, top_k=100)
+    eng.search_span_near(["def", "return", "self"], slop=12, top_k=100)
+    after = None
+    for _ in range(3):
+        _, after = eng.search_composite_agg(
+            "merge",
+            [{"field": "lang", "type": "terms"},
+             {"field": "n_bytes", "type": "histogram", "interval": 256}],
+            size=8, after=after,
+        )
+        if after is None:
+            break
+    timings["bm25_span_composite"] = round(time.perf_counter() - tq0, 3)
     eng.close()
 
     # ---- sf-table pipelines
@@ -290,6 +306,23 @@ def run_suite() -> dict:
     timed(
         "ann_cosine_topk",
         lambda: ann.cosine_topk(sf_dir, ann.query_vector_from(sf_dir), k=10),
+    )
+
+    # percolator: the full sf documents stream against the 10-query
+    # stored registry in one pass (reverse-search throughput)
+    from ck_ray.ops import percolate as _perc
+
+    def _run_percolate():
+        out = _perc.percolate_matches(sf_dir)
+        extra["percolate_match_rows"] = int(len(out))
+        return out
+
+    timed("percolate_stream", _run_percolate)
+    n_docs_sf = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).count()
+    extra["percolate_docs_per_sec"] = round(
+        n_docs_sf / max(timings["percolate_stream"], 1e-9), 1
     )
 
     total = round(sum(timings.values()), 3)
