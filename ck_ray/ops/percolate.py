@@ -79,24 +79,51 @@ class _BatchTokens:
     def __init__(self, arr: pa.Array | pa.ChunkedArray, n_rows: int):
         tb = tokenize_array(arr)
         self.n_rows = n_rows
-        self.term = tb.term
         self.row = tb.row_index
         self.pos = tb.position.astype(np.int64)
-        self._vocab = None
+        # dictionary-encode ONCE per batch: every query then probes the
+        # (small) sorted vocabulary and selects tokens by INTEGER code
+        # compare — ~4x faster than a per-query string is_in over the
+        # full flat token array
+        if len(tb.term):
+            d = pc.dictionary_encode(tb.term)
+            idx = d.indices.to_numpy(zero_copy_only=False)
+            vals = d.dictionary.to_numpy(zero_copy_only=False).astype(
+                object
+            )
+            order = np.argsort(vals)
+            self._vocab = vals[order]
+            rank = np.empty(len(order), np.int64)
+            rank[order] = np.arange(len(order))
+            self.codes = rank[idx]
+        else:
+            self._vocab = np.empty(0, object)
+            self.codes = np.empty(0, np.int64)
 
     @property
     def vocab(self) -> np.ndarray:
-        if self._vocab is None:
-            u = pc.unique(self.term)
-            self._vocab = np.sort(
-                u.to_numpy(zero_copy_only=False).astype(object)
-            )
         return self._vocab
+
+    def _term_codes(self, terms: list[str]) -> np.ndarray:
+        """Sorted-vocab ranks of the ``terms`` present in this batch."""
+        if len(self._vocab) == 0 or not terms:
+            return np.empty(0, np.int64)
+        t = np.asarray(sorted(set(terms)), dtype=object)
+        pos = np.searchsorted(self._vocab, t)
+        pos = np.clip(pos, 0, len(self._vocab) - 1)
+        ok = self._vocab[pos] == t
+        return pos[ok]
 
     def _select(self, terms: list[str]) -> np.ndarray:
         """Indices of flat tokens whose term is in ``terms``."""
-        m = pc.is_in(self.term, value_set=pa.array(terms, pa.string()))
-        return np.nonzero(m.to_numpy(zero_copy_only=False))[0]
+        codes = self._term_codes(terms)
+        if len(codes) == 0:
+            return np.empty(0, np.int64)
+        if len(codes) == 1:
+            m = self.codes == codes[0]
+        else:
+            m = np.isin(self.codes, codes)
+        return np.nonzero(m)[0]
 
     def member_rows(self, terms: list[str]) -> np.ndarray:
         """Boolean row mask: row contains ANY of ``terms``."""
