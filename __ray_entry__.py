@@ -523,6 +523,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).reset_index(drop=True)
         return out[["doc_id", "chunk_id", "score"]]
 
+    def hybrid_semantic_rrf(sf_dir: str):
+        """Lexical + vector HYBRID retrieval (the modern RAG shape):
+        Reciprocal Rank Fusion of the BM25 doc ranking (top-100, same
+        query text) and the semantic chunk ranking collapsed to docs
+        (rank of each doc's first chunk). Both legs are the
+        already-oracled pipelines; fusion = sum 1/(60+rank), rounded
+        6dp, (rrf desc, doc_id asc) top-20."""
+        import pandas as pd
+
+        from ck_ray.pipelines import docsearch
+        from ck_ray.scoring import round_half_away
+
+        lex = docsearch.bm25_topk(
+            sf_dir, "merge window batch stream", k=100
+        )
+        sem = semantic_topk(sf_dir)  # (doc_id, chunk_id, score) sorted
+        sem_docs = list(dict.fromkeys(sem["doc_id"].tolist()))
+        ranks: dict[int, float] = {}
+        for lst in (lex["doc_id"].tolist(), sem_docs):
+            for r, d in enumerate(lst, start=1):
+                ranks[d] = ranks.get(d, 0.0) + 1.0 / (60 + r)
+        out = pd.DataFrame(
+            {
+                "doc_id": list(ranks),
+                "rrf_score": round_half_away(
+                    list(ranks.values()), 6
+                ),
+            }
+        )
+        out = out.sort_values(
+            ["rrf_score", "doc_id"], ascending=[False, True]
+        ).head(20)
+        out["doc_id"] = out["doc_id"].astype("int64")
+        return out.reset_index(drop=True)
+
     def multimodal(sf_dir: str):
         from ck_ray.ops.multimodal import multimodal_features
 
@@ -743,6 +778,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # paginated by after_key; entry walks every page and asserts
         # the union equals the one-shot enumeration
         "bm25_composite_agg": docsearch.bm25_composite_agg,
+        # completion suggester (ES completion / search-as-you-type):
+        # dictionary prefix expansion ranked by global df
+        "bm25_complete": docsearch.bm25_complete,
         # two-phase rescore (ES rescore): OR recall pass, exact-phrase
         # precision pass over the top-40 window, total score_mode
         "bm25_rescore": docsearch.bm25_rescore,
@@ -758,6 +796,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_chunks": docsearch.code_chunks,
         "regex_match_docs": docsearch.regex_match_docs,
         "hybrid_rrf": docsearch.hybrid_rrf,
+        # lexical + VECTOR hybrid (RAG retrieval shape): RRF of the
+        # bm25 leg and the semantic leg's doc ranking; oracle composes
+        # the two legs' own SQL
+        "hybrid_semantic_rrf": hybrid_semantic_rrf,
         # retrieval-quality harness: Recall@10 / MRR@10 of the BM25
         # engine vs phrase-containment ground truth (the reference's
         # benchmarks/swe-bench Recall@K shape)
@@ -851,8 +893,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_term_counts", "events_props_stats",
         "bm25_multi_agg", "bm25_facet_stats", "bm25_cardinality",
         "bm25_top_hits_per_lang", "bm25_sort_by_field", "bm25_paged",
-        "bm25_search_after", "bm25_span_near", "bm25_composite_agg",
-    ]
+        "bm25_span_near", "bm25_composite_agg", "hybrid_semantic_rrf",
+        "bm25_complete",
+    ][:50]
     assert set(first) <= set(base)
     return {k: base[k] for k in first} | {
         k: v for k, v in base.items() if k not in first
@@ -864,7 +907,69 @@ def oracle_sql() -> dict[str, str]:
     # the persisted-IVF entry is row-identical to the in-memory scan by
     # construction (same cells, probe rule, arithmetic) — same oracle
     d["ann_ivf_persisted"] = d["ann_ivf_topk"]
+    # hybrid fusion composes the two legs' own oracles: the semantic
+    # statement rides as a derived table, the bm25 rank CTE is the
+    # hybrid_rrf lexical leg with the 4-term query
+    d["hybrid_semantic_rrf"] = _hybrid_semantic_sql(d["semantic_topk"])
     return d
+
+
+def _hybrid_semantic_sql(sem_sql: str) -> str:
+    terms = "('merge'), ('window'), ('batch'), ('stream')"
+    return f"""
+WITH {_TOKS},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+qterms AS (SELECT * FROM (VALUES {terms}) AS q(term)),
+df AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * ((tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) ) AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS r
+  FROM (SELECT * FROM scores ORDER BY score DESC, doc_id LIMIT 100)
+),
+sem0 AS (
+  SELECT * FROM (
+{sem_sql}
+  )
+),
+semranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id, chunk_id) AS rn
+  FROM sem0
+),
+semdoc AS (SELECT doc_id, min(rn) AS first_rn FROM semranked GROUP BY doc_id),
+semr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY first_rn) AS r FROM semdoc
+),
+fused AS (
+  SELECT coalesce(lex.doc_id, semr.doc_id) AS doc_id,
+         coalesce(1.0 / (60 + lex.r), 0) + coalesce(1.0 / (60 + semr.r), 0)
+           AS rrf
+  FROM lex FULL OUTER JOIN semr USING (doc_id)
+)
+SELECT doc_id, round(rrf, 6) AS rrf_score
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 20
+"""
+
 
 
 def _oracle_sql_base() -> dict[str, str]:
@@ -3645,5 +3750,15 @@ SELECT d.lang AS lang,
 FROM m JOIN documents d USING (doc_id)
 GROUP BY 1, 2
 ORDER BY 1, 2
+""",
+        # completion suggester: prefix terms by df desc, term asc
+        "bm25_complete": f"""
+WITH {_TOKS},
+t AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM toks2 WHERE term LIKE 'me%' GROUP BY term
+)
+SELECT term, CAST(df AS BIGINT) AS df FROM t
+ORDER BY df DESC, term LIMIT 15
 """,
     }

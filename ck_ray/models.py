@@ -157,18 +157,38 @@ class RerankModelRegistry:
         return sorted(self.models)
 
 
+# provider name -> factory(cfg) -> reranker. Contract (what
+# PseudoReranker implements): rerank(query: str, texts: list[str]) ->
+# array of float scores, one per text, higher = more relevant.
+_RERANKER_PROVIDERS: dict[str, object] = {}
+
+
+def register_reranker_provider(provider: str, factory) -> None:
+    """Plug a REAL cross-encoder backend in (reference
+    ``ck-embed/src/reranker.rs:26-39``): any RerankModelConfig whose
+    ``provider`` matches is constructed by ``factory(cfg)`` instead of
+    the deterministic PseudoReranker. Same one-line-swap contract as
+    ``register_embedder_provider``."""
+    _RERANKER_PROVIDERS[provider] = factory
+
+
 def create_reranker(
     model: str | None = None, registry: RerankModelRegistry | None = None
 ):
     """Provider swap point for the rerank stage: alias/name -> reranker.
 
-    Every provider maps to the deterministic ``PseudoReranker`` in this
-    container (no ONNX cross-encoders — reference providers live in
-    ``ck-embed/src/reranker.rs:26-39``); the instance carries the
-    resolved config so a model-loading class drops in unchanged."""
+    A provider registered via ``register_reranker_provider`` wins;
+    otherwise every provider maps to the deterministic
+    ``PseudoReranker`` (no ONNX cross-encoders in this container —
+    reference providers live in ``ck-embed/src/reranker.rs:26-39``);
+    the instance carries the resolved config so a model-loading class
+    drops in unchanged."""
+    alias, cfg = (registry or RerankModelRegistry()).resolve(model)
+    factory = _RERANKER_PROVIDERS.get(cfg.provider)
+    if factory is not None:
+        return factory(cfg)
     from .semantic import PseudoReranker
 
-    alias, cfg = (registry or RerankModelRegistry()).resolve(model)
     rr = PseudoReranker()
     rr.model_alias, rr.model_config = alias, cfg
     return rr

@@ -1473,3 +1473,24 @@ def bm25_composite_agg(
             "n_docs": out["n_docs"].astype("int64"),
         }
     )
+
+
+def bm25_complete(
+    sf_dir: str, prefix: str = "me", size: int = 15
+) -> pd.DataFrame:
+    """COMPLETION suggester (ES completion / search-as-you-type over
+    the index dictionary): terms starting with ``prefix`` ranked by
+    document frequency desc, term asc, cut to ``size``. Oracle: LIKE
+    over the analyzer CTE with count(DISTINCT doc_id)."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2)
+    try:
+        got = eng.suggest_complete(prefix, size=size)
+    finally:
+        eng.close()
+    return pd.DataFrame(
+        {
+            "term": pd.Series([t for t, _ in got], dtype="object"),
+            "df": pd.Series([d for _, d in got], dtype="int64"),
+        }
+    )

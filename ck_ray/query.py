@@ -3151,6 +3151,30 @@ class BM25Engine:
             "paths": paths[order],
         }
 
+    def suggest_complete(
+        self, prefix: str, size: int = 10, field: str = "content"
+    ) -> list[tuple[str, int]]:
+        """COMPLETION suggester (the ES completion / prefix-autocomplete
+        shape, served from the index dictionary instead of a separate
+        FST): dictionary terms starting with ``prefix``, ranked by
+        document frequency (popularity) desc then term asc. One
+        dictionary-expansion fan-out (terms only) plus one int-only df
+        round — traffic O(matching terms), never O(postings)."""
+        self._maybe_reload()
+        per = ray.get(
+            [
+                s.expand_prefixes.remote([(field, prefix)])
+                for s in self.shards
+            ]
+        )
+        union = sorted({t for sh in per for t in sh[0]})
+        if not union:
+            return []
+        fid = FIELD_IDS[field]
+        dfs = self._global_dfs([(fid, t) for t in union])
+        ranked = sorted(union, key=lambda t: (-dfs[(fid, t)], t))
+        return [(t, int(dfs[(fid, t)])) for t in ranked[:size]]
+
     def search_composite_agg(
         self,
         query: str,

@@ -560,3 +560,21 @@ class TestCompositeAgg:
                 )
         finally:
             eng.close()
+
+
+def test_suggest_complete(ray_session, tiny_index):
+    """Completion suggester: prefix expansion ranked by df desc."""
+    eng = BM25Engine(tiny_index, num_shards=2)
+    try:
+        got = eng.suggest_complete("mer", size=5)
+        assert got, "corpus has merge* identifiers"
+        terms = [t for t, _ in got]
+        dfs = [d for _, d in got]
+        assert all(t.startswith("mer") for t in terms)
+        assert dfs == sorted(dfs, reverse=True)
+        # ties broken by term asc
+        for (t1, d1), (t2, d2) in zip(got, got[1:]):
+            assert d1 > d2 or (d1 == d2 and t1 < t2)
+        assert eng.suggest_complete("zzzznope") == []
+    finally:
+        eng.close()

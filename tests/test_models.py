@@ -174,3 +174,30 @@ def test_embedder_provider_seam(ray_session):
     finally:
         del _EMBEDDER_PROVIDERS["fastembed"]
     assert isinstance(create_embedder("minilm"), PseudoEmbedder)
+
+
+def test_reranker_provider_seam(ray_session):
+    """register_reranker_provider swaps a user cross-encoder into the
+    rerank stage; unregistering restores the pseudo path."""
+    from ck_ray.models import (
+        _RERANKER_PROVIDERS,
+        create_reranker,
+        register_reranker_provider,
+    )
+    from ck_ray.semantic import PseudoReranker
+
+    class FakeCrossEncoder:
+        def __init__(self, cfg):
+            self.cfg = cfg
+
+        def rerank(self, query, texts):
+            return [float(len(t)) for t in texts]  # deterministic fake
+
+    register_reranker_provider("fastembed", FakeCrossEncoder)
+    try:
+        rr = create_reranker("jina")  # jina alias -> provider fastembed
+        assert isinstance(rr, FakeCrossEncoder)
+        assert rr.rerank("q", ["aa", "a"]) == [2.0, 1.0]
+    finally:
+        del _RERANKER_PROVIDERS["fastembed"]
+    assert isinstance(create_reranker("jina"), PseudoReranker)
