@@ -781,6 +781,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # completion suggester (ES completion / search-as-you-type):
         # dictionary prefix expansion ranked by global df
         "bm25_complete": docsearch.bm25_complete,
+        # ES adjacency_matrix: singleton + pairwise-intersection doc
+        # counts for N named filters, one fan-out
+        "bm25_adjacency_matrix": docsearch.bm25_adjacency_matrix,
         # two-phase rescore (ES rescore): OR recall pass, exact-phrase
         # precision pass over the top-40 window, total score_mode
         "bm25_rescore": docsearch.bm25_rescore,
@@ -894,7 +897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_multi_agg", "bm25_facet_stats", "bm25_cardinality",
         "bm25_top_hits_per_lang", "bm25_sort_by_field", "bm25_paged",
         "bm25_span_near", "bm25_composite_agg", "hybrid_semantic_rrf",
-        "bm25_complete",
+        "bm25_complete", "bm25_adjacency_matrix",
     ][:50]
     assert set(first) <= set(base)
     return {k: base[k] for k in first} | {
@@ -3760,5 +3763,23 @@ t AS (
 )
 SELECT term, CAST(df AS BIGINT) AS df FROM t
 ORDER BY df DESC, term LIMIT 15
+""",
+        # adjacency matrix: singleton + pairwise membership counts
+        "bm25_adjacency_matrix": f"""
+WITH {_TOKS},
+tset AS (SELECT DISTINCT doc_id, term FROM toks2
+         WHERE term IN ('merge', 'window', 'batch')),
+singles AS (
+  SELECT term AS key, count(*) AS doc_count FROM tset GROUP BY term
+),
+pairs AS (
+  SELECT a.term || '&' || b.term AS key, count(*) AS doc_count
+  FROM tset a JOIN tset b
+    ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1
+),
+allb AS (SELECT * FROM singles UNION ALL SELECT * FROM pairs)
+SELECT key, CAST(doc_count AS BIGINT) AS doc_count
+FROM allb WHERE doc_count > 0 ORDER BY key
 """,
     }

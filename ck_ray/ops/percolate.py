@@ -324,8 +324,12 @@ STORED_QUERIES = {
 
 
 def percolate_matches(sf_dir: str) -> pd.DataFrame:
+    # a single small parquet file reads as ONE block, which would
+    # serialize the whole stream through one pool actor; split it so
+    # the pool scales (a real corpus is many files = many blocks)
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text"],
+        override_num_blocks=8,
     )
     return percolate(ds, STORED_QUERIES)

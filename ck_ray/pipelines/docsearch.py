@@ -1494,3 +1494,25 @@ def bm25_complete(
             "df": pd.Series([d for _, d in got], dtype="int64"),
         }
     )
+
+
+def bm25_adjacency_matrix(sf_dir: str) -> pd.DataFrame:
+    """ADJACENCY-MATRIX aggregation (ES adjacency_matrix): doc counts
+    for three named filters and their pairwise intersections — the
+    co-occurrence collector. Keys sorted; empty buckets omitted (ES).
+    Oracle: membership CTE + pairwise joins."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2)
+    try:
+        m = eng.search_adjacency_matrix(
+            {"merge": "merge", "window": "window", "batch": "batch"}
+        )
+    finally:
+        eng.close()
+    keys = sorted(m)
+    return pd.DataFrame(
+        {
+            "key": pd.Series(keys, dtype="object"),
+            "doc_count": pd.Series([m[k] for k in keys], dtype="int64"),
+        }
+    )

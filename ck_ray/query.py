@@ -2065,6 +2065,27 @@ class LocalIndex:
             for name, q in filters.items()
         }
 
+    def query_adjacency(self, filters: dict, df_map=None) -> dict:
+        """ADJACENCY-MATRIX aggregation (the ES ``adjacency_matrix``
+        bucket agg): N named filter queries evaluated once each, then
+        exact integer counts for every singleton (``a``) and pairwise
+        intersection (``a&b``, ES key order: name1 < name2) over this
+        shard's docs. Doc partitioning makes the cross-shard merge a
+        plain integer sum; state is O(N^2) ints, never O(matches)."""
+        names = sorted(filters)
+        sets = {
+            n: self._match_set(filters[n], df_map)[0] for n in names
+        }
+        out: dict[str, int] = {}
+        for i, a in enumerate(names):
+            out[a] = int(len(sets[a]))
+            for b in names[i + 1:]:
+                out[f"{a}&{b}"] = int(
+                    len(np.intersect1d(sets[a], sets[b],
+                                       assume_unique=True))
+                )
+        return out
+
     def query_topk_by_field(
         self, query: str, field: str, k: int, ascending: bool = False,
         df_map=None,
@@ -3526,6 +3547,31 @@ class BM25Engine:
             name: self._merge_agg(spec, [p[name] for p in parts])
             for name in names
         }
+
+    def search_adjacency_matrix(self, filters: dict) -> dict:
+        """ADJACENCY-MATRIX aggregation (ES ``adjacency_matrix``):
+        exact doc counts for every named filter and every pairwise
+        intersection (key ``a&b``, names sorted) — the co-occurrence
+        collector behind overlap heatmaps. One fan-out; shards return
+        O(N^2) integers and the driver sums them (doc partitioning
+        makes intersections shard-local and the merge associative).
+        Empty buckets are omitted, matching ES."""
+        self._maybe_reload()
+        df_map = self._df_map_for(list(filters.values()))
+        rep = self._next_replica(
+            "\x00".join(sorted(filters.values())) + "#adjacency"
+        )
+        parts = ray.get(
+            [
+                s.query_adjacency.remote(dict(filters), df_map)
+                for s in rep
+            ]
+        )
+        total: dict[str, int] = {}
+        for p in parts:
+            for k, c in p.items():
+                total[k] = total.get(k, 0) + c
+        return {k: v for k, v in total.items() if v > 0}
 
     def search_aggregate_multi(self, query: str, specs: dict) -> dict:
         """N named aggregations in ONE pass (the ES multi-agg request):

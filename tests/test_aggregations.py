@@ -578,3 +578,25 @@ def test_suggest_complete(ray_session, tiny_index):
         assert eng.suggest_complete("zzzznope") == []
     finally:
         eng.close()
+
+
+def test_adjacency_matrix(ray_session, tiny_index):
+    """ES adjacency_matrix: pairwise counts consistent with facets."""
+    eng = BM25Engine(tiny_index, num_shards=2)
+    try:
+        m = eng.search_adjacency_matrix(
+            {"a": "merge", "b": "tokenize", "c": "zzznothing"}
+        )
+        # empty filter omitted entirely (no singleton, no pairs)
+        assert "c" not in m and not any("c" in k for k in m)
+        # singleton counts equal the facet totals for the same query
+        total_a, _ = eng.search_facets("merge", "lang")
+        assert m["a"] == total_a
+        # intersection bounded by both singletons
+        if "a&b" in m:
+            assert m["a&b"] <= min(m["a"], m["b"])
+        # boolean-AND query count equals the pair bucket
+        total_ab, _ = eng.search_facets("merge AND tokenize", "lang")
+        assert m.get("a&b", 0) == total_ab
+    finally:
+        eng.close()
