@@ -540,23 +540,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         sem = semantic_topk(sf_dir)  # (doc_id, chunk_id, score) sorted
         sem_docs = list(dict.fromkeys(sem["doc_id"].tolist()))
-        ranks: dict[int, float] = {}
-        for lst in (lex["doc_id"].tolist(), sem_docs):
-            for r, d in enumerate(lst, start=1):
-                ranks[d] = ranks.get(d, 0.0) + 1.0 / (60 + r)
-        out = pd.DataFrame(
-            {
-                "doc_id": list(ranks),
-                "rrf_score": round_half_away(
-                    list(ranks.values()), 6
-                ),
-            }
+        return docsearch.rrf_fuse(
+            [lex["doc_id"].tolist(), sem_docs], k=20
         )
-        out = out.sort_values(
-            ["rrf_score", "doc_id"], ascending=[False, True]
-        ).head(20)
-        out["doc_id"] = out["doc_id"].astype("int64")
-        return out.reset_index(drop=True)
 
     def multimodal(sf_dir: str):
         from ck_ray.ops.multimodal import multimodal_features
@@ -3723,9 +3709,14 @@ vd AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
 dots AS (
   SELECT vec_id, CAST(sum(cq * cv) AS BIGINT) AS dot_int
   FROM vd JOIN qd USING (i) GROUP BY vec_id
+),
+scored AS (
+  SELECT d.vec_id, d.dot_int,
+         d.dot_int * qs.s * v.s / 16129.0 AS sc
+  FROM dots d JOIN vs v USING (vec_id) CROSS JOIN qs
 )
-SELECT vec_id, dot_int FROM dots
-ORDER BY dot_int DESC, vec_id LIMIT 10
+SELECT vec_id, dot_int, round(sc, 4) AS score FROM scored
+ORDER BY sc DESC, vec_id LIMIT 10
 """,
         # span_near (unordered, 2 terms): min window = min |pa-pb|+1
         # over all position pairs; match iff min_window - 2 <= slop;

@@ -813,9 +813,12 @@ def estimate_hot_terms(
     if threshold is None:
         # AUTO rule ("auto" config): hot = appears in >=10% of sampled
         # docs == absolute threshold n_docs/10 without a count pass.
-        # Guard: only engage once the sample holds >=2000 docs, so tiny
-        # corpora (tests, toy builds) stay unsalted.
-        if n_seen < 2000:
+        # Guard: only engage once the sample is FULL (>= the configured
+        # sample size, capped at 2000), so tiny corpora (tests, toy
+        # builds) stay unsalted while a tuned-down df_sample_docs still
+        # salts — the guard scales with the knob instead of silently
+        # disabling auto salting below a fixed constant.
+        if n_seen < min(2000, sample_docs):
             return frozenset()
         hot = g["term"].filter(pa.array(dfs >= 0.1 * n_seen))
         return frozenset(hot.to_pylist())

@@ -660,6 +660,15 @@ def _effective_lines(lines: list[str], spec: LangSpec) -> list[str]:
                     res.append(" " * (j + 2 - i))
                     i = j + 2
                     in_block = False
+                    # the line's remainder was never string-blanked
+                    # (the sub is skipped while a carry is open) — do
+                    # it now so quoted braces after the close can't
+                    # corrupt brace counting
+                    s = s[:i] + _STR_RE.sub(
+                        lambda m: '"'
+                        + " " * max(len(m.group()) - 2, 0) + '"',
+                        s[i:],
+                    )
             elif in_str is not None:
                 j = s.find(in_str, i)
                 if j == -1:
@@ -670,6 +679,11 @@ def _effective_lines(lines: list[str], spec: LangSpec) -> list[str]:
                     res.append(" " * (end - i))
                     i = end
                     in_str = None
+                    s = s[:i] + _STR_RE.sub(
+                        lambda m: '"'
+                        + " " * max(len(m.group()) - 2, 0) + '"',
+                        s[i:],
+                    )
             else:
                 j = s.find("/*", i)
                 k = s.find(spec.line_comment, i) if spec.line_comment else -1

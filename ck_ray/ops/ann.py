@@ -398,38 +398,49 @@ def sq8_codes(emb: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def sq8_topk(sf_dir: str, query: np.ndarray, k: int = 10) -> pd.DataFrame:
-    """Top-k by the QUANTIZED dot product: both sides SQ8-coded, score =
-    integer code dot (exact int32 accumulation — no float in the
-    ranking, so ties are impossible to mis-break). Returns
-    (vec_id, dot_int) ranked (dot_int desc, vec_id asc). One streaming
-    pass, per-batch partial top-k, query codes broadcast once; the
-    recall-vs-exact contract is pytest-gated
+    """Top-k by the DEQUANTIZED dot product: both sides SQ8-coded and
+    the integer code dot is multiplied back by the stored per-vector
+    scales — ``score = dot_int * s_q * s_v / 127^2`` — the same
+    reconstruction faiss-style SQ8 uses (a magnitude-blind raw code
+    dot would rank every positive scalar multiple of a vector
+    identically). dot_int stays exact int; the scale product is a
+    fixed-order double expression a SQL oracle reproduces bit-for-bit.
+    Ranking: unrounded score desc, vec_id asc; published score rounded
+    4dp (the bm25 contract). One streaming pass, per-batch partial
+    top-k, query codes broadcast once; recall-vs-exact is pytest-gated
     (test_ops.test_ann_sq8_recall)."""
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "embedding"],
     )
-    qc, _ = sq8_codes(np.atleast_2d(np.asarray(query, np.float64)))
-    qref = ray.put(qc[0].astype(np.int32))
+    qc, qs = sq8_codes(np.atleast_2d(np.asarray(query, np.float64)))
+    qref = ray.put((qc[0].astype(np.int32), float(qs[0])))
 
     def partial(t: pa.Table) -> pa.Table:
-        qv = ray.get(qref)
-        codes, _ = sq8_codes(_emb_matrix(t))
+        qv, q_scale = ray.get(qref)
+        codes, s = sq8_codes(_emb_matrix(t))
         dots = codes.astype(np.int32) @ qv  # exact int32
+        score = dots.astype(np.float64) * q_scale * s / 16129.0
         ids = t["vec_id"].to_numpy()
         kk = min(k, len(ids))
-        idx = _topk_idx(dots.astype(np.float64), ids, kk)
+        idx = _topk_idx(score, ids, kk)
         return pa.table(
             {
                 "vec_id": pa.array(ids[idx]),
                 "dot_int": pa.array(dots[idx].astype(np.int64)),
+                "score": pa.array(score[idx]),
             }
         )
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     out = (
-        parts.sort_values(["dot_int", "vec_id"], ascending=[False, True])
+        parts.sort_values(["score", "vec_id"], ascending=[False, True])
         .head(k)
         .reset_index(drop=True)
     )
-    return out.astype({"vec_id": "int64", "dot_int": "int64"})
+    from ..scoring import round_half_away
+
+    out["score"] = round_half_away(out["score"].to_numpy(), 4)
+    return out.astype(
+        {"vec_id": "int64", "dot_int": "int64", "score": "float64"}
+    )

@@ -1356,6 +1356,31 @@ def regex_match_docs(sf_dir: str, pattern: str = "merge.*window.*batch") -> pd.D
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def rrf_fuse(
+    rankings: list[list], k: int = 20, rrf_k: int = 60
+) -> pd.DataFrame:
+    """Reciprocal Rank Fusion: score = sum over lists of
+    1/(rrf_k + rank), rank 1-based per list; published score rounded
+    6dp, ordered (rrf desc, doc_id asc), cut to ``k``. ONE definition
+    shared by every hybrid entry so the fusion constant / rounding /
+    tie-break stay bit-identical to their SQL oracles."""
+    ranks: dict[int, float] = {}
+    for lst in rankings:
+        for r, d in enumerate(lst, start=1):
+            ranks[d] = ranks.get(d, 0.0) + 1.0 / (rrf_k + r)
+    out = pd.DataFrame(
+        {
+            "doc_id": list(ranks),
+            "rrf_score": round_half_away(list(ranks.values()), 6),
+        }
+    )
+    out = out.sort_values(
+        ["rrf_score", "doc_id"], ascending=[False, True]
+    ).head(k)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def hybrid_rrf(
     sf_dir: str,
     query: str = "merge window batch",
@@ -1369,19 +1394,9 @@ def hybrid_rrf(
     pattern = pattern or ".*".join(query.split())
     lex = bm25_topk(sf_dir, query, k=max(k, 100))
     rex = regex_match_docs(sf_dir, pattern)
-    ranks: dict[int, float] = {}
-    for lst in (
-        lex["doc_id"].tolist(),
-        rex["doc_id"].tolist(),
-    ):
-        for r, d in enumerate(lst, start=1):
-            ranks[d] = ranks.get(d, 0.0) + 1.0 / (rrf_k + r)
-    out = pd.DataFrame(
-        {"doc_id": list(ranks), "rrf_score": round_half_away(list(ranks.values()), 6)}
+    return rrf_fuse(
+        [lex["doc_id"].tolist(), rex["doc_id"].tolist()], k, rrf_k
     )
-    out = out.sort_values(["rrf_score", "doc_id"], ascending=[False, True]).head(k)
-    out["doc_id"] = out["doc_id"].astype("int64")
-    return out.reset_index(drop=True)
 
 
 def bm25_span_near(

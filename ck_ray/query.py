@@ -1668,12 +1668,9 @@ class LocalIndex:
         order = np.lexsort((docs, -acc.astype(np.float64)))[:k]
         return docs[order], acc[order]
 
-    def query_topk_meta(
-        self, query: str, k: int = 100, pruning: bool = True, df_map=None
-    ) -> dict:
-        """Top-k plus this shard's doc metadata (O(k) searchsorted)."""
-        docs, scores = self.query_topk(query, k, pruning, df_map)
-        out = {"doc_id": docs, "score": scores}
+    def _attach_meta(self, out: dict, docs: np.ndarray) -> dict:
+        """Attach this shard's metadata columns for ``docs`` (O(k)
+        searchsorted; absent metadata yields None cells)."""
         if len(docs):
             pos = np.clip(
                 np.searchsorted(self._meta_ids, docs),
@@ -1692,6 +1689,13 @@ class LocalIndex:
             for c in self._META_COLS:
                 out[c] = np.empty(0, dtype=object)
         return out
+
+    def query_topk_meta(
+        self, query: str, k: int = 100, pruning: bool = True, df_map=None
+    ) -> dict:
+        """Top-k plus this shard's doc metadata (O(k) searchsorted)."""
+        docs, scores = self.query_topk(query, k, pruning, df_map)
+        return self._attach_meta({"doc_id": docs, "score": scores}, docs)
 
     def query_many(
         self, queries: list[str], k: int = 100, pruning: bool = True,
@@ -1794,19 +1798,8 @@ class LocalIndex:
         if k is not None:
             order = order[:k]
         out = {"doc_id": docs[order], "min_window": wins[order]}
-        if with_meta and len(out["doc_id"]):
-            pos = np.clip(
-                np.searchsorted(self._meta_ids, out["doc_id"]),
-                0, max(len(self._meta_ids) - 1, 0),
-            )
-            found = self._meta_ids[pos] == out["doc_id"]
-            for c in self._META_COLS:
-                vals = np.full(len(out["doc_id"]), None, dtype=object)
-                vals[found] = self._meta[c][pos[found]]
-                out[c] = vals
-        elif with_meta:
-            for c in self._META_COLS:
-                out[c] = np.empty(0, dtype=object)
+        if with_meta:
+            self._attach_meta(out, out["doc_id"])
         return out
 
     def _match_set(self, query: str, df_map=None):
@@ -3180,8 +3173,15 @@ class BM25Engine:
         FST): dictionary terms starting with ``prefix``, ranked by
         document frequency (popularity) desc then term asc. One
         dictionary-expansion fan-out (terms only) plus one int-only df
-        round — traffic O(matching terms), never O(postings)."""
+        round — traffic O(matching terms), never O(postings). The
+        prefix runs through the analyzer first (lowercase etc.); with
+        multi-token input the LAST token is completed (the
+        search-as-you-type convention)."""
         self._maybe_reload()
+        toks = tokenize_text(prefix)
+        if not toks:
+            return []
+        prefix = toks[-1]
         per = ray.get(
             [
                 s.expand_prefixes.remote([(field, prefix)])

@@ -36,8 +36,8 @@ def chunk_batch(
     Fully vectorized (offsets arithmetic over one ``\\n`` split, the same
     shape the tokenizer uses): no per-row Python, so the stage scales
     with BYTES, not rows. Line rule matches the SQL oracle exactly —
-    split on ``\\n``, and a trailing terminator does not open an empty
-    final line (``"a\\n"`` is one line). Windows: start every
+    CRLF / bare CR normalize to LF, split on LF, and a trailing
+    terminator does not open an empty final line. Windows: start every
     ``target-overlap`` lines; a window that reaches the end closes the
     doc (no window starts inside the last ``overlap`` lines)."""
     import pyarrow.compute as pc
@@ -58,7 +58,13 @@ def chunk_batch(
     content = t["content"]
     if isinstance(content, pa.ChunkedArray):
         content = content.combine_chunks()
-    lists = pc.split_pattern(content.fill_null(""), pattern="\n")
+    content = content.fill_null("")
+    # normalize CRLF and bare CR to LF first, so Windows / classic-Mac
+    # docs chunk like str.splitlines() did (the SQL oracle's corpus is
+    # LF-only, so this never diverges from it)
+    content = pc.replace_substring(content, "\r\n", "\n")
+    content = pc.replace_substring(content, "\r", "\n")
+    lists = pc.split_pattern(content, pattern="\n")
     vals = pc.list_flatten(lists)
     off = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     cnt = np.diff(off)

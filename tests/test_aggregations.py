@@ -600,3 +600,15 @@ def test_adjacency_matrix(ray_session, tiny_index):
         assert m.get("a&b", 0) == total_ab
     finally:
         eng.close()
+
+
+def test_suggest_complete_analyzer_normalized(ray_session, tiny_index):
+    """Mixed-case input completes like its analyzed form (review
+    finding: the raw prefix probed the lowercased dictionary)."""
+    eng = BM25Engine(tiny_index, num_shards=2)
+    try:
+        assert eng.suggest_complete("Mer", 5) == eng.suggest_complete("mer", 5)
+        assert eng.suggest_complete("new Mer", 5) == eng.suggest_complete("mer", 5)
+        assert eng.suggest_complete("!!!", 5) == []
+    finally:
+        eng.close()

@@ -835,3 +835,34 @@ def test_csharp_verbatim_string_single_line_braces():
     caps = {(c[2], c[3]): (c[0], c[1]) for c in structural_chunks(src, "csharp")}
     assert caps[("class", "P")] == (1, 4)
     assert caps[("method", "P.Go")] == (3, 3)
+
+
+def test_string_braces_after_comment_close():
+    """A quoted brace AFTER a multi-line comment closes on the same
+    line must still be blanked (review finding: the remainder skipped
+    string blanking while a carry was open)."""
+    src = (
+        "int f(void) {\n"
+        " /* guard\n"
+        ' */ const char *s = "}";\n'
+        " return 1;\n"
+        "}\n"
+        "\n"
+        "int g(void) { return 2; }\n"
+    )
+    caps = {(c[2], c[3]): (c[0], c[1]) for c in structural_chunks(src, "c")}
+    assert caps[("function", "f")] == (1, 5)
+    assert caps[("function", "g")] == (7, 7)
+
+
+def test_string_braces_after_raw_string_close():
+    src = (
+        "fn f() {\n"
+        '    let a = r#"\n'
+        '"#; let b = "}";\n'
+        "}\n"
+        "fn g() {}\n"
+    )
+    caps = {(c[2], c[3]): (c[0], c[1]) for c in structural_chunks(src, "rust")}
+    assert caps[("function", "f")] == (1, 4)
+    assert caps[("function", "g")] == (5, 5)

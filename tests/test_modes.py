@@ -246,6 +246,8 @@ def test_chunk_batch_vectorized_equals_loop():
         "\n".join(f"l{i}" for i in range(37)),
         "\n".join(f"l{i}" for i in range(100)) + "\n",
         "a\n\nb\n\n\nc\n",
+        "crlf one\r\ncrlf two\r\nthree\r\n",
+        "mac one\rmac two\rmac three",
     ]
     n = len(cases)
     t = pa.table(
@@ -263,7 +265,7 @@ def test_chunk_batch_vectorized_equals_loop():
     rows = []
     step = 16
     for i, content in enumerate(cases):
-        lines = content.split("\n")
+        lines = content.replace("\r\n", "\n").replace("\r", "\n").split("\n")
         if lines and lines[-1] == "":
             lines = lines[:-1]
         s, cid = 0, 0

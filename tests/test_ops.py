@@ -516,8 +516,8 @@ def test_ann_sq8_recall(ray_session, tmp_path):
 
     q = base[0].astype(np.float64)
     got = sq8_topk(str(tmp_path), q, k=10)
-    assert list(got.columns) == ["vec_id", "dot_int"]
-    assert got["dot_int"].is_monotonic_decreasing
+    assert list(got.columns) == ["vec_id", "dot_int", "score"]
+    assert got["score"].is_monotonic_decreasing
     assert set(got["vec_id"].head(2)) == {0, 50}  # near-dup pair on top
 
     exact = np.argsort(-(base.astype(np.float64) @ q))[:10]
