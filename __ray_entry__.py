@@ -624,6 +624,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             shutil.rmtree(idx, ignore_errors=True)
         return out[["vec_id", "score"]]
 
+    def ann_filtered_topk(sf_dir: str):
+        """knn-with-filter: exact cosine top-k restricted to
+        label == 3, the metadata predicate pushed into the parquet
+        read (row-group pruning) — the filtered-vector-search shape
+        every retrieval stack needs."""
+        q = ann.query_vector_from(sf_dir, vec_id=0)
+        return ann.filtered_cosine_topk(sf_dir, q, label=3, k=10)
+
     def ann_sq8_topk(sf_dir: str):
         """Symmetric int8 scalar-quantized ANN (SQ8): both sides coded
         as round_half_away(v*127/max|v|), ranked by the exact INTEGER
@@ -809,6 +817,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": ann_cosine_topk,
         "ann_multi_topk": ann_multi_topk,  # broadcast query MATRIX
         "ann_ivf_topk": ann_ivf_topk,  # hyperplane-cell IVF: hash-exact
+        "ann_filtered_topk": ann_filtered_topk,  # knn-with-filter,
+        # predicate pushed into the read (row-group pruning)
         "ann_sq8_topk": ann_sq8_topk,  # int8 scalar quantization,
         # integer-exact code-dot ranking (the 4x memory scale path)
         "ann_ivf_persisted": ann_ivf_persisted,  # cell-partitioned
@@ -883,7 +893,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_multi_agg", "bm25_facet_stats", "bm25_cardinality",
         "bm25_top_hits_per_lang", "bm25_sort_by_field", "bm25_paged",
         "bm25_span_near", "bm25_composite_agg", "hybrid_semantic_rrf",
-        "bm25_complete", "bm25_adjacency_matrix",
+        "bm25_complete", "bm25_adjacency_matrix", "ann_filtered_topk",
     ][:50]
     assert set(first) <= set(base)
     return {k: base[k] for k in first} | {
@@ -3717,6 +3727,17 @@ scored AS (
 )
 SELECT vec_id, dot_int, round(sc, 4) AS score FROM scored
 ORDER BY sc DESC, vec_id LIMIT 10
+""",
+        # filtered knn: cosine top-k under a metadata predicate
+        "ann_filtered_topk": """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS score
+  FROM embeddings e, q WHERE e.label = 3
+),
+topk AS (SELECT * FROM sims ORDER BY score DESC, vec_id LIMIT 10)
+SELECT vec_id, round(score, 4) AS score FROM topk ORDER BY score DESC, vec_id
 """,
         # span_near (unordered, 2 terms): min window = min |pa-pb|+1
         # over all position pairs; match iff min_window - 2 <= slop;

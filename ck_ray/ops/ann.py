@@ -444,3 +444,47 @@ def sq8_topk(sf_dir: str, query: np.ndarray, k: int = 10) -> pd.DataFrame:
     return out.astype(
         {"vec_id": "int64", "dot_int": "int64", "score": "float64"}
     )
+
+
+def filtered_cosine_topk(
+    sf_dir: str, query: np.ndarray, label: int, k: int = 10
+) -> pd.DataFrame:
+    """FILTERED vector search (the ES/FAISS knn-with-filter shape):
+    exact cosine top-k restricted to vectors whose ``label`` matches.
+    The predicate is pushed INTO the parquet read (row-group pruning +
+    per-fragment filtering — only qualifying rows leave storage, the
+    100 TB-correct place for a selective filter), then the usual
+    broadcast-query partial top-k streams over what remains. Returns
+    (vec_id, score) ranked (score desc, vec_id asc), score rounded
+    4dp."""
+    import pyarrow.dataset as pads
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filter=(pads.field("label") == label),
+    )
+    q = _unit(np.atleast_2d(np.asarray(query, np.float64)))[0]
+    qref = ray.put(q)
+
+    def partial(t: pa.Table) -> pa.Table:
+        qv = ray.get(qref)
+        emb = _unit(_emb_matrix(t))
+        sims = emb @ qv
+        ids = t["vec_id"].to_numpy()
+        kk = min(k, len(ids))
+        idx = _topk_idx(sims, ids, kk)
+        return pa.table(
+            {"vec_id": pa.array(ids[idx]), "score": pa.array(sims[idx])}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.sort_values(["score", "vec_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    from ..scoring import round_half_away
+
+    out["score"] = round_half_away(out["score"].to_numpy(), 4)
+    return out.astype({"vec_id": "int64", "score": "float64"})

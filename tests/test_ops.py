@@ -523,3 +523,39 @@ def test_ann_sq8_recall(ray_session, tmp_path):
     exact = np.argsort(-(base.astype(np.float64) @ q))[:10]
     recall = len(set(got["vec_id"]) & set(exact)) / 10
     assert recall >= 0.8, recall
+
+
+def test_ann_filtered_topk(ray_session, tmp_path):
+    """knn-with-filter: only matching-label vectors are eligible, and
+    within the filtered set the ranking equals exact brute force."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ck_ray.ops.ann import filtered_cosine_topk
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(120, 16).astype(np.float32)
+    labels = np.arange(120) % 4
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(120), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, r)) for r in base], pa.list_(pa.float32())
+            ),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    q = base[1].astype(np.float64)  # vec 1 has label 1
+    got = filtered_cosine_topk(str(tmp_path), q, label=1, k=5)
+    assert (np.asarray(got["vec_id"]) % 4 == 1).all()
+    assert got["vec_id"].iloc[0] == 1  # the query vector itself
+    # exact brute force over the filtered subset agrees
+    sel = labels == 1
+    u = base[sel].astype(np.float64)
+    u /= np.linalg.norm(u, axis=1)[:, None]
+    sims = u @ (q / np.linalg.norm(q))
+    ids = np.nonzero(sel)[0]
+    order = np.lexsort((ids, -sims))[:5]
+    assert list(got["vec_id"]) == list(ids[order])
