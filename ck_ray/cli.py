@@ -216,6 +216,13 @@ def _build_parser() -> argparse.ArgumentParser:
         help="print the default ignore patterns (reference "
              "--print-default-ckignore) and exit",
     )
+    p.add_argument(
+        "--percolate", metavar="QUERIES_JSON",
+        help="reverse search (ES percolate): match the corpus stream "
+             "against a stored-query registry file (JSON object "
+             "{name: query}, the engine's query language); prints "
+             "(query_name, path) match pairs",
+    )
     return p
 
 
@@ -708,6 +715,29 @@ def main(argv: list[str] | None = None) -> int:
                 f"({man['num_parts']} partitions)"
             )
             return 0
+
+        if args.percolate:
+            import json as _json
+
+            import ray.data as _rd
+
+            from .ops.percolate import percolate
+
+            if args.corpus is None:
+                print("--percolate needs a corpus source", file=sys.stderr)
+                return 2
+            with open(args.percolate) as fh:
+                registry = _json.load(fh)
+            ds = (
+                args.corpus
+                if isinstance(args.corpus, _rd.Dataset)
+                else _rd.read_parquet(args.corpus)
+            )
+            df = percolate(
+                ds, registry, text_col="content", id_col="path"
+            )
+            _emit(df, args.as_json, ["query_name", "path"])
+            return 0 if len(df) else 1
 
         if args.pattern is None:
             print("missing pattern/query", file=sys.stderr)

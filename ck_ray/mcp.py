@@ -142,6 +142,11 @@ class CkRayMCP:
                    "per-term BM25 evidence (Lucene explain)",
         "suggest": "Spell-correction candidates for a term (ES term "
                    "suggester: distance asc, doc frequency desc)",
+        "complete": "Prefix autocomplete from the index dictionary "
+                    "(ES completion suggester: df desc, term asc)",
+        "percolate": "Reverse search (ES percolate): match the corpus "
+                     "stream against stored queries ({name: query} in "
+                     "'queries'); returns (query_name, path) pairs",
     }
 
     def list_tools(self) -> list[dict]:
@@ -232,6 +237,37 @@ class CkRayMCP:
                     int(args.get("max_edits", 2)),
                 )
             }
+        if name == "complete":
+            return {
+                "completions": [
+                    {"term": t, "df": d}
+                    for t, d in self._bm25().suggest_complete(
+                        query, int(args.get("size", 10))
+                    )
+                ]
+            }
+        if name == "percolate":
+            import ray.data as _rd
+
+            from .ops.percolate import percolate
+
+            registry = args.get("queries") or {}
+            # cursor pages carry no registry — they replay the session
+            if not args.get("cursor") and (
+                not isinstance(registry, dict) or not registry
+            ):
+                raise ValueError(
+                    "percolate needs 'queries': {name: query}"
+                )
+
+            def mk():
+                ds = _rd.read_parquet(self.corpus)
+                df = percolate(
+                    ds, registry, text_col="content", id_col="path"
+                )
+                return df.to_dict("records")
+
+            return self._paged(args, mk)
         if name == "explain":
             ex = self._bm25().explain(query, int(args["doc_id"]))
             return ex if ex is not None else {"matched": False}

@@ -560,3 +560,27 @@ def test_lexical_advanced_query_syntax(cli_env):
               "--topk", "300"])
     assert r3.returncode in (0, 1)
     assert paths(r0) <= paths(r3)
+
+
+def test_percolate_mode(ray_session, tmp_path):
+    """--percolate matches a directory corpus against a registry file."""
+    import json as _json
+
+    root = tmp_path / "tree"
+    root.mkdir()
+    (root / "a.py").write_text("def merge_window():\n    return 1\n")
+    (root / "b.py").write_text("def other_thing():\n    return 2\n")
+    reg = tmp_path / "queries.json"
+    reg.write_text(_json.dumps({
+        "mw": "merge AND window",
+        "none": "zzznotpresent",
+        "pre": "oth*",
+    }))
+    r = run(["--percolate", str(reg), "--corpus-dir", str(root), "--jsonl"])
+    assert r.returncode == 0, r.stderr
+    rows = [_json.loads(ln) for ln in r.stdout.strip().splitlines()]
+    got = {(x["query_name"], x["path"]) for x in rows}
+    assert got == {("mw", "a.py"), ("pre", "b.py")}
+
+    r2 = run(["--percolate", str(reg)])
+    assert r2.returncode == 2  # needs a corpus source

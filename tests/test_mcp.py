@@ -45,7 +45,7 @@ def test_initialize_and_tool_list(mcp):
         "regex_search", "lexical_search", "semantic_search",
         "hybrid_search", "index_status", "reindex", "health_check",
         "facet_search", "aggregate", "significant_terms", "explain",
-        "suggest",
+        "suggest", "complete", "percolate",
     }
 
 
@@ -241,3 +241,31 @@ def test_reindex_after_corpus_mutation(ray_session, tmp_path_factory, tiny_corpu
         assert st["num_docs"] == len(tbl)
     finally:
         srv.close()
+
+
+def test_complete_and_percolate_tools(mcp):
+    comp = _call(mcp, "complete", query="mer", size=5)["completions"]
+    assert comp and all(c["term"].startswith("mer") for c in comp)
+    dfs = [c["df"] for c in comp]
+    assert dfs == sorted(dfs, reverse=True)
+
+    out = _call(mcp, "percolate",
+                queries={"m": "merge", "none": "zzznotaterm"},
+                page_size=5)
+    assert out["matches"] and all(
+        r["query_name"] == "m" for r in out["matches"]
+    )
+    # pages walk the rest of the match set through the session cursor
+    seen = list(out["matches"])
+    cur = out["next_cursor"]
+    while cur:
+        nxt = _call(mcp, "percolate", cursor=cur)
+        seen.extend(nxt["matches"])
+        cur = nxt["next_cursor"]
+    assert out["total_count"] == len(seen)
+
+    bad = mcp.handle({
+        "jsonrpc": "2.0", "id": 52, "method": "tools/call",
+        "params": {"name": "percolate", "arguments": {}},
+    })
+    assert "error" in bad or bad["result"].get("isError")
