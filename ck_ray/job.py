@@ -317,6 +317,47 @@ def _cmd_curate(args) -> int:
     return 0
 
 
+def _cmd_percolate(args) -> int:
+    """Stream a corpus parquet against a stored-query registry file and
+    write (query_name, id) match pairs as parquet (ES percolate at
+    batch scale: route documents to saved searches / training buckets
+    in one streaming pass)."""
+    import json as _json
+
+    import ray.data
+
+    from .ops.percolate import Percolator
+
+    from .ops import bind_ctor
+
+    with open(args.queries) as fh:
+        registry = _json.load(fh)
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(args.corpus)
+    out = ds.map_batches(
+        bind_ctor(
+            Percolator, queries=registry,
+            text_col=args.text_col, id_col=args.id_col,
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    if args.output:
+        out.write_parquet(args.output)
+        n = "streamed"
+    else:
+        n = int(out.count())
+    _emit({
+        "job": "percolate",
+        "corpus": args.corpus,
+        "n_queries": len(registry),
+        "matches": n,
+        "output": args.output,
+        "wall_s": round(time.perf_counter() - t0, 3),
+    })
+    return 0
+
+
 def _parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="python -m ck_ray.job")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -404,6 +445,20 @@ def _parser() -> argparse.ArgumentParser:
     cu.add_argument("--eval-mod", type=int, default=17)
     cu.add_argument("--quota", type=int, default=12)
     cu.set_defaults(fn=_cmd_curate)
+
+    pc = sub.add_parser(
+        "percolate",
+        help="match a corpus stream against a stored-query registry "
+             "(reverse search); write (query_name, id) pairs",
+    )
+    pc.add_argument("--corpus", required=True, help="corpus parquet path/dir")
+    pc.add_argument("--queries", required=True,
+                    help="JSON registry file {name: query}")
+    pc.add_argument("--text-col", default="content")
+    pc.add_argument("--id-col", default="path")
+    pc.add_argument("--output", help="parquet output dir (streams; "
+                    "omit to just count matches)")
+    pc.set_defaults(fn=_cmd_percolate)
     return p
 
 

@@ -1,0 +1,201 @@
+"""Interactive search REPL — the reference TUI's role (``ck-tui/src``,
+2.7k LoC of ratatui) re-expressed terminal-light: one process, one open
+``BM25Engine``, line-oriented input/output so it works over ssh, inside
+pipes, and under tests (feed any file object as stdin).
+
+    python -m ck_ray.repl --index-dir IDX [--corpus PARQUET]
+
+Commands (anything else is a BM25 query):
+
+    QUERY                 BM25 top-k (supports the full query language)
+    /regex PATTERN        regex line search over the corpus
+    /hybrid QUERY         RRF fusion of the regex and BM25 legs
+    /span T1 T2 [SLOP]    proximity search ranked by minimal window
+    /complete PREFIX      dictionary autocomplete (df-ranked)
+    /suggest TERM         spell-correction candidates
+    /facet QUERY [FIELD]  full-match-set facet counts (default lang)
+    /explain QUERY DOC    per-term BM25 evidence for one doc
+    /topk N               set result count (default 10)
+    /stats                index statistics
+    /help                 this text
+    /quit                 exit
+
+The engine stays open across commands (sticky shard routing keeps
+caches warm), exactly how the reference TUI holds its searcher.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+_HELP = __doc__.split("Commands", 1)[1]
+
+
+def _fmt_row(vals, widths):
+    return "  ".join(str(v)[:w].ljust(w) for v, w in zip(vals, widths))
+
+
+def _print_hits(df, out, cols=("path", "normalized_score", "doc_id")):
+    if len(df) == 0:
+        print("(no hits)", file=out)
+        return
+    have = [c for c in cols if c in df.columns]
+    widths = [48, 16, 20][: len(have)]
+    print(_fmt_row(have, widths), file=out)
+    for _, r in df.iterrows():
+        vals = [
+            f"{r[c]:.4f}" if c == "normalized_score" else r[c]
+            for c in have
+        ]
+        print(_fmt_row(vals, widths), file=out)
+
+
+def run_repl(
+    index_dir: str,
+    corpus: str | None = None,
+    inp=None,
+    out=None,
+    num_shards: int = 4,
+) -> int:
+    from .query import BM25Engine
+
+    inp = inp or sys.stdin
+    out = out or sys.stdout
+    eng = BM25Engine(index_dir, num_shards=num_shards)
+    top_k = 10
+    interactive = hasattr(inp, "isatty") and inp.isatty()
+    try:
+        while True:
+            if interactive:
+                print("ck> ", end="", file=out, flush=True)
+            line = inp.readline()
+            if not line:
+                break
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                if line in ("/quit", "/exit", "q"):
+                    break
+                elif line == "/help":
+                    print("Commands" + _HELP, file=out)
+                elif line == "/stats":
+                    from .build import index_stats
+
+                    for k, v in index_stats(index_dir).items():
+                        print(f"  {k}: {v}", file=out)
+                elif line.startswith("/topk "):
+                    top_k = int(line.split()[1])
+                    print(f"top_k = {top_k}", file=out)
+                elif line.startswith("/complete "):
+                    for t, d in eng.suggest_complete(
+                        line.split(None, 1)[1], size=top_k
+                    ):
+                        print(f"  {t}  (df {d})", file=out)
+                elif line.startswith("/suggest "):
+                    for s in eng.search_suggest(
+                        line.split(None, 1)[1], top_k
+                    ):
+                        print(f"  {s}", file=out)
+                elif line.startswith("/facet "):
+                    parts = line.split()
+                    field = parts[2] if len(parts) > 2 else "lang"
+                    total, facets = eng.search_facets(parts[1], field)
+                    print(f"total {total}", file=out)
+                    for v in sorted(facets, key=facets.get, reverse=True):
+                        print(f"  {v}: {facets[v]}", file=out)
+                elif line.startswith("/span "):
+                    parts = line.split()[1:]
+                    slop = int(parts[-1]) if parts[-1].isdigit() else 0
+                    terms = parts[:-1] if parts[-1].isdigit() else parts
+                    df = eng.search_span_near(
+                        terms, slop=slop, top_k=top_k, with_meta=True
+                    )
+                    _print_hits(df, out, ("path", "min_window", "doc_id"))
+                elif line.startswith("/explain "):
+                    head, doc = line.rsplit(None, 1)
+                    q = head.split(None, 1)[1]
+                    ex = eng.explain(q, int(doc))
+                    if ex is None or not ex.get("matched", True):
+                        print("(no match)", file=out)
+                    else:
+                        for leaf in ex["leaves"]:
+                            for d in leaf.get("details", []):
+                                print(
+                                    f"  {d['term']}: df={d['df']} "
+                                    f"tf={d['tf']} dl={d['dl']}",
+                                    file=out,
+                                )
+                elif line.startswith("/regex "):
+                    if not corpus:
+                        print("(no --corpus; /regex unavailable)", file=out)
+                        continue
+                    from .regex_search import regex_search
+
+                    df = regex_search(corpus, line.split(None, 1)[1])
+                    for _, r in df.head(top_k).iterrows():
+                        print(
+                            f"  {r['path']}:{r['line_number']}: "
+                            f"{r['line'][:100]}",
+                            file=out,
+                        )
+                    if len(df) > top_k:
+                        print(f"  ... {len(df) - top_k} more", file=out)
+                elif line.startswith("/hybrid "):
+                    if not corpus:
+                        print("(no --corpus; /hybrid unavailable)", file=out)
+                        continue
+                    from .regex_search import regex_search
+
+                    q = line.split(None, 1)[1]
+                    lex = eng.search(q, top_k=100)
+                    rex = regex_search(corpus, ".*".join(q.split()))
+                    ranks: dict = {}
+                    for lst in (
+                        lex["path"].tolist(),
+                        rex["path"].drop_duplicates().tolist(),
+                    ):
+                        for r, d in enumerate(lst, start=1):
+                            ranks[d] = ranks.get(d, 0.0) + 1.0 / (60 + r)
+                    for p in sorted(
+                        ranks, key=lambda x: (-ranks[x], x)
+                    )[:top_k]:
+                        print(f"  {ranks[p]:.6f}  {p}", file=out)
+                elif line.startswith("/"):
+                    print(f"unknown command {line.split()[0]!r} "
+                          "(/help lists them)", file=out)
+                else:
+                    _print_hits(eng.search(line, top_k=top_k), out)
+            except Exception as e:  # keep the session alive on errors
+                print(f"error: {e}", file=out)
+    finally:
+        eng.close()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="python -m ck_ray.repl")
+    p.add_argument("--index-dir", required=True)
+    p.add_argument("--corpus", help="corpus parquet (enables /regex, /hybrid)")
+    p.add_argument("--shards", type=int, default=4)
+    args = p.parse_args(argv)
+    import ray
+
+    owns = not ray.is_initialized()
+    if owns:
+        ray.init(
+            address="local", include_dashboard=False,
+            logging_level="ERROR",
+        )
+    try:
+        return run_repl(
+            args.index_dir, args.corpus, num_shards=args.shards
+        )
+    finally:
+        if owns:
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

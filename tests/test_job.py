@@ -212,3 +212,39 @@ def test_curate_subcommand(ray_session, tmp_path, capsys):
     back = pads.dataset(out_dir, partitioning="hive").to_table()
     assert back.num_rows == c["n_kept"]
     assert c["n_partitions"] >= 1
+
+
+def test_job_percolate(ray_session, tmp_path, capsys):
+    """percolate subcommand: registry file -> streamed parquet pairs."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ck_ray import job
+
+    t = pa.table(
+        {
+            "path": pa.array(["a.py", "b.py", "c.py"]),
+            "content": pa.array(
+                ["merge window here", "nothing relevant", "window merge"]
+            ),
+        }
+    )
+    corpus = tmp_path / "corpus.parquet"
+    pq.write_table(t, str(corpus))
+    reg = tmp_path / "reg.json"
+    reg.write_text(_json.dumps({"mw": '"merge window"', "w": "window"}))
+    out_dir = str(tmp_path / "out")
+    rc = job.main([
+        "percolate", "--corpus", str(corpus), "--queries", str(reg),
+        "--output", out_dir,
+    ])
+    assert rc == 0
+    line = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["job"] == "percolate" and line["n_queries"] == 2
+    import pyarrow.dataset as pads
+
+    got = pads.dataset(out_dir).to_table().to_pandas()
+    pairs = set(zip(got["query_name"], got["path"]))
+    assert pairs == {("mw", "a.py"), ("w", "a.py"), ("w", "c.py")}
