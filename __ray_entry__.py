@@ -890,11 +890,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats", "tfidf_top_terms", "unigram_logprob",
         "kn_bigram_logprob", "ccnet_buckets", "approx_distinct_terms",
         "cms_term_counts", "events_props_stats",
-        "bm25_multi_agg", "bm25_facet_stats", "bm25_cardinality",
         "bm25_top_hits_per_lang", "bm25_sort_by_field", "bm25_paged",
         "bm25_span_near", "bm25_composite_agg", "hybrid_semantic_rrf",
         "bm25_complete", "bm25_adjacency_matrix", "ann_filtered_topk",
-    ][:50]
+    ]
+    # the driver checks a 50-entry prefix: keep the list EXACTLY 50 so
+    # a silent [:50] truncation can never drop the entries this
+    # rotation exists to cover
+    assert len(first) == 50, len(first)
     assert set(first) <= set(base)
     return {k: base[k] for k in first} | {
         k: v for k, v in base.items() if k not in first
@@ -2886,7 +2889,8 @@ sims AS (
   FROM embeddings e, q
 ),
 topk AS (SELECT * FROM sims ORDER BY score DESC, vec_id LIMIT 10)
-SELECT vec_id, round(score, 4) AS score FROM topk ORDER BY score DESC, vec_id
+SELECT vec_id, round(score, 4) AS score FROM topk
+ORDER BY topk.score DESC, vec_id
 """,
         # IVF with the hyperplane coarse quantizer: cell = sign bits of
         # the first 4 dims, probe = cells within Hamming distance 1 of
@@ -2913,7 +2917,8 @@ sims AS (
   WHERE bit_count(xor(e.c, qc.c)) <= 1
 ),
 topk AS (SELECT * FROM sims ORDER BY score DESC, vec_id LIMIT 10)
-SELECT vec_id, round(score, 4) AS score FROM topk ORDER BY score DESC, vec_id
+SELECT vec_id, round(score, 4) AS score FROM topk
+ORDER BY topk.score DESC, vec_id
 """,
         # The semantic path, replicated term-for-term: line-window chunks
         # -> tantivy tokenizer -> FNV-1a 64 over utf-8 bytes (recursive
@@ -3737,7 +3742,8 @@ sims AS (
   FROM embeddings e, q WHERE e.label = 3
 ),
 topk AS (SELECT * FROM sims ORDER BY score DESC, vec_id LIMIT 10)
-SELECT vec_id, round(score, 4) AS score FROM topk ORDER BY score DESC, vec_id
+SELECT vec_id, round(score, 4) AS score FROM topk
+ORDER BY topk.score DESC, vec_id
 """,
         # span_near (unordered, 2 terms): min window = min |pa-pb|+1
         # over all position pairs; match iff min_window - 2 <= slop;

@@ -719,8 +719,6 @@ def main(argv: list[str] | None = None) -> int:
         if args.percolate:
             import json as _json
 
-            import ray.data as _rd
-
             from .ops.percolate import percolate
 
             if args.corpus is None:
@@ -728,11 +726,9 @@ def main(argv: list[str] | None = None) -> int:
                 return 2
             with open(args.percolate) as fh:
                 registry = _json.load(fh)
-            ds = (
-                args.corpus
-                if isinstance(args.corpus, _rd.Dataset)
-                else _rd.read_parquet(args.corpus)
-            )
+            # same corpus resolution as every other mode: --exclude
+            # globs prune at the read
+            ds = _corpus_ds(args.corpus, args.exclude)
             df = percolate(
                 ds, registry, text_col="content", id_col="path"
             )

@@ -479,6 +479,15 @@ def filtered_cosine_topk(
         )
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:
+        # an unmatched filter value prunes every row group — ordinary
+        # input for a filtered-search API, so: zero rows, not a crash
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series([], dtype="int64"),
+                "score": pd.Series([], dtype="float64"),
+            }
+        )
     out = (
         parts.sort_values(["score", "vec_id"], ascending=[False, True])
         .head(k)

@@ -1357,27 +1357,31 @@ def regex_match_docs(sf_dir: str, pattern: str = "merge.*window.*batch") -> pd.D
 
 
 def rrf_fuse(
-    rankings: list[list], k: int = 20, rrf_k: int = 60
+    rankings: list[list], k: int = 20, rrf_k: int = 60,
+    key: str = "doc_id",
 ) -> pd.DataFrame:
     """Reciprocal Rank Fusion: score = sum over lists of
     1/(rrf_k + rank), rank 1-based per list; published score rounded
-    6dp, ordered (rrf desc, doc_id asc), cut to ``k``. ONE definition
-    shared by every hybrid entry so the fusion constant / rounding /
-    tie-break stay bit-identical to their SQL oracles."""
-    ranks: dict[int, float] = {}
+    6dp, ordered (rrf desc, key asc), cut to ``k``. ONE definition
+    shared by every hybrid consumer (entries, REPL) so the fusion
+    constant / rounding / tie-break stay bit-identical to their SQL
+    oracles. Keys keep their own type (int doc ids or string
+    paths)."""
+    ranks: dict = {}
     for lst in rankings:
         for r, d in enumerate(lst, start=1):
             ranks[d] = ranks.get(d, 0.0) + 1.0 / (rrf_k + r)
     out = pd.DataFrame(
         {
-            "doc_id": list(ranks),
+            key: list(ranks),
             "rrf_score": round_half_away(list(ranks.values()), 6),
         }
     )
     out = out.sort_values(
-        ["rrf_score", "doc_id"], ascending=[False, True]
+        ["rrf_score", key], ascending=[False, True]
     ).head(k)
-    out["doc_id"] = out["doc_id"].astype("int64")
+    if out[key].map(lambda v: isinstance(v, (int, np.integer))).all():
+        out[key] = out[key].astype("int64")
     return out.reset_index(drop=True)
 
 

@@ -10,10 +10,10 @@ Commands (anything else is a BM25 query):
     QUERY                 BM25 top-k (supports the full query language)
     /regex PATTERN        regex line search over the corpus
     /hybrid QUERY         RRF fusion of the regex and BM25 legs
-    /span T1 T2 [SLOP]    proximity search ranked by minimal window
+    /span T1 T2 [slop=N]  proximity search ranked by minimal window
     /complete PREFIX      dictionary autocomplete (df-ranked)
     /suggest TERM         spell-correction candidates
-    /facet QUERY [FIELD]  full-match-set facet counts (default lang)
+    /facet [field=F] Q    full-match-set facet counts (default lang)
     /explain QUERY DOC    per-term BM25 evidence for one doc
     /topk N               set result count (default 10)
     /stats                index statistics
@@ -76,7 +76,7 @@ def run_repl(
             if not line:
                 continue
             try:
-                if line in ("/quit", "/exit", "q"):
+                if line in ("/quit", "/exit"):
                     break
                 elif line == "/help":
                     print("Commands" + _HELP, file=out)
@@ -99,16 +99,27 @@ def run_repl(
                     ):
                         print(f"  {s}", file=out)
                 elif line.startswith("/facet "):
-                    parts = line.split()
-                    field = parts[2] if len(parts) > 2 else "lang"
-                    total, facets = eng.search_facets(parts[1], field)
+                    # /facet [field=F] QUERY...  (query may be multi-term)
+                    rest = line.split(None, 1)[1]
+                    field = "lang"
+                    if rest.startswith("field="):
+                        fspec, rest = rest.split(None, 1)
+                        field = fspec[len("field="):]
+                    total, facets = eng.search_facets(rest, field)
                     print(f"total {total}", file=out)
                     for v in sorted(facets, key=facets.get, reverse=True):
                         print(f"  {v}: {facets[v]}", file=out)
                 elif line.startswith("/span "):
+                    # /span T1 T2 ... [slop=N] — explicit marker so a
+                    # numeric TERM ('404') is never eaten as the slop
                     parts = line.split()[1:]
-                    slop = int(parts[-1]) if parts[-1].isdigit() else 0
-                    terms = parts[:-1] if parts[-1].isdigit() else parts
+                    slop = 0
+                    terms = []
+                    for tok in parts:
+                        if tok.startswith("slop="):
+                            slop = int(tok[len("slop="):])
+                        else:
+                            terms.append(tok)
                     df = eng.search_span_near(
                         terms, slop=slop, top_k=top_k, with_meta=True
                     )
@@ -122,11 +133,12 @@ def run_repl(
                     else:
                         for leaf in ex["leaves"]:
                             for d in leaf.get("details", []):
-                                print(
-                                    f"  {d['term']}: df={d['df']} "
-                                    f"tf={d['tf']} dl={d['dl']}",
-                                    file=out,
+                                bits = " ".join(
+                                    f"{kk}={d[kk]}"
+                                    for kk in ("df", "tf", "dl")
+                                    if kk in d  # phrase leaves: df only
                                 )
+                                print(f"  {d['term']}: {bits}", file=out)
                 elif line.startswith("/regex "):
                     if not corpus:
                         print("(no --corpus; /regex unavailable)", file=out)
@@ -136,7 +148,7 @@ def run_repl(
                     df = regex_search(corpus, line.split(None, 1)[1])
                     for _, r in df.head(top_k).iterrows():
                         print(
-                            f"  {r['path']}:{r['line_number']}: "
+                            f"  {r['path']}:{r['line_no']}: "
                             f"{r['line'][:100]}",
                             file=out,
                         )
@@ -148,20 +160,23 @@ def run_repl(
                         continue
                     from .regex_search import regex_search
 
+                    from .pipelines.docsearch import rrf_fuse
+
                     q = line.split(None, 1)[1]
                     lex = eng.search(q, top_k=100)
                     rex = regex_search(corpus, ".*".join(q.split()))
-                    ranks: dict = {}
-                    for lst in (
-                        lex["path"].tolist(),
-                        rex["path"].drop_duplicates().tolist(),
-                    ):
-                        for r, d in enumerate(lst, start=1):
-                            ranks[d] = ranks.get(d, 0.0) + 1.0 / (60 + r)
-                    for p in sorted(
-                        ranks, key=lambda x: (-ranks[x], x)
-                    )[:top_k]:
-                        print(f"  {ranks[p]:.6f}  {p}", file=out)
+                    fused = rrf_fuse(
+                        [
+                            lex["path"].tolist(),
+                            rex["path"].drop_duplicates().tolist(),
+                        ],
+                        k=top_k, key="path",
+                    )
+                    for _, r in fused.iterrows():
+                        print(
+                            f"  {r['rrf_score']:.6f}  {r['path']}",
+                            file=out,
+                        )
                 elif line.startswith("/"):
                     print(f"unknown command {line.split()[0]!r} "
                           "(/help lists them)", file=out)

@@ -42,7 +42,7 @@ def test_query_and_commands(ray_session, tiny_index):
 def test_span_and_suggest(ray_session, tiny_index):
     text = _session(
         tiny_index,
-        ["/span merge window 8", "/suggest mergw", "/quit"],
+        ["/span merge window slop=8", "/suggest mergw", "/quit"],
     )
     assert "min_window" in text
 
@@ -91,3 +91,36 @@ def test_explain_command(ray_session, tiny_index):
         eng.close()
     text = _session(tiny_index, [f"/explain merge window {doc}", "/quit"])
     assert "df=" in text and "tf=" in text
+
+
+def test_review_fixes(ray_session, tiny_corpus, tiny_index, tmp_path):
+    """The review findings stay fixed: bare 'q' searches instead of
+    quitting, numeric span terms survive, field= facet syntax, /regex
+    prints real line numbers, phrase /explain shows df-only leaves."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    c = str(tmp_path / "corpus")
+    os.makedirs(c, exist_ok=True)
+    pq.write_table(tiny_corpus, os.path.join(c, "part.parquet"))
+    text = _session(
+        tiny_index,
+        [
+            "q",                               # searches, doesn't quit
+            "/span merge window slop=8",
+            "/facet field=lang merge AND window",
+            "/regex merge",
+            '/explain "merge window" 1',       # phrase leaf: df only
+            "/quit",
+        ],
+        corpus=c,
+    )
+    assert "(no hits)" in text or "normalized_score" in text  # 'q' ran
+    assert "min_window" in text
+    assert "total " in text
+    assert "error:" not in text.split("/regex")[0]  # no KeyErrors before
+    # regex hits carry path:line_no:
+    import re
+
+    assert re.search(r"\S+:\d+: ", text)
