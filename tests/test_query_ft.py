@@ -765,3 +765,43 @@ class TestSpanNear:
                                  in_order=True)
         # doc 4: window(0) merge(1) window(2) -> window 3 == n+0
         assert len(out["doc_id"]) == 1 and out["min_window"][0] == 3
+
+
+def test_round4_paths_survive_shard_kill(ray_session, tiny_index):
+    """The round-4 serving paths (span_near, composite agg, adjacency,
+    completion, batch trees) recover transparently from a killed shard
+    — same max_restarts/idempotent-retry contract as query_topk."""
+    eng = BM25Engine(tiny_index, num_shards=2)
+    try:
+        sources = [
+            {"field": "lang", "type": "terms"},
+            {"field": "n_bytes", "type": "histogram", "interval": 256},
+        ]
+        before = (
+            eng.search_span_near(["merge", "window"], slop=8, top_k=10),
+            eng.search_composite_agg("merge", sources, size=10**6)[0],
+            eng.search_adjacency_matrix({"a": "merge", "b": "window"}),
+            eng.suggest_complete("mer", 5),
+            [  # batch path ships pre-parsed trees
+                (list(d), list(s))
+                for d, s in eng.search_many(["merge", "def"] * 3, top_k=5)
+            ],
+        )
+        ray.kill(eng.shards[0], no_restart=False)
+        after = (
+            eng.search_span_near(["merge", "window"], slop=8, top_k=10),
+            eng.search_composite_agg("merge", sources, size=10**6)[0],
+            eng.search_adjacency_matrix({"a": "merge", "b": "window"}),
+            eng.suggest_complete("mer", 5),
+            [
+                (list(d), list(s))
+                for d, s in eng.search_many(["merge", "def"] * 3, top_k=5)
+            ],
+        )
+        assert before[0].equals(after[0])
+        assert before[1].equals(after[1])
+        assert before[2] == after[2]
+        assert before[3] == after[3]
+        assert before[4] == after[4]
+    finally:
+        eng.close()
