@@ -673,6 +673,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_prev_purchase": relational.events_asof_prev_purchase,
         "error_click_window_counts": relational.error_click_window_counts,
         "event_value_quantiles": relational.event_value_quantiles,
+        # windowed funnel (ClickHouse windowFunnel): deepest ordered
+        # stage chain per user within a time window; exchange-per-user
+        # + the span_near greedy-anchor kernel over packed ranks
+        "event_funnel": relational.event_funnel,
         # --- distributed global sort (sampled-range TeraSort over the
         # exchange; sorted partitioned parquet + rank-stride order proof)
         "orders_sorted_ranks": _orders_sorted_ranks,
@@ -890,9 +894,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats", "tfidf_top_terms", "unigram_logprob",
         "kn_bigram_logprob", "ccnet_buckets", "approx_distinct_terms",
         "cms_term_counts", "events_props_stats",
-        "bm25_top_hits_per_lang", "bm25_sort_by_field", "bm25_paged",
+        "bm25_sort_by_field", "bm25_paged",
         "bm25_span_near", "bm25_composite_agg", "hybrid_semantic_rrf",
         "bm25_complete", "bm25_adjacency_matrix", "ann_filtered_topk",
+        "event_funnel",
     ]
     # the driver checks a 50-entry prefix: keep the list EXACTLY 50 so
     # a silent [:50] truncation can never drop the entries this
@@ -3744,6 +3749,27 @@ sims AS (
 topk AS (SELECT * FROM sims ORDER BY score DESC, vec_id LIMIT 10)
 SELECT vec_id, round(score, 4) AS score FROM topk
 ORDER BY topk.score DESC, vec_id
+""",
+        # windowed funnel: exists-chain per stage (greedy-accept ==
+        # exists-accept, so the SQL join form equals the engine kernel)
+        "event_funnel": """
+WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT 1 AS stage,
+       CAST((SELECT count(DISTINCT user_id) FROM v) AS BIGINT) AS n_users
+UNION ALL
+SELECT 2,
+       (SELECT count(DISTINCT v.user_id) FROM v
+        JOIN c ON c.user_id = v.user_id AND c.ts > v.ts
+              AND c.ts <= v.ts + INTERVAL 6 HOUR)
+UNION ALL
+SELECT 3,
+       (SELECT count(DISTINCT v.user_id) FROM v
+        JOIN c ON c.user_id = v.user_id AND c.ts > v.ts
+        JOIN p ON p.user_id = v.user_id AND p.ts > c.ts
+              AND p.ts <= v.ts + INTERVAL 6 HOUR)
+ORDER BY stage
 """,
         # span_near (unordered, 2 terms): min window = min |pa-pb|+1
         # over all position pairs; match iff min_window - 2 <= slop;

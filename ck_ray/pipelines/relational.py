@@ -1329,3 +1329,117 @@ def q6_revenue(sf_dir: str) -> pd.DataFrame:
             "n_items": [int(parts["n_items"].sum())],
         }
     ).astype("int64")
+
+
+def event_funnel(
+    sf_dir: str,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    window_hours: int = 6,
+) -> pd.DataFrame:
+    """WINDOWED FUNNEL (the ClickHouse ``windowFunnel`` shape, a core
+    product-analytics operator): per user, the deepest stage chain
+    ``stages[0] -> stages[1] -> ...`` with strictly increasing
+    timestamps whose LAST event falls within ``window_hours`` of the
+    chain's FIRST. Returns (stage, n_users) — users reaching AT LEAST
+    each stage.
+
+    Distributed shape: int-only (user, ts, stage) rows co-locate per
+    user through the hash exchange; each partition answers its users
+    with the span_near anchor kernel — every stage-1 event anchors a
+    GREEDY chain (one searchsorted per stage over (user_rank, ts_rank)
+    packed keys; greedy-earliest minimizes the chain end, so
+    greedy-accept == exists-accept, the slop-phrase argument) — and
+    ships 3 integers. Timestamps compare by their within-partition
+    RANK (order-isomorphic to ts, and ranks pack into 32 bits no
+    matter how wide the time range)."""
+    from ..exchange import hash_exchange, int_key_hash
+
+    window_us = window_hours * 3_600_000_000
+    n_stages = len(stages)
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["user_id", "ts", "event_type"]
+    )
+
+    def map_side(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(
+            t["event_type"], value_set=pa.array(list(stages), pa.string())
+        )
+        t = t.filter(mask)
+        st = np.zeros(t.num_rows, np.int64)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        for i, s in enumerate(stages):
+            st[et == s] = i
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts_us": t["ts"].cast(pa.int64()),
+                "stage": pa.array(st),
+            }
+        )
+
+    def reduce_part(rows: pa.Table) -> pa.Table:
+        u = rows["user_id"].to_numpy()
+        ts = rows["ts_us"].to_numpy()
+        st = rows["stage"].to_numpy()
+        if len(u) == 0:
+            return pa.table({"stage": pa.array([], pa.int64()),
+                             "n_users": pa.array([], pa.int64())})
+        _, urank = np.unique(u, return_inverse=True)
+        uniq_ts = np.unique(ts)
+        trank = np.searchsorted(uniq_ts, ts).astype(np.uint64)
+        key = (urank.astype(np.uint64) << np.uint64(32)) | trank
+        per_stage_keys = []
+        per_stage_ts = []
+        for i in range(n_stages):
+            sel = st == i
+            k = key[sel]
+            order = np.argsort(k)
+            per_stage_keys.append(k[order])
+            per_stage_ts.append(ts[sel][order])
+        anchors = per_stage_keys[0]
+        anchor_ts = per_stage_ts[0]
+        reach = [np.unique(anchors >> np.uint64(32))]  # stage-1 users
+        prev = anchors
+        ok = np.ones(len(anchors), bool)
+        for i in range(1, n_stages):
+            k_i = per_stage_keys[i]
+            if len(k_i) == 0:  # this partition saw no stage-i events
+                ok[:] = False
+                reach.append(np.empty(0, np.uint64))
+                continue
+            pos = np.searchsorted(k_i, prev + np.uint64(1))
+            valid = pos < len(k_i)
+            posc = np.clip(pos, 0, len(k_i) - 1)
+            nxt = k_i[posc]
+            valid &= (nxt >> np.uint64(32)) == (prev >> np.uint64(32))
+            ok &= valid
+            in_window = np.zeros(len(anchors), bool)
+            in_window[ok] = (
+                per_stage_ts[i][posc[ok]] - anchor_ts[ok] <= window_us
+            )
+            reach.append(
+                np.unique((anchors[ok & in_window]) >> np.uint64(32))
+            )
+            prev = np.where(ok, nxt, prev)
+        return pa.table(
+            {
+                "stage": pa.array(
+                    np.arange(1, n_stages + 1, dtype=np.int64)
+                ),
+                "n_users": pa.array(
+                    np.array([len(r) for r in reach], np.int64)
+                ),
+            }
+        )
+
+    parts = hash_exchange(
+        ds.map_batches(map_side, batch_format="pyarrow"),
+        key_fn=lambda t: int_key_hash(t["user_id"].to_numpy()),
+        reducer=reduce_part,
+    )
+    out = (
+        parts.groupby("stage", as_index=False)["n_users"].sum()
+        .sort_values("stage")
+        .reset_index(drop=True)
+    )
+    return out.astype({"stage": "int64", "n_users": "int64"})

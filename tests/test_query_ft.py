@@ -805,3 +805,82 @@ def test_round4_paths_survive_shard_kill(ray_session, tiny_index):
         assert before[4] == after[4]
     finally:
         eng.close()
+
+
+def test_span_near_fuzz_vs_bruteforce(ray_session, tmp_path_factory):
+    """Randomized differential: the engine's anchor-scan minimal
+    windows equal a brute-force itertools search over every per-term
+    position tuple, ordered and unordered, across 40 random corpora
+    slices x 3 term counts."""
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ck_ray.build import IndexConfig, build_index
+    from ck_ray.query import BM25Engine
+    from ck_ray.tokenizer import tokenize_text
+
+    rng = np.random.RandomState(11)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    docs = [
+        " ".join(rng.choice(vocab, rng.randint(3, 30)))
+        for _ in range(60)
+    ]
+    t = pa.table(
+        {
+            "repo": ["r"] * len(docs),
+            "path": [str(i) for i in range(len(docs))],
+            "commit": ["0"] * len(docs),
+            "lang": ["text"] * len(docs),
+            "content": pa.array(docs),
+        }
+    )
+    d = str(tmp_path_factory.mktemp("spanfuzz") / "idx")
+    build_index(ray.data.from_arrow(t), d, IndexConfig(num_parts=2))
+
+    def brute(doc, terms, slop, in_order):
+        toks = tokenize_text(doc)
+        pos = [
+            [i for i, tk in enumerate(toks) if tk == term]
+            for term in terms
+        ]
+        if any(not p for p in pos):
+            return None
+        best = None
+        for combo in itertools.product(*pos):
+            if in_order:
+                if not all(a < b for a, b in zip(combo, combo[1:])):
+                    continue
+            elif len(set(combo)) != len(combo):
+                continue
+            w = max(combo) - min(combo) + 1
+            best = w if best is None else min(best, w)
+        if best is None or best - len(terms) > slop:
+            return None
+        return best
+
+    eng = BM25Engine(d, num_shards=2)
+    try:
+        checked = 0
+        for trial in range(40):
+            n_terms = int(rng.randint(2, 4))
+            terms = list(rng.choice(vocab, n_terms, replace=False))
+            slop = int(rng.randint(0, 6))
+            in_order = bool(rng.randint(0, 2))
+            df = eng.search_span_near(
+                terms, slop=slop, in_order=in_order, top_k=None,
+                with_meta=True,
+            )
+            got = {p: w for p, w in zip(df["path"], df["min_window"])}
+            want = {}
+            for i, doc in enumerate(docs):
+                w = brute(doc, terms, slop, in_order)
+                if w is not None:
+                    want[str(i)] = w
+            assert got == want, (terms, slop, in_order)
+            checked += len(want)
+        assert checked > 100  # the corpora actually exercised matches
+    finally:
+        eng.close()

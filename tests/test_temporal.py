@@ -182,3 +182,61 @@ def test_late_ship_priority_counts_planted(ray_session, tmp_path):
     assert out.loc["1-URGENT", "late_orders"] == 1  # order 1 only
     assert out.loc["2-HIGH", "late_orders"] == 1    # order 4 only
     assert len(out) == 2
+
+
+def test_event_funnel_semantics(ray_session, tmp_path):
+    """Windowed funnel: chain order, strict timestamps, and the window
+    anchored at the chain's FIRST event — planted users covering each
+    level."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ck_ray.pipelines.relational import event_funnel
+
+    H = 3_600_000_000  # 1h in us
+    base = 1_700_000_000_000_000
+    rows = []  # (user, type, t_us)
+
+    def ev(u, typ, t):
+        rows.append((u, typ, base + t))
+
+    # u1: full chain within 6h -> level 3
+    ev(1, "view", 0); ev(1, "click", 1 * H); ev(1, "purchase", 2 * H)
+    # u2: chain exists but purchase beyond 6h of the view -> level 2
+    ev(2, "view", 0); ev(2, "click", 1 * H); ev(2, "purchase", 8 * H)
+    # u3: purchase BEFORE click (wrong order) -> level 2
+    ev(3, "view", 0); ev(3, "purchase", 1 * H); ev(3, "click", 2 * H)
+    # u4: view only -> level 1
+    ev(4, "view", 0)
+    # u5: click+purchase but never a view -> level 0 (absent)
+    ev(5, "click", 0); ev(5, "purchase", 1 * H)
+    # u6: first anchor fails the window but a LATER view anchors a
+    # fast chain -> level 3 (max over anchors)
+    ev(6, "view", 0)
+    ev(6, "view", 10 * H); ev(6, "click", 11 * H); ev(6, "purchase", 12 * H)
+    # u7: click at the SAME microsecond as view (not strictly after)
+    ev(7, "view", 0); ev(7, "click", 0); ev(7, "purchase", 1 * H)
+
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(
+                np.array([r[2] for r in rows], "datetime64[us]")
+            ),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([0.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = event_funnel(str(tmp_path), window_hours=6)
+    expect = pd.DataFrame(
+        {"stage": [1, 2, 3], "n_users": [6, 4, 2]}
+        # stage1: u1,u2,u3,u4,u6,u7 (u5 has no view)
+        # stage2: u1,u2,u3,u6 (u7's click not strictly after)
+        # stage3: u1,u6
+    ).astype("int64")
+    pd.testing.assert_frame_equal(got, expect)
