@@ -612,3 +612,96 @@ def test_suggest_complete_analyzer_normalized(ray_session, tiny_index):
         assert eng.suggest_complete("!!!", 5) == []
     finally:
         eng.close()
+
+
+def test_composite_agg_fuzz_vs_pandas(ray_session, tmp_path_factory):
+    """Randomized differential: composite buckets + full after_key
+    walks equal a pandas groupby brute force over the corpus, across
+    random source combos, orders and page sizes."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from ck_ray.build import IndexConfig, build_index
+    from ck_ray.query import BM25Engine
+
+    rng = np.random.RandomState(5)
+    langs = ["python", "rust", "go", "java"]
+    rows = []
+    for i in range(80):
+        body = "merge " * int(rng.randint(1, 40))
+        rows.append((f"p{i:02d}", langs[int(rng.randint(4))], body))
+    t = pa.table(
+        {
+            "repo": ["r"] * len(rows),
+            "path": [r[0] for r in rows],
+            "commit": ["0"] * len(rows),
+            "lang": [r[1] for r in rows],
+            "content": [r[2] for r in rows],
+        }
+    )
+    d = str(tmp_path_factory.mktemp("compfuzz") / "idx")
+    build_index(ray.data.from_arrow(t), d, IndexConfig(num_parts=2))
+    base = pd.DataFrame(
+        {
+            "lang": [r[1] for r in rows],
+            "n_bytes": [len(r[2].encode()) for r in rows],
+        }
+    )
+    eng = BM25Engine(d, num_shards=2)
+    try:
+        for _ in range(12):
+            use_hist = bool(rng.randint(2))
+            sources = [
+                {
+                    "field": "lang", "type": "terms",
+                    "order": ["asc", "desc"][int(rng.randint(2))],
+                }
+            ]
+            cols = ["lang"]
+            if use_hist:
+                iv = int(rng.choice([32, 64, 128]))
+                sources.append(
+                    {
+                        "field": "n_bytes", "type": "histogram",
+                        "interval": iv,
+                        "order": ["asc", "desc"][int(rng.randint(2))],
+                    }
+                )
+                cols.append("n_bytes")
+            # brute force: groupby over every doc (query 'merge'
+            # matches all — every doc contains it)
+            bf = base.copy()
+            if use_hist:
+                bf["n_bytes"] = (bf["n_bytes"] // iv) * iv
+            want = (
+                bf.groupby(cols).size().reset_index(name="n_docs")
+            )
+            for s in reversed(sources):
+                want = want.sort_values(
+                    s["field"],
+                    ascending=s.get("order", "asc") == "asc",
+                    kind="stable",
+                )
+            want = want.reset_index(drop=True)
+            size = int(rng.randint(1, 6))
+            pages, after = [], None
+            while True:
+                b, after = eng.search_composite_agg(
+                    "merge", sources, size=size, after=after
+                )
+                if len(b) == 0:
+                    break
+                pages.append(b)
+                if after is None:
+                    break
+            got = pd.concat(pages, ignore_index=True)
+            got = got[want.columns.tolist()]
+            pd.testing.assert_frame_equal(
+                got.astype({"n_docs": "int64"}),
+                want.astype({"n_docs": "int64"}),
+                check_dtype=False,
+            ), (sources, size)
+    finally:
+        eng.close()
