@@ -839,6 +839,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # interpolated Kneser-Ney bigram LM (KenLM-style perplexity
         # filter, order-2); exact integer micro-nat contract
         "kn_bigram_logprob": text.kn_bigram_logprob,
+        # order-3 interpolated KN (KenLM-style perplexity filters run
+        # order 3-5); all lower-order stats derive from the trigram
+        # type table's continuation counts — exact micro-nat contract
+        "kn_trigram_logprob": text.kn_trigram_logprob,
         "ccnet_buckets": text.ccnet_buckets,
         "approx_distinct_terms": text.approx_distinct_terms,
         "cms_term_counts": text.cms_term_counts,
@@ -892,9 +896,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub", "unicode_clean", "dsir_weights",
         "langid", "fingerprints", "bigram_counts", "bigram_pmi",
         "repetition_stats", "tfidf_top_terms", "unigram_logprob",
-        "kn_bigram_logprob", "ccnet_buckets", "approx_distinct_terms",
+        "kn_bigram_logprob", "kn_trigram_logprob", "ccnet_buckets",
+        "approx_distinct_terms",
         "cms_term_counts", "events_props_stats",
-        "bm25_sort_by_field", "bm25_paged",
+        "bm25_sort_by_field",
         "bm25_span_near", "bm25_composite_agg", "hybrid_semantic_rrf",
         "bm25_complete", "bm25_adjacency_matrix", "ann_filtered_topk",
         "event_funnel",
@@ -3352,6 +3357,52 @@ per AS (
 )
 SELECT d.doc_id,
        CAST(coalesce(per.n, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(per.nll, 0) AS BIGINT) AS nll_e6
+FROM documents d LEFT JOIN per USING (doc_id)
+ORDER BY d.doc_id
+""",
+        # order-3 interpolated KN: same exact-micro-nat contract; the
+        # whole lower-order chain derives from the trigram TYPE table
+        "kn_trigram_logprob": f"""
+WITH {_TOKS_POS},
+tri AS (
+  SELECT t1.doc_id, t1.term AS a, t2.term AS b, t3.term AS c
+  FROM tokp t1
+  JOIN tokp t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+  JOIN tokp t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2
+),
+cabc AS (SELECT a, b, c, count(*) AS cabc FROM tri GROUP BY 1, 2, 3),
+ctx AS (SELECT a, b, sum(cabc) AS cab, count(*) AS n1ab
+        FROM cabc GROUP BY 1, 2),
+kbc AS (SELECT b, c, count(*) AS nbc FROM cabc GROUP BY 1, 2),
+kb AS (SELECT b, sum(nbc) AS nbdot, count(*) AS n1bs
+       FROM kbc GROUP BY 1),
+kc AS (SELECT c, count(*) AS nc FROM kbc GROUP BY 1),
+ktot AS (SELECT count(*) AS ntc FROM kbc),
+lp AS (
+  SELECT cabc.a, cabc.b, cabc.c,
+         CAST(floor(ln(
+           (greatest(cabc.cabc::DOUBLE - 0.75, 0.0)
+            + 0.75 * ctx.n1ab
+              * ((greatest(kbc.nbc::DOUBLE - 0.75, 0.0)
+                  + 0.75 * kb.n1bs * (kc.nc::DOUBLE / ktot.ntc))
+                 / kb.nbdot))
+           / ctx.cab) * 1000000) AS BIGINT) AS lp6
+  FROM cabc
+  JOIN ctx USING (a, b)
+  JOIN kbc USING (b, c)
+  JOIN kb USING (b)
+  JOIN kc USING (c)
+  CROSS JOIN ktot
+),
+per AS (
+  SELECT tri.doc_id, count(*) AS n, -sum(lp.lp6) AS nll
+  FROM tri
+  JOIN lp ON tri.a = lp.a AND tri.b = lp.b AND tri.c = lp.c
+  GROUP BY tri.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(per.n, 0) AS BIGINT) AS n_trigrams,
        CAST(coalesce(per.nll, 0) AS BIGINT) AS nll_e6
 FROM documents d LEFT JOIN per USING (doc_id)
 ORDER BY d.doc_id

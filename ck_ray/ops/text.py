@@ -1627,3 +1627,171 @@ def ccnet_buckets(sf_dir: str) -> pd.DataFrame:
         reducer=rank_part,
     )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def kn_trigram_logprob(sf_dir: str, discount: float = 0.75) -> pd.DataFrame:
+    """Per-doc negative log-likelihood under an interpolated Kneser-Ney
+    TRIGRAM model trained on the corpus itself — the order-3 upgrade of
+    ``kn_bigram_logprob`` (KenLM perplexity filters typically run order
+    3-5; higher order separates natural prose from templated spam far
+    better than the bigram). Model spec (documented variant — all
+    lower-order statistics derive from the TRIGRAM type table's
+    continuation counts, Chen & Goodman's interpolated KN with one
+    fixed discount D):
+
+        P3(c|a,b) = (max(c(abc)-D,0) + D*N1+(ab,*)*P2(c|b)) / c(ab·)
+        P2(c|b)   = (max(N1+(·bc)-D,0) + D*N1+(b,*c)*Pcont(c))
+                      / N1+(·b·)
+        Pcont(c)  = N1+(·,·c) / N1+(·,··)     (over continuation types)
+
+    Self-trained => every scored trigram is in the table (no OOV).
+    Exactness contract: per trigram TYPE the log-prob is ONE fixed-
+    order double expression over integer counts, floored to integer
+    micro-nats BEFORE the per-doc sum — nll_e6 / n_trigrams are exact
+    BIGINTs on both sides. Distribution shape = the bigram op's:
+    type-count partials ride the hash exchange, the driver computes
+    the KN statistics once over the TYPE table and broadcasts the
+    (trigram -> lp6) probe via ray.put, scoring is one streaming
+    pass."""
+    import math
+
+    from ..exchange import hash_exchange
+    from ..ids import term_hash
+
+    D = float(discount)
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _doc_trigrams(t: pa.Table):
+        tb = tokenize_array(t["text"])
+        nt = len(tb.row_index)
+        if nt < 3:
+            return None, None
+        terms = (
+            tb.term.combine_chunks()
+            if isinstance(tb.term, pa.ChunkedArray)
+            else tb.term
+        )
+        ri = tb.row_index
+        same = (ri[:-2] == ri[1:-1]) & (ri[1:-1] == ri[2:])
+        if not same.any():
+            return None, None
+        m = pa.array(same)
+        tg = pc.binary_join_element_wise(
+            terms.slice(0, nt - 2).filter(m),
+            terms.slice(1, nt - 2).filter(m),
+            terms.slice(2, nt - 2).filter(m),
+            " ",
+        )
+        return tg, ri[:-2][same]
+
+    def tg_partial(t: pa.Table) -> pa.Table:
+        tg, _ = _doc_trigrams(t)
+        if tg is None:
+            return pa.table(
+                {
+                    "tg": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        g = pa.TableGroupBy(
+            pa.table({"tg": tg}), ["tg"], use_threads=False
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {"tg": g["tg"], "cnt": g["count_all"].cast(pa.int64())}
+        )
+
+    def tg_reduce(rows: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(rows, ["tg"], use_threads=False).aggregate(
+            [("cnt", "sum")]
+        )
+        return pa.table(
+            {"tg": g["tg"], "cnt": g["cnt_sum"].cast(pa.int64())}
+        )
+
+    tgs = hash_exchange(
+        ds.map_batches(tg_partial, batch_format="pyarrow"),
+        key_fn=lambda t: term_hash(
+            t["tg"], np.zeros(t.num_rows, np.uint64)
+        ),
+        reducer=tg_reduce,
+    )
+    if tgs.empty:
+        ids = _docs(sf_dir, ["doc_id"]).to_pandas().sort_values("doc_id")
+        return pd.DataFrame(
+            {
+                "doc_id": ids["doc_id"].to_numpy(np.int64),
+                "n_trigrams": np.zeros(len(ids), np.int64),
+                "nll_e6": np.zeros(len(ids), np.int64),
+            }
+        )
+    parts = tgs["tg"].str.split(" ", n=2, expand=True)
+    a_s, b_s, c_s = parts[0], parts[1], parts[2]
+    ab_s = a_s + " " + b_s
+    bc_s = b_s + " " + c_s
+    cabc = tgs["cnt"].to_numpy(np.int64)
+    cab = tgs.groupby(ab_s)["cnt"].sum()[ab_s].to_numpy(np.int64)
+    n1ab = ab_s.value_counts()[ab_s].to_numpy(np.int64)
+    # continuation table: one row per (b, c) type
+    kbc = bc_s.value_counts()          # N1+(.bc): distinct a per (b,c)
+    nbc = kbc[bc_s].to_numpy(np.int64)
+    kb_frame = pd.DataFrame({"b": b_s, "bc": bc_s}).drop_duplicates("bc")
+    nbdot_map = bc_s.value_counts().groupby(
+        kb_frame.set_index("bc")["b"]
+    ).sum()  # N1+(.b.) = sum of nbc over c
+    n1bs_map = kb_frame.groupby("b")["bc"].count()  # distinct c per b
+    kc_frame = pd.DataFrame(
+        {"c": c_s, "bc": bc_s}
+    ).drop_duplicates("bc")
+    nc_map = kc_frame.groupby("c")["bc"].count()  # distinct b per c
+    ntc = int(kb_frame["bc"].nunique())           # continuation types
+    nbdot = nbdot_map[b_s].to_numpy(np.int64)
+    n1bs = n1bs_map[b_s].to_numpy(np.int64)
+    nc = nc_map[c_s].to_numpy(np.int64)
+    lp_e6 = np.fromiter(
+        (
+            math.floor(
+                math.log(
+                    (max(c3 - D, 0.0)
+                     + D * x_n1ab
+                       * ((max(x_nbc - D, 0.0)
+                           + D * x_n1bs * (x_nc / ntc))
+                          / x_nbdot))
+                    / c2
+                )
+                * 1_000_000
+            )
+            for c3, c2, x_n1ab, x_nbc, x_nbdot, x_n1bs, x_nc in zip(
+                cabc, cab, n1ab, nbc, nbdot, n1bs, nc
+            )
+        ),
+        dtype=np.int64,
+        count=len(cabc),
+    )
+    ref = ray.put((pa.array(tgs["tg"], pa.string()), lp_e6))
+
+    def score(t: pa.Table) -> pa.Table:
+        tg, ri = _doc_trigrams(t)
+        n = t.num_rows
+        nll = np.zeros(n, np.int64)
+        ntg = np.zeros(n, np.int64)
+        if tg is not None:
+            voc, lp = ray.get(ref)
+            pos = pc.index_in(tg, value_set=voc).to_numpy(
+                zero_copy_only=False
+            )
+            np.add.at(nll, ri, -lp[pos])
+            ntg = np.bincount(ri, minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_trigrams": pa.array(ntg),
+                "nll_e6": pa.array(nll),
+            }
+        )
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )

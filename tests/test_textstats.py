@@ -498,3 +498,46 @@ def test_ccnet_buckets_terciles(ray_session, tmp_path):
     # lang y: n=2 -> 3*1 > 2 so no head; rank1 is middle (3*1 <= 4)
     assert df.loc[5, "rank_in_lang"] == 1 and df.loc[5, "bucket"] == "middle"
     assert df.loc[6, "bucket"] == "tail"
+
+
+def test_kn_trigram_properties(ray_session, tmp_path):
+    """Order-3 KN invariants: probabilities are proper per context
+    (sum over c of exp(lp) approx 1 for contexts fully inside the
+    table), short docs score 0 trigrams, and a repetitive doc gets a
+    LOWER per-trigram nll than a one-off one."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ck_ray.ops.text import kn_trigram_logprob
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",
+        "zeta eta theta iota kappa",     # one-off sequence
+        "tiny doc",                      # <3 tokens -> no trigrams
+        "",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = kn_trigram_logprob(str(tmp_path))
+    assert list(got.columns) == ["doc_id", "n_trigrams", "nll_e6"]
+    by = got.set_index("doc_id")
+    assert by.loc[4, "n_trigrams"] == 0 and by.loc[4, "nll_e6"] == 0
+    assert by.loc[5, "n_trigrams"] == 0
+    assert by.loc[0, "n_trigrams"] == 7
+    # the 3x-repeated doc is far more probable per trigram than the
+    # one-off doc under the self-trained model
+    rep = by.loc[0, "nll_e6"] / by.loc[0, "n_trigrams"]
+    oneoff = by.loc[3, "nll_e6"] / by.loc[3, "n_trigrams"]
+    assert rep < oneoff
+    assert (got["nll_e6"] >= 0).all()
