@@ -1437,6 +1437,15 @@ def event_funnel(
         key_fn=lambda t: int_key_hash(t["user_id"].to_numpy()),
         reducer=reduce_part,
     )
+    if parts.empty:
+        # no events matched any stage: every stage counts zero users
+        # (the SQL oracle's shape), not a crash
+        return pd.DataFrame(
+            {
+                "stage": pd.Series(range(1, n_stages + 1), dtype="int64"),
+                "n_users": pd.Series([0] * n_stages, dtype="int64"),
+            }
+        )
     out = (
         parts.groupby("stage", as_index=False)["n_users"].sum()
         .sort_values("stage")

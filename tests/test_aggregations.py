@@ -698,10 +698,15 @@ def test_composite_agg_fuzz_vs_pandas(ray_session, tmp_path_factory):
                     break
             got = pd.concat(pages, ignore_index=True)
             got = got[want.columns.tolist()]
-            pd.testing.assert_frame_equal(
-                got.astype({"n_docs": "int64"}),
-                want.astype({"n_docs": "int64"}),
-                check_dtype=False,
-            ), (sources, size)
+            try:
+                pd.testing.assert_frame_equal(
+                    got.astype({"n_docs": "int64"}),
+                    want.astype({"n_docs": "int64"}),
+                    check_dtype=False,
+                )
+            except AssertionError as e:
+                raise AssertionError(
+                    f"config sources={sources} size={size}: {e}"
+                ) from e
     finally:
         eng.close()

@@ -240,3 +240,27 @@ def test_event_funnel_semantics(ray_session, tmp_path):
         # stage3: u1,u6
     ).astype("int64")
     pd.testing.assert_frame_equal(got, expect)
+
+
+def test_event_funnel_no_matching_stages(ray_session, tmp_path):
+    """Zero matching events -> every stage counts 0 (not a crash)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ck_ray.pipelines.relational import event_funnel
+
+    t = pa.table(
+        {
+            "event_id": pa.array([0], pa.int64()),
+            "ts": pa.array(np.array([0], "datetime64[us]")),
+            "user_id": pa.array([1], pa.int64()),
+            "event_type": pa.array(["error"], pa.string()),
+            "value": pa.array([0.0]),
+            "props": pa.array(["{}"]),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = event_funnel(str(tmp_path))
+    assert list(got["stage"]) == [1, 2, 3]
+    assert list(got["n_users"]) == [0, 0, 0]
