@@ -875,6 +875,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # against the document stream — ES percolate / Lucene Monitor;
         # one streaming pass, registry parsed once per actor)
         "percolate_matches": percolate.percolate_matches,
+        # --- round-4 fulltext additions (all engine fan-outs over the
+        # documents index, each with an exact SQL oracle)
+        # ES rare_terms (exact): long-tail dictionary terms by live df
+        "bm25_rare_terms": docsearch.bm25_rare_terms,
+        # ES significant_text (JLH): anomalously co-occurring terms of
+        # a query's match set vs the corpus, from the inverted index
+        "bm25_significant_text": docsearch.bm25_significant_text,
+        # ES phrase suggest ("did you mean"): fuzzy candidates ranked
+        # by an interpolated bigram LM off the positional postings
+        "bm25_phrase_suggest": docsearch.bm25_phrase_suggest,
+        # Lucene unified-highlighter passage selection: best idf-weighted
+        # token window per matching doc, from positions only
+        "bm25_best_passage": docsearch.bm25_best_passage,
     }
     # The driver's per-round correctness gate checks a PREFIX of this
     # dict (r3 covered the first 50 of 109). Rotate so the families
@@ -888,7 +901,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs", "near_dup_groups", "embedding_near_dups",
         "ann_cosine_topk", "ann_multi_topk", "ann_ivf_topk",
         "ann_ivf_persisted", "ann_sq8_topk", "semantic_topk",
-        "multimodal_features", "image_resize_nn", "video_frame_sample",
+        "bm25_rare_terms", "bm25_significant_text",
+        "bm25_phrase_suggest", "bm25_best_passage",
         "code_index_stats",
         "decontaminate", "dup_ngram_spans", "stratified_sample",
         "source_quota_cap", "token_budget_sample", "corpus_clean",
@@ -898,7 +912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats", "tfidf_top_terms", "unigram_logprob",
         "kn_bigram_logprob", "kn_trigram_logprob", "ccnet_buckets",
         "approx_distinct_terms",
-        "cms_term_counts", "events_props_stats",
+        "events_props_stats",
         "bm25_sort_by_field",
         "bm25_span_near", "bm25_composite_agg", "hybrid_semantic_rrf",
         "bm25_complete", "bm25_adjacency_matrix", "ann_filtered_topk",
@@ -3876,5 +3890,110 @@ pairs AS (
 allb AS (SELECT * FROM singles UNION ALL SELECT * FROM pairs)
 SELECT key, CAST(doc_count AS BIGINT) AS doc_count
 FROM allb WHERE doc_count > 0 ORDER BY key
+""",
+        # rare_terms (exact): long-tail dictionary terms by live df
+        "bm25_rare_terms": f"""
+WITH {_TOKS},
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks2 GROUP BY term)
+SELECT term, df FROM df WHERE df <= 400 ORDER BY df, term LIMIT 20
+""",
+        # significant_text (JLH): fg = docs of the merge-AND-window
+        # match set containing the term, bg = corpus df; identical
+        # double expression (two divides, subtract, divide, multiply),
+        # query's own terms excluded, min fg 3, shared 4dp rounding
+        "bm25_significant_text": f"""
+WITH {_TOKS},
+m AS (
+  SELECT doc_id FROM toks2 WHERE term = 'merge'
+  INTERSECT SELECT doc_id FROM toks2 WHERE term = 'window'
+),
+fg AS (
+  SELECT term, count(DISTINCT doc_id) AS c FROM toks2
+  WHERE doc_id IN (SELECT doc_id FROM m) GROUP BY term
+),
+bg AS (SELECT term, count(DISTINCT doc_id) AS c FROM toks2 GROUP BY term),
+tot AS (
+  SELECT (SELECT count(*) FROM m) AS ft,
+         (SELECT count(*) FROM documents) AS bt
+),
+scored AS (
+  SELECT fg.term, fg.c AS fg_count, bg.c AS bg_count,
+         (CAST(fg.c AS DOUBLE) / ft - CAST(bg.c AS DOUBLE) / bt)
+           * ((CAST(fg.c AS DOUBLE) / ft) / (CAST(bg.c AS DOUBLE) / bt))
+           AS score
+  FROM fg JOIN bg USING (term) CROSS JOIN tot
+  WHERE fg.c >= 3 AND fg.term NOT IN ('merge', 'window')
+)
+SELECT term, fg_count, bg_count, round(score, 4) AS score
+FROM scored WHERE score > 0
+ORDER BY score DESC, term LIMIT 12
+""",
+        # phrase suggester ("did you mean"): per-token candidates within
+        # 1 edit ranked (cf desc, term asc) top-5; chains scored by the
+        # interpolated bigram LM ln(cf(w1)/T) + ln(0.7*big/cf(w1) +
+        # 0.3*cf(w2)/T) — identical float op order to the engine
+        "bm25_phrase_suggest": f"""
+WITH {_TOKS_POS},
+tokc AS (SELECT doc_id, term FROM tokp),
+cf AS (SELECT term, count(*) AS cf FROM tokc GROUP BY term),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM tokc),
+c1 AS (SELECT term, cf FROM cf WHERE levenshtein(term, 'mergw') <= 1
+       ORDER BY cf DESC, term LIMIT 5),
+c2 AS (SELECT term, cf FROM cf WHERE levenshtein(term, 'windoq') <= 1
+       ORDER BY cf DESC, term LIMIT 5),
+big AS (
+  SELECT ta.term AS a, tb.term AS b, count(*) AS c FROM tokp ta
+  JOIN tokp tb ON ta.doc_id = tb.doc_id AND tb.pos = ta.pos + 1
+  GROUP BY 1, 2
+),
+chains AS (
+  SELECT c1.term AS w1, c2.term AS w2,
+    ln(CAST(c1.cf AS DOUBLE) / t)
+      + ln((0.7 * CAST(COALESCE(big.c, 0) AS DOUBLE)) / c1.cf
+           + (0.3 * CAST(c2.cf AS DOUBLE)) / t) AS score
+  FROM c1 CROSS JOIN c2 CROSS JOIN tot
+  LEFT JOIN big ON big.a = c1.term AND big.b = c2.term
+)
+SELECT w1 || ' ' || w2 AS phrase, round(score, 4) AS score
+FROM chains ORDER BY score DESC, phrase LIMIT 5
+""",
+        # unified-highlighter passage selection: best 8-token window per
+        # merge-AND-window doc by summed BM25-idf weight of query-term
+        # occurrences; selection on the shared 4dp rounding, tie to the
+        # smallest (1-based) start
+        "bm25_best_passage": f"""
+WITH {_TOKS_POS},
+tokc AS (SELECT doc_id, term FROM tokp),
+m AS (
+  SELECT doc_id FROM tokc WHERE term = 'merge'
+  INTERSECT SELECT doc_id FROM tokc WHERE term = 'window'
+),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n),
+dfq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tokc
+  WHERE term IN ('merge', 'window') GROUP BY term
+),
+w AS (
+  SELECT term, ln(1 + (n - df + 0.5) / (df + 0.5)) AS wt
+  FROM dfq CROSS JOIN stats
+),
+occ AS (
+  SELECT tokp.doc_id, tokp.pos, w.wt FROM tokp JOIN w USING (term)
+  WHERE tokp.doc_id IN (SELECT doc_id FROM m)
+),
+win AS (
+  SELECT o.doc_id, o.pos AS start, sum(o2.wt) AS score FROM occ o
+  JOIN occ o2 ON o2.doc_id = o.doc_id
+             AND o2.pos >= o.pos AND o2.pos < o.pos + 8
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, start, score, row_number() OVER (
+    PARTITION BY doc_id ORDER BY round(score, 4) DESC, start
+  ) AS rn
+  FROM win
+)
+SELECT doc_id, CAST(start AS BIGINT) AS start, round(score, 4) AS score
+FROM best WHERE rn = 1 ORDER BY doc_id
 """,
     }

@@ -1535,3 +1535,128 @@ def bm25_adjacency_matrix(sf_dir: str) -> pd.DataFrame:
             "doc_count": pd.Series([m[k] for k in keys], dtype="int64"),
         }
     )
+
+
+def bm25_rare_terms(
+    sf_dir: str, max_doc_count: int = 400, size: int = 20
+) -> pd.DataFrame:
+    """RARE-TERMS aggregation (ES ``rare_terms``, exact): index
+    dictionary terms with live global df <= ``max_doc_count``, ranked
+    df asc / term asc — the long-tail counterpart of the completion /
+    terms aggs. Single-epoch path is one vectorized serving-``df``
+    column scan per shard (no posting decodes, no extra rounds).
+    Oracle: GROUP BY term HAVING count(DISTINCT doc_id) <= cap."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2)
+    try:
+        got = eng.search_rare_terms(max_doc_count, size=size)
+    finally:
+        eng.close()
+    return pd.DataFrame(
+        {
+            "term": pd.Series([r["term"] for r in got], dtype="object"),
+            "df": pd.Series([r["df"] for r in got], dtype="int64"),
+        }
+    )
+
+
+def bm25_significant_text(
+    sf_dir: str, query: str = "merge AND window", size: int = 12,
+    min_doc_count: int = 3,
+) -> pd.DataFrame:
+    """SIGNIFICANT-TEXT aggregation (ES ``significant_text``, JLH):
+    free-text terms anomalously frequent in the query's matching docs
+    vs the whole corpus — exact integer (fg, bg) doc counts merged
+    across doc-partitioned shards, query's own terms excluded, JLH
+    scored once in float64 driver-side. Oracle: the identical counts
+    from the token CTE and the identical double expression."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2)
+    try:
+        res = eng.search_significant_text(
+            query, size=size, min_doc_count=min_doc_count
+        )
+    finally:
+        eng.close()
+    b = res["buckets"]
+    return pd.DataFrame(
+        {
+            "term": pd.Series([r["term"] for r in b], dtype="object"),
+            "fg_count": pd.Series(
+                [r["fg_count"] for r in b], dtype="int64"
+            ),
+            "bg_count": pd.Series(
+                [r["bg_count"] for r in b], dtype="int64"
+            ),
+            "score": round_half_away(
+                np.asarray([r["score"] for r in b], dtype=np.float64), 4
+            ),
+        }
+    )
+
+
+def bm25_phrase_suggest(
+    sf_dir: str, text: str = "mergw windoq", size: int = 5,
+    max_edits: int = 1, num_candidates: int = 5,
+) -> pd.DataFrame:
+    """PHRASE SUGGESTER — "did you mean" (ES ``phrase`` suggest):
+    per-token fuzzy candidates from the dictionary, whole corrected
+    phrases ranked by an interpolated bigram language model (λ=0.7)
+    whose unigram (cf = Σtf) and adjacent-bigram statistics come off
+    the engine's own positional postings. Oracle: levenshtein over the
+    distinct-term CTE for candidates, a pos+1 self-join for bigram
+    counts, the identical ln expression."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2)
+    try:
+        got = eng.search_phrase_suggest(
+            text, size=size, max_edits=max_edits,
+            num_candidates=num_candidates,
+        )
+    finally:
+        eng.close()
+    return pd.DataFrame(
+        {
+            "phrase": pd.Series(
+                [r["phrase"] for r in got], dtype="object"
+            ),
+            "score": round_half_away(
+                np.asarray([r["score"] for r in got], dtype=np.float64),
+                4,
+            ),
+        }
+    )
+
+
+def bm25_best_passage(
+    sf_dir: str, query: str = "merge AND window", window: int = 8
+) -> pd.DataFrame:
+    """UNIFIED-HIGHLIGHTER passage selection (Lucene/ES unified
+    highlighter, token-window form) for EVERY doc matching the filter
+    query: the ``window``-token window maximizing summed BM25-idf
+    weight of query-term occurrences, ties to the smallest start.
+    Selection runs on the shared 4dp-rounded score so float sum order
+    can't flip ties between engine and oracle. ``start`` is 1-based
+    (the oracle's token CTE convention). Oracle: window self-join over
+    the positional token CTE."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2, dtype=np.float64)
+    try:
+        res = eng.search_best_passages(query, window=window)
+    finally:
+        eng.close()
+    return (
+        pd.DataFrame(
+            {
+                "doc_id": pd.array(
+                    res["paths"].astype("int64"), dtype="int64"
+                ),
+                "start": pd.array(
+                    res["starts"] + 1, dtype="int64"
+                ),
+                "score": res["scores"],
+            }
+        )
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )

@@ -2536,6 +2536,265 @@ class LocalIndex:
         order = np.lexsort((docs, -acc.astype(np.float64)))[:k]
         return docs[order], acc[order]
 
+    def query_rare_terms(
+        self, max_doc_count: int, field: str = "content",
+        exact_global: bool = True,
+    ) -> dict:
+        """Shard-local state for a RARE-TERMS aggregation (the ES
+        ``rare_terms`` bucket agg — "give me the long tail": terms whose
+        doc count is AT MOST ``max_doc_count``; ES approximates with a
+        CuckooFilter, this engine is exact over the index dictionary).
+
+        Two regimes:
+
+        - ``exact_global=True`` (single-epoch index, no deletions): every
+          serving row already carries the term's exact GLOBAL df, so the
+          scan is one vectorized gather over the serving tables' ``df``
+          column — no posting decode, no second round. Rows whose global
+          df exceeds the cap are dropped here, so O(rare terms) strings
+          leave the shard.
+        - ``exact_global=False`` (incremental epochs / deletions): build
+          dfs are stale, so the shard returns its LIVE LOCAL doc counts
+          for terms with local count <= cap (a term with local count
+          above the cap cannot be globally rare — dfs only add across
+          doc-partitioned shards — so pruning is lossless); the driver
+          then runs one exact global live-df round over the candidate
+          union and re-filters.
+        """
+        fid = FIELD_IDS[field]
+        pre = f"{fid}:"
+        a = int(np.searchsorted(self._keys, pre, side="left"))
+        b = int(
+            np.searchsorted(self._keys, pre + "\U0010ffff", side="right")
+        )
+        if b == a:
+            return {}
+        cut = len(pre)
+        cap = int(max_doc_count)
+        if exact_global:
+            tis = self._key_ti[a:b]
+            ris = self._key_ri[a:b]
+            dfs = np.empty(b - a, np.int64)
+            for ti in np.unique(tis):
+                sel = np.nonzero(tis == ti)[0]
+                col = self._tables[int(ti)]["df"].to_numpy(
+                    zero_copy_only=False
+                )
+                dfs[sel] = col[ris[sel]]
+            keep = np.nonzero(dfs <= cap)[0]
+            # a term postings-split across buckets repeats its global df
+            # on every row; dict assignment dedupes
+            return {
+                str(self._keys[a + i])[cut:]: int(dfs[i]) for i in keep
+            }
+        out = {}
+        for s in {str(k)[cut:] for k in self._keys[a:b]}:
+            v = self._view((fid, s))
+            if v is not None and 0 < v.df <= cap:
+                out[s] = int(v.df)
+        return out
+
+    def query_significant_text(
+        self, query: str, field: str = "content", df_map=None
+    ) -> dict:
+        """Shard-local state for a SIGNIFICANT-TEXT aggregation (ES
+        ``significant_text``): for EVERY dictionary term, the exact
+        integer (foreground, background) doc counts — foreground = docs
+        of this shard's match set containing the term, background = this
+        shard's live docs containing it. Doc partitioning makes both
+        plain integer sums across shards, so the driver's JLH scoring
+        runs on exact corpus-wide counts.
+
+        Cost is one pass over the shard's postings (every list decoded
+        once) — the exact-collector shape, right for offline corpus
+        analysis at the driver-entry scales. At 100 TB you front this
+        with a sampler (ES does the same: ``significant_text`` is
+        documented to run under a ``sampler`` agg re-tokenizing only the
+        top hits); the sampled variant changes only the match-set input,
+        not this shard contract."""
+        docs, _ = self._match_set(query, df_map)
+        docs = np.sort(np.asarray(docs, dtype=np.uint64))
+        fid = FIELD_IDS[field]
+        pre = f"{fid}:"
+        a = int(np.searchsorted(self._keys, pre, side="left"))
+        b = int(
+            np.searchsorted(self._keys, pre + "\U0010ffff", side="right")
+        )
+        cut = len(pre)
+        counts: dict[str, tuple[int, int]] = {}
+        for s in {str(k)[cut:] for k in self._keys[a:b]}:
+            v = self._view((fid, s))
+            if v is None or v.df == 0:
+                continue
+            pd_ = v.docs
+            if len(docs):
+                idx = np.clip(
+                    np.searchsorted(docs, pd_), 0, len(docs) - 1
+                )
+                fg = int(np.count_nonzero(docs[idx] == pd_))
+            else:
+                fg = 0
+            counts[s] = (fg, int(v.df))
+        return {
+            "fg_total": int(len(docs)),
+            "bg_total": int(len(self._meta_ids)),
+            "counts": counts,
+        }
+
+    def local_cfs(self, keys: list[tuple[int, str]]) -> list[int]:
+        """LIVE local collection frequency (total occurrences, Σtf) per
+        key — the unigram statistic of the phrase-suggester language
+        model. Doc partitioning makes the global cf an exact integer sum
+        of these."""
+        out = []
+        for k in keys:
+            v = self._view(tuple(k))
+            out.append(0 if v is None else int(v.tfs.sum()))
+        return out
+
+    def local_token_total(self, field: str = "content") -> int:
+        """LIVE local token count (Σ doc length over this shard's live
+        docs) — the LM normalizer; exact global total = Σ shards."""
+        col = f"dl_{field}"
+        if col not in self._meta_num:
+            raise ValueError(f"no length fast-field for {field!r}")
+        ok = self._meta_num_ok[col]
+        return int(self._meta_num[col][ok].sum())
+
+    def local_bigram_counts(
+        self, pairs: list[tuple[str, str]], field: str = "content"
+    ) -> list[int]:
+        """LIVE local occurrence count of each ADJACENT bigram (a, b):
+        positions where ``pos(b) == pos(a) + 1`` within one doc, summed
+        over this shard's live postings — the bigram statistic of the
+        phrase-suggester LM (ES builds it from a shingle subfield; this
+        engine reads it off the positional postings it already has).
+        Occurrences never span docs, so the global count is an exact
+        integer sum across doc-partitioned shards."""
+        fid = FIELD_IDS[field]
+        base = np.int64(1) << np.int64(32)
+        out = []
+        for a, b in pairs:
+            va = self._view((fid, a))
+            vb = self._view((fid, b))
+            if va is None or vb is None:
+                out.append(0)
+                continue
+            da, db = va.docs, vb.docs
+            # postings of each term restricted to their COMMON docs
+            ia = np.clip(np.searchsorted(db, da), 0, max(len(db) - 1, 0))
+            common_a = np.nonzero(
+                (db[ia] == da) if len(db) else np.zeros(len(da), bool)
+            )[0]
+            if len(common_a) == 0:
+                out.append(0)
+                continue
+            ib = np.clip(np.searchsorted(da, db), 0, len(da) - 1)
+            common_b = np.nonzero(da[ib] == db)[0]
+            pa_, la = va.positions_for_many(common_a)
+            pb_, lb = vb.positions_for_many(common_b)
+            # pack (common-doc rank, position); ranks align because both
+            # restrictions enumerate the same doc set in doc order
+            ra = np.repeat(np.arange(len(common_a), dtype=np.int64), la)
+            rb = np.repeat(np.arange(len(common_b), dtype=np.int64), lb)
+            ka = ra * base + pa_.astype(np.int64) + 1
+            kb = rb * base + pb_.astype(np.int64)
+            out.append(int(np.count_nonzero(np.isin(kb, ka))))
+        return out
+
+    def query_best_passage(
+        self, query: str, window: int = 8, df_map=None
+    ) -> dict:
+        """Best highlight passage per matched doc (the Lucene/ES
+        UNIFIED HIGHLIGHTER passage scorer, token-window form): for
+        every doc of this shard's match set, the start position whose
+        window ``[start, start + window)`` maximizes the sum of BM25-idf
+        weights of query-term occurrences inside it; ties break to the
+        SMALLEST start. Scoring state is one flat (doc, pos, weight)
+        array off the positional postings — no stored text is touched,
+        and O(matched docs) rows leave the shard.
+
+        Term-query leaves only (highlighting a phrase highlights its
+        terms — Lucene does the same flattening)."""
+        empty = self._attach_meta(
+            {
+                "doc_ids": np.empty(0, np.uint64),
+                "starts": np.empty(0, np.int64),
+                "scores": np.empty(0, np.float64),
+            },
+            np.empty(0, np.uint64),
+        )
+        tree = self._parse(query)
+        if tree is None:
+            return empty
+        docs, _ = self._match_set(query, df_map)
+        docs = np.sort(np.asarray(docs, dtype=np.uint64))
+        man = self.manifest
+        n_docs = man["num_docs"]
+        parts_d, parts_p, parts_w = [], [], []
+        seen = set()
+        for c in collect_clauses(tree):
+            for t in c.terms:
+                key = (FIELD_IDS[c.field], t)
+                if key in seen:
+                    continue
+                seen.add(key)
+                v = self._view(key)
+                if v is None:
+                    continue
+                df_g = self._df_of(key, v, df_map)
+                w = float(scoring.idf(df_g, n_docs, dtype=np.float64))
+                pd_ = v.docs
+                idx = (
+                    np.clip(np.searchsorted(docs, pd_), 0, len(docs) - 1)
+                    if len(docs)
+                    else np.zeros(len(pd_), np.int64)
+                )
+                hit = (
+                    np.nonzero(docs[idx] == pd_)[0]
+                    if len(docs)
+                    else np.empty(0, np.int64)
+                )
+                if len(hit) == 0:
+                    continue
+                pos, lens = v.positions_for_many(hit)
+                parts_d.append(
+                    np.repeat(pd_[hit].astype(np.int64), lens)
+                )
+                parts_p.append(pos.astype(np.int64))
+                parts_w.append(np.full(len(pos), w, np.float64))
+        if not parts_d:
+            return empty
+        d = np.concatenate(parts_d)
+        p = np.concatenate(parts_p)
+        w = np.concatenate(parts_w)
+        base = np.int64(1) << np.int64(40)
+        key = d * base + p
+        order = np.argsort(key, kind="stable")
+        key, d, p, w = key[order], d[order], p[order], w[order]
+        # each occurrence anchors a candidate window at its own position
+        ends = np.searchsorted(key, key + np.int64(window), side="left")
+        cw = np.concatenate(([0.0], np.cumsum(w)))
+        scores = cw[ends] - cw[np.arange(len(key))]
+        # window sums are float64 in POSITION order; an oracle summing
+        # the same weights in another order can differ by ulps, so the
+        # best-window selection (and the returned score) use the shared
+        # 4dp rounding — ties then break to the smallest start
+        # identically on both sides
+        scores = scoring.round_half_away(scores, 4)
+        sel = np.lexsort((p, -scores, d))
+        dd = d[sel]
+        first = np.nonzero(
+            np.concatenate(([True], dd[1:] != dd[:-1]))
+        )[0]
+        out_docs = dd[first].astype(np.uint64)
+        out = {
+            "doc_ids": out_docs,
+            "starts": p[sel][first],
+            "scores": scores[sel][first],
+        }
+        return self._attach_meta(out, out_docs)
+
     def ready(self) -> bool:
         return True
 
@@ -3508,6 +3767,269 @@ class BM25Engine:
             "fg_total": fg_total,
             "bg_total": bg_total,
             "buckets": buckets[: max(0, int(size))],
+        }
+
+    def search_significant_text(
+        self, query: str, size: int = 10, min_doc_count: int = 3,
+        exclude_query_terms: bool = True, field: str = "content",
+    ) -> dict:
+        """SIGNIFICANT-TEXT aggregation (ES ``significant_text``): which
+        free-text TERMS are anomalously frequent in the query's matching
+        docs vs the whole corpus — "what words co-occur with this
+        query?". Same JLH scorer as ``search_significant_terms``, but
+        foreground/background counts come from the INVERTED INDEX itself
+        (one posting pass per shard, ``query_significant_text``) instead
+        of a keyword fast field, so any indexed term can surface.
+
+        The driver merges exact integer (fg, bg) sums across
+        doc-partitioned shards, drops terms under ``min_doc_count``
+        foreground docs (ES parameter), optionally drops the query's own
+        terms (they trivially top the list: fg% = 100%), scores once in
+        float64 and cuts (score desc, term asc). Exact-collector cost
+        note: see ``query_significant_text``."""
+        self._maybe_reload()
+        df_map = self._df_map_for([query])
+        rep = self._next_replica(query + "\x00#sigtext")
+        parts = ray.get(
+            [
+                s.query_significant_text.remote(query, field, df_map)
+                for s in rep
+            ]
+        )
+        fg_total = sum(p["fg_total"] for p in parts)
+        bg_total = sum(p["bg_total"] for p in parts)
+        fg: dict[str, int] = {}
+        bg: dict[str, int] = {}
+        for p in parts:
+            for t, (f, b) in p["counts"].items():
+                fg[t] = fg.get(t, 0) + f
+                bg[t] = bg.get(t, 0) + b
+        skip: set[str] = set()
+        if exclude_query_terms:
+            tree = self._parse_global(query)
+            if tree is not None:
+                skip = {
+                    t for c in collect_clauses(tree) for t in c.terms
+                }
+        buckets = []
+        if fg_total and bg_total:
+            for t in sorted(fg):
+                if fg[t] < int(min_doc_count) or t in skip:
+                    continue
+                fgp = fg[t] / fg_total
+                bgp = bg[t] / bg_total
+                score = (fgp - bgp) * (fgp / bgp)
+                if score > 0:
+                    buckets.append(
+                        {
+                            "term": t,
+                            "fg_count": fg[t],
+                            "bg_count": bg[t],
+                            "score": score,
+                        }
+                    )
+        buckets.sort(key=lambda r: (-r["score"], r["term"]))
+        return {
+            "fg_total": fg_total,
+            "bg_total": bg_total,
+            "buckets": buckets[: max(0, int(size))],
+        }
+
+    def search_rare_terms(
+        self, max_doc_count: int, size: int = 10, field: str = "content"
+    ) -> list[dict]:
+        """RARE-TERMS aggregation (ES ``rare_terms``, exact): dictionary
+        terms whose LIVE global doc count is <= ``max_doc_count``,
+        ranked df asc then term asc — the long-tail counterpart of
+        ``terms``/``completion`` (ES approximates set membership with a
+        CuckooFilter and documents false positives; this engine is exact
+        over the index dictionary).
+
+        Single-epoch, no deletions: one vectorized scan of each shard's
+        serving ``df`` column (exact global dfs are already on the
+        rows), zero posting decodes, zero extra rounds. Incremental /
+        deleted indexes: shards prune by LIVE LOCAL count (lossless —
+        local count above the cap implies global above the cap), then
+        ONE exact global live-df round over the candidate union
+        re-filters. Traffic is O(rare terms) either way."""
+        self._maybe_reload()
+        exact = not self._needs_df_round
+        parts = ray.get(
+            [
+                s.query_rare_terms.remote(
+                    int(max_doc_count), field, exact
+                )
+                for s in self.shards
+            ]
+        )
+        if exact:
+            merged: dict[str, int] = {}
+            for p in parts:
+                merged.update(p)
+        else:
+            union = sorted({t for p in parts for t in p})
+            fid = FIELD_IDS[field]
+            dfs = self._global_dfs([(fid, t) for t in union])
+            merged = {
+                t: int(dfs[(fid, t)])
+                for t in union
+                if 0 < dfs[(fid, t)] <= int(max_doc_count)
+            }
+        ranked = sorted(merged.items(), key=lambda kv: (kv[1], kv[0]))
+        return [
+            {"term": t, "df": d}
+            for t, d in ranked[: max(0, int(size))]
+        ]
+
+    def _global_cfs(self, keys: list[tuple[int, str]]) -> dict:
+        """Exact LIVE global collection frequency per key (one int-only
+        fan-out; postings are doc-partitioned so the sum is exact)."""
+        keys = list(keys)
+        parts = ray.get(
+            [s.local_cfs.remote(keys) for s in self.shards]
+        )
+        totals = np.sum(np.asarray(parts, dtype=np.int64), axis=0)
+        return {
+            tuple(k): int(c) for k, c in zip(keys, totals)
+        }
+
+    def search_phrase_suggest(
+        self, text: str, size: int = 5, max_edits: int = 1,
+        num_candidates: int = 5, field: str = "content",
+    ) -> list[dict]:
+        """PHRASE SUGGESTER — "did you mean" (the ES ``phrase`` suggest:
+        candidate generation per token + a word language model ranking
+        whole corrected phrases, so corrections respect CONTEXT: for
+        "mergw windoq" the bigram model prefers "merge window" over any
+        per-token-frequency pick). ES builds its LM from a shingle
+        subfield; this engine reads unigram statistics (cf = Σtf) off
+        the postings and bigram counts off the positional postings it
+        already stores — no extra index.
+
+        Per input token: dictionary candidates within ``max_edits``
+        Levenshtein edits (one fuzzy-expansion fan-out), kept to the top
+        ``num_candidates`` by (cf desc, term asc) — zero-cf candidates
+        never rank. Candidate chains (the cartesian product) score
+
+            ln(cf(w1)/T) + Σ_i ln( (0.7·big(wᵢ₋₁,wᵢ))/cf(wᵢ₋₁)
+                                   + (0.3·cf(wᵢ))/T )
+
+        — an interpolated bigram LM (λ=0.7) over exact LIVE counts:
+        cf from one int fan-out, adjacent-bigram occurrence counts from
+        one positional fan-out over only the candidate pairs, T = total
+        live tokens. All floats driver-side in a fixed operation order,
+        so a SQL oracle over the token table reproduces every double.
+        Returns [{"phrase", "score"}] (score desc, phrase asc)."""
+        import itertools
+
+        from .tokenizer import tokenize_text
+
+        self._maybe_reload()
+        toks = tokenize_text(text)
+        if not toks or len(toks) > 6:
+            return []
+        fid = FIELD_IDS[field]
+        # one fuzzy-expansion round for every input token
+        specs = [(field, t, int(max_edits), False) for t in toks]
+        per = ray.get(
+            [s.expand_fuzzies.remote(specs) for s in self.shards]
+        )
+        cand_union = [
+            sorted({t for sh in per for t in sh[i]})
+            for i in range(len(toks))
+        ]
+        # one cf round over the union of all candidates
+        all_terms = sorted({t for c in cand_union for t in c})
+        if not all_terms:
+            return []
+        cfs = self._global_cfs([(fid, t) for t in all_terms])
+        cands = []
+        for c in cand_union:
+            ranked = sorted(
+                (t for t in c if cfs[(fid, t)] > 0),
+                key=lambda t: (-cfs[(fid, t)], t),
+            )[: max(1, int(num_candidates))]
+            if not ranked:
+                return []  # a token with no viable candidates
+            cands.append(ranked)
+        T = sum(
+            ray.get(
+                [
+                    s.local_token_total.remote(field)
+                    for s in self.shards
+                ]
+            )
+        )
+        if T <= 0:
+            return []
+        # one bigram round over only the adjacent candidate pairs
+        pairs = sorted(
+            {
+                (a, b)
+                for i in range(len(cands) - 1)
+                for a in cands[i]
+                for b in cands[i + 1]
+            }
+        )
+        big: dict[tuple[str, str], int] = {}
+        if pairs:
+            parts = ray.get(
+                [
+                    s.local_bigram_counts.remote(pairs, field)
+                    for s in self.shards
+                ]
+            )
+            totals = np.sum(np.asarray(parts, dtype=np.int64), axis=0)
+            big = {p: int(c) for p, c in zip(pairs, totals)}
+        out = []
+        for chain in itertools.product(*cands):
+            cf1 = cfs[(fid, chain[0])]
+            score = float(np.log(cf1 / T))
+            for i in range(1, len(chain)):
+                bc = big.get((chain[i - 1], chain[i]), 0)
+                cfp = cfs[(fid, chain[i - 1])]
+                cfi = cfs[(fid, chain[i])]
+                score += float(
+                    np.log((0.7 * bc) / cfp + (0.3 * cfi) / T)
+                )
+            out.append({"phrase": " ".join(chain), "score": score})
+        out.sort(key=lambda r: (-r["score"], r["phrase"]))
+        return out[: max(0, int(size))]
+
+    def search_best_passages(
+        self, query: str, window: int = 8
+    ) -> dict:
+        """Best highlight passage for EVERY matching doc (unified-
+        highlighter passage scorer over a filter query — the "highlight
+        all hits" collector): per doc, the token window of ``window``
+        positions maximizing the summed BM25-idf weight of query-term
+        occurrences, ties to the smallest start. Passage selection is
+        shard-local off the positional postings (no stored text);
+        O(matched docs) rows merge at the driver (doc-partitioned, so
+        plain concatenation — no doc spans shards). Returns
+        ``{"doc_ids", "starts", "scores"}`` sorted by doc_id."""
+        self._maybe_reload()
+        df_map = self._df_map_for([query])
+        rep = self._next_replica(query + f"\x00#passage:{window}")
+        parts = ray.get(
+            [
+                s.query_best_passage.remote(query, int(window), df_map)
+                for s in rep
+            ]
+        )
+        self.last_fanout_rows = int(
+            sum(len(p["doc_ids"]) for p in parts)
+        )
+        docs = np.concatenate([p["doc_ids"] for p in parts])
+        starts = np.concatenate([p["starts"] for p in parts])
+        scores = np.concatenate([p["scores"] for p in parts])
+        paths = np.concatenate([p["path"] for p in parts])
+        order = np.argsort(docs)
+        return {
+            "doc_ids": docs[order],
+            "starts": starts[order],
+            "scores": scores[order],
+            "paths": paths[order],
         }
 
     def search_aggregate(self, query: str, spec: dict) -> dict:

@@ -884,3 +884,227 @@ def test_span_near_fuzz_vs_bruteforce(ray_session, tmp_path_factory):
         assert checked > 100  # the corpora actually exercised matches
     finally:
         eng.close()
+
+
+# --- round-4 additions: rare_terms / significant_text / phrase suggest /
+# best passage — each differentially tested against a brute-force model
+# built straight from the corpus tokens (no index involvement), plus
+# shard-count parity.
+
+
+def _corpus_tokens(tiny_corpus):
+    """{path: [(term, pos), ...]} with the engine's own analyzer."""
+    from ck_ray.tokenizer import tokenize_text_with_positions
+
+    return {
+        p: tokenize_text_with_positions(c)
+        for p, c in zip(
+            tiny_corpus["path"].to_pylist(),
+            tiny_corpus["content"].to_pylist(),
+        )
+    }
+
+
+def test_rare_terms_exact_vs_bruteforce(
+    ray_session, tiny_index, tiny_corpus
+):
+    toks = _corpus_tokens(tiny_corpus)
+    df: dict[str, set] = {}
+    for p, tl in toks.items():
+        for t, _ in tl:
+            df.setdefault(t, set()).add(p)
+    cap, size = 3, 25
+    want = sorted(
+        ((len(d), t) for t, d in df.items() if len(d) <= cap),
+    )[:size]
+    for shards in (1, 3):
+        eng = BM25Engine(tiny_index, num_shards=shards,
+                         auto_reload=False)
+        try:
+            got = eng.search_rare_terms(cap, size=size)
+        finally:
+            eng.close()
+        assert [(r["df"], r["term"]) for r in got] == want
+    assert want  # non-trivial case
+
+
+def test_rare_terms_candidate_path_matches_exact(
+    ray_session, tiny_index
+):
+    """The incremental-index fallback (live local counts + global df
+    round) must select the same terms as the serving-df fast path."""
+    from ck_ray.query import LocalIndex
+
+    li = LocalIndex(tiny_index)
+    cap = 3
+    exact = li.query_rare_terms(cap, "content", True)
+    cand = li.query_rare_terms(cap, "content", False)
+    # one process holding ALL buckets: local live df == global df
+    assert cand == exact
+
+
+def test_significant_text_vs_bruteforce(
+    ray_session, tiny_index, tiny_corpus
+):
+    import numpy as np
+
+    toks = _corpus_tokens(tiny_corpus)
+    qa, qb = "merge", "stream"
+    match = {
+        p
+        for p, tl in toks.items()
+        if {qa, qb} <= {t for t, _ in tl}
+    }
+    assert match  # non-trivial
+    fg: dict[str, int] = {}
+    bg: dict[str, int] = {}
+    for p, tl in toks.items():
+        for t in {t for t, _ in tl}:
+            bg[t] = bg.get(t, 0) + 1
+            if p in match:
+                fg[t] = fg.get(t, 0) + 1
+    ft, bt = len(match), len(toks)
+    min_fg = 2
+    want = []
+    for t in sorted(fg):
+        if fg[t] < min_fg or t in (qa, qb):
+            continue
+        fgp, bgp = fg[t] / ft, bg[t] / bt
+        score = (fgp - bgp) * (fgp / bgp)
+        if score > 0:
+            want.append((t, fg[t], bg[t], score))
+    want.sort(key=lambda r: (-r[3], r[0]))
+    want = want[:10]
+    assert want
+    for shards in (1, 3):
+        eng = BM25Engine(tiny_index, num_shards=shards,
+                         auto_reload=False)
+        try:
+            res = eng.search_significant_text(
+                f"{qa} AND {qb}", size=10, min_doc_count=min_fg
+            )
+        finally:
+            eng.close()
+        got = [
+            (b["term"], b["fg_count"], b["bg_count"], b["score"])
+            for b in res["buckets"]
+        ]
+        assert [g[:3] for g in got] == [w[:3] for w in want]
+        assert np.allclose(
+            [g[3] for g in got], [w[3] for w in want], rtol=0, atol=1e-12
+        )
+        assert res["fg_total"] == ft and res["bg_total"] == bt
+
+
+def test_phrase_suggest_vs_bruteforce(
+    ray_session, tiny_index, tiny_corpus
+):
+    """End-to-end differential: the engine's candidate generation
+    (lev<=1, cf-ranked top-5) and interpolated-bigram-LM chain scoring
+    must equal the same model built from raw corpus tokens."""
+    import itertools
+
+    import numpy as np
+
+    from ck_ray.strdist import edit_distance
+
+    toks = _corpus_tokens(tiny_corpus)
+    cf: dict[str, int] = {}
+    big: dict[tuple[str, str], int] = {}
+    T = 0
+    for tl in toks.values():
+        T += len(tl)
+        for t, _ in tl:
+            cf[t] = cf.get(t, 0) + 1
+        for (a, pa_), (b, pb_) in zip(tl, tl[1:]):
+            if pb_ == pa_ + 1:
+                big[(a, b)] = big.get((a, b), 0) + 1
+    # most frequent adjacent bigram -> typo its halves
+    (wa, wb), _ = max(big.items(), key=lambda kv: (kv[1], kv[0]))
+    typo = f"{wa[:-1]}q {wb[:-1]}q"
+    tok_in = typo.split()
+
+    def cands(q):
+        pool = [t for t in cf if edit_distance(q, t) <= 1]
+        pool.sort(key=lambda t: (-cf[t], t))
+        return pool[:5]
+
+    c1, c2 = cands(tok_in[0]), cands(tok_in[1])
+    assert wa in c1 and wb in c2
+    want = []
+    for a, b in itertools.product(c1, c2):
+        s = float(np.log(cf[a] / T)) + float(
+            np.log((0.7 * big.get((a, b), 0)) / cf[a] + (0.3 * cf[b]) / T)
+        )
+        want.append((a + " " + b, s))
+    want.sort(key=lambda r: (-r[1], r[0]))
+    want = want[:5]
+    for shards in (1, 3):
+        eng = BM25Engine(tiny_index, num_shards=shards,
+                         auto_reload=False)
+        try:
+            got = eng.search_phrase_suggest(
+                typo, size=5, max_edits=1, num_candidates=5
+            )
+        finally:
+            eng.close()
+        assert [r["phrase"] for r in got] == [w[0] for w in want]
+        assert np.allclose(
+            [r["score"] for r in got], [w[1] for w in want],
+            rtol=0, atol=1e-12,
+        )
+    # the corrected bigram must be the top suggestion
+    assert got[0]["phrase"] == f"{wa} {wb}"
+
+
+def test_best_passage_vs_bruteforce(
+    ray_session, tiny_index, tiny_corpus
+):
+    import numpy as np
+
+    from ck_ray.scoring import round_half_away
+
+    toks = _corpus_tokens(tiny_corpus)
+    qa, qb = "merge", "stream"
+    n_docs = len(toks)
+    df = {
+        q: sum(1 for tl in toks.values() if q in {t for t, _ in tl})
+        for q in (qa, qb)
+    }
+    wt = {
+        q: float(np.log1p((n_docs - d + 0.5) / (d + 0.5)))
+        for q, d in df.items()
+    }
+    window = 6
+    want = {}
+    for p, tl in toks.items():
+        occ = sorted(
+            (pos, wt[t]) for t, pos in tl if t in (qa, qb)
+        )
+        terms_here = {t for t, _ in tl}
+        if not ({qa, qb} <= terms_here):
+            continue
+        best = None
+        for i, (start, _) in enumerate(occ):
+            s = sum(w for q_, w in occ if start <= q_ < start + window)
+            s = float(round_half_away(np.float64(s), 4))
+            if best is None or s > best[1]:
+                best = (start, s)
+        want[p] = best
+    assert want
+    for shards in (1, 3):
+        eng = BM25Engine(tiny_index, num_shards=shards,
+                         auto_reload=False)
+        try:
+            res = eng.search_best_passages(
+                f"{qa} AND {qb}", window=window
+            )
+        finally:
+            eng.close()
+        got = {
+            p: (int(st), float(sc))
+            for p, st, sc in zip(
+                res["paths"], res["starts"], res["scores"]
+            )
+        }
+        assert got == want
