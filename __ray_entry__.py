@@ -888,6 +888,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Lucene unified-highlighter passage selection: best idf-weighted
         # token window per matching doc, from positions only
         "bm25_best_passage": docsearch.bm25_best_passage,
+        # ES termvectors API (realtime): tf by re-analyzing the stored
+        # source (doc filter pushed into the read), df live from the
+        # index dictionary
+        "bm25_term_vectors": docsearch.bm25_term_vectors,
     }
     # The driver's per-round correctness gate checks a PREFIX of this
     # dict (r3 covered the first 50 of 109). Rotate so the families
@@ -903,7 +907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_persisted", "ann_sq8_topk", "semantic_topk",
         "bm25_rare_terms", "bm25_significant_text",
         "bm25_phrase_suggest", "bm25_best_passage",
-        "code_index_stats",
+        "bm25_term_vectors",
         "decontaminate", "dup_ngram_spans", "stratified_sample",
         "source_quota_cap", "token_budget_sample", "corpus_clean",
         "pack_sequences", "dup_span_scrub", "line_dedup_scrub",
@@ -3995,5 +3999,16 @@ best AS (
 )
 SELECT doc_id, CAST(start AS BIGINT) AS start, round(score, 4) AS score
 FROM best WHERE rn = 1 ORDER BY doc_id
+""",
+        # termvectors: tf over the requested ids, df over the corpus
+        "bm25_term_vectors": f"""
+WITH {_TOKS},
+tv AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks2
+  WHERE doc_id IN (3, 7, 11) GROUP BY doc_id, term
+),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks2 GROUP BY term)
+SELECT tv.doc_id, tv.term, tv.tf, df.df
+FROM tv JOIN df USING (term) ORDER BY tv.doc_id, tv.term
 """,
     }

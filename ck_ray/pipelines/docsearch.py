@@ -1660,3 +1660,59 @@ def bm25_best_passage(
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+def bm25_term_vectors(
+    sf_dir: str, doc_ids: tuple = (3, 7, 11)
+) -> pd.DataFrame:
+    """TERM VECTORS (the ES ``termvectors`` API, realtime form): per-
+    (doc, term) statistics — term frequency from re-analyzing the
+    stored source, document frequency LIVE from the index dictionary
+    (exactly how ES serves ``termvectors?term_statistics=true`` for a
+    doc without stored vectors). The doc filter is pushed INTO the
+    parquet read (row-group pruning: only the requested docs' groups
+    leave storage); tokenization + tf is one vectorized
+    ``term_frequencies`` kernel; the df probe is one int-only engine
+    fan-out over the distinct terms. Oracle: tf from the token CTE
+    restricted to the ids, df joined from the full-corpus CTE."""
+    import pyarrow.dataset as pads
+
+    from ..query import FIELD_IDS
+    from ..tokenizer import term_frequencies
+
+    ids = sorted(int(i) for i in doc_ids)
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filter=pads.field("doc_id").isin(ids),
+    )
+
+    def tv(t: pa.Table) -> pa.Table:
+        tf, _ = term_frequencies(t["text"], with_positions=False)
+        rows = tf["row"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    t["doc_id"].to_numpy()[rows], pa.int64()
+                ),
+                "term": tf["term"],
+                "tf": pc.cast(tf["tf"], pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(tv, batch_format="pyarrow").to_pandas()
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2)
+    try:
+        fid = FIELD_IDS["content"]
+        terms = sorted(out["term"].unique())
+        dfs = eng._global_dfs([(fid, t) for t in terms])
+    finally:
+        eng.close()
+    out["df"] = out["term"].map(
+        {t: dfs[(fid, t)] for t in terms}
+    ).astype("int64")
+    return (
+        out.sort_values(["doc_id", "term"])
+        .reset_index(drop=True)
+    )

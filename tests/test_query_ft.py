@@ -1108,3 +1108,46 @@ def test_best_passage_vs_bruteforce(
             )
         }
         assert got == want
+
+
+def test_term_vectors_realtime(ray_session, tmp_path_factory):
+    """ES termvectors (realtime): tf from re-analyzing the stored
+    source, df live from the index dictionary — differential against a
+    pure-Python count over the same parquet."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ck_ray.pipelines import docsearch
+    from ck_ray.tokenizer import tokenize_text
+
+    d = str(tmp_path_factory.mktemp("tvsf"))
+    texts = [
+        "merge the window merge",
+        "window stream",
+        "stream parse stream stream",
+        "merge only here",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["py"] * 4, pa.string()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    got = docsearch.bm25_term_vectors(d, doc_ids=(0, 2))
+    toks = [tokenize_text(t) for t in texts]
+    df_all = {}
+    for tl in toks:
+        for t in set(tl):
+            df_all[t] = df_all.get(t, 0) + 1
+    want = []
+    for i in (0, 2):
+        for t in sorted(set(toks[i])):
+            want.append((i, t, toks[i].count(t), df_all[t]))
+    assert list(map(tuple, got.to_records(index=False))) == want
