@@ -1151,3 +1151,35 @@ def test_term_vectors_realtime(ray_session, tmp_path_factory):
         for t in sorted(set(toks[i])):
             want.append((i, t, toks[i].count(t), df_all[t]))
     assert list(map(tuple, got.to_records(index=False))) == want
+
+
+def test_new_fulltext_paths_survive_shard_kill(ray_session, tiny_index):
+    """rare_terms / significant_text / phrase suggest / best passage
+    recover transparently from a killed shard — same restart contract
+    as every other serving path."""
+    import numpy as np
+
+    eng = BM25Engine(tiny_index, num_shards=2)
+
+    def snap():
+        bp = eng.search_best_passages("merge AND stream", window=6)
+        return (
+            eng.search_rare_terms(3, size=10),
+            eng.search_significant_text(
+                "merge AND stream", size=5, min_doc_count=2
+            ),
+            eng.search_phrase_suggest("mergw streag", size=3),
+            (
+                list(bp["paths"]),
+                bp["starts"].tolist(),
+                bp["scores"].tolist(),
+            ),
+        )
+
+    try:
+        before = snap()
+        ray.kill(eng.shards[0], no_restart=False)
+        after = snap()
+        assert before == after
+    finally:
+        eng.close()
