@@ -147,6 +147,16 @@ class CkRayMCP:
         "percolate": "Reverse search (ES percolate): match the corpus "
                      "stream against stored queries ({name: query} in "
                      "'queries'); returns (query_name, path) pairs",
+        "phrase_suggest": "Did-you-mean phrase suggester (ES phrase "
+                          "suggest): fuzzy candidates ranked by a "
+                          "bigram language model off the postings",
+        "rare_terms": "Long-tail dictionary terms with doc frequency "
+                      "<= max_doc_count (ES rare_terms, exact)",
+        "significant_text": "Free-text terms anomalously frequent in "
+                            "the match set vs the corpus (ES "
+                            "significant_text, JLH score)",
+        "best_passages": "Best highlight window per matching doc "
+                         "(unified-highlighter passage selection)",
     }
 
     def list_tools(self) -> list[dict]:
@@ -166,6 +176,12 @@ class CkRayMCP:
                         "interval": {"type": "integer"},
                         "edges": {"type": "array"},
                         "qs": {"type": "array"},
+                        "queries": {"type": "object"},
+                        "size": {"type": "integer"},
+                        "max_edits": {"type": "integer"},
+                        "max_doc_count": {"type": "integer"},
+                        "min_doc_count": {"type": "integer"},
+                        "window": {"type": "integer"},
                     },
                 },
             }
@@ -237,6 +253,43 @@ class CkRayMCP:
                     int(args.get("max_edits", 2)),
                 )
             }
+        if name == "phrase_suggest":
+            return {
+                "suggestions": self._bm25().search_phrase_suggest(
+                    query, size=int(args.get("size", 5)),
+                    max_edits=int(args.get("max_edits", 1)),
+                )
+            }
+        if name == "rare_terms":
+            return {
+                "terms": self._bm25().search_rare_terms(
+                    int(args.get("max_doc_count", 5)),
+                    size=int(args.get("size", 10)),
+                )
+            }
+        if name == "significant_text":
+            res = self._bm25().search_significant_text(
+                query, size=int(args.get("size", 10)),
+                min_doc_count=int(args.get("min_doc_count", 3)),
+            )
+            return res
+        if name == "best_passages":
+            def mk():
+                bp = self._bm25().search_best_passages(
+                    query, window=int(args.get("window", 8))
+                )
+                return [
+                    {
+                        "path": str(p_),
+                        "start": int(st),
+                        "weight": float(sc),
+                    }
+                    for p_, st, sc in zip(
+                        bp["paths"], bp["starts"], bp["scores"]
+                    )
+                ]
+
+            return self._paged(args, mk)
         if name == "complete":
             return {
                 "completions": [

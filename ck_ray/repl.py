@@ -13,6 +13,10 @@ Commands (anything else is a BM25 query):
     /span T1 T2 [slop=N]  proximity search ranked by minimal window
     /complete PREFIX      dictionary autocomplete (df-ranked)
     /suggest TERM         spell-correction candidates
+    /didyoumean PHRASE    phrase suggester (bigram-LM ranked)
+    /rare [N]             long-tail dictionary terms (df <= N, def. 5)
+    /sigtext QUERY        significant co-occurring terms (JLH)
+    /passages QUERY       best highlight window per matching doc
     /facet [field=F] Q    full-match-set facet counts (default lang)
     /explain QUERY DOC    per-term BM25 evidence for one doc
     /topk N               set result count (default 10)
@@ -98,6 +102,43 @@ def run_repl(
                         line.split(None, 1)[1], top_k
                     ):
                         print(f"  {s}", file=out)
+                elif line.startswith("/didyoumean "):
+                    for s in eng.search_phrase_suggest(
+                        line.split(None, 1)[1], size=top_k
+                    ):
+                        print(
+                            f"  {s['score']:10.4f}  {s['phrase']}",
+                            file=out,
+                        )
+                elif line == "/rare" or line.startswith("/rare "):
+                    parts = line.split()
+                    cap = int(parts[1]) if len(parts) > 1 else 5
+                    for r in eng.search_rare_terms(cap, size=top_k):
+                        print(f"  {r['term']}  (df {r['df']})", file=out)
+                elif line.startswith("/sigtext "):
+                    res = eng.search_significant_text(
+                        line.split(None, 1)[1], size=top_k
+                    )
+                    for b in res["buckets"]:
+                        print(
+                            f"  {b['score']:8.4f}  {b['term']}"
+                            f"  (fg {b['fg_count']}/{res['fg_total']}"
+                            f" bg {b['bg_count']}/{res['bg_total']})",
+                            file=out,
+                        )
+                elif line.startswith("/passages "):
+                    bp = eng.search_best_passages(
+                        line.split(None, 1)[1]
+                    )
+                    n = len(bp["doc_ids"])
+                    for i in range(min(n, top_k)):
+                        print(
+                            f"  {bp['paths'][i]}  @tok {bp['starts'][i]}"
+                            f"  (w {bp['scores'][i]:.4f})",
+                            file=out,
+                        )
+                    if n > top_k:
+                        print(f"  ... {n - top_k} more", file=out)
                 elif line.startswith("/facet "):
                     # /facet [field=F] QUERY...  (query may be multi-term)
                     rest = line.split(None, 1)[1]

@@ -45,7 +45,8 @@ def test_initialize_and_tool_list(mcp):
         "regex_search", "lexical_search", "semantic_search",
         "hybrid_search", "index_status", "reindex", "health_check",
         "facet_search", "aggregate", "significant_terms", "explain",
-        "suggest", "complete", "percolate",
+        "suggest", "complete", "percolate", "phrase_suggest",
+        "rare_terms", "significant_text", "best_passages",
     }
 
 
@@ -269,3 +270,32 @@ def test_complete_and_percolate_tools(mcp):
         "params": {"name": "percolate", "arguments": {}},
     })
     assert "error" in bad or bad["result"].get("isError")
+
+
+def test_round4_fulltext_tools(mcp):
+    sug = _call(mcp, "phrase_suggest", query="mergw streag", size=3)
+    assert sug["suggestions"]
+    assert sug["suggestions"][0]["phrase"] == "merge stream"
+
+    rare = _call(mcp, "rare_terms", max_doc_count=3, size=10)["terms"]
+    assert rare and all(r["df"] <= 3 for r in rare)
+
+    sig = _call(mcp, "significant_text", query="merge AND stream",
+                size=5, min_doc_count=2)
+    assert sig["buckets"]
+    assert all(
+        b["term"] not in ("merge", "stream") for b in sig["buckets"]
+    )
+
+    out = _call(mcp, "best_passages", query="merge AND stream",
+                page_size=7)
+    assert out["matches"] and {"path", "start", "weight"} <= set(
+        out["matches"][0]
+    )
+    seen = list(out["matches"])
+    cur = out["next_cursor"]
+    while cur:
+        nxt = _call(mcp, "best_passages", cursor=cur)
+        seen.extend(nxt["matches"])
+        cur = nxt["next_cursor"]
+    assert out["total_count"] == len(seen)

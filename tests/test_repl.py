@@ -124,3 +124,20 @@ def test_review_fixes(ray_session, tiny_corpus, tiny_index, tmp_path):
     import re
 
     assert re.search(r"\S+:\d+: ", text)
+
+
+def test_round4_fulltext_commands(ray_session, tiny_index):
+    text = _session(
+        tiny_index,
+        [
+            "/didyoumean mergw streag",
+            "/rare 3",
+            "/sigtext merge AND stream",
+            "/passages merge AND stream",
+            "/quit",
+        ],
+    )
+    assert "merge stream" in text          # corrected phrase surfaced
+    assert "(df " in text                  # rare rows carry dfs
+    assert "fg " in text and "bg " in text # JLH buckets annotated
+    assert "@tok " in text                 # passage rows carry starts
