@@ -892,6 +892,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # source (doc filter pushed into the read), df live from the
         # index dictionary
         "bm25_term_vectors": docsearch.bm25_term_vectors,
+        # ES matrix_stats: field-pair covariance/correlation from exact
+        # arbitrary-precision integer moment sums per shard
+        "bm25_matrix_stats": docsearch.bm25_matrix_stats,
+        # significant_text under a sampler (the ES scale shape): fg =
+        # top-N BM25 docs on the shared rounded-score cut
+        "bm25_significant_sampled": docsearch.bm25_significant_sampled,
     }
     # The driver's per-round correctness gate checks a PREFIX of this
     # dict (r3 covered the first 50 of 109). Rotate so the families
@@ -907,12 +913,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_persisted", "ann_sq8_topk", "semantic_topk",
         "bm25_rare_terms", "bm25_significant_text",
         "bm25_phrase_suggest", "bm25_best_passage",
-        "bm25_term_vectors",
+        "bm25_term_vectors", "bm25_matrix_stats",
+        "bm25_significant_sampled",
         "decontaminate", "dup_ngram_spans", "stratified_sample",
         "source_quota_cap", "token_budget_sample", "corpus_clean",
         "pack_sequences", "dup_span_scrub", "line_dedup_scrub",
         "pii_scrub", "unicode_clean", "dsir_weights",
-        "langid", "fingerprints", "bigram_counts", "bigram_pmi",
+        "bigram_counts", "bigram_pmi",
         "repetition_stats", "tfidf_top_terms", "unigram_logprob",
         "kn_bigram_logprob", "kn_trigram_logprob", "ccnet_buckets",
         "approx_distinct_terms",
@@ -4010,5 +4017,100 @@ tv AS (
 df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks2 GROUP BY term)
 SELECT tv.doc_id, tv.term, tv.tf, df.df
 FROM tv JOIN df USING (term) ORDER BY tv.doc_id, tv.term
+""",
+        # matrix_stats: HUGEINT moment sums, the engine's exact double
+        # expression — cov=(Sab - Sa*Sb/n)/(n-1), corr=cov/sqrt(va*vb)
+        "bm25_matrix_stats": f"""
+WITH {_TOKS},
+m AS (SELECT DISTINCT doc_id FROM toks2
+      WHERE term IN ('merge', 'window')),
+dl AS (SELECT doc_id, count(*) AS c FROM toks2 GROUP BY doc_id),
+vals AS (
+  SELECT strlen(d.text) AS x, COALESCE(dl.c, 0) AS y
+  FROM documents d LEFT JOIN dl USING (doc_id)
+  WHERE d.doc_id IN (SELECT doc_id FROM m)
+),
+s AS (
+  SELECT count(*) AS n,
+         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(y AS HUGEINT) * y) AS syy
+  FROM vals
+),
+c AS (
+  SELECT (CAST(sxx AS DOUBLE) - CAST(sx * sx AS DOUBLE) / n) / (n - 1)
+           AS vx,
+         (CAST(sxy AS DOUBLE) - CAST(sx * sy AS DOUBLE) / n) / (n - 1)
+           AS cxy,
+         (CAST(syy AS DOUBLE) - CAST(sy * sy AS DOUBLE) / n) / (n - 1)
+           AS vy
+  FROM s
+)
+SELECT 'n_bytes' AS field_a, 'n_bytes' AS field_b,
+       round(vx, 4) AS covariance,
+       round(vx / sqrt(vx * vx), 4) AS correlation FROM c
+UNION ALL
+SELECT 'n_bytes', 'dl_content', round(cxy, 4),
+       round(cxy / sqrt(vx * vy), 4) FROM c
+UNION ALL
+SELECT 'dl_content', 'dl_content', round(vy, 4),
+       round(vy / sqrt(vy * vy), 4) FROM c
+""",
+        # significant_text under a sampler: fg = top-200 BM25 docs of
+        # 'merge window' on the (round(score,4) DESC, doc_id) cut, then
+        # the identical JLH counts/expression as bm25_significant_text
+        "bm25_significant_sampled": f"""
+WITH {_TOKS},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2
+       GROUP BY doc_id, term),
+dlx AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT CAST(sum(dl) AS DOUBLE) FROM dlx)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+qterms AS (SELECT * FROM (VALUES ('merge'), ('window')) AS q(term)),
+dft AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+              * ((tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dlx.dl / s.avgdl)))
+            ) AS score
+  FROM tf
+  JOIN dft USING (term)
+  JOIN dlx USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+topn AS (
+  SELECT doc_id FROM scores
+  ORDER BY round(score, 4) DESC, doc_id LIMIT 200
+),
+fg AS (
+  SELECT term, count(DISTINCT doc_id) AS c FROM toks2
+  WHERE doc_id IN (SELECT doc_id FROM topn) GROUP BY term
+),
+bg AS (SELECT term, count(DISTINCT doc_id) AS c FROM toks2
+       GROUP BY term),
+tot AS (
+  SELECT (SELECT count(*) FROM topn) AS ft,
+         (SELECT count(*) FROM documents) AS bt
+),
+scored AS (
+  SELECT fg.term, fg.c AS fg_count, bg.c AS bg_count,
+         (CAST(fg.c AS DOUBLE) / ft - CAST(bg.c AS DOUBLE) / bt)
+           * ((CAST(fg.c AS DOUBLE) / ft) / (CAST(bg.c AS DOUBLE) / bt))
+           AS score
+  FROM fg JOIN bg USING (term) CROSS JOIN tot
+  WHERE fg.c >= 3 AND fg.term NOT IN ('merge', 'window')
+)
+SELECT term, fg_count, bg_count, round(score, 4) AS score
+FROM scored WHERE score > 0
+ORDER BY score DESC, term LIMIT 12
 """,
     }

@@ -1716,3 +1716,76 @@ def bm25_term_vectors(
         out.sort_values(["doc_id", "term"])
         .reset_index(drop=True)
     )
+
+
+def bm25_matrix_stats(
+    sf_dir: str, query: str = "merge OR window",
+    fields: tuple = ("n_bytes", "dl_content"),
+) -> pd.DataFrame:
+    """MATRIX-STATS aggregation (ES ``matrix_stats``) over the match
+    set's numeric fast fields: per field-pair sample covariance and
+    correlation (diagonal = variance / 1.0). Shards ship exact
+    arbitrary-precision integer moment sums; all doubles are computed
+    once driver-side in a fixed operation order the SQL oracle
+    replicates with HUGEINT sums."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2)
+    try:
+        res = eng.search_matrix_stats(query, fields)
+    finally:
+        eng.close()
+    c = res["cells"]
+    return pd.DataFrame(
+        {
+            "field_a": pd.Series(
+                [r["field_a"] for r in c], dtype="object"
+            ),
+            "field_b": pd.Series(
+                [r["field_b"] for r in c], dtype="object"
+            ),
+            "covariance": round_half_away(
+                np.asarray([r["covariance"] for r in c], np.float64), 4
+            ),
+            "correlation": round_half_away(
+                np.asarray([r["correlation"] for r in c], np.float64), 4
+            ),
+        }
+    )
+
+
+def bm25_significant_sampled(
+    sf_dir: str, query: str = "merge window", sample_size: int = 200,
+    size: int = 12, min_doc_count: int = 3,
+) -> pd.DataFrame:
+    """SIGNIFICANT-TEXT under a SAMPLER (the ES-documented scale shape
+    for ``significant_text``): the foreground is the top-``sample_size``
+    BM25 docs of the query (4dp-rounded score cut, doc_id-asc ties)
+    instead of the full match set — the posting pass compares each term
+    against N ids, so the collector cost is bounded no matter how many
+    docs match. Oracle: the BM25 scoring CTE ordered by
+    (round(score,4) DESC, doc_id) LIMIT N as the foreground set, then
+    the identical JLH counts and double expression."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2, dtype=np.float64)
+    try:
+        res = eng.search_significant_text(
+            query, size=size, min_doc_count=min_doc_count,
+            sample_size=sample_size,
+        )
+    finally:
+        eng.close()
+    b = res["buckets"]
+    return pd.DataFrame(
+        {
+            "term": pd.Series([r["term"] for r in b], dtype="object"),
+            "fg_count": pd.Series(
+                [r["fg_count"] for r in b], dtype="int64"
+            ),
+            "bg_count": pd.Series(
+                [r["bg_count"] for r in b], dtype="int64"
+            ),
+            "score": round_half_away(
+                np.asarray([r["score"] for r in b], dtype=np.float64), 4
+            ),
+        }
+    )

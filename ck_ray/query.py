@@ -2536,6 +2536,53 @@ class LocalIndex:
         order = np.lexsort((docs, -acc.astype(np.float64)))[:k]
         return docs[order], acc[order]
 
+    def query_matrix_stats(
+        self, query: str, fields: tuple, df_map=None
+    ) -> dict:
+        """Shard-local state for a MATRIX-STATS aggregation (the ES
+        ``matrix_stats`` bucket agg over numeric fast fields): exact
+        integer moment sums — n, Σx per field, and the full Σx·y
+        product matrix — over the match-set docs that carry EVERY
+        requested field (ES skips docs missing any field). Sums are
+        arbitrary-precision Python ints, so the cross-shard merge is an
+        exact associative add at any corpus scale (an int64 Σx² already
+        overflows around 10^9 large docs); all float math happens once
+        on the driver."""
+        docs, _ = self._match_set(query, df_map)
+        for f in fields:
+            if f not in self._meta_num:
+                raise ValueError(f"no numeric fast field {f!r}")
+        if len(docs):
+            pos = np.clip(
+                np.searchsorted(self._meta_ids, docs),
+                0, max(len(self._meta_ids) - 1, 0),
+            )
+            ok = (
+                self._meta_ids[pos] == docs
+                if len(self._meta_ids)
+                else np.zeros(len(docs), bool)
+            )
+            for f in fields:
+                ok &= self._meta_num_ok[f][pos]
+            rows = pos[ok]
+        else:
+            rows = np.empty(0, np.int64)
+        cols = {
+            f: [int(v) for v in self._meta_num[f][rows].tolist()]
+            for f in fields
+        }
+        out = {
+            "n": int(len(rows)),
+            "s": {f: sum(cols[f]) for f in fields},
+            "sp": {},
+        }
+        for i, a in enumerate(fields):
+            for b in fields[i:]:
+                out["sp"][f"{a}|{b}"] = sum(
+                    x * y for x, y in zip(cols[a], cols[b])
+                )
+        return out
+
     def query_rare_terms(
         self, max_doc_count: int, field: str = "content",
         exact_global: bool = True,
@@ -2595,7 +2642,8 @@ class LocalIndex:
         return out
 
     def query_significant_text(
-        self, query: str, field: str = "content", df_map=None
+        self, query: str, field: str = "content", df_map=None,
+        sample_docs: np.ndarray | None = None,
     ) -> dict:
         """Shard-local state for a SIGNIFICANT-TEXT aggregation (ES
         ``significant_text``): for EVERY dictionary term, the exact
@@ -2611,9 +2659,28 @@ class LocalIndex:
         with a sampler (ES does the same: ``significant_text`` is
         documented to run under a ``sampler`` agg re-tokenizing only the
         top hits); the sampled variant changes only the match-set input,
-        not this shard contract."""
-        docs, _ = self._match_set(query, df_map)
-        docs = np.sort(np.asarray(docs, dtype=np.uint64))
+        not this shard contract.
+
+        ``sample_docs`` is that sampler input: when given (the driver's
+        top-N cut, global doc ids), the foreground is the OWNED subset
+        of the sample instead of this shard's full match set — fg and
+        fg_total still merge as plain integer sums because doc
+        partitioning assigns every sample doc exactly one owner."""
+        if sample_docs is not None:
+            sd = np.asarray(sample_docs, dtype=np.uint64)
+            pos = np.clip(
+                np.searchsorted(self._meta_ids, sd),
+                0, max(len(self._meta_ids) - 1, 0),
+            )
+            owned = (
+                self._meta_ids[pos] == sd
+                if len(self._meta_ids)
+                else np.zeros(len(sd), bool)
+            )
+            docs = np.sort(sd[owned])
+        else:
+            docs, _ = self._match_set(query, df_map)
+            docs = np.sort(np.asarray(docs, dtype=np.uint64))
         fid = FIELD_IDS[field]
         pre = f"{fid}:"
         a = int(np.searchsorted(self._keys, pre, side="left"))
@@ -3772,6 +3839,7 @@ class BM25Engine:
     def search_significant_text(
         self, query: str, size: int = 10, min_doc_count: int = 3,
         exclude_query_terms: bool = True, field: str = "content",
+        sample_size: int | None = None,
     ) -> dict:
         """SIGNIFICANT-TEXT aggregation (ES ``significant_text``): which
         free-text TERMS are anomalously frequent in the query's matching
@@ -3786,13 +3854,38 @@ class BM25Engine:
         foreground docs (ES parameter), optionally drops the query's own
         terms (they trivially top the list: fg% = 100%), scores once in
         float64 and cuts (score desc, term asc). Exact-collector cost
-        note: see ``query_significant_text``."""
+        note: see ``query_significant_text``.
+
+        ``sample_size=N`` is the SCALE path (how ES documents running
+        ``significant_text`` under a ``sampler`` agg): the foreground
+        is the top-N BM25 docs instead of the full match set, so
+        significance reflects the best-matching docs and the fg side
+        of the posting pass compares against N ids. The cut is taken
+        on the shared 4dp-rounded score (doc_id-asc ties) — the same
+        boundary rule every ranked oracle here uses."""
         self._maybe_reload()
         df_map = self._df_map_for([query])
         rep = self._next_replica(query + "\x00#sigtext")
+        sample = None
+        if sample_size is not None:
+            k = int(sample_size)
+            tops = ray.get(
+                [
+                    s.query_topk.remote(query, k, True, df_map)
+                    for s in rep
+                ]
+            )
+            docs = np.concatenate([t[0] for t in tops])
+            sc = scoring.round_half_away(
+                np.concatenate([t[1] for t in tops]).astype(np.float64),
+                4,
+            )
+            sample = docs[np.lexsort((docs, -sc))[:k]]
         parts = ray.get(
             [
-                s.query_significant_text.remote(query, field, df_map)
+                s.query_significant_text.remote(
+                    query, field, df_map, sample
+                )
                 for s in rep
             ]
         )
@@ -3834,6 +3927,65 @@ class BM25Engine:
             "bg_total": bg_total,
             "buckets": buckets[: max(0, int(size))],
         }
+
+    def search_matrix_stats(
+        self, query: str, fields: tuple = ("n_bytes", "dl_content")
+    ) -> dict:
+        """MATRIX-STATS aggregation (ES ``matrix_stats``) over numeric
+        fast fields of the match set: per field-pair covariance and
+        correlation (sample form, n-1), diagonal = variance / 1.0. The
+        shards ship exact arbitrary-precision integer moment sums
+        (associative merge — no float drift at any scale); every double
+        is computed ONCE here in a fixed operation order —
+
+            cov(a,b)  = (Σab - (Σa·Σb)/n) / (n-1)
+            corr(a,b) = cov(a,b) / sqrt(var(a) * var(b))
+
+        with each Σ an exact int converted to float64 — so a SQL oracle
+        (HUGEINT sums, the same expression) reproduces the doubles.
+        Returns ``{"count", "cells": [{"field_a", "field_b",
+        "covariance", "correlation"}, ...]}`` (field-name order)."""
+        self._maybe_reload()
+        df_map = self._df_map_for([query])
+        rep = self._next_replica(query + "\x00#matrix")
+        parts = ray.get(
+            [
+                s.query_matrix_stats.remote(query, tuple(fields), df_map)
+                for s in rep
+            ]
+        )
+        n = sum(p["n"] for p in parts)
+        s = {
+            f: sum(p["s"][f] for p in parts) for f in fields
+        }
+        sp = {
+            k: sum(p["sp"][k] for p in parts)
+            for k in parts[0]["sp"]
+        } if parts else {}
+        cells = []
+        if n >= 2:
+            def _cov(a, b):
+                key = f"{a}|{b}" if f"{a}|{b}" in sp else f"{b}|{a}"
+                return (
+                    float(sp[key]) - float(s[a] * s[b]) / n
+                ) / (n - 1)
+
+            var = {f: _cov(f, f) for f in fields}
+            for i, a in enumerate(fields):
+                for b in fields[i:]:
+                    c = _cov(a, b)
+                    denom = float(np.sqrt(var[a] * var[b]))
+                    cells.append(
+                        {
+                            "field_a": a,
+                            "field_b": b,
+                            "covariance": c,
+                            "correlation": (
+                                c / denom if denom > 0 else float("nan")
+                            ),
+                        }
+                    )
+        return {"count": n, "cells": cells}
 
     def search_rare_terms(
         self, max_doc_count: int, size: int = 10, field: str = "content"

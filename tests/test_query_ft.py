@@ -1183,3 +1183,81 @@ def test_new_fulltext_paths_survive_shard_kill(ray_session, tiny_index):
         assert before == after
     finally:
         eng.close()
+
+
+def test_matrix_stats_vs_bruteforce(ray_session, tiny_index, tiny_corpus):
+    import numpy as np
+
+    toks = _corpus_tokens(tiny_corpus)
+    nb = {
+        p: len(c.encode())
+        for p, c in zip(
+            tiny_corpus["path"].to_pylist(),
+            tiny_corpus["content"].to_pylist(),
+        )
+    }
+    qa, qb = "merge", "window"
+    match = [
+        p
+        for p, tl in toks.items()
+        if {qa, qb} & {t for t, _ in tl}
+    ]
+    xs = [nb[p] for p in match]
+    ys = [len(toks[p]) for p in match]
+    n = len(match)
+    assert n >= 3
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    syy = sum(y * y for y in ys)
+    vx = (float(sxx) - float(sx * sx) / n) / (n - 1)
+    cxy = (float(sxy) - float(sx * sy) / n) / (n - 1)
+    vy = (float(syy) - float(sy * sy) / n) / (n - 1)
+    want = [
+        ("n_bytes", "n_bytes", vx, vx / float(np.sqrt(vx * vx))),
+        ("n_bytes", "dl_content", cxy, cxy / float(np.sqrt(vx * vy))),
+        ("dl_content", "dl_content", vy, vy / float(np.sqrt(vy * vy))),
+    ]
+    for shards in (1, 3):
+        eng = BM25Engine(tiny_index, num_shards=shards,
+                         auto_reload=False)
+        try:
+            res = eng.search_matrix_stats(f"{qa} OR {qb}")
+        finally:
+            eng.close()
+        assert res["count"] == n
+        got = [
+            (c["field_a"], c["field_b"], c["covariance"],
+             c["correlation"])
+            for c in res["cells"]
+        ]
+        assert [g[:2] for g in got] == [w[:2] for w in want]
+        assert np.allclose(
+            [g[2] for g in got], [w[2] for w in want],
+            rtol=1e-12, atol=0,
+        )
+        assert np.allclose(
+            [g[3] for g in got], [w[3] for w in want],
+            rtol=1e-12, atol=0,
+        )
+
+
+def test_significant_text_sampler(ray_session, tiny_index):
+    """sample_size >= #matches must reproduce the exact collector
+    (the sample IS the match set); a small sample bounds fg_total."""
+    eng = BM25Engine(tiny_index, num_shards=2, auto_reload=False)
+    try:
+        q = "merge AND stream"
+        full = eng.search_significant_text(q, size=8, min_doc_count=2)
+        same = eng.search_significant_text(
+            q, size=8, min_doc_count=2,
+            sample_size=full["fg_total"] + 1000,
+        )
+        assert same == full
+        small = eng.search_significant_text(
+            q, size=8, min_doc_count=2, sample_size=5
+        )
+        assert small["fg_total"] == 5
+        assert all(b["fg_count"] <= 5 for b in small["buckets"])
+    finally:
+        eng.close()
