@@ -1687,7 +1687,17 @@ def bm25_term_vectors(
         filter=pads.field("doc_id").isin(ids),
     )
 
+    _TV_SCHEMA = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("term", pa.string()),
+            ("tf", pa.int64()),
+        ]
+    )
+
     def tv(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # keep the schema on empty blocks
+            return _TV_SCHEMA.empty_table()
         tf, _ = term_frequencies(t["text"], with_positions=False)
         rows = tf["row"].to_numpy().astype(np.int64)
         return pa.table(

@@ -1261,3 +1261,112 @@ def test_significant_text_sampler(ray_session, tiny_index):
         assert all(b["fg_count"] <= 5 for b in small["buckets"])
     finally:
         eng.close()
+
+
+def test_passage_and_bigram_fuzz_vs_bruteforce(
+    ray_session, tmp_path_factory
+):
+    """Randomized differential fuzz of the two position-heavy shard
+    primitives: best-passage window scoring and adjacent-bigram counts,
+    against brute force over a random small-vocab corpus (seeded)."""
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ck_ray.build import IndexConfig, build_index
+    from ck_ray.scoring import round_half_away
+    from ck_ray.tokenizer import tokenize_text_with_positions
+
+    rng = np.random.default_rng(20260820)
+    vocab = [f"w{i}" for i in range(12)]
+    n_docs = 40
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(3, 60))))
+        for _ in range(n_docs)
+    ]
+    corpus = pa.table(
+        {
+            "repo": pa.array(["r"] * n_docs),
+            "path": pa.array([f"d{i}" for i in range(n_docs)]),
+            "commit": pa.array(["0"] * n_docs),
+            "lang": pa.array(["x"] * n_docs),
+            "content": pa.array(texts),
+        }
+    )
+    d = str(tmp_path_factory.mktemp("fuzzidx"))
+    build_index(rd.from_arrow(corpus), d, IndexConfig(num_parts=2))
+    toks = {
+        f"d{i}": tokenize_text_with_positions(t)
+        for i, t in enumerate(texts)
+    }
+    eng = BM25Engine(d, num_shards=3)
+    try:
+        # --- bigram counts: every ordered vocab pair, via the phrase
+        # suggester's shard primitive (fan the pairs at the shards the
+        # way the engine does)
+        pairs = list(itertools.product(vocab[:6], vocab[:6]))
+        parts = ray.get(
+            [
+                s.local_bigram_counts.remote(pairs, "content")
+                for s in eng.shards
+            ]
+        )
+        got = np.sum(np.asarray(parts, dtype=np.int64), axis=0)
+        want = []
+        for a, b in pairs:
+            c = 0
+            for tl in toks.values():
+                for (t1, p1), (t2, p2) in zip(tl, tl[1:]):
+                    c += t1 == a and t2 == b and p2 == p1 + 1
+            want.append(c)
+        assert got.tolist() == want
+        assert sum(want) > 0
+        # --- best passages: random 2-term AND queries, random windows
+        n_corpus = len(toks)
+        for _ in range(12):
+            qa, qb = rng.choice(vocab, size=2, replace=False)
+            window = int(rng.integers(2, 12))
+            df = {
+                q: sum(
+                    1 for tl in toks.values()
+                    if q in {t for t, _ in tl}
+                )
+                for q in (qa, qb)
+            }
+            wt = {
+                q: float(
+                    np.log1p((n_corpus - f + 0.5) / (f + 0.5))
+                )
+                for q, f in df.items()
+            }
+            want_bp = {}
+            for p, tl in toks.items():
+                if not ({qa, qb} <= {t for t, _ in tl}):
+                    continue
+                occ = sorted(
+                    (pos, wt[t]) for t, pos in tl if t in (qa, qb)
+                )
+                best = None
+                for start, _ in occ:
+                    sc = sum(
+                        w for q_, w in occ
+                        if start <= q_ < start + window
+                    )
+                    sc = float(round_half_away(np.float64(sc), 4))
+                    if best is None or sc > best[1]:
+                        best = (start, sc)
+                want_bp[p] = best
+            res = eng.search_best_passages(
+                f"{qa} AND {qb}", window=window
+            )
+            got_bp = {
+                p: (int(st), float(sc))
+                for p, st, sc in zip(
+                    res["paths"], res["starts"], res["scores"]
+                )
+            }
+            assert got_bp == want_bp, (qa, qb, window)
+    finally:
+        eng.close()
