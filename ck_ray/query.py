@@ -2794,6 +2794,19 @@ class LocalIndex:
         tree = self._parse(query)
         if tree is None:
             return empty
+        if any(
+            c.prefix
+            or c.fuzzy
+            or c.range_spec is not None
+            or c.regex_spec is not None
+            for c in collect_clauses(tree)
+        ):
+            # dictionary-expanded leaves highlight their EXPANSIONS
+            # (Lucene's unified highlighter extracts terms the same way)
+            tree = expand_prefix_tree(
+                tree, self._expand_prefix, self._expand_range,
+                self._expand_fuzzy, self._expand_regex,
+            )
         docs, _ = self._match_set(query, df_map)
         docs = np.sort(np.asarray(docs, dtype=np.uint64))
         man = self.manifest

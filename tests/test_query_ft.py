@@ -1370,3 +1370,17 @@ def test_passage_and_bigram_fuzz_vs_bruteforce(
             assert got_bp == want_bp, (qa, qb, window)
     finally:
         eng.close()
+
+
+def test_best_passage_highlights_prefix_expansions(
+    ray_session, tiny_index, tiny_corpus
+):
+    """A dictionary-expanded leaf (prefix query) highlights its
+    expansion terms' occurrences, not nothing."""
+    eng = BM25Engine(tiny_index, num_shards=2, auto_reload=False)
+    try:
+        res = eng.search_best_passages("mer*", window=6)
+    finally:
+        eng.close()
+    assert len(res["doc_ids"]) > 0
+    assert (res["scores"] > 0).all()
