@@ -3764,6 +3764,15 @@ m AS (
     FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
     WHERE a.term = 'key' AND b.term = 'order')
   UNION ALL
+  SELECT 'sloppy_dup_sort', doc_id FROM (
+    SELECT DISTINCT c.doc_id AS doc_id FROM (
+      SELECT a.doc_id, a.pos AS q0, min(b.pos) AS q1
+      FROM tokp a JOIN tokp b
+        ON b.doc_id = a.doc_id AND b.pos > a.pos AND b.term = 'sort'
+      WHERE a.term = 'dup'
+      GROUP BY a.doc_id, a.pos) c
+    WHERE c.q1 - c.q0 - 1 <= 2)
+  UNION ALL
   SELECT 'prefix_win', doc_id FROM (
     SELECT DISTINCT doc_id FROM tset WHERE term LIKE 'win%')
   UNION ALL

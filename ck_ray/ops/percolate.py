@@ -34,10 +34,16 @@ Supported query surface (the parser's match-expressible subset):
   engine: a dictionary term absent from a batch matches no row of that
   batch.
 
-Sloppy phrases (slop>0) and non-``content`` fields raise ``ValueError``
-at REGISTRATION time (``Percolator.__init__`` walks every parsed tree),
-never mid-stream in a worker (percolation is match-only; the greedy-chain
-slop matcher lives on the scoring path, ``query.py``). Dictionary
+- sloppy phrases (``"a b"~N``) — the scoring engine's greedy-chain
+  rule (``query.py`` ``Clause.slop``: a first-term occurrence matches
+  iff chaining each next term to its smallest later position lands
+  within total extra gap <= N) evaluated with the same packed-key
+  searchsorted algebra, match-only.
+
+Non-``content`` fields raise ``ValueError`` at REGISTRATION time
+(``Percolator.__init__`` walks every parsed tree), never mid-stream in
+a worker (a bad registry entry must not fail the job per batch, nor
+pass silently on empty batches). Dictionary
 expansion runs UNCAPPED (``max_expansions=None``): Lucene's clause cap
 bounds scored-disjunction width, which percolation doesn't build, and a
 batch-local cap would make failure depend on batch boundaries. Boosts are
@@ -133,6 +139,39 @@ class _BatchTokens:
             out[self.row[sel]] = True
         return out
 
+    def sloppy_phrase_rows(
+        self, terms: list[str], slop: int
+    ) -> np.ndarray:
+        """Boolean row mask: row contains the phrase within ``slop``
+        total extra gap — the scoring engine's greedy in-order chain
+        (greedy minimizes the last position for a fixed head, so
+        greedy-accept == exists-accept), on this module's packed
+        (row, pos) int64 keys. No per-row Python."""
+        base = np.int64(1) << np.int64(_POS_BITS)
+        sels = [self._select([t]) for t in terms]
+        if any(len(x) == 0 for x in sels):
+            return np.zeros(self.n_rows, dtype=bool)
+        keys = [
+            self.row[x] * base + self.pos[x] for x in sels
+        ]  # ascending: tokens are emitted row-major, pos-ascending
+        cand = keys[0]
+        prev = cand
+        ok = np.ones(len(cand), bool)
+        for kj in keys[1:]:
+            pos = np.searchsorted(kj, prev + np.int64(1))
+            valid = pos < len(kj)
+            nxt = kj[np.clip(pos, 0, max(len(kj) - 1, 0))]
+            valid &= (nxt // base) == (prev // base)
+            ok &= valid
+            prev = np.where(ok, nxt, prev)
+            if not ok.any():
+                return np.zeros(self.n_rows, dtype=bool)
+        gap = (prev - cand).astype(np.int64)
+        ok &= gap - (len(terms) - 1) <= slop
+        out = np.zeros(self.n_rows, dtype=bool)
+        out[(cand[ok] // base).astype(np.int64)] = True
+        return out
+
     def phrase_rows(self, terms: list[str]) -> np.ndarray:
         """Boolean row mask: row contains the EXACT phrase (slop=0).
 
@@ -192,8 +231,6 @@ def _validate(node) -> None:
             raise ValueError(
                 f"percolate streams have no {node.field!r} field"
             )
-        if node.slop:
-            raise ValueError("sloppy phrases are not percolatable")
         return
     for _occur, child in node.children:
         _validate(child)
@@ -209,6 +246,8 @@ def _eval(node, bt: _BatchTokens) -> np.ndarray:
             return np.ones(bt.n_rows, dtype=bool)
         if node.const_score or node.blended or len(node.terms) == 1:
             return bt.member_rows(node.terms)
+        if node.slop:
+            return bt.sloppy_phrase_rows(node.terms, int(node.slop))
         return bt.phrase_rows(node.terms)
     musts = [_eval(c, bt) for o, c in node.children if o == MUST]
     shoulds = [_eval(c, bt) for o, c in node.children if o == SHOULD]
@@ -319,6 +358,7 @@ STORED_QUERIES = {
     "range_dup_merge": "[dup TO merge]",
     "fuzzy_spark": "spark~1",
     "regex_wnd": "/w[io]nd.*/",
+    "sloppy_dup_sort": '"dup sort"~2',
     "all_docs": "*",
 }
 

@@ -121,14 +121,32 @@ def test_multiple_queries_one_pass():
     assert m["a"] == [0, 1, 3] and m["b"] == [2]
 
 
-def test_slop_rejected_at_registration():
-    with pytest.raises(ValueError, match="percolat"):
-        Percolator({"q": '"merge window"~2'})
+def test_sloppy_phrase_matches_engine_rule():
+    """"a b"~N percolates with the scoring engine's greedy-chain rule:
+    total extra gap of the greedy in-order chain <= slop."""
+    docs = [
+        "merge sort window",        # 0: gap(merge->window) = 1
+        "merge a b c window",       # 1: gap = 3
+        "window then merge",        # 2: wrong order only
+        "merge window",             # 3: exact adjacency, gap 0
+        "nothing relevant",         # 4
+    ]
+    m = _matches({"q": '"merge window"~1'}, docs)
+    assert m.get("q", []) == [0, 3]
+    m = _matches({"q": '"merge window"~3'}, docs)
+    assert m.get("q", []) == [0, 1, 3]
+    # slop inside a boolean node
+    m = _matches({"q": 'sort OR "merge window"~0'}, docs)
+    assert m.get("q", []) == [0, 3]
 
 
-def test_nested_slop_rejected_at_registration():
-    with pytest.raises(ValueError, match="percolat"):
-        Percolator({"q": 'merge AND (sort OR "a b"~1)'})
+def test_sloppy_phrase_greedy_equals_exists():
+    """Greedy chaining accepts iff SOME occurrence tuple fits (greedy
+    minimizes the last link for a fixed head) — the doc where only the
+    SECOND 'a' occurrence can reach 'b' still matches."""
+    docs = ["a x x x x a b"]  # head at 0 fails ~1; head at 5 succeeds
+    m = _matches({"q": '"a b"~1'}, docs)
+    assert m.get("q", []) == [0]
 
 
 def test_non_content_field_rejected_at_registration():
