@@ -898,6 +898,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # significant_text under a sampler (the ES scale shape): fg =
         # top-N BM25 docs on the shared rounded-score cut
         "bm25_significant_sampled": docsearch.bm25_significant_sampled,
+        # ES pinned query: promoted ids first (matching or not), then
+        # the organic ranking with pins excluded; float-free output
+        "bm25_pinned": docsearch.bm25_pinned,
+        # ES distance_feature: additive proximity boost on a numeric
+        # fast field — bm25 + boost*pivot/(pivot+|field-origin|)
+        "bm25_distance_feature": docsearch.bm25_distance_feature,
     }
     # The driver's per-round correctness gate checks a PREFIX of this
     # dict (r3 covered the first 50 of 109). Rotate so the families
@@ -914,12 +920,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_rare_terms", "bm25_significant_text",
         "bm25_phrase_suggest", "bm25_best_passage",
         "bm25_term_vectors", "bm25_matrix_stats",
-        "bm25_significant_sampled",
+        "bm25_significant_sampled", "bm25_pinned",
+        "bm25_distance_feature",
         "decontaminate", "dup_ngram_spans", "stratified_sample",
         "source_quota_cap", "token_budget_sample", "corpus_clean",
         "pack_sequences", "dup_span_scrub", "line_dedup_scrub",
         "pii_scrub", "unicode_clean", "dsir_weights",
-        "bigram_counts", "bigram_pmi",
         "repetition_stats", "tfidf_top_terms", "unigram_logprob",
         "kn_bigram_logprob", "kn_trigram_logprob", "ccnet_buckets",
         "approx_distinct_terms",
@@ -4121,5 +4127,95 @@ scored AS (
 SELECT term, fg_count, bg_count, round(score, 4) AS score
 FROM scored WHERE score > 0
 ORDER BY score DESC, term LIMIT 12
+""",
+        # pinned: promoted ids (existing ones, given order) first, then
+        # the organic rounded ranking with pins excluded; pure integers
+        "bm25_pinned": f"""
+WITH {_TOKS},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2
+       GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+qterms AS (SELECT * FROM (VALUES ('merge'), ('window')) AS q(term)),
+dft AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+              * ((tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)))
+            ) AS score
+  FROM tf
+  JOIN dft USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+pins0 AS (SELECT * FROM (VALUES (1, 5), (2, 1), (3, 1000000000), (4, 2))
+          AS p(ord, doc_id)),
+pins AS (
+  SELECT row_number() OVER (ORDER BY ord) AS rank, doc_id
+  FROM pins0 WHERE doc_id IN (SELECT doc_id FROM documents)
+),
+organic AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY round(score, 4) DESC, doc_id)
+           AS orank
+  FROM scores
+  WHERE doc_id NOT IN (SELECT doc_id FROM pins)
+)
+SELECT rank, doc_id, CAST(1 AS BIGINT) AS pinned FROM pins
+UNION ALL
+SELECT (SELECT count(*) FROM pins) + orank AS rank, doc_id,
+       CAST(0 AS BIGINT) AS pinned
+FROM organic
+WHERE (SELECT count(*) FROM pins) + orank <= 15
+ORDER BY rank
+""",
+        # distance_feature: bm25 + boost*pivot/(pivot+|strlen-origin|)
+        "bm25_distance_feature": f"""
+WITH {_TOKS},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2
+       GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+qterms AS (SELECT * FROM (VALUES ('merge'), ('window')) AS q(term)),
+dft AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+              * ((tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)))
+            ) AS score
+  FROM tf
+  JOIN dft USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+boosted AS (
+  SELECT sc.doc_id,
+         sc.score + (2.0 * 128) / (128 + abs(strlen(d.text) - 600))
+           AS score
+  FROM scores sc JOIN documents d USING (doc_id)
+),
+topk AS (
+  SELECT doc_id, round(score, 4) AS score FROM boosted
+  ORDER BY round(score, 4) DESC, doc_id LIMIT 15
+)
+SELECT doc_id, score FROM topk ORDER BY score DESC, doc_id
 """,
     }

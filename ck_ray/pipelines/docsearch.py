@@ -1799,3 +1799,86 @@ def bm25_significant_sampled(
             ),
         }
     )
+
+
+def bm25_pinned(
+    sf_dir: str, query: str = "merge window",
+    pinned: tuple = (5, 1, 10**9, 2), k: int = 15,
+) -> pd.DataFrame:
+    """PINNED query (ES ``pinned``): promoted docs first in the given
+    order — matching or not — then organic matches (pinned excluded)
+    on the shared rounded-score ranking; nonexistent pinned ids drop
+    (ES). Output is float-free (rank, doc_id, pinned) so the oracle
+    compares pure integers; the organic ordering is the same
+    (round(score,4) DESC, doc_id) rule every ranked entry uses."""
+    pins = [str(int(i)) for i in pinned]
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2, dtype=np.float64)
+    try:
+        # engine semantics probe: promoted prefix in given order
+        res = eng.search_pinned(query, pins, top_k=k)
+        npin = int(res["pinned"].sum())
+        assert list(res["paths"][:npin]) == [
+            p for p in pins if p in set(res["paths"][:npin])
+        ]
+        # deterministic organic ranking for the oracle: the shared
+        # rounded-cut (closed boundary), overfetched so excluding the
+        # pinned rows can never underfill the page
+        organic = _bm25_rounded_cut(sf_dir, query, k + len(pins), eng=eng)
+    finally:
+        eng.close()
+    found = set(res["paths"][:npin])
+    pin_ids = [int(p) for p in pins if p in found]
+    organic = organic[~organic["doc_id"].isin(pin_ids)]
+    rows = [(i + 1, d, 1) for i, d in enumerate(pin_ids)]
+    base = len(rows)
+    for j, d in enumerate(organic["doc_id"].head(max(0, k - base))):
+        rows.append((base + j + 1, int(d), 0))
+    return pd.DataFrame(
+        {
+            "rank": pd.Series([r[0] for r in rows], dtype="int64"),
+            "doc_id": pd.Series([r[1] for r in rows], dtype="int64"),
+            "pinned": pd.Series([r[2] for r in rows], dtype="int64"),
+        }
+    )
+
+
+def bm25_distance_feature(
+    sf_dir: str, query: str = "merge window", field: str = "n_bytes",
+    origin: int = 600, pivot: int = 128, boost: float = 2.0,
+    k: int = 15,
+) -> pd.DataFrame:
+    """DISTANCE-FEATURE query (ES ``distance_feature``): rank by
+    ``bm25 + boost * pivot / (pivot + |n_bytes - origin|)`` — the
+    additive recency/proximity boost (here: prefer docs near a target
+    size) that promotes without excluding. Oracle: the per-doc BM25
+    OR-sum plus the identical rational feature from ``strlen(text)``;
+    shared 4dp rounded cut."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2, dtype=np.float64)
+    try:
+        fetch = k + 64
+        while True:
+            res = eng.search_distance_feature(
+                query, field, origin=origin, pivot=pivot, boost=boost,
+                top_k=fetch,
+            )
+            if len(res["doc_ids"]) < fetch:
+                break
+            r = round_half_away(res["scores"], 4)
+            if float(r[-1]) < float(r[k - 1]):
+                break  # rounded boundary group closed
+            fetch *= 4
+    finally:
+        eng.close()
+    out = pd.DataFrame(
+        {
+            "doc_id": res["paths"].astype("int64"),
+            "score": round_half_away(res["scores"], 4),
+        }
+    )
+    return (
+        out.sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )

@@ -2536,6 +2536,72 @@ class LocalIndex:
         order = np.lexsort((docs, -acc.astype(np.float64)))[:k]
         return docs[order], acc[order]
 
+    def query_distance_feature(
+        self, query: str, field: str, origin: int, pivot: int,
+        boost: float = 1.0, k: int = 100, df_map=None,
+    ) -> dict:
+        """DISTANCE-FEATURE query (ES ``distance_feature`` on a numeric
+        field — the standard recency/proximity booster): every match
+        keeps its exact BM25 score and ADDS
+
+            boost * pivot / (pivot + |field_value - origin|)
+
+        (float64, that operation order), so docs nearer ``origin`` on
+        the fast field rank higher without excluding anyone — the
+        additive counterpart of function_score's multiplicative prior.
+        Docs missing the field get NO boost contribution (ES skips
+        them). Shard-local complete under doc partitioning; returns the
+        local top-k (score desc, doc_id asc) with stored ``path``."""
+        if field not in self._meta_num:
+            raise ValueError(f"no such numeric fast field: {field!r}")
+        docs, acc = self._match_set(query, df_map)
+        if not len(docs):
+            return {
+                "doc_ids": np.empty(0, np.uint64),
+                "scores": np.empty(0, np.float64),
+                "paths": np.empty(0, object),
+            }
+        pos = np.searchsorted(self._meta_ids, docs)
+        ok = self._meta_num_ok[field][pos]
+        dist = np.abs(
+            self._meta_num[field][pos].astype(np.float64)
+            - np.float64(origin)
+        )
+        feat = np.where(
+            ok,
+            (np.float64(boost) * np.float64(pivot))
+            / (np.float64(pivot) + dist),
+            np.float64(0.0),
+        )
+        scores = acc.astype(np.float64) + feat
+        order = np.lexsort((docs, -scores))[:k]
+        docs, scores = docs[order], scores[order]
+        paths = np.full(len(docs), None, dtype=object)
+        if len(docs) and len(self._meta_ids):
+            mpos = np.clip(
+                np.searchsorted(self._meta_ids, docs),
+                0, len(self._meta_ids) - 1,
+            )
+            found = self._meta_ids[mpos] == docs
+            paths[found] = self._meta["path"][mpos[found]]
+        return {"doc_ids": docs, "scores": scores, "paths": paths}
+
+    def lookup_paths(self, paths: list[str]) -> dict:
+        """{path -> doc_id} for the given stored paths OWNED by this
+        shard (one vectorized isin over the metadata; doc partitioning
+        makes the driver's dict-merge disjoint). The pinned query's
+        existence probe — pinned docs surface even when they don't
+        match the organic query, so they need an id lookup, not a
+        search."""
+        arr = np.asarray(self._meta["path"], dtype=object)
+        if not len(arr) or not paths:
+            return {}
+        mask = np.isin(arr, np.asarray(list(paths), dtype=object))
+        idx = np.nonzero(mask)[0]
+        return {
+            str(arr[i]): int(self._meta_ids[i]) for i in idx
+        }
+
     def query_matrix_stats(
         self, query: str, fields: tuple, df_map=None
     ) -> dict:
@@ -3939,6 +4005,91 @@ class BM25Engine:
             "fg_total": fg_total,
             "bg_total": bg_total,
             "buckets": buckets[: max(0, int(size))],
+        }
+
+    def search_distance_feature(
+        self, query: str, field: str, origin: int, pivot: int,
+        boost: float = 1.0, top_k: int | None = None,
+    ) -> dict:
+        """DISTANCE-FEATURE query (ES ``distance_feature``): rank by
+        ``bm25 + boost * pivot / (pivot + |field - origin|)`` — the
+        recency/proximity boost shape (e.g. prefer docs near a target
+        size or timestamp) without filtering. Shard-local exact under
+        doc partitioning; standard O(shards * k) merge. Returns
+        ``{"doc_ids", "scores", "paths"}``."""
+        self._maybe_reload()
+        k = top_k if top_k is not None else 100
+        df_map = self._df_map_for([query])
+        rep = self._next_replica(
+            query + f"\x00#distfeat:{field}:{origin}:{pivot}"
+        )
+        parts = ray.get(
+            [
+                s.query_distance_feature.remote(
+                    query, field, int(origin), int(pivot),
+                    float(boost), k, df_map,
+                )
+                for s in rep
+            ]
+        )
+        self.last_fanout_rows = int(
+            sum(len(p["doc_ids"]) for p in parts)
+        )
+        docs = np.concatenate([p["doc_ids"] for p in parts])
+        scores = np.concatenate([p["scores"] for p in parts])
+        paths = np.concatenate([p["paths"] for p in parts])
+        order = np.lexsort((docs, -scores))[:k]
+        return {
+            "doc_ids": docs[order],
+            "scores": scores[order],
+            "paths": paths[order],
+        }
+
+    def search_pinned(
+        self, query: str, pinned_paths: list[str],
+        top_k: int | None = None,
+    ) -> dict:
+        """PINNED query (ES ``pinned``): the given docs rank FIRST, in
+        the order given — whether or not they match — followed by the
+        organic matches (pinned excluded) in score order; total size is
+        ``top_k``. Pinned ids that don't exist in the index are dropped
+        (ES behavior). One id-lookup fan-out (O(pins) integers) plus
+        the standard ranked search; organic scores stay exact, pinned
+        rows carry their organic score when they match and NaN when
+        they're pure promotions. Returns ``{"paths", "doc_ids",
+        "scores", "pinned"}`` aligned arrays."""
+        self._maybe_reload()
+        k = top_k if top_k is not None else 100
+        pins = list(dict.fromkeys(pinned_paths))  # dedupe, keep order
+        found: dict[str, int] = {}
+        for part in ray.get(
+            [s.lookup_paths.remote(pins) for s in self.shards]
+        ):
+            found.update(part)
+        pins = [p for p in pins if p in found][:k]
+        df = self.search(query, top_k=k + len(pins), with_metadata=True)
+        by_path = {
+            p: (int(d), float(sc))
+            for p, d, sc in zip(df["path"], df["doc_id"], df["score"])
+        }
+        paths, doc_ids, scores, flags = [], [], [], []
+        for p in pins:
+            paths.append(p)
+            doc_ids.append(found[p])
+            scores.append(by_path.get(p, (0, float("nan")))[1])
+            flags.append(True)
+        organic = [p for p in df["path"] if p not in set(pins)]
+        for p in organic[: max(0, k - len(pins))]:
+            d, sc = by_path[p]
+            paths.append(p)
+            doc_ids.append(d)
+            scores.append(sc)
+            flags.append(False)
+        return {
+            "paths": np.asarray(paths, dtype=object),
+            "doc_ids": np.asarray(doc_ids, dtype=np.uint64),
+            "scores": np.asarray(scores, dtype=np.float64),
+            "pinned": np.asarray(flags, dtype=bool),
         }
 
     def search_matrix_stats(

@@ -1384,3 +1384,70 @@ def test_best_passage_highlights_prefix_expansions(
         eng.close()
     assert len(res["doc_ids"]) > 0
     assert (res["scores"] > 0).all()
+
+
+def test_distance_feature_vs_bruteforce(
+    ray_session, tiny_index, tiny_corpus
+):
+    """bm25 + boost*pivot/(pivot+|n_bytes-origin|): the additive boost
+    must equal the hand-computed feature at every returned doc, and a
+    doc exactly at origin gets the full boost."""
+    import numpy as np
+
+    eng = BM25Engine(tiny_index, num_shards=2, dtype=np.float64,
+                     auto_reload=False)
+    nb = {
+        p: len(c.encode())
+        for p, c in zip(
+            tiny_corpus["path"].to_pylist(),
+            tiny_corpus["content"].to_pylist(),
+        )
+    }
+    try:
+        origin, pivot, boost = 500, 64, 3.0
+        plain = eng.search_raw("merge window", top_k=10**6)
+        res = eng.search_distance_feature(
+            "merge window", "n_bytes", origin=origin, pivot=pivot,
+            boost=boost, top_k=10**6,
+        )
+        base = {int(d): float(s) for d, s in zip(*plain)}
+        for d, sc, p in zip(res["doc_ids"], res["scores"], res["paths"]):
+            feat = (boost * np.float64(pivot)) / (
+                np.float64(pivot) + abs(np.float64(nb[p]) - origin)
+            )
+            assert sc == base[int(d)] + feat
+        # ranking is by the boosted score
+        s = res["scores"]
+        assert all(s[i] >= s[i + 1] for i in range(len(s) - 1))
+    finally:
+        eng.close()
+
+
+def test_pinned_query_semantics(ray_session, tiny_index):
+    """ES pinned: found pins first in the given order (matching or
+    not), organic follows with pins excluded, unknown ids drop, and
+    the total respects top_k."""
+    import numpy as np
+
+    eng = BM25Engine(tiny_index, num_shards=2, auto_reload=False)
+    try:
+        organic = eng.search("merge window", top_k=10)
+        some_path = organic["path"].iloc[3]
+        nonmatch = eng.search("*", top_k=200)
+        pool = [
+            p for p in nonmatch["path"]
+            if p not in set(organic["path"])
+        ]
+        promo = pool[0]  # exists, does not match the query
+        pins = [promo, "no/such/path.py", some_path]
+        res = eng.search_pinned("merge window", pins, top_k=8)
+        assert list(res["paths"][:2]) == [promo, some_path]
+        assert list(res["pinned"][:2]) == [True, True]
+        assert np.isnan(res["scores"][0])  # pure promotion: no score
+        assert not np.isnan(res["scores"][1])  # pinned AND matching
+        assert len(res["paths"]) == 8
+        assert not res["pinned"][2:].any()
+        assert promo not in set(res["paths"][2:])
+        assert some_path not in set(res["paths"][2:])
+    finally:
+        eng.close()
