@@ -904,6 +904,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ES distance_feature: additive proximity boost on a numeric
         # fast field — bm25 + boost*pivot/(pivot+|field-origin|)
         "bm25_distance_feature": docsearch.bm25_distance_feature,
+        # ES auto_date_histogram: the engine picks the interval (fixed
+        # ladder, bucket-grid count rule) — the oracle re-derives the
+        # choice AND the buckets
+        "events_auto_histogram": relational.events_auto_histogram,
     }
     # The driver's per-round correctness gate checks a PREFIX of this
     # dict (r3 covered the first 50 of 109). Rotate so the families
@@ -921,12 +925,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_phrase_suggest", "bm25_best_passage",
         "bm25_term_vectors", "bm25_matrix_stats",
         "bm25_significant_sampled", "bm25_pinned",
-        "bm25_distance_feature",
+        "bm25_distance_feature", "events_auto_histogram",
         "decontaminate", "dup_ngram_spans", "stratified_sample",
         "source_quota_cap", "token_budget_sample", "corpus_clean",
         "pack_sequences", "dup_span_scrub", "line_dedup_scrub",
         "pii_scrub", "unicode_clean", "dsir_weights",
-        "repetition_stats", "tfidf_top_terms", "unigram_logprob",
+        "tfidf_top_terms", "unigram_logprob",
         "kn_bigram_logprob", "kn_trigram_logprob", "ccnet_buckets",
         "approx_distinct_terms",
         "events_props_stats",
@@ -4217,5 +4221,35 @@ topk AS (
   ORDER BY round(score, 4) DESC, doc_id LIMIT 15
 )
 SELECT doc_id, score FROM topk ORDER BY score DESC, doc_id
+""",
+        # auto_date_histogram: smallest ladder rung whose grid bucket
+        # count fits, then fixed-grid buckets with exact integer sums
+        "events_auto_histogram": """
+WITH ev AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS e,
+         CAST(round(value * 1e6) AS BIGINT) AS v6
+  FROM events
+),
+ext AS (SELECT min(e) AS mn, max(e) AS mx FROM ev),
+ladder AS (
+  SELECT * FROM (VALUES (1), (5), (10), (30), (60), (300), (600),
+                        (1800), (3600), (10800), (43200), (86400),
+                        (604800), (2592000), (7776000), (31536000))
+  AS l(i)
+),
+pick AS (
+  SELECT min(i) AS i FROM ladder CROSS JOIN ext
+  WHERE mx // i - mn // i + 1 <= 12
+),
+b AS (
+  SELECT (e // (SELECT i FROM pick)) * (SELECT i FROM pick)
+           AS bucket_epoch,
+         count(*) AS n, sum(v6) AS total_value_e6
+  FROM ev GROUP BY 1
+)
+SELECT CAST((SELECT i FROM pick) AS BIGINT) AS interval_s,
+       bucket_epoch, n, CAST(total_value_e6 AS BIGINT)
+         AS total_value_e6
+FROM b ORDER BY bucket_epoch
 """,
     }

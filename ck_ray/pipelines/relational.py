@@ -1452,3 +1452,77 @@ def event_funnel(
         .reset_index(drop=True)
     )
     return out.astype({"stage": "int64", "n_users": "int64"})
+
+
+# ES auto_date_histogram interval ladder, in seconds (second/minute/
+# hour/day/week-ish/month-ish/year-ish roundings — fixed-width epoch
+# arithmetic, so the bucket rule is exactly SQL-replicable)
+_AUTO_HIST_LADDER = (
+    1, 5, 10, 30, 60, 300, 600, 1800, 3600, 10800, 43200,
+    86400, 604800, 2592000, 7776000, 31536000,
+)
+
+
+def events_auto_histogram(
+    sf_dir: str, target_buckets: int = 12
+) -> pd.DataFrame:
+    """AUTO DATE HISTOGRAM (the ES ``auto_date_histogram`` agg): the
+    engine — not the caller — picks the bucket interval: the smallest
+    rung of the fixed ladder whose bucket count stays within
+    ``target_buckets``. Two streaming passes: a min/max aggregate over
+    the epoch column, then (driver picks the interval from two ints) a
+    distributed groupby of ``epoch // interval`` with count + exact
+    integer micro-unit value sums. Bucket count uses
+    ``max//i - min//i + 1`` (fixed epoch grid, not span/i), so the
+    selection is exactly replicable in SQL. Output carries the chosen
+    ``interval_s`` so the oracle also verifies the ADAPTIVE choice."""
+    from ray.data.aggregate import Max, Min
+
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["ts", "value"])
+
+    def to_epoch(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame()
+        # unit-safe epoch seconds: parquet timestamps load as
+        # datetime64[us]; casting to [s] floors to the second exactly
+        # like the oracle's floor(epoch(ts))
+        out["e"] = df["ts"].astype("datetime64[s]").astype("int64")
+        out["value_e6"] = np.round(
+            df["value"].to_numpy() * 1e6
+        ).astype(np.int64)
+        return out
+
+    eds = ds.map_batches(to_epoch, batch_format="pandas")
+    mm = eds.aggregate(Min("e"), Max("e"))
+    mn, mx = int(mm["min(e)"]), int(mm["max(e)"])
+    interval = next(
+        (
+            i for i in _AUTO_HIST_LADDER
+            if mx // i - mn // i + 1 <= int(target_buckets)
+        ),
+        _AUTO_HIST_LADDER[-1],
+    )
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame()
+        out["bucket_epoch"] = (df["e"] // interval) * interval
+        out["value_e6"] = df["value_e6"]
+        return out
+
+    out = (
+        eds.map_batches(bucket, batch_format="pandas")
+        .groupby("bucket_epoch")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("value_e6", alias_name="total_value_e6"),
+        )
+        .to_pandas()
+    )
+    out["interval_s"] = np.int64(interval)
+    out["n"] = out["n"].astype("int64")
+    out["total_value_e6"] = out["total_value_e6"].astype("int64")
+    out["bucket_epoch"] = out["bucket_epoch"].astype("int64")
+    return (
+        out[["interval_s", "bucket_epoch", "n", "total_value_e6"]]
+        .sort_values("bucket_epoch")
+        .reset_index(drop=True)
+    )

@@ -264,3 +264,45 @@ def test_event_funnel_no_matching_stages(ray_session, tmp_path):
     got = event_funnel(str(tmp_path))
     assert list(got["stage"]) == [1, 2, 3]
     assert list(got["n_users"]) == [0, 0, 0]
+
+
+def test_auto_histogram_interval_selection(ray_session, tmp_path):
+    """The adaptive rule picks the smallest ladder rung whose grid
+    bucket count fits the target — verified across targets on a
+    hand-built series, plus exact bucket contents."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ck_ray.pipelines.relational import events_auto_histogram
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    ts = [base + pd.Timedelta(minutes=m) for m in (0, 1, 7, 30, 119)]
+    t = pa.table(
+        {
+            "ts": pa.array(ts),
+            "value": pa.array([1.5, 2.25, 0.5, 1.0, 3.0]),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    sf = str(tmp_path)
+    # span 119 min: minute grid needs 120 buckets, 30-min grid 4
+    out = events_auto_histogram(sf, target_buckets=4)
+    assert out["interval_s"].iloc[0] == 1800
+    assert out["n"].sum() == 5
+    e0 = int(base.timestamp())
+    assert out["bucket_epoch"].tolist() == [
+        e0, e0 + 1800, e0 + 1800 * 3
+    ]
+    assert out["n"].tolist() == [3, 1, 1]
+    assert out["total_value_e6"].tolist() == [
+        4_250_000, 1_000_000, 3_000_000
+    ]
+    # a looser target picks a finer rung
+    fine = events_auto_histogram(sf, target_buckets=200)
+    assert fine["interval_s"].iloc[0] == 60
+    assert int(fine["n"].sum()) == 5
+    # tighter: everything collapses into few wide buckets
+    coarse = events_auto_histogram(sf, target_buckets=1)
+    assert coarse["interval_s"].iloc[0] >= 7200 or len(coarse) == 1
