@@ -4238,7 +4238,9 @@ ladder AS (
   AS l(i)
 ),
 pick AS (
-  SELECT min(i) AS i FROM ladder CROSS JOIN ext
+  -- COALESCE mirrors the engine's fallback: when even the coarsest
+  -- rung exceeds the target, bucket at the coarsest rung anyway
+  SELECT COALESCE(min(i), 31536000) AS i FROM ladder CROSS JOIN ext
   WHERE mx // i - mn // i + 1 <= 12
 ),
 b AS (

@@ -2888,7 +2888,17 @@ class LocalIndex:
                 v = self._view(key)
                 if v is None:
                     continue
-                df_g = self._df_of(key, v, df_map)
+                # expansion terms of fuzzy/regex/range leaves are not
+                # in the driver's df_map (const-score scoring never
+                # needs their idf); weight them from the serving row's
+                # build-time global df — identical on every shard, so
+                # passage selection stays deterministic — instead of
+                # letting the df_map miss read as df=0 (maximal idf)
+                df_g = (
+                    df_map.get(key) if df_map is not None else None
+                )
+                if df_g is None:
+                    df_g = v._entries[0]["df"]
                 w = float(scoring.idf(df_g, n_docs, dtype=np.float64))
                 pd_ = v.docs
                 idx = (
@@ -2914,12 +2924,20 @@ class LocalIndex:
         d = np.concatenate(parts_d)
         p = np.concatenate(parts_p)
         w = np.concatenate(parts_w)
-        base = np.int64(1) << np.int64(40)
-        key = d * base + p
+        # pack (match-set RANK, position), never the raw doc id: ids
+        # are sha-derived uint64s, so id*2^40 would wrap int64 and
+        # collide docs congruent mod 2^24 (the phrase matcher and
+        # local_bigram_counts pack ranks for the same reason)
+        rk = np.searchsorted(docs, d.astype(np.uint64)).astype(
+            np.uint64
+        )
+        key = (rk << np.uint64(32)) | p.astype(np.uint64)
         order = np.argsort(key, kind="stable")
         key, d, p, w = key[order], d[order], p[order], w[order]
         # each occurrence anchors a candidate window at its own position
-        ends = np.searchsorted(key, key + np.int64(window), side="left")
+        ends = np.searchsorted(
+            key, key + np.uint64(window), side="left"
+        )
         cw = np.concatenate(([0.0], np.cumsum(w)))
         scores = cw[ends] - cw[np.arange(len(key))]
         # window sums are float64 in POSITION order; an oracle summing
@@ -3944,26 +3962,54 @@ class BM25Engine:
         boundary rule every ranked oracle here uses."""
         self._maybe_reload()
         df_map = self._df_map_for([query])
+        tree = self._parse_global(query)
         rep = self._next_replica(query + "\x00#sigtext")
         sample = None
         if sample_size is not None:
+            # the cut is on ROUNDED scores, so per-shard raw top-k is
+            # not enough: overfetch until every non-exhausted shard's
+            # last fetched row rounds strictly below the global k-th
+            # rounded score (rounding is monotone, so nothing deeper in
+            # that shard can reach the boundary group) — the same
+            # closure rule as the entry-level rounded cut
             k = int(sample_size)
-            tops = ray.get(
-                [
-                    s.query_topk.remote(query, k, True, df_map)
-                    for s in rep
-                ]
-            )
-            docs = np.concatenate([t[0] for t in tops])
-            sc = scoring.round_half_away(
-                np.concatenate([t[1] for t in tops]).astype(np.float64),
-                4,
-            )
-            sample = docs[np.lexsort((docs, -sc))[:k]]
+            fetch = k + 64
+            while True:
+                tops = ray.get(
+                    [
+                        s.query_topk.remote(tree, fetch, True, df_map)
+                        for s in rep
+                    ]
+                )
+                docs = np.concatenate([t[0] for t in tops])
+                sc = scoring.round_half_away(
+                    np.concatenate([t[1] for t in tops]).astype(
+                        np.float64
+                    ),
+                    4,
+                )
+                order = np.lexsort((docs, -sc))
+                if len(docs) <= k:
+                    break
+                kth = sc[order[k - 1]]
+                closed = all(
+                    len(t[0]) < fetch
+                    or float(
+                        scoring.round_half_away(
+                            np.float64(t[1][-1]), 4
+                        )
+                    )
+                    < float(kth)
+                    for t in tops
+                )
+                if closed:
+                    break
+                fetch *= 4
+            sample = docs[order[:k]]
         parts = ray.get(
             [
                 s.query_significant_text.remote(
-                    query, field, df_map, sample
+                    tree, field, df_map, sample
                 )
                 for s in rep
             ]
@@ -3978,7 +4024,6 @@ class BM25Engine:
                 bg[t] = bg.get(t, 0) + b
         skip: set[str] = set()
         if exclude_query_terms:
-            tree = self._parse_global(query)
             if tree is not None:
                 skip = {
                     t for c in collect_clauses(tree) for t in c.terms
@@ -4020,13 +4065,14 @@ class BM25Engine:
         self._maybe_reload()
         k = top_k if top_k is not None else 100
         df_map = self._df_map_for([query])
+        tree = self._parse_global(query)
         rep = self._next_replica(
             query + f"\x00#distfeat:{field}:{origin}:{pivot}"
         )
         parts = ray.get(
             [
                 s.query_distance_feature.remote(
-                    query, field, int(origin), int(pivot),
+                    tree, field, int(origin), int(pivot),
                     float(boost), k, df_map,
                 )
                 for s in rep
@@ -4072,13 +4118,39 @@ class BM25Engine:
             p: (int(d), float(sc))
             for p, d, sc in zip(df["path"], df["doc_id"], df["score"])
         }
+        # pins ranked deeper than the fetched page still deserve their
+        # real organic score (ES returns it): one exact O(pins) score
+        # probe at their ids — score 0.0 there means "does not match"
+        # (every true match scores > 0), which maps to NaN
+        deep = [p for p in pins if p not in by_path]
+        if deep:
+            ids = np.asarray([found[p] for p in deep], dtype=np.uint64)
+            probe_df_map = self._df_map_for([query])
+            probed = np.sum(
+                ray.get(
+                    [
+                        s.query_scores_at.remote(
+                            self._parse_global(query), ids,
+                            probe_df_map,
+                        )
+                        for s in self.shards
+                    ]
+                ),
+                axis=0,
+            )
+            for p, sc in zip(deep, probed):
+                by_path[p] = (
+                    found[p],
+                    float(sc) if sc > 0 else float("nan"),
+                )
         paths, doc_ids, scores, flags = [], [], [], []
         for p in pins:
             paths.append(p)
             doc_ids.append(found[p])
             scores.append(by_path.get(p, (0, float("nan")))[1])
             flags.append(True)
-        organic = [p for p in df["path"] if p not in set(pins)]
+        pinset = set(pins)
+        organic = [p for p in df["path"] if p not in pinset]
         for p in organic[: max(0, k - len(pins))]:
             d, sc = by_path[p]
             paths.append(p)
@@ -4111,10 +4183,11 @@ class BM25Engine:
         "covariance", "correlation"}, ...]}`` (field-name order)."""
         self._maybe_reload()
         df_map = self._df_map_for([query])
+        tree = self._parse_global(query)
         rep = self._next_replica(query + "\x00#matrix")
         parts = ray.get(
             [
-                s.query_matrix_stats.remote(query, tuple(fields), df_map)
+                s.query_matrix_stats.remote(tree, tuple(fields), df_map)
                 for s in rep
             ]
         )
@@ -4326,10 +4399,11 @@ class BM25Engine:
         ``{"doc_ids", "starts", "scores"}`` sorted by doc_id."""
         self._maybe_reload()
         df_map = self._df_map_for([query])
+        tree = self._parse_global(query)
         rep = self._next_replica(query + f"\x00#passage:{window}")
         parts = ray.get(
             [
-                s.query_best_passage.remote(query, int(window), df_map)
+                s.query_best_passage.remote(tree, int(window), df_map)
                 for s in rep
             ]
         )

@@ -1433,18 +1433,30 @@ def test_pinned_query_semantics(ray_session, tiny_index):
     try:
         organic = eng.search("merge window", top_k=10)
         some_path = organic["path"].iloc[3]
-        nonmatch = eng.search("*", top_k=200)
+        all_matches = eng.search("merge window", top_k=10**6)
+        alldocs = eng.search("*", top_k=10**6)
         pool = [
-            p for p in nonmatch["path"]
-            if p not in set(organic["path"])
+            p for p in alldocs["path"]
+            if p not in set(all_matches["path"])
         ]
-        promo = pool[0]  # exists, does not match the query
+        promo = pool[0]  # exists, matches the query NOWHERE
         pins = [promo, "no/such/path.py", some_path]
         res = eng.search_pinned("merge window", pins, top_k=8)
         assert list(res["paths"][:2]) == [promo, some_path]
         assert list(res["pinned"][:2]) == [True, True]
         assert np.isnan(res["scores"][0])  # pure promotion: no score
         assert not np.isnan(res["scores"][1])  # pinned AND matching
+        # a MATCHING pin ranked beyond the page still gets its real
+        # organic score (the deep-probe path)
+        deep_path = all_matches["path"].iloc[-1]
+        res2 = eng.search_pinned("merge window", [deep_path], top_k=3)
+        assert res2["paths"][0] == deep_path and res2["pinned"][0]
+        want = float(
+            all_matches.loc[
+                all_matches["path"] == deep_path, "score"
+            ].iloc[0]
+        )
+        assert res2["scores"][0] == want
         assert len(res["paths"]) == 8
         assert not res["pinned"][2:].any()
         assert promo not in set(res["paths"][2:])
