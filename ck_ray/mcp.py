@@ -157,6 +157,14 @@ class CkRayMCP:
                             "significant_text, JLH score)",
         "best_passages": "Best highlight window per matching doc "
                          "(unified-highlighter passage selection)",
+        "pinned_search": "Promoted paths first in given order, organic "
+                         "ranking follows (ES pinned query)",
+        "distance_feature_search": "BM25 + additive proximity boost on "
+                                   "a numeric fast field (ES "
+                                   "distance_feature)",
+        "matrix_stats": "Field-pair covariance/correlation over the "
+                        "match set's numeric fast fields (ES "
+                        "matrix_stats)",
     }
 
     def list_tools(self) -> list[dict]:
@@ -182,6 +190,11 @@ class CkRayMCP:
                         "max_doc_count": {"type": "integer"},
                         "min_doc_count": {"type": "integer"},
                         "window": {"type": "integer"},
+                        "pins": {"type": "array"},
+                        "fields": {"type": "array"},
+                        "origin": {"type": "integer"},
+                        "pivot": {"type": "integer"},
+                        "boost": {"type": "number"},
                     },
                 },
             }
@@ -253,6 +266,43 @@ class CkRayMCP:
                     int(args.get("max_edits", 2)),
                 )
             }
+        if name == "pinned_search":
+            pins = args.get("pins") or []
+            res = self._bm25().search_pinned(
+                query, [str(p) for p in pins],
+                top_k=args.get("top_k"),
+            )
+            return {
+                "hits": [
+                    {
+                        "path": str(p_),
+                        "pinned": bool(fl),
+                        "score": (None if sc != sc else float(sc)),
+                    }
+                    for p_, fl, sc in zip(
+                        res["paths"], res["pinned"], res["scores"]
+                    )
+                ]
+            }
+        if name == "distance_feature_search":
+            res = self._bm25().search_distance_feature(
+                query, args.get("field", "n_bytes"),
+                origin=int(args.get("origin", 0)),
+                pivot=int(args.get("pivot", 128)),
+                boost=float(args.get("boost", 1.0)),
+                top_k=args.get("top_k"),
+            )
+            return {
+                "hits": [
+                    {"path": str(p_), "score": float(sc)}
+                    for p_, sc in zip(res["paths"], res["scores"])
+                ]
+            }
+        if name == "matrix_stats":
+            return self._bm25().search_matrix_stats(
+                query,
+                tuple(args.get("fields", ("n_bytes", "dl_content"))),
+            )
         if name == "phrase_suggest":
             return {
                 "suggestions": self._bm25().search_phrase_suggest(

@@ -47,6 +47,7 @@ def test_initialize_and_tool_list(mcp):
         "facet_search", "aggregate", "significant_terms", "explain",
         "suggest", "complete", "percolate", "phrase_suggest",
         "rare_terms", "significant_text", "best_passages",
+        "pinned_search", "distance_feature_search", "matrix_stats",
     }
 
 
@@ -299,3 +300,25 @@ def test_round4_fulltext_tools(mcp):
         seen.extend(nxt["matches"])
         cur = nxt["next_cursor"]
     assert out["total_count"] == len(seen)
+
+
+def test_pinned_distance_matrix_tools(mcp):
+    base = _call(mcp, "lexical_search", query="merge window",
+                 page_size=5)["matches"]
+    promo = base[2]["path"]
+    out = _call(mcp, "pinned_search", query="merge window",
+                pins=[promo], top_k=5)["hits"]
+    assert out[0]["path"] == promo and out[0]["pinned"]
+    assert not any(h["pinned"] for h in out[1:])
+
+    df = _call(mcp, "distance_feature_search", query="merge window",
+               field="n_bytes", origin=500, pivot=64, boost=2.0,
+               top_k=5)["hits"]
+    assert len(df) == 5
+    scores = [h["score"] for h in df]
+    assert scores == sorted(scores, reverse=True)
+
+    ms = _call(mcp, "matrix_stats", query="merge window")
+    assert ms["count"] > 2 and len(ms["cells"]) == 3
+    diag = [c for c in ms["cells"] if c["field_a"] == c["field_b"]]
+    assert all(abs(c["correlation"] - 1.0) < 1e-9 for c in diag)

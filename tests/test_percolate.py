@@ -231,3 +231,17 @@ def test_end_to_end_entry_shape(ray_session, tmp_path):
     assert got["all_docs"] == [1, 2, 3]
     assert got["fuzzy_spark"] == [2]
     assert set(STORED_QUERIES) >= set(got)
+
+
+def test_phrase_prefix_percolates():
+    """'"a b"*' (match-phrase-prefix) percolates through the shared
+    expand_prefix_tree rewrite: last term expands against the batch
+    vocabulary, phrase order still enforced."""
+    docs = [
+        "merge windows now",   # 0: phrase with expansion 'windows'
+        "merge sort",          # 1: no second term
+        "windows merge",       # 2: wrong order
+        "merge windmill blade" # 3: different expansion, still a match
+    ]
+    m = _matches({"pp": '"merge wind"*'}, docs)
+    assert m.get("pp", []) == [0, 3]
