@@ -292,6 +292,30 @@ def run_suite() -> dict:
         if after is None:
             break
     timings["bm25_span_composite"] = round(time.perf_counter() - tq0, 3)
+    # round-4 session-2 fulltext family: recorded as EXTRA millisecond
+    # probes (not suite legs) so the headline total stays comparable
+    # across rounds
+    for key, fn in (
+        ("fulltext_rare_ms", lambda: eng.search_rare_terms(5, size=20)),
+        ("fulltext_sigtext_sampled_ms",
+         lambda: eng.search_significant_text(
+             "merge AND window", size=10, sample_size=200)),
+        ("fulltext_phrase_suggest_ms",
+         lambda: eng.search_phrase_suggest("mergw windoq", size=5)),
+        ("fulltext_best_passages_ms",
+         lambda: eng.search_best_passages(
+             "merge AND window AND batch", window=8)),
+        ("fulltext_matrix_stats_ms",
+         lambda: eng.search_matrix_stats("merge OR window")),
+        ("fulltext_pinned_ms",
+         lambda: eng.search_pinned("merge window", ["core/a.py"], 20)),
+        ("fulltext_distance_feature_ms",
+         lambda: eng.search_distance_feature(
+             "merge window", "n_bytes", origin=600, pivot=128)),
+    ):
+        tq0 = time.perf_counter()
+        fn()
+        extra[key] = round((time.perf_counter() - tq0) * 1000, 1)
     eng.close()
 
     # ---- sf-table pipelines
