@@ -1882,3 +1882,38 @@ def bm25_distance_feature(
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def bm25_highlight_fragments(
+    sf_dir: str, query: str = "merge AND window", window: int = 8,
+    num_fragments: int = 2,
+) -> pd.DataFrame:
+    """MULTI-FRAGMENT highlighting (ES ``number_of_fragments``): up to
+    N NON-overlapping best windows per matching doc, greedy best-first
+    (4dp-rounded score desc, start asc; a later fragment may not
+    overlap an earlier one: |s_i - s_j| >= window). Oracle: the window
+    CTE picks fragment 1 with row_number, fragment 2 re-ranks the
+    windows at distance >= window from fragment 1 — the greedy rule
+    itself is oracled."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2, dtype=np.float64)
+    try:
+        res = eng.search_best_passages(
+            query, window=window, num_fragments=num_fragments
+        )
+    finally:
+        eng.close()
+    return (
+        pd.DataFrame(
+            {
+                "doc_id": pd.array(
+                    res["paths"].astype("int64"), dtype="int64"
+                ),
+                "frag": pd.array(res["frags"], dtype="int64"),
+                "start": pd.array(res["starts"] + 1, dtype="int64"),
+                "score": res["scores"],
+            }
+        )
+        .sort_values(["doc_id", "frag"])
+        .reset_index(drop=True)
+    )

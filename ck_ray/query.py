@@ -2836,7 +2836,8 @@ class LocalIndex:
         return out
 
     def query_best_passage(
-        self, query: str, window: int = 8, df_map=None
+        self, query: str, window: int = 8, df_map=None,
+        num_fragments: int = 1,
     ) -> dict:
         """Best highlight passage per matched doc (the Lucene/ES
         UNIFIED HIGHLIGHTER passage scorer, token-window form): for
@@ -2848,12 +2849,22 @@ class LocalIndex:
         and O(matched docs) rows leave the shard.
 
         Term-query leaves only (highlighting a phrase highlights its
-        terms — Lucene does the same flattening)."""
+        terms — Lucene does the same flattening).
+
+        ``num_fragments`` > 1 returns up to that many NON-OVERLAPPING
+        windows per doc (ES ``number_of_fragments``), chosen greedily
+        best-first — after each round, occurrences whose window would
+        overlap a chosen one are masked by one vectorized interval-
+        coverage sweep (searchsorted + prefix-sum), so the loop is
+        O(num_fragments · occ), never per-doc Python. Fragment rank
+        (1-based, score-desc greedy order) rides the ``frag`` column;
+        docs with fewer distinct regions yield fewer fragments."""
         empty = self._attach_meta(
             {
                 "doc_ids": np.empty(0, np.uint64),
                 "starts": np.empty(0, np.int64),
                 "scores": np.empty(0, np.float64),
+                "frags": np.empty(0, np.int64),
             },
             np.empty(0, np.uint64),
         )
@@ -2946,16 +2957,53 @@ class LocalIndex:
         # 4dp rounding — ties then break to the smallest start
         # identically on both sides
         scores = scoring.round_half_away(scores, 4)
-        sel = np.lexsort((p, -scores, d))
-        dd = d[sel]
-        first = np.nonzero(
-            np.concatenate(([True], dd[1:] != dd[:-1]))
-        )[0]
-        out_docs = dd[first].astype(np.uint64)
+        F = max(1, int(num_fragments))
+        alive = np.ones(len(key), dtype=bool)
+        od, ost, osc, ofr = [], [], [], []
+        for f in range(F):
+            sc_f = np.where(alive, scores, -np.inf)
+            sel = np.lexsort((p, -sc_f, d))
+            dd = d[sel]
+            first = np.nonzero(
+                np.concatenate(([True], dd[1:] != dd[:-1]))
+            )[0]
+            rows = sel[first]
+            rows = rows[alive[rows]]  # docs with no window left drop
+            if len(rows) == 0:
+                break
+            od.append(d[rows].astype(np.uint64))
+            ost.append(p[rows])
+            osc.append(scores[rows])
+            ofr.append(np.full(len(rows), f + 1, np.int64))
+            if f + 1 == F:
+                break
+            # mask every occurrence whose window overlaps a chosen one
+            # (|p - s| < window) with one interval-coverage sweep over
+            # the SORTED packed keys
+            ck_ = key[rows]
+            # low bound clamps at the doc's position 0: subtracting
+            # past it would borrow into the rank bits and bleed the
+            # mask into the PREVIOUS doc's key range
+            ps = p[rows]
+            lo_key = (ck_ - ps.astype(np.uint64)) + np.maximum(
+                ps - np.int64(window - 1), 0
+            ).astype(np.uint64)
+            lo = np.searchsorted(key, lo_key, side="left")
+            hi = np.searchsorted(
+                key, ck_ + np.uint64(window - 1), side="right"
+            )
+            diff = np.zeros(len(key) + 1, np.int64)
+            np.add.at(diff, lo, 1)
+            np.add.at(diff, hi, -1)
+            alive &= np.cumsum(diff[:-1]) == 0
+        if not od:
+            return empty
+        out_docs = np.concatenate(od)
         out = {
             "doc_ids": out_docs,
-            "starts": p[sel][first],
-            "scores": scores[sel][first],
+            "starts": np.concatenate(ost),
+            "scores": np.concatenate(osc),
+            "frags": np.concatenate(ofr),
         }
         return self._attach_meta(out, out_docs)
 
@@ -4386,7 +4434,7 @@ class BM25Engine:
         return out[: max(0, int(size))]
 
     def search_best_passages(
-        self, query: str, window: int = 8
+        self, query: str, window: int = 8, num_fragments: int = 1
     ) -> dict:
         """Best highlight passage for EVERY matching doc (unified-
         highlighter passage scorer over a filter query — the "highlight
@@ -4400,10 +4448,14 @@ class BM25Engine:
         self._maybe_reload()
         df_map = self._df_map_for([query])
         tree = self._parse_global(query)
-        rep = self._next_replica(query + f"\x00#passage:{window}")
+        rep = self._next_replica(
+            query + f"\x00#passage:{window}:{num_fragments}"
+        )
         parts = ray.get(
             [
-                s.query_best_passage.remote(tree, int(window), df_map)
+                s.query_best_passage.remote(
+                    tree, int(window), df_map, int(num_fragments)
+                )
                 for s in rep
             ]
         )
@@ -4413,12 +4465,14 @@ class BM25Engine:
         docs = np.concatenate([p["doc_ids"] for p in parts])
         starts = np.concatenate([p["starts"] for p in parts])
         scores = np.concatenate([p["scores"] for p in parts])
+        frags = np.concatenate([p["frags"] for p in parts])
         paths = np.concatenate([p["path"] for p in parts])
-        order = np.argsort(docs)
+        order = np.lexsort((frags, docs))
         return {
             "doc_ids": docs[order],
             "starts": starts[order],
             "scores": scores[order],
+            "frags": frags[order],
             "paths": paths[order],
         }
 

@@ -1463,3 +1463,112 @@ def test_pinned_query_semantics(ray_session, tiny_index):
         assert some_path not in set(res["paths"][2:])
     finally:
         eng.close()
+
+
+def test_highlight_fragments_greedy_vs_bruteforce(
+    ray_session, tmp_path_factory
+):
+    """Multi-fragment greedy selection (non-overlap |s_i - s_j| >=
+    window, best-first on rounded score / start) vs per-doc brute
+    force over a random corpus — up to 3 fragments, random windows."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ck_ray.build import IndexConfig, build_index
+    from ck_ray.scoring import round_half_away
+    from ck_ray.tokenizer import tokenize_text_with_positions
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(10)]
+    n_docs = 30
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(10, 80))))
+        for _ in range(n_docs)
+    ]
+    corpus = pa.table(
+        {
+            "repo": pa.array(["r"] * n_docs),
+            "path": pa.array([f"d{i}" for i in range(n_docs)]),
+            "commit": pa.array(["0"] * n_docs),
+            "lang": pa.array(["x"] * n_docs),
+            "content": pa.array(texts),
+        }
+    )
+    d = str(tmp_path_factory.mktemp("fragidx"))
+    build_index(rd.from_arrow(corpus), d, IndexConfig(num_parts=2))
+    toks = {
+        f"d{i}": tokenize_text_with_positions(t)
+        for i, t in enumerate(texts)
+    }
+    eng = BM25Engine(d, num_shards=2)
+    try:
+        for trial in range(6):
+            qa, qb = rng.choice(vocab, size=2, replace=False)
+            window = int(rng.integers(2, 9))
+            nf = int(rng.integers(2, 4))
+            df = {
+                q: sum(
+                    1 for tl in toks.values()
+                    if q in {t for t, _ in tl}
+                )
+                for q in (qa, qb)
+            }
+            wt = {
+                q: float(np.log1p((n_docs - f_ + 0.5) / (f_ + 0.5)))
+                for q, f_ in df.items()
+            }
+            want = {}
+            for pth, tl in toks.items():
+                if not ({qa, qb} <= {t for t, _ in tl}):
+                    continue
+                occ = sorted(
+                    (pos, wt[t]) for t, pos in tl if t in (qa, qb)
+                )
+                wins = []
+                for start, _ in occ:
+                    sc = sum(
+                        w for q_, w in occ
+                        if start <= q_ < start + window
+                    )
+                    wins.append(
+                        (start,
+                         float(round_half_away(np.float64(sc), 4)))
+                    )
+                chosen = []
+                for _ in range(nf):
+                    cands = [
+                        (st, sc) for st, sc in wins
+                        if all(
+                            abs(st - cs) >= window for cs, _ in chosen
+                        )
+                    ]
+                    if not cands:
+                        break
+                    cands.sort(key=lambda r: (-r[1], r[0]))
+                    chosen.append(cands[0])
+                want[pth] = chosen
+            res = eng.search_best_passages(
+                f"{qa} AND {qb}", window=window, num_fragments=nf
+            )
+            got: dict = {}
+            for pth, st, sc, fr in zip(
+                res["paths"], res["starts"], res["scores"],
+                res["frags"],
+            ):
+                got.setdefault(pth, []).append(
+                    (int(fr), int(st), float(sc))
+                )
+            for pth in got:
+                got[pth].sort()
+            want_shaped = {
+                pth: [
+                    (i + 1, st, sc)
+                    for i, (st, sc) in enumerate(ch)
+                ]
+                for pth, ch in want.items()
+                if ch
+            }
+            assert got == want_shaped, (qa, qb, window, nf, trial)
+    finally:
+        eng.close()
