@@ -195,6 +195,7 @@ class CkRayMCP:
                         "origin": {"type": "integer"},
                         "pivot": {"type": "integer"},
                         "boost": {"type": "number"},
+                        "num_fragments": {"type": "integer"},
                     },
                 },
             }
@@ -326,16 +327,19 @@ class CkRayMCP:
         if name == "best_passages":
             def mk():
                 bp = self._bm25().search_best_passages(
-                    query, window=int(args.get("window", 8))
+                    query, window=int(args.get("window", 8)),
+                    num_fragments=int(args.get("num_fragments", 1)),
                 )
                 return [
                     {
                         "path": str(p_),
+                        "frag": int(fr),
                         "start": int(st),
                         "weight": float(sc),
                     }
-                    for p_, st, sc in zip(
-                        bp["paths"], bp["starts"], bp["scores"]
+                    for p_, fr, st, sc in zip(
+                        bp["paths"], bp["frags"], bp["starts"],
+                        bp["scores"]
                     )
                 ]
 
