@@ -911,6 +911,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ES number_of_fragments: greedy non-overlapping top-2 windows
         # per doc; the greedy rule itself is oracled
         "bm25_highlight_fragments": docsearch.bm25_highlight_fragments,
+        # ES pipeline aggs (derivative + cumulative_sum) over the hourly
+        # histogram: distributed parent pass, driver-side pipeline pass
+        # over the reduced buckets (where ES runs them too)
+        "events_derivative": relational.events_derivative,
     }
     # The driver's per-round correctness gate checks a PREFIX of this
     # dict (r3 covered the first 50 of 109). Rotate so the families
@@ -929,12 +933,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_term_vectors", "bm25_matrix_stats",
         "bm25_significant_sampled", "bm25_pinned",
         "bm25_distance_feature", "events_auto_histogram",
-        "bm25_highlight_fragments",
+        "bm25_highlight_fragments", "events_derivative",
         "decontaminate", "dup_ngram_spans", "stratified_sample",
         "source_quota_cap", "token_budget_sample", "corpus_clean",
         "pack_sequences", "dup_span_scrub", "line_dedup_scrub",
         "pii_scrub", "unicode_clean", "dsir_weights",
-        "unigram_logprob",
         "kn_bigram_logprob", "kn_trigram_logprob", "ccnet_buckets",
         "approx_distinct_terms",
         "events_props_stats",
@@ -1128,6 +1131,28 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
        event_type, count(*) AS n,
        CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS total_value_e6
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # pipeline aggs: LAG delta + running SUM over the observed
+        # hourly buckets, each type's first bucket omitted
+        "events_derivative": """
+WITH hourly AS (
+  SELECT event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+piped AS (
+  SELECT event_type, hour, CAST(n AS BIGINT) AS n,
+         CAST(n - lag(n) OVER w AS BIGINT) AS dn,
+         CAST(sum(n) OVER (
+           PARTITION BY event_type ORDER BY hour
+           ROWS UNBOUNDED PRECEDING
+         ) AS BIGINT) AS cum_n
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+)
+SELECT event_type, hour, n, dn, cum_n FROM piped
+WHERE dn IS NOT NULL ORDER BY event_type, hour
 """,
         "events_sliding": """
 WITH hourly AS (

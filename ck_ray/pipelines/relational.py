@@ -1526,3 +1526,35 @@ def events_auto_histogram(
         .sort_values("bucket_epoch")
         .reset_index(drop=True)
     )
+
+
+def events_derivative(sf_dir: str) -> pd.DataFrame:
+    """PIPELINE aggregations (ES ``derivative`` + ``cumulative_sum``
+    over a date_histogram): bucket-to-bucket delta and running total of
+    the hourly event counts, per type. The parent histogram is the
+    distributed pass (``events_hourly``); the pipeline aggs then run
+    driver-side over the SMALL reduced bucket series — exactly where ES
+    runs them (pipeline aggs post-process the agg tree, never the
+    documents). Buckets are the OBSERVED hours (delta is vs the
+    previous observed bucket); each type's first bucket has no
+    derivative and is omitted, like ES's null first bucket. All-integer
+    output."""
+    hourly = events_hourly(sf_dir)[["hour", "event_type", "n"]]
+    df = hourly.sort_values(["event_type", "hour"]).reset_index(
+        drop=True
+    )
+    n = df["n"].to_numpy(np.int64)
+    et = df["event_type"].to_numpy()
+    new_grp = np.concatenate(([True], et[1:] != et[:-1]))
+    # per-type running total via global cumsum minus each group's base
+    cs = np.cumsum(n)
+    base = np.where(new_grp, np.concatenate(([0], cs[:-1])), 0)
+    base = np.maximum.accumulate(base)
+    df["cum_n"] = cs - base
+    dn = np.empty(len(n), np.int64)
+    dn[1:] = n[1:] - n[:-1]
+    dn[0] = 0
+    df["dn"] = dn
+    out = df[~new_grp].reset_index(drop=True)
+    out["n"] = out["n"].astype("int64")
+    return out[["event_type", "hour", "n", "dn", "cum_n"]]

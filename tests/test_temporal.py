@@ -306,3 +306,40 @@ def test_auto_histogram_interval_selection(ray_session, tmp_path):
     # tighter: everything collapses into few wide buckets
     coarse = events_auto_histogram(sf, target_buckets=1)
     assert coarse["interval_s"].iloc[0] >= 7200 or len(coarse) == 1
+
+
+def test_events_derivative_pipeline_aggs(ray_session, tmp_path):
+    """derivative + cumulative_sum over observed hourly buckets, per
+    type: hand-built series with gaps and multiple types."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ck_ray.pipelines.relational import events_derivative
+
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    rows = []
+    # type a: hours 0,0,1,3 (gap at 2) -> buckets n=[2,1,1]
+    for h, k in ((0, 2), (1, 1), (3, 1)):
+        rows += [("a", base + pd.Timedelta(hours=h))] * k
+    # type b: hours 0,1,1 -> buckets n=[1,2]
+    for h, k in ((0, 1), (1, 2)):
+        rows += [("b", base + pd.Timedelta(hours=h))] * k
+    t = pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows]),
+            "ts": pa.array([r[1] for r in rows]),
+            "value": pa.array([1.0] * len(rows)),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = events_derivative(str(tmp_path))
+    got = list(map(tuple, out.to_records(index=False)))
+    h = lambda i: (base + pd.Timedelta(hours=i)).strftime(
+        "%Y-%m-%d %H:00:00"
+    )
+    assert got == [
+        ("a", h(1), 1, -1, 3),   # 2 -> 1, cum 3
+        ("a", h(3), 1, 0, 4),    # gap: delta vs previous OBSERVED
+        ("b", h(1), 2, 1, 3),    # first 'b' bucket omitted
+    ]
