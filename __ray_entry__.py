@@ -915,6 +915,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # histogram: distributed parent pass, driver-side pipeline pass
         # over the reduced buckets (where ES runs them too)
         "events_derivative": relational.events_derivative,
+        # Lucene SpanFirstQuery: first occurrence inside the leading N
+        # positions, straight off the positional postings
+        "bm25_span_first": docsearch.bm25_span_first,
     }
     # The driver's per-round correctness gate checks a PREFIX of this
     # dict (r3 covered the first 50 of 109). Rotate so the families
@@ -934,11 +937,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_significant_sampled", "bm25_pinned",
         "bm25_distance_feature", "events_auto_histogram",
         "bm25_highlight_fragments", "events_derivative",
+        "bm25_span_first",
         "decontaminate", "dup_ngram_spans", "stratified_sample",
         "source_quota_cap", "token_budget_sample", "corpus_clean",
         "pack_sequences", "dup_span_scrub", "line_dedup_scrub",
         "pii_scrub", "unicode_clean", "dsir_weights",
-        "kn_bigram_logprob", "kn_trigram_logprob", "ccnet_buckets",
+        "kn_bigram_logprob", "kn_trigram_logprob",
         "approx_distinct_terms",
         "events_props_stats",
         "bm25_sort_by_field",
@@ -1131,6 +1135,16 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
        event_type, count(*) AS n,
        CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS total_value_e6
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # span_first: engine positions are 0-based (< end), the token
+        # CTE is 1-based (<= end)
+        "bm25_span_first": f"""
+WITH {_TOKS_POS},
+firsts AS (
+  SELECT doc_id, min(pos) AS fp FROM tokp
+  WHERE term = 'window' GROUP BY doc_id
+)
+SELECT doc_id FROM firsts WHERE fp <= 12 ORDER BY doc_id
 """,
         # pipeline aggs: LAG delta + running SUM over the observed
         # hourly buckets, each type's first bucket omitted

@@ -1917,3 +1917,27 @@ def bm25_highlight_fragments(
         .sort_values(["doc_id", "frag"])
         .reset_index(drop=True)
     )
+
+
+def bm25_span_first(
+    sf_dir: str, term: str = "window", end: int = 12
+) -> pd.DataFrame:
+    """SPAN-FIRST query (Lucene SpanFirstQuery): docs whose FIRST
+    occurrence of the term falls inside the leading ``end`` token
+    positions — the title / lead-paragraph filter, served purely from
+    the positional postings. Const-score membership, doc_id order.
+    Oracle: min(pos) per doc over the positional token CTE (1-based,
+    so ``<= end``)."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2)
+    try:
+        res = eng.search_span_first(term, end)
+    finally:
+        eng.close()
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array(
+                res["paths"].astype("int64"), dtype="int64"
+            )
+        }
+    ).sort_values("doc_id").reset_index(drop=True)

@@ -2586,6 +2586,31 @@ class LocalIndex:
             paths[found] = self._meta["path"][mpos[found]]
         return {"doc_ids": docs, "scores": scores, "paths": paths}
 
+    def query_span_first(
+        self, term: str, end: int, field: str = "content"
+    ) -> np.ndarray:
+        """SPAN-FIRST query (Lucene SpanFirstQuery, match-only): live
+        docs where ``term`` occurs at a position BEFORE ``end`` — "in
+        the first N tokens", the title/lead-paragraph filter. One
+        posting decode + one vectorized min-position-per-posting check;
+        returns this shard's matching doc ids (const-score membership,
+        like range/term-set queries)."""
+        fid = FIELD_IDS[field]
+        v = self._view((fid, term))
+        if v is None or v.df == 0:
+            return self._attach_meta(
+                {"doc_ids": np.empty(0, np.uint64)},
+                np.empty(0, np.uint64),
+            )
+        idx = np.arange(v.df, dtype=np.int64)
+        pos, lens = v.positions_for_many(idx)
+        # first (minimum) position of each posting: positions are
+        # ascending per posting, so it's the segment head
+        heads = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        first_pos = pos[heads]
+        docs = v.docs[first_pos < int(end)].astype(np.uint64)
+        return self._attach_meta({"doc_ids": docs}, docs)
+
     def lookup_paths(self, paths: list[str]) -> dict:
         """{path -> doc_id} for the given stored paths OWNED by this
         shard (one vectorized isin over the metadata; doc partitioning
@@ -4211,6 +4236,35 @@ class BM25Engine:
             "scores": np.asarray(scores, dtype=np.float64),
             "pinned": np.asarray(flags, dtype=bool),
         }
+
+    def search_span_first(
+        self, term: str, end: int, field: str = "content"
+    ) -> dict:
+        """SPAN-FIRST (Lucene SpanFirstQuery): docs whose first
+        occurrence of the analyzer-normalized ``term`` falls before
+        position ``end``. Const-score membership (doc_id order), doc-
+        partitioned so the merge is concatenation. Returns
+        ``{"doc_ids", "paths"}`` sorted by doc_id."""
+        from .tokenizer import tokenize_text
+
+        self._maybe_reload()
+        toks = tokenize_text(term)
+        if not toks:
+            return {
+                "doc_ids": np.empty(0, np.uint64),
+                "paths": np.empty(0, object),
+            }
+        rep = self._next_replica(f"#spanfirst:{toks[0]}:{end}")
+        parts = ray.get(
+            [
+                s.query_span_first.remote(toks[0], int(end), field)
+                for s in rep
+            ]
+        )
+        docs = np.concatenate([p["doc_ids"] for p in parts])
+        paths = np.concatenate([p["path"] for p in parts])
+        order = np.argsort(docs)
+        return {"doc_ids": docs[order], "paths": paths[order]}
 
     def search_matrix_stats(
         self, query: str, fields: tuple = ("n_bytes", "dl_content")

@@ -1572,3 +1572,23 @@ def test_highlight_fragments_greedy_vs_bruteforce(
             assert got == want_shaped, (qa, qb, window, nf, trial)
     finally:
         eng.close()
+
+
+def test_span_first_vs_bruteforce(ray_session, tiny_index, tiny_corpus):
+    toks = _corpus_tokens(tiny_corpus)
+    term, end = "merge", 10
+    want = sorted(
+        p for p, tl in toks.items()
+        if any(t == term and pos < end for t, pos in tl)
+    )
+    for shards in (1, 3):
+        eng = BM25Engine(tiny_index, num_shards=shards,
+                         auto_reload=False)
+        try:
+            res = eng.search_span_first(term, end)
+        finally:
+            eng.close()
+        assert sorted(res["paths"]) == want
+    assert want and len(want) < sum(
+        1 for tl in toks.values() if term in {t for t, _ in tl}
+    )  # the position filter actually excludes someone
