@@ -300,10 +300,14 @@ class CkRayMCP:
                 ]
             }
         if name == "matrix_stats":
-            return self._bm25().search_matrix_stats(
+            res = self._bm25().search_matrix_stats(
                 query,
                 tuple(args.get("fields", ("n_bytes", "dl_content"))),
             )
+            for c in res["cells"]:  # NaN is not valid JSON -> null
+                if c["correlation"] != c["correlation"]:
+                    c["correlation"] = None
+            return res
         if name == "phrase_suggest":
             return {
                 "suggestions": self._bm25().search_phrase_suggest(

@@ -1543,6 +1543,16 @@ def events_derivative(sf_dir: str) -> pd.DataFrame:
     df = hourly.sort_values(["event_type", "hour"]).reset_index(
         drop=True
     )
+    if len(df) == 0:  # empty events table -> empty result, like SQL
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series([], dtype="object"),
+                "hour": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64"),
+                "dn": pd.Series([], dtype="int64"),
+                "cum_n": pd.Series([], dtype="int64"),
+            }
+        )
     n = df["n"].to_numpy(np.int64)
     et = df["event_type"].to_numpy()
     new_grp = np.concatenate(([True], et[1:] != et[:-1]))

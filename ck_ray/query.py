@@ -2726,10 +2726,13 @@ class LocalIndex:
                 str(self._keys[a + i])[cut:]: int(dfs[i]) for i in keep
             }
         out = {}
+        cached_before = set(self._cache)
         for s in {str(k)[cut:] for k in self._keys[a:b]}:
             v = self._view((fid, s))
             if v is not None and 0 < v.df <= cap:
                 out[s] = int(v.df)
+        for k in set(self._cache) - cached_before:  # sweep eviction
+            del self._cache[k]
         return out
 
     def query_significant_text(
@@ -2780,6 +2783,11 @@ class LocalIndex:
         )
         cut = len(pre)
         counts: dict[str, tuple[int, int]] = {}
+        # full-dictionary sweep: evict what IT loads afterwards — the
+        # per-query view cache is sized for query-term working sets,
+        # and pinning every decoded posting list would grow a serving
+        # actor by O(index) after one significant_text call
+        cached_before = set(self._cache)
         for s in {str(k)[cut:] for k in self._keys[a:b]}:
             v = self._view((fid, s))
             if v is None or v.df == 0:
@@ -2793,6 +2801,8 @@ class LocalIndex:
             else:
                 fg = 0
             counts[s] = (fg, int(v.df))
+        for k in set(self._cache) - cached_before:
+            del self._cache[k]
         return {
             "fg_total": int(len(docs)),
             "bg_total": int(len(self._meta_ids)),
@@ -2909,8 +2919,19 @@ class LocalIndex:
                 tree, self._expand_prefix, self._expand_range,
                 self._expand_fuzzy, self._expand_regex,
             )
-        docs, _ = self._match_set(query, df_map)
-        docs = np.sort(np.asarray(docs, dtype=np.uint64))
+        # evaluate the ALREADY-expanded tree directly — re-entering
+        # _match_set would rerun the O(dictionary) expansion scans
+        leaves_m = collect_clauses(tree)
+        keys_m = dict.fromkeys(
+            (FIELD_IDS[c.field], t) for c in leaves_m for t in c.terms
+        )
+        res_m = self._eval_node(tree, self._rows_for(keys_m), df_map)
+        docs = (
+            np.empty(0, np.uint64)
+            if res_m is None
+            else np.asarray(res_m[0], dtype=np.uint64)
+        )
+        docs = np.sort(docs)
         man = self.manifest
         n_docs = man["num_docs"]
         parts_d, parts_p, parts_w = [], [], []
@@ -4254,6 +4275,11 @@ class BM25Engine:
                 "doc_ids": np.empty(0, np.uint64),
                 "paths": np.empty(0, object),
             }
+        if len(toks) > 1:
+            raise ValueError(
+                f"span_first takes ONE term; {term!r} tokenizes to "
+                f"{toks} (wrap phrases in span_near instead)"
+            )
         rep = self._next_replica(f"#spanfirst:{toks[0]}:{end}")
         parts = ray.get(
             [
@@ -4417,8 +4443,17 @@ class BM25Engine:
 
         self._maybe_reload()
         toks = tokenize_text(text)
-        if not toks or len(toks) > 6:
+        if not toks:
             return []
+        if len(toks) > 6:
+            # candidate chains are the per-token cartesian product, so
+            # the cost is num_candidates**len(toks); fail loudly rather
+            # than look like "no suggestions" (ES phrase suggest also
+            # bounds input, via shingle size)
+            raise ValueError(
+                f"phrase_suggest caps input at 6 tokens, got "
+                f"{len(toks)}"
+            )
         fid = FIELD_IDS[field]
         # one fuzzy-expansion round for every input token
         specs = [(field, t, int(max_edits), False) for t in toks]

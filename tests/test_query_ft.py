@@ -1592,3 +1592,21 @@ def test_span_first_vs_bruteforce(ray_session, tiny_index, tiny_corpus):
     assert want and len(want) < sum(
         1 for tl in toks.values() if term in {t for t, _ in tl}
     )  # the position filter actually excludes someone
+
+
+def test_sweep_ops_do_not_pin_view_cache(ray_session, tiny_index):
+    """Full-dictionary sweeps (significant_text / rare_terms fallback)
+    must evict what they load: a long-lived serving actor's view cache
+    stays sized to query working sets, never O(index)."""
+    from ck_ray.query import LocalIndex
+
+    li = LocalIndex(tiny_index)
+    before = len(li._cache)
+    li.query_significant_text("merge AND stream")
+    after_sig = len(li._cache)
+    li.query_rare_terms(3, "content", False)
+    after_rare = len(li._cache)
+    # only the query's own terms may remain cached
+    assert after_sig - before <= 4
+    assert after_rare - before <= 4
+    assert len(li._field_dictionary("content")) > 50  # sweep was real
