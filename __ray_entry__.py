@@ -918,6 +918,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Lucene SpanFirstQuery: first occurrence inside the leading N
         # positions, straight off the positional postings
         "bm25_span_first": docsearch.bm25_span_first,
+        # ES weighted_avg: exact integer sum-of-products over the match
+        # set, one float64 divide
+        "bm25_weighted_avg": docsearch.bm25_weighted_avg,
+        # ES t_test (Welch): mean difference between two query
+        # populations from exact per-side moment sums
+        "bm25_t_test": docsearch.bm25_t_test,
     }
     # The driver's per-round correctness gate checks a PREFIX of this
     # dict (r3 covered the first 50 of 109). Rotate so the families
@@ -937,13 +943,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_significant_sampled", "bm25_pinned",
         "bm25_distance_feature", "events_auto_histogram",
         "bm25_highlight_fragments", "events_derivative",
-        "bm25_span_first",
+        "bm25_span_first", "bm25_weighted_avg", "bm25_t_test",
         "decontaminate", "dup_ngram_spans", "stratified_sample",
         "source_quota_cap", "token_budget_sample", "corpus_clean",
         "pack_sequences", "dup_span_scrub", "line_dedup_scrub",
         "pii_scrub", "unicode_clean", "dsir_weights",
-        "kn_bigram_logprob", "kn_trigram_logprob",
-        "approx_distinct_terms",
+        "kn_trigram_logprob",
         "events_props_stats",
         "bm25_sort_by_field",
         "bm25_span_near", "bm25_composite_agg", "hybrid_semantic_rrf",
@@ -1135,6 +1140,61 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
        event_type, count(*) AS n,
        CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS total_value_e6
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # weighted_avg: sum(v*w)/sum(w) over the OR match set
+        "bm25_weighted_avg": f"""
+WITH {_TOKS},
+m AS (SELECT DISTINCT doc_id FROM toks2
+      WHERE term IN ('merge', 'window')),
+dl AS (SELECT doc_id, count(*) AS c FROM toks2 GROUP BY doc_id),
+vals AS (
+  SELECT strlen(d.text) AS v, COALESCE(dl.c, 0) AS w
+  FROM documents d LEFT JOIN dl USING (doc_id)
+  WHERE d.doc_id IN (SELECT doc_id FROM m)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST(w AS HUGEINT)) AS BIGINT) AS weight_total,
+       round(CAST(sum(CAST(v AS HUGEINT) * w) AS DOUBLE)
+             / CAST(sum(CAST(w AS HUGEINT)) AS DOUBLE), 4)
+         AS weighted_avg
+FROM vals
+""",
+        # t_test (Welch): identical float64 expression over HUGEINT
+        # moment sums of the two populations
+        "bm25_t_test": f"""
+WITH {_TOKS},
+dl AS (SELECT doc_id, count(*) AS c FROM toks2 GROUP BY doc_id),
+pa AS (
+  SELECT COALESCE(dl.c, 0) AS x FROM documents d
+  LEFT JOIN dl USING (doc_id)
+  WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM toks2
+                     WHERE term = 'merge')
+),
+pb AS (
+  SELECT COALESCE(dl.c, 0) AS x FROM documents d
+  LEFT JOIN dl USING (doc_id)
+  WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM toks2
+                     WHERE term = 'batch')
+),
+sa AS (SELECT count(*) AS n, sum(CAST(x AS HUGEINT)) AS sx,
+              sum(CAST(x AS HUGEINT) * x) AS sxx FROM pa),
+sb AS (SELECT count(*) AS n, sum(CAST(x AS HUGEINT)) AS sx,
+              sum(CAST(x AS HUGEINT) * x) AS sxx FROM pb),
+stats AS (
+  SELECT sa.n AS n_a, sb.n AS n_b,
+         CAST(sa.sx AS DOUBLE) / sa.n AS mean_a,
+         CAST(sb.sx AS DOUBLE) / sb.n AS mean_b,
+         (CAST(sa.sxx AS DOUBLE) - CAST(sa.sx * sa.sx AS DOUBLE) / sa.n)
+           / (sa.n - 1) AS var_a,
+         (CAST(sb.sxx AS DOUBLE) - CAST(sb.sx * sb.sx AS DOUBLE) / sb.n)
+           / (sb.n - 1) AS var_b
+  FROM sa CROSS JOIN sb
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(mean_a, 4) AS mean_a, round(mean_b, 4) AS mean_b,
+       round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 4)
+         AS t
+FROM stats
 """,
         # span_first: engine positions are 0-based (< end), the token
         # CTE is 1-based (<= end)

@@ -1941,3 +1941,60 @@ def bm25_span_first(
             )
         }
     ).sort_values("doc_id").reset_index(drop=True)
+
+
+def bm25_weighted_avg(
+    sf_dir: str, query: str = "merge OR window",
+) -> pd.DataFrame:
+    """WEIGHTED-AVG aggregation (ES ``weighted_avg``): doc size
+    (n_bytes) weighted by token count (dl_content) over the full match
+    set — exact integer Σ(v·w)/Σw merged across shards, one float64
+    divide. Oracle: the same HUGEINT sums over strlen/token counts."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2)
+    try:
+        res = eng.search_weighted_avg(query)
+    finally:
+        eng.close()
+    return pd.DataFrame(
+        {
+            "n_docs": pd.Series([res["count"]], dtype="int64"),
+            "weight_total": pd.Series(
+                [res["weight_total"]], dtype="int64"
+            ),
+            "weighted_avg": round_half_away(
+                np.asarray([res["weighted_avg"]], np.float64), 4
+            ),
+        }
+    )
+
+
+def bm25_t_test(
+    sf_dir: str, query_a: str = "merge", query_b: str = "batch",
+    field: str = "dl_content",
+) -> pd.DataFrame:
+    """T-TEST aggregation (ES ``t_test``, Welch): does mean doc length
+    differ between the 'merge' and 'batch' populations? Exact integer
+    moment sums per side, the Welch statistic once in float64. Oracle:
+    identical expression over HUGEINT sums from the token CTE."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2)
+    try:
+        res = eng.search_t_test(query_a, query_b, field)
+    finally:
+        eng.close()
+    return pd.DataFrame(
+        {
+            "n_a": pd.Series([res["n_a"]], dtype="int64"),
+            "n_b": pd.Series([res["n_b"]], dtype="int64"),
+            "mean_a": round_half_away(
+                np.asarray([res["mean_a"]], np.float64), 4
+            ),
+            "mean_b": round_half_away(
+                np.asarray([res["mean_b"]], np.float64), 4
+            ),
+            "t": round_half_away(
+                np.asarray([res["t"]], np.float64), 4
+            ),
+        }
+    )

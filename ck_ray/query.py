@@ -4352,6 +4352,91 @@ class BM25Engine:
                     )
         return {"count": n, "cells": cells}
 
+    def _moments(self, query, fields: tuple) -> dict:
+        """Merged exact integer moment sums of ``query``'s match set
+        over ``fields`` (the matrix_stats shard contract, reused by
+        weighted_avg and t_test)."""
+        df_map = self._df_map_for([query])
+        tree = self._parse_global(query)
+        rep = self._next_replica(str(query) + "\x00#moments")
+        parts = ray.get(
+            [
+                s.query_matrix_stats.remote(tree, tuple(fields), df_map)
+                for s in rep
+            ]
+        )
+        return {
+            "n": sum(p["n"] for p in parts),
+            "s": {
+                f: sum(p["s"][f] for p in parts) for f in fields
+            },
+            "sp": {
+                k: sum(p["sp"][k] for p in parts)
+                for k in parts[0]["sp"]
+            } if parts else {},
+        }
+
+    def search_weighted_avg(
+        self, query: str, value_field: str = "n_bytes",
+        weight_field: str = "dl_content",
+    ) -> dict:
+        """WEIGHTED-AVG aggregation (ES ``weighted_avg``): the value
+        fast field averaged with per-doc weights from another fast
+        field over the FULL match set — Σ(v·w) / Σw, both sums exact
+        arbitrary-precision integers merged across doc-partitioned
+        shards, the one divide in float64 driver-side. Returns
+        ``{"count", "weighted_avg", "weight_total"}``."""
+        m = self._moments(query, (value_field, weight_field))
+        key = f"{value_field}|{weight_field}"
+        sw = m["s"][weight_field]
+        return {
+            "count": m["n"],
+            "weight_total": int(sw),
+            "weighted_avg": (
+                float(m["sp"][key]) / float(sw) if sw else float("nan")
+            ),
+        }
+
+    def search_t_test(
+        self, query_a: str, query_b: str, field: str = "dl_content"
+    ) -> dict:
+        """T-TEST aggregation (ES ``t_test``, unpaired heteroscedastic
+        = Welch's t): is the field's mean genuinely different between
+        two query populations? Each side's moment sums are exact
+        integers off one matrix_stats fan-out; the statistic
+
+            t = (mean_a - mean_b) / sqrt(var_a/n_a + var_b/n_b)
+
+        (sample variances, n-1) is computed once in float64 in that
+        operation order, so a SQL oracle reproduces the double from the
+        same HUGEINT sums. Returns ``{"n_a", "n_b", "mean_a", "mean_b",
+        "t"}``."""
+        out = {}
+        for tag, q in (("a", query_a), ("b", query_b)):
+            m = self._moments(q, (field,))
+            n = m["n"]
+            sx = m["s"][field]
+            sxx = m["sp"][f"{field}|{field}"]
+            out[f"n_{tag}"] = n
+            out[f"mean_{tag}"] = float(sx) / n if n else float("nan")
+            out[f"var_{tag}"] = (
+                (float(sxx) - float(sx * sx) / n) / (n - 1)
+                if n >= 2
+                else float("nan")
+            )
+        denom = float(
+            np.sqrt(
+                out["var_a"] / out["n_a"] + out["var_b"] / out["n_b"]
+            )
+        )
+        out["t"] = (
+            (out["mean_a"] - out["mean_b"]) / denom
+            if denom > 0
+            else float("nan")
+        )
+        del out["var_a"], out["var_b"]
+        return out
+
     def search_rare_terms(
         self, max_doc_count: int, size: int = 10, field: str = "content"
     ) -> list[dict]:

@@ -1610,3 +1610,52 @@ def test_sweep_ops_do_not_pin_view_cache(ray_session, tiny_index):
     assert after_sig - before <= 4
     assert after_rare - before <= 4
     assert len(li._field_dictionary("content")) > 50  # sweep was real
+
+
+def test_weighted_avg_and_t_test_vs_bruteforce(
+    ray_session, tiny_index, tiny_corpus
+):
+    import numpy as np
+
+    toks = _corpus_tokens(tiny_corpus)
+    nb = {
+        p: len(c.encode())
+        for p, c in zip(
+            tiny_corpus["path"].to_pylist(),
+            tiny_corpus["content"].to_pylist(),
+        )
+    }
+    dl = {p: len(tl) for p, tl in toks.items()}
+    members = lambda q: [
+        p for p, tl in toks.items() if q in {t for t, _ in tl}
+    ]
+    eng = BM25Engine(tiny_index, num_shards=3, auto_reload=False)
+    try:
+        # weighted_avg over 'merge OR stream'
+        m = sorted(set(members("merge")) | set(members("stream")))
+        sw = sum(dl[p] for p in m)
+        svw = sum(nb[p] * dl[p] for p in m)
+        res = eng.search_weighted_avg(
+            "merge OR stream", "n_bytes", "dl_content"
+        )
+        assert res["count"] == len(m)
+        assert res["weight_total"] == sw
+        assert res["weighted_avg"] == float(svw) / float(sw)
+        # Welch t between 'merge' and 'stream' doc lengths
+        res = eng.search_t_test("merge", "stream", "dl_content")
+        stats = {}
+        for tag, q in (("a", "merge"), ("b", "stream")):
+            xs = [dl[p] for p in members(q)]
+            n = len(xs)
+            sx, sxx = sum(xs), sum(x * x for x in xs)
+            stats[tag] = (
+                n, float(sx) / n,
+                (float(sxx) - float(sx * sx) / n) / (n - 1),
+            )
+        (na, ma, va), (nbb, mb, vb) = stats["a"], stats["b"]
+        t = (ma - mb) / float(np.sqrt(va / na + vb / nbb))
+        assert (res["n_a"], res["n_b"]) == (na, nbb)
+        assert res["mean_a"] == ma and res["mean_b"] == mb
+        assert abs(res["t"] - t) < 1e-12
+    finally:
+        eng.close()
