@@ -924,6 +924,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ES t_test (Welch): mean difference between two query
         # populations from exact per-side moment sums
         "bm25_t_test": docsearch.bm25_t_test,
+        # ES median_absolute_deviation — exact (value histograms +
+        # pinned lower-median rule) where ES documents TDigest
+        "bm25_mad": docsearch.bm25_mad,
     }
     # The driver's per-round correctness gate checks a PREFIX of this
     # dict (r3 covered the first 50 of 109). Rotate so the families
@@ -944,11 +947,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_distance_feature", "events_auto_histogram",
         "bm25_highlight_fragments", "events_derivative",
         "bm25_span_first", "bm25_weighted_avg", "bm25_t_test",
+        "bm25_mad",
         "decontaminate", "dup_ngram_spans", "stratified_sample",
         "source_quota_cap", "token_budget_sample", "corpus_clean",
         "pack_sequences", "dup_span_scrub", "line_dedup_scrub",
         "pii_scrub", "unicode_clean", "dsir_weights",
-        "kn_trigram_logprob",
         "events_props_stats",
         "bm25_sort_by_field",
         "bm25_span_near", "bm25_composite_agg", "hybrid_semantic_rrf",
@@ -1158,6 +1161,38 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
              / CAST(sum(CAST(w AS HUGEINT)) AS DOUBLE), 4)
          AS weighted_avg
 FROM vals
+""",
+        # MAD: pinned lower-median (smallest value whose cumulative
+        # count reaches ceil(n/2)) over exact value histograms, twice
+        "bm25_mad": f"""
+WITH {_TOKS},
+m AS (SELECT DISTINCT doc_id FROM toks2
+      WHERE term IN ('merge', 'window')),
+dl AS (SELECT doc_id, count(*) AS c FROM toks2 GROUP BY doc_id),
+vals AS (
+  SELECT COALESCE(dl.c, 0) AS x FROM documents d
+  LEFT JOIN dl USING (doc_id)
+  WHERE d.doc_id IN (SELECT doc_id FROM m)
+),
+tot AS (SELECT count(*) AS n FROM vals),
+h1 AS (SELECT x, count(*) AS c FROM vals GROUP BY x),
+med AS (
+  SELECT min(x) AS m FROM (
+    SELECT x, sum(c) OVER (ORDER BY x) AS cum FROM h1
+  ) CROSS JOIN tot WHERE cum >= (n + 1) // 2
+),
+h2 AS (
+  SELECT abs(x - (SELECT m FROM med)) AS d, sum(c) AS c
+  FROM h1 GROUP BY 1
+),
+mad AS (
+  SELECT min(d) AS m FROM (
+    SELECT d, sum(c) OVER (ORDER BY d) AS cum FROM h2
+  ) CROSS JOIN tot WHERE cum >= (n + 1) // 2
+)
+SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n_docs,
+       CAST((SELECT m FROM med) AS BIGINT) AS median,
+       CAST((SELECT m FROM mad) AS BIGINT) AS mad
 """,
         # t_test (Welch): identical float64 expression over HUGEINT
         # moment sums of the two populations

@@ -1998,3 +1998,28 @@ def bm25_t_test(
             ),
         }
     )
+
+
+def bm25_mad(
+    sf_dir: str, query: str = "merge OR window",
+    field: str = "dl_content",
+) -> pd.DataFrame:
+    """MEDIAN-ABSOLUTE-DEVIATION aggregation (ES
+    ``median_absolute_deviation``, exact where ES is TDigest-
+    approximate): median of |x - median| over the match set's token
+    counts, both medians on the pinned lower-median rule. All-integer
+    output; oracle replicates the rule with windowed cumulative
+    sums."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2)
+    try:
+        res = eng.search_mad(query, field)
+    finally:
+        eng.close()
+    return pd.DataFrame(
+        {
+            "n_docs": pd.Series([res["count"]], dtype="int64"),
+            "median": pd.Series([res["median"]], dtype="int64"),
+            "mad": pd.Series([res["mad"]], dtype="int64"),
+        }
+    )

@@ -2611,6 +2611,26 @@ class LocalIndex:
         docs = v.docs[first_pos < int(end)].astype(np.uint64)
         return self._attach_meta({"doc_ids": docs}, docs)
 
+    def query_value_counts(
+        self, query, field: str, df_map=None
+    ) -> dict:
+        """Shard-local exact VALUE HISTOGRAM of a numeric fast field
+        over the match set: ``{value: doc count}`` — O(distinct values)
+        integers, the merge across doc-partitioned shards is a plain
+        counter add. The exact-quantile primitive (median / MAD /
+        percentile ranks) — where ES ships TDigest sketches, a bounded
+        fast-field domain lets this engine stay exact."""
+        if field not in self._meta_num:
+            raise ValueError(f"no such numeric fast field: {field!r}")
+        docs, _ = self._match_set(query, df_map)
+        if not len(docs):
+            return {}
+        pos = np.searchsorted(self._meta_ids, docs)
+        ok = self._meta_num_ok[field][pos]
+        vals = self._meta_num[field][pos[ok]]
+        u, c = np.unique(vals, return_counts=True)
+        return {int(v): int(k) for v, k in zip(u, c)}
+
     def lookup_paths(self, paths: list[str]) -> dict:
         """{path -> doc_id} for the given stored paths OWNED by this
         shard (one vectorized isin over the metadata; doc partitioning
@@ -4436,6 +4456,57 @@ class BM25Engine:
         )
         del out["var_a"], out["var_b"]
         return out
+
+    def search_mad(
+        self, query: str, field: str = "dl_content"
+    ) -> dict:
+        """MEDIAN-ABSOLUTE-DEVIATION aggregation (ES
+        ``median_absolute_deviation`` — which documents TDigest
+        APPROXIMATION; this engine is exact): median of
+        ``|x - median(x)|`` over the match set's fast-field values.
+        Shards ship exact value histograms (O(distinct values) ints);
+        both medians use the pinned LOWER-median rule — the smallest
+        value whose cumulative count reaches ceil(n/2) — which a SQL
+        oracle replicates with a windowed cumulative sum (DuckDB's
+        ``median()`` interpolates even counts, so the rule is pinned
+        instead of borrowed). Returns ``{"count", "median", "mad"}``
+        (integers)."""
+        df_map = self._df_map_for([query])
+        tree = self._parse_global(query)
+        rep = self._next_replica(query + f"\x00#mad:{field}")
+        parts = ray.get(
+            [
+                s.query_value_counts.remote(tree, field, df_map)
+                for s in rep
+            ]
+        )
+        counts: dict[int, int] = {}
+        for p in parts:
+            for v, c in p.items():
+                counts[v] = counts.get(v, 0) + c
+        n = sum(counts.values())
+        if n == 0:
+            return {"count": 0, "median": None, "mad": None}
+
+        def lower_median(cmap: dict[int, int], total: int) -> int:
+            need = (total + 1) // 2  # ceil(n/2)
+            cum = 0
+            for v in sorted(cmap):
+                cum += cmap[v]
+                if cum >= need:
+                    return v
+            raise AssertionError("unreachable")
+
+        med = lower_median(counts, n)
+        dev: dict[int, int] = {}
+        for v, c in counts.items():
+            d = abs(v - med)
+            dev[d] = dev.get(d, 0) + c
+        return {
+            "count": n,
+            "median": int(med),
+            "mad": int(lower_median(dev, n)),
+        }
 
     def search_rare_terms(
         self, max_doc_count: int, size: int = 10, field: str = "content"

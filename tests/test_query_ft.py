@@ -1659,3 +1659,31 @@ def test_weighted_avg_and_t_test_vs_bruteforce(
         assert abs(res["t"] - t) < 1e-12
     finally:
         eng.close()
+
+
+def test_mad_vs_bruteforce(ray_session, tiny_index, tiny_corpus):
+    """Exact MAD on the pinned lower-median rule vs a hand count,
+    including an even-count population (where interpolating medians
+    would diverge) and shard parity."""
+    toks = _corpus_tokens(tiny_corpus)
+    dl = {p: len(tl) for p, tl in toks.items()}
+    m = sorted(
+        p for p, tl in toks.items()
+        if {"merge", "stream"} & {t for t, _ in tl}
+    )
+    xs = sorted(dl[p] for p in m)
+    n = len(xs)
+
+    def lower_median(sorted_vals):
+        return sorted_vals[(len(sorted_vals) + 1) // 2 - 1]
+
+    med = lower_median(xs)
+    mad = lower_median(sorted(abs(x - med) for x in xs))
+    for shards in (1, 3):
+        eng = BM25Engine(tiny_index, num_shards=shards,
+                         auto_reload=False)
+        try:
+            res = eng.search_mad("merge OR stream")
+        finally:
+            eng.close()
+        assert res == {"count": n, "median": med, "mad": mad}
