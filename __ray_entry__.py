@@ -927,6 +927,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ES median_absolute_deviation — exact (value histograms +
         # pinned lower-median rule) where ES documents TDigest
         "bm25_mad": docsearch.bm25_mad,
+        # ES percentile_ranks — exact from the same value histograms
+        "bm25_percentile_ranks": docsearch.bm25_percentile_ranks,
     }
     # The driver's per-round correctness gate checks a PREFIX of this
     # dict (r3 covered the first 50 of 109). Rotate so the families
@@ -947,12 +949,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_distance_feature", "events_auto_histogram",
         "bm25_highlight_fragments", "events_derivative",
         "bm25_span_first", "bm25_weighted_avg", "bm25_t_test",
-        "bm25_mad",
+        "bm25_mad", "bm25_percentile_ranks",
         "decontaminate", "dup_ngram_spans", "stratified_sample",
         "source_quota_cap", "token_budget_sample", "corpus_clean",
         "pack_sequences", "dup_span_scrub", "line_dedup_scrub",
         "pii_scrub", "unicode_clean", "dsir_weights",
-        "events_props_stats",
         "bm25_sort_by_field",
         "bm25_span_near", "bm25_composite_agg", "hybrid_semantic_rrf",
         "bm25_complete", "bm25_adjacency_matrix", "ann_filtered_topk",
@@ -1193,6 +1194,24 @@ mad AS (
 SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n_docs,
        CAST((SELECT m FROM med) AS BIGINT) AS median,
        CAST((SELECT m FROM mad) AS BIGINT) AS mad
+""",
+        # percentile_ranks: 100.0 * count(x <= v) / n, exact
+        "bm25_percentile_ranks": f"""
+WITH {_TOKS},
+m AS (SELECT DISTINCT doc_id FROM toks2
+      WHERE term IN ('merge', 'window')),
+dl AS (SELECT doc_id, count(*) AS c FROM toks2 GROUP BY doc_id),
+vals AS (
+  SELECT COALESCE(dl.c, 0) AS x FROM documents d
+  LEFT JOIN dl USING (doc_id)
+  WHERE d.doc_id IN (SELECT doc_id FROM m)
+),
+tot AS (SELECT count(*) AS n FROM vals),
+req AS (SELECT * FROM (VALUES (350), (400), (450)) AS r(v))
+SELECT CAST(req.v AS BIGINT) AS value,
+       round((100.0 * (SELECT count(*) FROM vals WHERE x <= req.v))
+             / (SELECT n FROM tot), 4) AS pct_le
+FROM req ORDER BY value
 """,
         # t_test (Welch): identical float64 expression over HUGEINT
         # moment sums of the two populations

@@ -2023,3 +2023,29 @@ def bm25_mad(
             "mad": pd.Series([res["mad"]], dtype="int64"),
         }
     )
+
+
+def bm25_percentile_ranks(
+    sf_dir: str, query: str = "merge OR window",
+    field: str = "dl_content", values: tuple = (350, 400, 450),
+) -> pd.DataFrame:
+    """PERCENTILE-RANKS aggregation (ES ``percentile_ranks``, exact
+    from merged value histograms where ES ships TDigest): % of matched
+    docs with field value <= v, for each requested v. Oracle:
+    100.0 * count_le / n per value."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2)
+    try:
+        res = eng.search_percentile_ranks(query, field, values)
+    finally:
+        eng.close()
+    vs = sorted(res["ranks"])
+    return pd.DataFrame(
+        {
+            "value": pd.Series(vs, dtype="int64"),
+            "pct_le": round_half_away(
+                np.asarray([res["ranks"][v] for v in vs], np.float64),
+                4,
+            ),
+        }
+    )

@@ -4508,6 +4508,42 @@ class BM25Engine:
             "mad": int(lower_median(dev, n)),
         }
 
+    def search_percentile_ranks(
+        self, query: str, field: str = "dl_content",
+        values: tuple = (), 
+    ) -> dict:
+        """PERCENTILE-RANKS aggregation (ES ``percentile_ranks``,
+        exact): for each given value v, the percentage of matched docs
+        whose fast-field value is <= v — computed from the same exact
+        merged value histogram as ``search_mad`` (ES ships TDigest
+        here too). One float64 multiply-divide per requested value, in
+        a fixed order the SQL oracle replicates:
+        ``100.0 * count_le / n``. Returns ``{"count", "ranks":
+        {value: pct}}``."""
+        df_map = self._df_map_for([query])
+        tree = self._parse_global(query)
+        rep = self._next_replica(query + f"\x00#pctrank:{field}")
+        parts = ray.get(
+            [
+                s.query_value_counts.remote(tree, field, df_map)
+                for s in rep
+            ]
+        )
+        counts: dict[int, int] = {}
+        for p in parts:
+            for v, c in p.items():
+                counts[v] = counts.get(v, 0) + c
+        n = sum(counts.values())
+        ranks: dict[int, float] = {}
+        if n:
+            ks = np.array(sorted(counts), dtype=np.int64)
+            cum = np.cumsum([counts[int(k)] for k in ks])
+            for v in values:
+                i = int(np.searchsorted(ks, int(v), side="right"))
+                le = int(cum[i - 1]) if i else 0
+                ranks[int(v)] = (100.0 * le) / n
+        return {"count": n, "ranks": ranks}
+
     def search_rare_terms(
         self, max_doc_count: int, size: int = 10, field: str = "content"
     ) -> list[dict]:

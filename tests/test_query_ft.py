@@ -1687,3 +1687,28 @@ def test_mad_vs_bruteforce(ray_session, tiny_index, tiny_corpus):
         finally:
             eng.close()
         assert res == {"count": n, "median": med, "mad": mad}
+
+
+def test_percentile_ranks_vs_bruteforce(
+    ray_session, tiny_index, tiny_corpus
+):
+    toks = _corpus_tokens(tiny_corpus)
+    dl = {p: len(tl) for p, tl in toks.items()}
+    m = [
+        p for p, tl in toks.items()
+        if {"merge", "stream"} & {t for t, _ in tl}
+    ]
+    xs = [dl[p] for p in m]
+    vals = (min(xs), sorted(xs)[len(xs) // 2], max(xs), max(xs) + 10)
+    eng = BM25Engine(tiny_index, num_shards=3, auto_reload=False)
+    try:
+        res = eng.search_percentile_ranks(
+            "merge OR stream", "dl_content", vals
+        )
+    finally:
+        eng.close()
+    assert res["count"] == len(xs)
+    for v in vals:
+        le = sum(1 for x in xs if x <= v)
+        assert res["ranks"][int(v)] == (100.0 * le) / len(xs)
+    assert res["ranks"][int(max(xs))] == 100.0
