@@ -165,6 +165,16 @@ class CkRayMCP:
         "matrix_stats": "Field-pair covariance/correlation over the "
                         "match set's numeric fast fields (ES "
                         "matrix_stats)",
+        "weighted_avg": "Fast-field average weighted by another fast "
+                        "field over the match set (ES weighted_avg, "
+                        "exact integer sums)",
+        "t_test": "Welch's t between two query populations on a fast "
+                  "field (ES t_test, exact moment sums)",
+        "mad": "Median absolute deviation of a fast field over the "
+               "match set (exact; ES approximates with TDigest)",
+        "percentile_ranks": "Exact % of matched docs with fast-field "
+                            "value <= each requested value (ES "
+                            "percentile_ranks)",
     }
 
     def list_tools(self) -> list[dict]:
@@ -196,6 +206,11 @@ class CkRayMCP:
                         "pivot": {"type": "integer"},
                         "boost": {"type": "number"},
                         "num_fragments": {"type": "integer"},
+                        "value_field": {"type": "string"},
+                        "weight_field": {"type": "string"},
+                        "query_a": {"type": "string"},
+                        "query_b": {"type": "string"},
+                        "values": {"type": "array"},
                     },
                 },
             }
@@ -307,6 +322,31 @@ class CkRayMCP:
             for c in res["cells"]:  # NaN is not valid JSON -> null
                 if c["correlation"] != c["correlation"]:
                     c["correlation"] = None
+            return res
+        if name == "weighted_avg":
+            return self._bm25().search_weighted_avg(
+                query,
+                args.get("value_field", "n_bytes"),
+                args.get("weight_field", "dl_content"),
+            )
+        if name == "t_test":
+            return self._bm25().search_t_test(
+                args["query_a"], args["query_b"],
+                args.get("field", "dl_content"),
+            )
+        if name == "mad":
+            return self._bm25().search_mad(
+                query, args.get("field", "dl_content")
+            )
+        if name == "percentile_ranks":
+            res = self._bm25().search_percentile_ranks(
+                query, args.get("field", "dl_content"),
+                tuple(args.get("values", ())),
+            )
+            # JSON object keys are strings
+            res["ranks"] = {
+                str(v): pct for v, pct in res["ranks"].items()
+            }
             return res
         if name == "phrase_suggest":
             return {

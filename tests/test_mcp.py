@@ -48,6 +48,7 @@ def test_initialize_and_tool_list(mcp):
         "suggest", "complete", "percolate", "phrase_suggest",
         "rare_terms", "significant_text", "best_passages",
         "pinned_search", "distance_feature_search", "matrix_stats",
+        "weighted_avg", "t_test", "mad", "percentile_ranks",
     }
 
 
@@ -322,3 +323,21 @@ def test_pinned_distance_matrix_tools(mcp):
     assert ms["count"] > 2 and len(ms["cells"]) == 3
     diag = [c for c in ms["cells"] if c["field_a"] == c["field_b"]]
     assert all(abs(c["correlation"] - 1.0) < 1e-9 for c in diag)
+
+
+def test_exact_agg_family_tools(mcp):
+    wa = _call(mcp, "weighted_avg", query="merge")
+    assert wa["count"] > 0 and wa["weight_total"] > 0
+    assert wa["weighted_avg"] > 0
+
+    tt = _call(mcp, "t_test", query_a="merge", query_b="stream")
+    assert tt["n_a"] > 1 and tt["n_b"] > 1
+    assert tt["t"] == tt["t"]  # finite on this corpus
+
+    md = _call(mcp, "mad", query="merge")
+    assert md["count"] > 0 and md["mad"] >= 0
+
+    pr = _call(mcp, "percentile_ranks", query="merge",
+               values=[md["median"]])
+    # at least half the docs sit at or below the lower median
+    assert pr["ranks"][str(md["median"])] >= 50.0
