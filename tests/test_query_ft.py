@@ -1712,3 +1712,31 @@ def test_percentile_ranks_vs_bruteforce(
         le = sum(1 for x in xs if x <= v)
         assert res["ranks"][int(v)] == (100.0 * le) / len(xs)
     assert res["ranks"][int(max(xs))] == 100.0
+
+
+def test_latest_agg_paths_survive_shard_kill(ray_session, tiny_index):
+    """weighted_avg / t_test / mad / percentile_ranks / span_first
+    recover transparently from a killed shard — same restart contract
+    as every serving path."""
+    eng = BM25Engine(tiny_index, num_shards=2)
+
+    def snap():
+        return (
+            eng.search_weighted_avg("merge"),
+            eng.search_t_test("merge", "stream"),
+            eng.search_mad("merge OR stream"),
+            eng.search_percentile_ranks(
+                "merge", "dl_content", (300, 400)
+            ),
+            (
+                list(eng.search_span_first("merge", 10)["paths"]),
+            ),
+        )
+
+    try:
+        before = snap()
+        ray.kill(eng.shards[0], no_restart=False)
+        after = snap()
+        assert before == after
+    finally:
+        eng.close()
