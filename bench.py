@@ -96,6 +96,7 @@ def run_suite() -> dict:
     from ck_ray.build import IndexConfig, build_index
     from ck_ray.corpus import corpus_parquet
     from ck_ray.query import BM25Engine
+    from ck_ray.query import parquet_field_source as _pq_source
 
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
@@ -299,7 +300,8 @@ def run_suite() -> dict:
         ("fulltext_rare_ms", lambda: eng.search_rare_terms(5, size=20)),
         ("fulltext_sigtext_sampled_ms",
          lambda: eng.search_significant_text(
-             "merge AND window", size=10, sample_size=200)),
+             "merge AND window", size=10, sample_size=200,
+             source=_pq_source(corpus_dir, "path", "content"))),
         ("fulltext_phrase_suggest_ms",
          lambda: eng.search_phrase_suggest("mergw windoq", size=5)),
         ("fulltext_best_passages_ms",

@@ -214,16 +214,31 @@ class _BatchTokens:
         return list(v[edit_within(term, v, dist, transpose)])
 
     def expand_regex(self, _field, pat) -> list[str]:
-        rx = re.compile(pat)
-        return [t for t in self.vocab if rx.fullmatch(t)]
+        v = self.vocab
+        if len(v) == 0:
+            return []
+        # vectorized RE2 over the vocabulary (anchored = fullmatch);
+        # with thousands of stored regex queries the old per-term
+        # Python loop was O(vocab * queries) interpreter work per batch
+        try:
+            m = pc.match_substring_regex(
+                pa.array(v, pa.string()), f"^(?:{pat})$"
+            )
+            return list(v[m.to_numpy(zero_copy_only=False)])
+        except pa.ArrowInvalid:
+            # RE2 rejects what it can't run in linear time (backrefs,
+            # lookaround) — keep exact Python-re semantics for those
+            rx = re.compile(pat)
+            return [t for t in v if rx.fullmatch(t)]
 
 
 def _validate(node) -> None:
     """Registration-time walk: reject stored queries the percolator
-    cannot evaluate (sloppy phrases, non-``content`` fields) when the
-    registry is parsed — NOT mid-stream in a Ray worker, where a bad
-    entry would fail the job per batch (or pass silently on empty
-    batches)."""
+    cannot evaluate (today: non-``content`` fields; phrases — sloppy
+    included — prefix/range/fuzzy/regex and boolean trees are all
+    supported) when the registry is parsed — NOT mid-stream in a Ray
+    worker, where a bad entry would fail the job per batch (or pass
+    silently on empty batches)."""
     if node is None:
         return
     if isinstance(node, Clause):
@@ -318,23 +333,45 @@ class Percolator:
         )
 
 
+def percolate_stream(
+    docs: ray.data.Dataset,
+    queries: dict[str, str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency: int | tuple = (1, 4),
+) -> ray.data.Dataset:
+    """Streaming form: the (query_name, id) match-pair Dataset, never
+    touched by the driver — at 100 TB this is the shape to use, consumed
+    by ``write_parquet`` on a partitioned sink (or a downstream stage).
+    ``concurrency`` sizes the actor pool; registry parse cost is once
+    per actor, so scale it to the input, not the registry."""
+    from . import bind_ctor
+
+    return docs.map_batches(
+        bind_ctor(
+            Percolator, queries=queries, text_col=text_col, id_col=id_col
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
 def percolate(
     docs: ray.data.Dataset,
     queries: dict[str, str],
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    concurrency: int | tuple = (1, 4),
 ) -> pd.DataFrame:
     """Match every doc against every stored query; (query_name, doc_id)
-    pairs sorted for determinism. One streaming pass, no shuffle."""
-    from . import bind_ctor
-
-    out = docs.map_batches(
-        bind_ctor(
-            Percolator, queries=queries, text_col=text_col, id_col=id_col
-        ),
-        batch_format="pyarrow",
-        concurrency=(1, 4),
+    pairs sorted for determinism (the oracle-gate form — driver-side
+    materialization is fine for its bounded outputs; use
+    ``percolate_stream`` for unbounded ones)."""
+    out = percolate_stream(
+        docs, queries, text_col=text_col, id_col=id_col,
+        concurrency=concurrency,
     ).to_pandas()
     return (
         out.sort_values(["query_name", id_col])

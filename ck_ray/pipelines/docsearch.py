@@ -1770,17 +1770,25 @@ def bm25_significant_sampled(
     """SIGNIFICANT-TEXT under a SAMPLER (the ES-documented scale shape
     for ``significant_text``): the foreground is the top-``sample_size``
     BM25 docs of the query (4dp-rounded score cut, doc_id-asc ties)
-    instead of the full match set — the posting pass compares each term
-    against N ids, so the collector cost is bounded no matter how many
-    docs match. Oracle: the BM25 scoring CTE ordered by
-    (round(score,4) DESC, doc_id) LIMIT N as the foreground set, then
-    the identical JLH counts and double expression."""
+    instead of the full match set, and — with the ``source`` seam —
+    the collector is O(sample), not O(index): fg counts from
+    re-analyzing only the N sampled docs (doc_id-pruned parquet read),
+    bg dfs from one vectorized serving-``df`` gather over the sample's
+    own terms; zero posting decodes. Oracle: the BM25 scoring CTE
+    ordered by (round(score,4) DESC, doc_id) LIMIT N as the foreground
+    set, then the identical JLH counts and double expression."""
+    from ..query import parquet_field_source
+
     idx = documents_index(sf_dir)
     eng = BM25Engine(idx, num_shards=2, dtype=np.float64)
     try:
         res = eng.search_significant_text(
             query, size=size, min_doc_count=min_doc_count,
             sample_size=sample_size,
+            source=parquet_field_source(
+                os.path.join(sf_dir, "documents.parquet"),
+                "doc_id", "text",
+            ),
         )
     finally:
         eng.close()

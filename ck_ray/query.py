@@ -2755,6 +2755,61 @@ class LocalIndex:
             del self._cache[k]
         return out
 
+    def query_bulk_dfs(
+        self, terms: list[str], field: str = "content"
+    ) -> dict:
+        """Exact GLOBAL df per candidate term from the serving ``df``
+        column — one vectorized searchsorted probe over the sorted key
+        array plus one df-column gather per serving table, ZERO posting
+        decodes (the same exact-global regime as
+        ``query_rare_terms(exact_global=True)``: valid for single-epoch
+        indexes with no deletions, where every serving row already
+        carries the term's build-time global df; a postings-split term
+        repeats it on every row, so the first row suffices). Terms
+        absent from this shard's dictionary are simply omitted — the
+        driver merges shards' dicts (identical values wherever
+        present), so traffic is O(candidate terms) strings+ints."""
+        n = len(self._keys)
+        if n == 0 or not terms:
+            return {}
+        fid = FIELD_IDS[field]
+        keys = np.array([f"{fid}:{t}" for t in terms], dtype=object)
+        lo = np.clip(
+            np.searchsorted(self._keys, keys, side="left"), 0, n - 1
+        )
+        idx = np.nonzero(self._keys[lo] == keys)[0]
+        if len(idx) == 0:
+            return {}
+        tis = self._key_ti[lo[idx]]
+        ris = self._key_ri[lo[idx]]
+        dfs = np.empty(len(idx), np.int64)
+        for ti in np.unique(tis):
+            sel = np.nonzero(tis == ti)[0]
+            col = self._tables[int(ti)]["df"].to_numpy(
+                zero_copy_only=False
+            )
+            dfs[sel] = col[ris[sel]]
+        return {terms[int(i)]: int(d) for i, d in zip(idx, dfs)}
+
+    def paths_for_docs(self, docs) -> tuple[list, list]:
+        """Resolve this shard's OWNED subset of ``docs`` to their stored
+        ``path`` metadata (one vectorized searchsorted over the sorted
+        live-doc ids). Doc partitioning assigns every live doc exactly
+        one owner, so the driver's union over shards covers each input
+        id at most once. Returns ``(owned_doc_ids, paths)``."""
+        sd = np.asarray(docs, dtype=np.uint64)
+        if len(self._meta_ids) == 0 or len(sd) == 0:
+            return [], []
+        pos = np.clip(
+            np.searchsorted(self._meta_ids, sd),
+            0, len(self._meta_ids) - 1,
+        )
+        ok = self._meta_ids[pos] == sd
+        return (
+            [int(d) for d in sd[ok]],
+            [str(p) for p in self._meta["path"][pos[ok]]],
+        )
+
     def query_significant_text(
         self, query: str, field: str = "content", df_map=None,
         sample_docs: np.ndarray | None = None,
@@ -3091,6 +3146,53 @@ class LocalIndex:
 DocShard = ray.remote(
     num_cpus=0.5, max_restarts=-1, max_task_retries=-1
 )(LocalIndex)
+
+
+def parquet_field_source(
+    parquet_path: str, key_col: str, text_col: str
+):
+    """Build a ``source`` callable for the O(sample) sampled
+    ``search_significant_text`` path: fetch N docs' stored field text
+    by their index ``path`` key from a parquet file/dir, with the key
+    filter pushed INTO the scan (row-group pruning when the key column
+    is clustered — e.g. a sorted ``doc_id`` — so only the sampled
+    docs' groups leave storage; the multithreaded Arrow scanner covers
+    the unclustered case). Index paths are strings; the key column may
+    be any castable type (``doc_id`` int64 for the documents corpus)."""
+
+    state: dict = {}
+
+    def fetch(paths: list[str]) -> dict[str, str]:
+        if "dset" not in state:
+            state["dset"] = pads.dataset(parquet_path, format="parquet")
+        dset = state["dset"]
+        keys = pa.array(paths, pa.string()).cast(
+            dset.schema.field(key_col).type
+        )
+        # the scan is a driver-side blocking call, so widen Arrow's
+        # CPU/IO pools for its duration (the ambient OMP_NUM_THREADS=1
+        # that Ray sets for workers would otherwise serialize the
+        # per-fragment decode), then restore
+        old_cpu, old_io = pa.cpu_count(), pa.io_thread_count()
+        n = min(16, os.cpu_count() or 1)
+        pa.set_cpu_count(max(old_cpu, n))
+        pa.set_io_thread_count(max(old_io, n))
+        try:
+            t = dset.to_table(
+                columns=[key_col, text_col],
+                filter=pads.field(key_col).isin(keys),
+            )
+        finally:
+            pa.set_cpu_count(old_cpu)
+            pa.set_io_thread_count(old_io)
+        return {
+            str(k): ("" if v is None else str(v))
+            for k, v in zip(
+                t[key_col].to_pylist(), t[text_col].to_pylist()
+            )
+        }
+
+    return fetch
 
 
 class BM25Engine:
@@ -4051,6 +4153,7 @@ class BM25Engine:
         self, query: str, size: int = 10, min_doc_count: int = 3,
         exclude_query_terms: bool = True, field: str = "content",
         sample_size: int | None = None,
+        source=None,
     ) -> dict:
         """SIGNIFICANT-TEXT aggregation (ES ``significant_text``): which
         free-text TERMS are anomalously frequent in the query's matching
@@ -4068,12 +4171,26 @@ class BM25Engine:
         note: see ``query_significant_text``.
 
         ``sample_size=N`` is the SCALE path (how ES documents running
-        ``significant_text`` under a ``sampler`` agg): the foreground
-        is the top-N BM25 docs instead of the full match set, so
-        significance reflects the best-matching docs and the fg side
-        of the posting pass compares against N ids. The cut is taken
-        on the shared 4dp-rounded score (doc_id-asc ties) — the same
-        boundary rule every ranked oracle here uses."""
+        ``significant_text`` under a ``sampler`` agg): the foreground is
+        the top-N BM25 docs instead of the full match set (4dp-rounded
+        score cut, doc_id-asc ties — the shared ranked-cut rule).
+
+        With ``source`` also given — a callable
+        ``source(paths: list[str]) -> dict[path, field_text]``, e.g.
+        :func:`parquet_field_source` — the sampled collector is
+        genuinely **O(sample), not O(index)** (what makes ES's sampler
+        cheap): foreground counts come from RE-ANALYZING the N sampled
+        docs' stored text with the index tokenizer (one vectorized
+        ``term_frequencies`` kernel — a term absent from the sample has
+        fg = 0 and can never bucket, so only the sample's own terms are
+        candidates), and background dfs come from one vectorized
+        serving-``df`` column gather over those candidates
+        (``query_bulk_dfs``) — zero posting decodes end to end. That
+        exact-global df shortcut needs a single-epoch index with no
+        deletions (the same regime as ``rare_terms`` exact_global);
+        incremental/deleted indexes, or ``source=None``, fall back to
+        the exact posting-pass collector restricted to the sample ids —
+        identical results, per-query cost O(shard postings)."""
         self._maybe_reload()
         df_map = self._df_map_for([query])
         tree = self._parse_global(query)
@@ -4120,22 +4237,66 @@ class BM25Engine:
                     break
                 fetch *= 4
             sample = docs[order[:k]]
-        parts = ray.get(
-            [
-                s.query_significant_text.remote(
-                    tree, field, df_map, sample
+        if sample is not None and source is not None \
+                and not self._needs_df_round:
+            # O(sample) sampled collector — see the docstring. fg_total
+            # and bg_total need no fan-out: every sampled doc has
+            # exactly one owner, and single-epoch + no deletions means
+            # the manifest doc count IS the live count.
+            from .tokenizer import term_frequencies
+
+            fg = {}
+            bg = {}
+            if len(sample):
+                owned = ray.get(
+                    [s.paths_for_docs.remote(sample) for s in rep]
                 )
-                for s in rep
-            ]
-        )
-        fg_total = sum(p["fg_total"] for p in parts)
-        bg_total = sum(p["bg_total"] for p in parts)
-        fg: dict[str, int] = {}
-        bg: dict[str, int] = {}
-        for p in parts:
-            for t, (f, b) in p["counts"].items():
-                fg[t] = fg.get(t, 0) + f
-                bg[t] = bg.get(t, 0) + b
+                path_of = {}
+                for ds_, ps_ in owned:
+                    path_of.update(zip(ds_, ps_))
+                paths = [path_of[int(d)] for d in sample]
+                texts = source(paths)
+                tf_tab, _ = term_frequencies(
+                    pa.array([texts[p] for p in paths], pa.string()),
+                    with_positions=False,
+                )
+                # one row per (doc, term): the term's row count IS its
+                # foreground doc count
+                vc = pc.value_counts(tf_tab["term"])
+                fg = {
+                    str(v): int(c)
+                    for v, c in zip(
+                        vc.field("values").to_pylist(),
+                        vc.field("counts").to_pylist(),
+                    )
+                }
+                per = ray.get(
+                    [
+                        s.query_bulk_dfs.remote(sorted(fg), field)
+                        for s in rep
+                    ]
+                )
+                for p in per:
+                    bg.update(p)
+            fg_total = int(len(sample))
+            bg_total = int(self.manifest["num_docs"])
+        else:
+            parts = ray.get(
+                [
+                    s.query_significant_text.remote(
+                        tree, field, df_map, sample
+                    )
+                    for s in rep
+                ]
+            )
+            fg_total = sum(p["fg_total"] for p in parts)
+            bg_total = sum(p["bg_total"] for p in parts)
+            fg = {}
+            bg = {}
+            for p in parts:
+                for t, (f, b) in p["counts"].items():
+                    fg[t] = fg.get(t, 0) + f
+                    bg[t] = bg.get(t, 0) + b
         skip: set[str] = set()
         if exclude_query_terms:
             if tree is not None:

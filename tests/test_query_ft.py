@@ -1242,9 +1242,22 @@ def test_matrix_stats_vs_bruteforce(ray_session, tiny_index, tiny_corpus):
         )
 
 
-def test_significant_text_sampler(ray_session, tiny_index):
+def test_significant_text_sampler(ray_session, tiny_index, tiny_corpus):
     """sample_size >= #matches must reproduce the exact collector
-    (the sample IS the match set); a small sample bounds fg_total."""
+    (the sample IS the match set); a small sample bounds fg_total; and
+    the O(sample) fast path (re-analysis fg + serving-df bg via the
+    ``source`` seam) must bit-match the posting-pass sampled collector
+    at every sample size."""
+    text_of = dict(
+        zip(
+            tiny_corpus["path"].to_pylist(),
+            tiny_corpus["content"].to_pylist(),
+        )
+    )
+
+    def src(paths):
+        return {p: text_of[p] for p in paths}
+
     eng = BM25Engine(tiny_index, num_shards=2, auto_reload=False)
     try:
         q = "merge AND stream"
@@ -1254,11 +1267,30 @@ def test_significant_text_sampler(ray_session, tiny_index):
             sample_size=full["fg_total"] + 1000,
         )
         assert same == full
+        fast_same = eng.search_significant_text(
+            q, size=8, min_doc_count=2,
+            sample_size=full["fg_total"] + 1000, source=src,
+        )
+        assert fast_same == full
         small = eng.search_significant_text(
             q, size=8, min_doc_count=2, sample_size=5
         )
         assert small["fg_total"] == 5
         assert all(b["fg_count"] <= 5 for b in small["buckets"])
+        fast_small = eng.search_significant_text(
+            q, size=8, min_doc_count=2, sample_size=5, source=src
+        )
+        assert fast_small == small
+        # min_doc_count=1 widens the bucket set — the paths must still
+        # agree when near-every sampled term qualifies
+        for n in (3, 11):
+            a = eng.search_significant_text(
+                q, size=20, min_doc_count=1, sample_size=n
+            )
+            b = eng.search_significant_text(
+                q, size=20, min_doc_count=1, sample_size=n, source=src
+            )
+            assert a == b
     finally:
         eng.close()
 
