@@ -343,7 +343,19 @@ def _cmd_percolate(args) -> int:
         concurrency=(1, 8),
     )
     if args.output:
-        out.write_parquet(args.output)
+        # rerun-safe sink: stream into a staging dir, then swap it in
+        # whole. A retried job (previous run interrupted mid-write)
+        # REPLACES any partial pair set instead of appending duplicate
+        # files to it — write_parquet alone would mix two runs' files.
+        import os as _os
+        import shutil as _shutil
+        import uuid as _uuid
+
+        staging = f"{args.output.rstrip('/')}.staging-{_uuid.uuid4().hex}"
+        out.write_parquet(staging)
+        if _os.path.isdir(args.output):
+            _shutil.rmtree(args.output)
+        _os.rename(staging, args.output)
         n = "streamed"
     else:
         n = int(out.count())

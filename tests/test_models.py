@@ -201,3 +201,107 @@ def test_reranker_provider_seam(ray_session):
     finally:
         del _RERANKER_PROVIDERS["fastembed"]
     assert isinstance(create_reranker("jina"), PseudoReranker)
+
+
+def test_real_onnx_embedder_smoke(ray_session):
+    """Proof of the provider seam against a REAL model: when
+    ``CK_ONNX_MODEL_DIR`` points at a fastembed-style export
+    (``model.onnx`` + ``tokenizer.json``) and onnxruntime/tokenizers
+    are installed, a genuine ONNX embedder registers through the same
+    one-line seam the fake uses and the unmodified chunk->embed->search
+    pipeline runs real inference end-to-end. Auto-skips in this
+    container (no models, no onnxruntime); run on any machine with a
+    sentence-embedding export to validate the swap claim for real."""
+    import os
+
+    import pytest as _pytest
+
+    model_dir = os.environ.get("CK_ONNX_MODEL_DIR")
+    if not model_dir:
+        _pytest.skip("CK_ONNX_MODEL_DIR not set (no local ONNX models)")
+    ort = _pytest.importorskip("onnxruntime")
+    toklib = _pytest.importorskip("tokenizers")
+    onnx_path = os.path.join(model_dir, "model.onnx")
+    tok_path = os.path.join(model_dir, "tokenizer.json")
+    if not (os.path.exists(onnx_path) and os.path.exists(tok_path)):
+        _pytest.skip("CK_ONNX_MODEL_DIR lacks model.onnx/tokenizer.json")
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ck_ray.models import (
+        _EMBEDDER_PROVIDERS,
+        register_embedder_provider,
+    )
+    from ck_ray.semantic import build_chunk_embeddings, semantic_search
+
+    class OnnxEmbedder:
+        """Real fastembed-shaped backend: session + tokenizer load once
+        per actor (__init__); mean-pooled, L2-normalized embeddings."""
+
+        def __init__(self, cfg):
+            self.session = ort.InferenceSession(
+                onnx_path, providers=["CPUExecutionProvider"]
+            )
+            self.tokenizer = toklib.Tokenizer.from_file(tok_path)
+            self.tokenizer.enable_truncation(max_length=512)
+            self.tokenizer.enable_padding()
+
+        def embed_texts(self, texts):
+            encs = self.tokenizer.encode_batch(
+                [s if s else " " for s in texts]
+            )
+            ids = np.array([e.ids for e in encs], dtype=np.int64)
+            mask = np.array(
+                [e.attention_mask for e in encs], dtype=np.int64
+            )
+            feeds = {"input_ids": ids, "attention_mask": mask}
+            if "token_type_ids" in {
+                i.name for i in self.session.get_inputs()
+            }:
+                feeds["token_type_ids"] = np.zeros_like(ids)
+            hidden = self.session.run(None, feeds)[0]
+            m = mask[:, :, None].astype(np.float32)
+            emb = (hidden * m).sum(1) / np.clip(m.sum(1), 1e-9, None)
+            emb /= np.clip(
+                np.linalg.norm(emb, axis=1, keepdims=True), 1e-12, None
+            )
+            return emb.astype(np.float32)
+
+        def __call__(self, t):
+            emb = self.embed_texts(t["text"].to_pylist())
+            return t.append_column(
+                "embedding",
+                pa.array(list(emb), pa.list_(pa.float32(), emb.shape[1])),
+            )
+
+    n = 4
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "repo": ["r"] * n,
+                "path": [f"p{i}" for i in range(n)],
+                "commit": ["0"] * n,
+                "lang": ["text"] * n,
+                "content": [
+                    "quicksort and mergesort are sorting algorithms",
+                    "the cat sat on the warm windowsill all afternoon",
+                    "gradient descent optimizes neural network weights",
+                    "recipes for sourdough bread need a starter",
+                ],
+            }
+        )
+    )
+    register_embedder_provider("fastembed", OnnxEmbedder)
+    try:
+        emb_ds = build_chunk_embeddings(ds, concurrency=2, model="minilm")
+        hits = semantic_search(
+            emb_ds, "how do sorting algorithms work", top_k=4,
+            model="minilm",
+        )
+        # a real sentence embedder must rank the sorting doc first
+        assert hits.iloc[0]["path"] == "p0"
+        assert hits.iloc[0]["score"] > hits.iloc[-1]["score"]
+    finally:
+        del _EMBEDDER_PROVIDERS["fastembed"]

@@ -245,3 +245,105 @@ def test_phrase_prefix_percolates():
     ]
     m = _matches({"pp": '"merge wind"*'}, docs)
     assert m.get("pp", []) == [0, 3]
+
+
+def test_actor_death_midstream_exactly_once(ray_session, tmp_path):
+    """Kill ONE pool actor hard (os._exit) on its first batch: Ray Data
+    must restart the actor and retry the lost task, and the match-pair
+    stream must come out EXACTLY once — bit-identical to an undisturbed
+    run (no lost batch, no double emission)."""
+    import os
+
+    import ray
+    import ray.data
+
+    from ck_ray.ops import bind_ctor
+
+    texts = [
+        f"merge window doc{i}" if i % 3 else f"sort key doc{i}"
+        for i in range(240)
+    ]
+    t = _table(texts, list(range(240)))
+    queries = {"mw": "merge AND window", "sk": '"sort key"', "p": "doc*"}
+    clean = percolate(
+        ray.data.from_arrow(t).repartition(8), queries, id_col="doc_id"
+    )
+
+    sentinel = str(tmp_path / "died_once")
+
+    class _ChaosPercolator(Percolator):
+        def __call__(self, batch):
+            if not os.path.exists(sentinel):
+                try:
+                    with open(sentinel, "x") as fh:
+                        fh.write("x")
+                    os._exit(1)  # hard worker death, mid-task
+                except FileExistsError:
+                    pass  # another actor already died for us
+            return super().__call__(batch)
+
+    out = (
+        ray.data.from_arrow(t)
+        .repartition(8)
+        .map_batches(
+            bind_ctor(
+                _ChaosPercolator, queries=queries,
+                text_col="text", id_col="doc_id",
+            ),
+            batch_format="pyarrow",
+            concurrency=(2, 4),
+        )
+        .to_pandas()
+        .sort_values(["query_name", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert os.path.exists(sentinel), "chaos never fired"
+    pd.testing.assert_frame_equal(out, clean)
+
+
+def test_job_percolate_rerun_exactly_once(ray_session, tmp_path):
+    """The percolate job subcommand is rerun-safe: a second run into the
+    same --output (e.g. retrying after an interrupted job) REPLACES the
+    previous pair set instead of appending to it — both runs read back
+    exactly the in-process percolate() result."""
+    import glob
+    import json
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ck_ray.job import main as job_main
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    t = _table(
+        [f"merge window doc{i}" for i in range(60)], list(range(60))
+    )
+    pq.write_table(t, str(corpus / "part-0.parquet"))
+    reg = tmp_path / "reg.json"
+    reg.write_text(json.dumps({"mw": "merge AND window", "p": "doc*"}))
+    outdir = tmp_path / "out"
+
+    want = percolate(
+        ray.data.from_arrow(t), {"mw": "merge AND window", "p": "doc*"},
+        id_col="doc_id",
+    )
+
+    for _run in range(2):
+        rc = job_main(
+            [
+                "percolate", "--corpus", str(corpus),
+                "--queries", str(reg), "--text-col", "text",
+                "--id-col", "doc_id", "--output", str(outdir),
+            ]
+        )
+        assert rc == 0
+        files = sorted(glob.glob(str(outdir / "*.parquet")))
+        assert files
+        got = (
+            pa.concat_tables([pq.read_table(f) for f in files])
+            .to_pandas()
+            .sort_values(["query_name", "doc_id"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[want.columns], want)
