@@ -929,6 +929,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_mad": docsearch.bm25_mad,
         # ES percentile_ranks — exact from the same value histograms
         "bm25_percentile_ranks": docsearch.bm25_percentile_ranks,
+        # ES boxplot — exact quartiles (shared ceil-rank rule) +
+        # exact-int min/max, one multi-agg fan-out
+        "bm25_boxplot": docsearch.bm25_boxplot,
+        # ES top_metrics — the metric values of the top-k docs by a
+        # numeric sort field (two int-only fan-outs)
+        "bm25_top_metrics": docsearch.bm25_top_metrics,
+        # ES string_stats — keyword-field length stats + Shannon
+        # character entropy over the match set
+        "bm25_string_stats": docsearch.bm25_string_stats,
+        # ES moving_fn/moving_avg pipeline agg over the hourly
+        # histogram (trailing-window mean per type)
+        "events_moving_avg": relational.events_moving_avg,
+        # ES serial_diff pipeline agg (lag-k difference per type)
+        "events_serial_diff": relational.events_serial_diff,
+        # ES bucket_script + bucket_selector (per-bucket ratio of two
+        # sub-agg counts, buckets below a floor dropped)
+        "events_bucket_script": relational.events_bucket_script,
     }
     # The driver's per-round correctness gate checks a PREFIX of this
     # dict (r3: first 50 of 109; r4: the dedup/ANN/percolate/agg
@@ -4469,5 +4486,137 @@ SELECT CAST((SELECT i FROM pick) AS BIGINT) AS interval_s,
        bucket_epoch, n, CAST(total_value_e6 AS BIGINT)
          AS total_value_e6
 FROM b ORDER BY bucket_epoch
+""",
+        # boxplot: exact quartiles under the shared ceil-rank rule
+        # (identical double multiply + ceil over a row_number ranking)
+        # + plain int min/max over the `merge OR window` match set
+        "bm25_boxplot": f"""
+WITH {_TOKS},
+m AS (SELECT DISTINCT doc_id FROM toks2
+      WHERE term IN ('merge', 'window')),
+dl AS (SELECT doc_id, count(*) AS c FROM toks2 GROUP BY doc_id),
+vals AS (
+  SELECT COALESCE(dl.c, 0) AS v FROM documents d
+  LEFT JOIN dl USING (doc_id)
+  WHERE d.doc_id IN (SELECT doc_id FROM m)
+),
+ranked AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+                  count(*) OVER () AS n FROM vals),
+q AS (SELECT
+  (SELECT CAST(min(v) AS BIGINT) FROM ranked
+   WHERE rn >= greatest(1, ceil(0.25 * n))) AS q1,
+  (SELECT CAST(min(v) AS BIGINT) FROM ranked
+   WHERE rn >= greatest(1, ceil(0.5 * n))) AS q2,
+  (SELECT CAST(min(v) AS BIGINT) FROM ranked
+   WHERE rn >= greatest(1, ceil(0.75 * n))) AS q3)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM vals) AS n,
+       (SELECT CAST(min(v) AS BIGINT) FROM vals) AS "min",
+       q1, q2, q3,
+       (SELECT CAST(max(v) AS BIGINT) FROM vals) AS "max",
+       q3 - q1 AS iqr
+FROM q
+""",
+        # top_metrics: the n_bytes of the 10 matching docs with the
+        # largest dl_content, (value desc, doc_id asc) order — ints
+        "bm25_top_metrics": f"""
+WITH {_TOKS},
+m AS (SELECT DISTINCT doc_id FROM toks2
+      WHERE term IN ('merge', 'window')),
+dl AS (SELECT doc_id, count(*) AS c FROM toks2 GROUP BY doc_id),
+top AS (
+  SELECT m.doc_id, COALESCE(dl.c, 0) AS sv
+  FROM m LEFT JOIN dl USING (doc_id)
+  ORDER BY sv DESC, m.doc_id LIMIT 10
+)
+SELECT CAST(row_number() OVER (ORDER BY t.sv DESC, t.doc_id)
+            AS BIGINT) AS rank,
+       t.doc_id,
+       CAST(t.sv AS BIGINT) AS sort_value,
+       CAST(strlen(d.text) AS BIGINT) AS n_bytes
+FROM top t JOIN documents d USING (doc_id)
+ORDER BY rank
+""",
+        # string_stats over lang of the `merge window` (OR) match set:
+        # exact-int counts/lengths, avg = one divide, entropy = the
+        # per-char -(p*log2 p) sum (both 4dp-rounded)
+        "bm25_string_stats": f"""
+WITH {_TOKS},
+m AS (SELECT DISTINCT doc_id FROM toks2
+      WHERE term IN ('merge', 'window')),
+v AS (SELECT d.lang AS s FROM m JOIN documents d USING (doc_id)),
+base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(min(strlen(s)) AS BIGINT) AS min_length,
+         CAST(max(strlen(s)) AS BIGINT) AS max_length,
+         CAST(sum(strlen(s)) AS BIGINT) AS total_len
+  FROM v
+),
+chars AS (
+  SELECT ch, count(*) AS c
+  FROM (SELECT unnest(regexp_extract_all(s, '.')) AS ch FROM v)
+  GROUP BY ch
+),
+ent AS (
+  SELECT -sum((CAST(c AS DOUBLE) / b.total_len)
+              * log2(CAST(c AS DOUBLE) / b.total_len)) AS e
+  FROM chars CROSS JOIN base b
+)
+SELECT b.n, b.min_length, b.max_length,
+       round(CAST(b.total_len AS DOUBLE) / b.n, 4) AS avg_length,
+       round(ent.e, 4) AS entropy
+FROM base b CROSS JOIN ent
+""",
+        # moving_fn (unweighted mean over the trailing 3 OBSERVED
+        # hourly buckets per type): exact window sum/size + one divide
+        "events_moving_avg": """
+WITH hourly AS (
+  SELECT event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hour, CAST(n AS BIGINT) AS n,
+       CAST(sum(n) OVER w AS BIGINT) AS w_sum,
+       CAST(count(*) OVER w AS BIGINT) AS w_n,
+       round(CAST(sum(n) OVER w AS DOUBLE)
+             / CAST(count(*) OVER w AS DOUBLE), 4) AS w_avg
+FROM hourly
+WINDOW w AS (PARTITION BY event_type ORDER BY hour
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY event_type, hour
+""",
+        # serial_diff (lag=2 over observed hourly buckets per type);
+        # rows without a lagged predecessor are omitted (ES null head)
+        "events_serial_diff": """
+WITH hourly AS (
+  SELECT event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+piped AS (
+  SELECT event_type, hour, CAST(n AS BIGINT) AS n,
+         CAST(n - lag(n, 2) OVER (
+           PARTITION BY event_type ORDER BY hour
+         ) AS BIGINT) AS sdiff
+  FROM hourly
+)
+SELECT event_type, hour, n, sdiff FROM piped
+WHERE sdiff IS NOT NULL ORDER BY event_type, hour
+""",
+        # bucket_script (per-hour click share = one IEEE divide) +
+        # bucket_selector (hours with fewer than 5 events dropped)
+        "events_bucket_script": """
+WITH hourly AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+         count(*) FILTER (WHERE event_type = 'click') AS n_num,
+         count(*) AS n_total
+  FROM events GROUP BY 1
+)
+SELECT hour, CAST(n_num AS BIGINT) AS n_num,
+       CAST(n_total AS BIGINT) AS n_total,
+       round(CAST(n_num AS DOUBLE) / CAST(n_total AS DOUBLE), 4)
+         AS ratio
+FROM hourly WHERE n_total >= 5 ORDER BY hour
 """,
     }

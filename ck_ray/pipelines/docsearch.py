@@ -2057,3 +2057,117 @@ def bm25_percentile_ranks(
             ),
         }
     )
+
+
+def bm25_boxplot(
+    sf_dir: str, query: str = "merge OR window",
+    field: str = "dl_content",
+) -> pd.DataFrame:
+    """BOXPLOT aggregation (ES ``boxplot``) of the analyzer token count
+    over the match set — exact quartiles under the shared
+    discrete-quantile rule (ceil(q*n)-th smallest) where ES documents
+    TDigest, min/max from exact-int stats, one multi-agg fan-out.
+    Oracle: the identical double-multiply + ceil over a row_number
+    ranking plus plain min/max; all-integer compare."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2)
+    try:
+        res = eng.search_boxplot(query, field)
+    finally:
+        eng.close()
+    return pd.DataFrame(
+        {
+            "n": pd.Series([res["count"]], dtype="int64"),
+            "min": pd.Series([res["min"]], dtype="int64"),
+            "q1": pd.Series([res["q1"]], dtype="int64"),
+            "q2": pd.Series([res["q2"]], dtype="int64"),
+            "q3": pd.Series([res["q3"]], dtype="int64"),
+            "max": pd.Series([res["max"]], dtype="int64"),
+            "iqr": pd.Series([res["iqr"]], dtype="int64"),
+        }
+    )
+
+
+def bm25_top_metrics(
+    sf_dir: str, query: str = "merge window",
+    sort_field: str = "dl_content", metric: str = "n_bytes",
+    k: int = 10,
+) -> pd.DataFrame:
+    """TOP-METRICS aggregation (ES ``top_metrics``): the ``metric``
+    values of the k matching docs with the largest ``sort_field``
+    (exact (value desc, doc_id asc) total order). Two int-only
+    fan-outs: sort-by-field top-k, then a metrics gather over exactly
+    those ids. The engine tie-breaks by internal id, the oracle by the
+    ORIGINAL doc id, so (the sort_by_field rule) the entry overfetches
+    until the boundary VALUE group is strictly closed and re-cuts on
+    (value desc, original id asc) — airtight, values compare exactly.
+    Oracle: ORDER BY ... LIMIT joined back to documents; pure ints."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2)
+    try:
+        fetch = k + 64
+        while True:
+            rows = eng.search_top_metrics(
+                query, sort_field, (metric,), k=fetch
+            )
+            if len(rows) < fetch or (
+                rows[-1]["sort_value"] < rows[k - 1]["sort_value"]
+            ):
+                break
+            fetch *= 4
+    finally:
+        eng.close()
+    out = pd.DataFrame(
+        {
+            "doc_id": pd.Series(
+                [int(r["path"]) for r in rows], dtype="int64"
+            ),
+            "sort_value": pd.Series(
+                [r["sort_value"] for r in rows], dtype="int64"
+            ),
+            metric: pd.Series(
+                [r[metric] for r in rows], dtype="int64"
+            ),
+        }
+    )
+    out = (
+        out.sort_values(
+            ["sort_value", "doc_id"], ascending=[False, True]
+        )
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out.insert(
+        0, "rank", pd.Series(range(1, len(out) + 1), dtype="int64")
+    )
+    return out
+
+
+def bm25_string_stats(
+    sf_dir: str, query: str = "merge window", field: str = "lang"
+) -> pd.DataFrame:
+    """STRING-STATS aggregation (ES ``string_stats``) of the ``lang``
+    keyword field over the match set: value count, min/max/avg length,
+    Shannon entropy (log2) of the character distribution. Counts are
+    exact ints off the significant-terms foreground fan-out; both
+    doubles (avg_length, entropy) are computed driver-side in a fixed
+    operation order the SQL oracle replicates (4dp-rounded compare)."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2)
+    try:
+        res = eng.search_string_stats(query, field)
+    finally:
+        eng.close()
+    return pd.DataFrame(
+        {
+            "n": pd.Series([res["count"]], dtype="int64"),
+            "min_length": pd.Series([res["min_length"]], dtype="int64"),
+            "max_length": pd.Series([res["max_length"]], dtype="int64"),
+            "avg_length": round_half_away(
+                np.asarray([res["avg_length"]], np.float64), 4
+            ),
+            "entropy": round_half_away(
+                np.asarray([res["entropy"]], np.float64), 4
+            ),
+        }
+    )

@@ -1568,3 +1568,136 @@ def events_derivative(sf_dir: str) -> pd.DataFrame:
     out = df[~new_grp].reset_index(drop=True)
     out["n"] = out["n"].astype("int64")
     return out[["event_type", "hour", "n", "dn", "cum_n"]]
+
+
+def events_moving_avg(sf_dir: str, window: int = 3) -> pd.DataFrame:
+    """MOVING-FUNCTION pipeline aggregation (ES ``moving_fn`` /
+    ``moving_avg`` over a date_histogram): per event type, the
+    unweighted mean of the hourly count over the trailing ``window``
+    OBSERVED buckets (ROWS window-1 PRECEDING .. CURRENT — partial
+    windows at the series head use however many buckets exist, ES's
+    default shift behavior). The parent histogram is the distributed
+    pass (``events_hourly``); the window runs driver-side over the
+    SMALL bucket series, exactly where ES runs pipeline aggs. Output
+    keeps the exact-int window sum and size next to the one IEEE
+    divide (4dp), so the SQL oracle reproduces every value."""
+    hourly = events_hourly(sf_dir)[["hour", "event_type", "n"]]
+    df = hourly.sort_values(["event_type", "hour"]).reset_index(
+        drop=True
+    )
+    if len(df) == 0:
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series([], dtype="object"),
+                "hour": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64"),
+                "w_sum": pd.Series([], dtype="int64"),
+                "w_n": pd.Series([], dtype="int64"),
+                "w_avg": pd.Series([], dtype="float64"),
+            }
+        )
+    n = df["n"].to_numpy(np.int64)
+    et = df["event_type"].to_numpy()
+    w = max(1, int(window))
+    starts, ends = _segments(et)
+    w_sum = np.empty(len(n), np.int64)
+    w_n = np.empty(len(n), np.int64)
+    pre = np.concatenate(([0], np.cumsum(n)))
+    for s, e in zip(starts, ends):  # one iteration per TYPE
+        i = np.arange(s, e)
+        lo = np.maximum(s, i - w + 1)
+        w_sum[s:e] = pre[i + 1] - pre[lo]
+        w_n[s:e] = i - lo + 1
+    df["w_sum"] = w_sum
+    df["w_n"] = w_n
+    from ..scoring import round_half_away
+
+    df["w_avg"] = round_half_away(
+        w_sum.astype(np.float64) / w_n.astype(np.float64), 4
+    )
+    df["n"] = df["n"].astype("int64")
+    return df[["event_type", "hour", "n", "w_sum", "w_n", "w_avg"]]
+
+
+def events_serial_diff(sf_dir: str, lag: int = 2) -> pd.DataFrame:
+    """SERIAL-DIFFERENCING pipeline aggregation (ES ``serial_diff``
+    over a date_histogram): per event type, ``n - n[lag buckets ago]``
+    over the OBSERVED hourly buckets — the seasonality-removal shape.
+    Buckets whose lagged predecessor doesn't exist are omitted (ES's
+    null head), so the all-integer output starts at bucket ``lag+1``
+    of each type's series."""
+    hourly = events_hourly(sf_dir)[["hour", "event_type", "n"]]
+    df = hourly.sort_values(["event_type", "hour"]).reset_index(
+        drop=True
+    )
+    if len(df) == 0:
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series([], dtype="object"),
+                "hour": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64"),
+                "sdiff": pd.Series([], dtype="int64"),
+            }
+        )
+    n = df["n"].to_numpy(np.int64)
+    et = df["event_type"].to_numpy()
+    k = max(1, int(lag))
+    starts, ends = _segments(et)
+    sdiff = np.zeros(len(n), np.int64)
+    keep = np.zeros(len(n), bool)
+    for s, e in zip(starts, ends):
+        if e - s > k:
+            sdiff[s + k : e] = n[s + k : e] - n[s : e - k]
+            keep[s + k : e] = True
+    df["sdiff"] = sdiff
+    out = df[keep].reset_index(drop=True)
+    out["n"] = out["n"].astype("int64")
+    out["sdiff"] = out["sdiff"].astype("int64")
+    return out[["event_type", "hour", "n", "sdiff"]]
+
+
+def events_bucket_script(
+    sf_dir: str, numerator: str = "click", min_total: int = 5
+) -> pd.DataFrame:
+    """BUCKET-SCRIPT + BUCKET-SELECTOR pipeline aggregations (ES
+    ``bucket_script`` computing a per-bucket ratio of two sub-agg
+    counts, then ``bucket_selector`` dropping buckets that fail a
+    predicate): per hour across ALL event types, the share of
+    ``numerator`` events — ``round(n_click / n_total, 4)`` — keeping
+    only hours with at least ``min_total`` events. The parent
+    histogram is distributed; both pipeline passes run driver-side on
+    the reduced series. Ints exact; the ratio is one IEEE divide the
+    SQL oracle replicates."""
+    hourly = events_hourly(sf_dir)[["hour", "event_type", "n"]]
+    if len(hourly) == 0:
+        return pd.DataFrame(
+            {
+                "hour": pd.Series([], dtype="object"),
+                "n_num": pd.Series([], dtype="int64"),
+                "n_total": pd.Series([], dtype="int64"),
+                "ratio": pd.Series([], dtype="float64"),
+            }
+        )
+    g = hourly.groupby("hour", sort=True)
+    total = g["n"].sum()
+    num = (
+        hourly[hourly["event_type"] == numerator]
+        .set_index("hour")["n"]
+        .reindex(total.index, fill_value=0)
+    )
+    out = pd.DataFrame(
+        {
+            "hour": total.index,
+            "n_num": num.to_numpy(np.int64),
+            "n_total": total.to_numpy(np.int64),
+        }
+    )
+    out = out[out["n_total"] >= int(min_total)].reset_index(drop=True)
+    from ..scoring import round_half_away
+
+    out["ratio"] = round_half_away(
+        out["n_num"].to_numpy(np.float64)
+        / out["n_total"].to_numpy(np.float64),
+        4,
+    )
+    return out[["hour", "n_num", "n_total", "ratio"]]

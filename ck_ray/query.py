@@ -2810,6 +2810,39 @@ class LocalIndex:
             [str(p) for p in self._meta["path"][pos[ok]]],
         )
 
+    def metrics_for_docs(self, docs, fields: list[str]) -> dict:
+        """{doc_id: {field: value}} for this shard's OWNED subset of
+        ``docs`` — the metric lookup of the top_metrics aggregation:
+        one vectorized searchsorted over the sorted live ids, then a
+        per-field gather from the fast-field arrays (numeric) or the
+        keyword metadata (strings). ``docs`` is a top-k cut, so the
+        assembly loop is O(k), not O(corpus)."""
+        sd = np.asarray(docs, dtype=np.uint64)
+        if len(self._meta_ids) == 0 or len(sd) == 0:
+            return {}
+        pos = np.clip(
+            np.searchsorted(self._meta_ids, sd),
+            0, len(self._meta_ids) - 1,
+        )
+        ok = self._meta_ids[pos] == sd
+        out: dict[int, dict] = {}
+        for d, p in zip(sd[ok], pos[ok]):
+            row = {}
+            for f in fields:
+                if f in self._meta_num:
+                    row[f] = (
+                        int(self._meta_num[f][p])
+                        if self._meta_num_ok[f][p]
+                        else None
+                    )
+                elif f in self._meta:
+                    v = self._meta[f][p]
+                    row[f] = None if v is None else str(v)
+                else:
+                    raise ValueError(f"no metadata field {f!r}")
+            out[int(d)] = row
+        return out
+
     def query_significant_text(
         self, query: str, field: str = "content", df_map=None,
         sample_docs: np.ndarray | None = None,
@@ -5119,6 +5152,132 @@ class BM25Engine:
             "values": vals[order],
             "doc_ids": docs[order],
             "paths": paths[order],
+        }
+
+    def search_boxplot(
+        self, query: str, field: str = "dl_content"
+    ) -> dict:
+        """BOXPLOT aggregation (ES ``boxplot``) over a numeric fast
+        field of the full match set: min, q1, q2 (median), q3, max and
+        IQR — EXACT where ES documents TDigest: the quartiles come from
+        the shards' merged VALUE -> COUNT maps under the shared
+        discrete-quantile rule (the ceil(q*n)-th smallest, 1-indexed —
+        the same double multiply + ceil the percentiles oracle
+        replicates over a row_number ranking), min/max from exact-int
+        stats. ONE fan-out: both reductions ride the multi-agg pass, so
+        the shards evaluate the match set once. All-integer output."""
+        res = self.search_aggregate_multi(
+            query,
+            {
+                "pct": {
+                    "kind": "percentiles", "field": field,
+                    "qs": (0.25, 0.5, 0.75),
+                },
+                "st": {"kind": "stats", "field": field},
+            },
+        )
+        p, st = res["pct"], res["st"]
+        q1 = p["percentiles"][0.25]
+        q2 = p["percentiles"][0.5]
+        q3 = p["percentiles"][0.75]
+        return {
+            "count": p["count"],
+            "min": st["min"],
+            "q1": q1,
+            "q2": q2,
+            "q3": q3,
+            "max": st["max"],
+            "iqr": (q3 - q1) if q1 is not None else None,
+        }
+
+    def search_top_metrics(
+        self, query: str, sort_field: str = "dl_content",
+        metric_fields: tuple = ("n_bytes",), k: int = 10,
+        ascending: bool = False,
+    ) -> list[dict]:
+        """TOP-METRICS aggregation (ES ``top_metrics``): the metric
+        values carried by the ``k`` match-set docs with the largest
+        (or smallest) ``sort_field`` — "what are the byte sizes of the
+        10 longest matching docs?" without a second query. Two int-only
+        fan-outs: the existing sort-by-field top-k cut (exact
+        (value, doc_id asc) total order, O(shards*k) merge) then one
+        ``metrics_for_docs`` gather over exactly those k ids. Returns
+        ``[{"doc_id", "sort_value", <metric>: ...}, ...]`` in rank
+        order — every value an exact int, so the SQL oracle is a plain
+        ORDER BY ... LIMIT join."""
+        res = self.search_sort_by_field(
+            query, sort_field, top_k=k, ascending=ascending
+        )
+        docs = res["doc_ids"]
+        rep = self._next_replica(query + "\x00#topmetrics")
+        parts = ray.get(
+            [
+                s.metrics_for_docs.remote(docs, list(metric_fields))
+                for s in rep
+            ]
+        )
+        met: dict[int, dict] = {}
+        for p in parts:
+            met.update(p)
+        return [
+            {
+                "doc_id": int(d),
+                "path": str(pth),
+                "sort_value": int(v),
+                **met[int(d)],
+            }
+            for d, pth, v in zip(docs, res["paths"], res["values"])
+        ]
+
+    def search_string_stats(
+        self, query: str, field: str = "lang"
+    ) -> dict:
+        """STRING-STATS aggregation (ES ``string_stats``) over a
+        keyword metadata field of the full match set: value count,
+        min/max/avg length, and the Shannon entropy (log2) of the
+        character distribution across all matched values. Shards ship
+        the same exact-int per-value doc counts the significant-terms
+        foreground uses (O(cardinality) integers); all float math
+        happens once driver-side — avg_length is one IEEE divide of
+        exact ints, entropy accumulates the per-character
+        ``-(p * log2 p)`` terms in sorted character order, so a SQL
+        oracle reproduces both doubles to the shared 4dp rounding."""
+        import math
+
+        self._maybe_reload()
+        df_map = self._df_map_for([query])
+        rep = self._next_replica(query + "\x00#strstats")
+        parts = ray.get(
+            [
+                s.query_significant.remote(query, field, df_map)
+                for s in rep
+            ]
+        )
+        fg: dict[str, int] = {}
+        for p in parts:
+            for v, c in p["fg"].items():
+                fg[v] = fg.get(v, 0) + c
+        count = sum(fg.values())
+        if not count:
+            return {
+                "count": 0, "min_length": None, "max_length": None,
+                "avg_length": None, "entropy": None,
+            }
+        total_len = sum(len(v) * c for v, c in fg.items())
+        chars: dict[str, int] = {}
+        for v, c in fg.items():
+            for ch in v:
+                chars[ch] = chars.get(ch, 0) + c
+        ent = 0.0
+        for ch in sorted(chars):
+            pr = chars[ch] / total_len
+            ent -= pr * math.log2(pr)
+        return {
+            "count": count,
+            "min_length": min(len(v) for v in fg),
+            "max_length": max(len(v) for v in fg),
+            "avg_length": float(total_len) / float(count),
+            "entropy": ent,
         }
 
     def search_facet_stats(

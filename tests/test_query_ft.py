@@ -1772,3 +1772,119 @@ def test_latest_agg_paths_survive_shard_kill(ray_session, tiny_index):
         assert before == after
     finally:
         eng.close()
+
+
+def test_boxplot_vs_bruteforce(ray_session, tiny_index, tiny_corpus):
+    """Exact quartiles under the shared ceil-rank rule + int min/max,
+    against a brute force over the analyzer token counts."""
+    import math
+
+    toks = _corpus_tokens(tiny_corpus)
+    qa, qb = "merge", "window"
+    vals = sorted(
+        len(tl)
+        for tl in (
+            toks[p]
+            for p, tl2 in toks.items()
+            if {qa, qb} & {t for t, _ in toks[p]}
+        )
+    )
+    n = len(vals)
+    assert n >= 3
+
+    def q_at(q):
+        return vals[max(1, math.ceil(q * n)) - 1]
+
+    for shards in (1, 3):
+        eng = BM25Engine(tiny_index, num_shards=shards,
+                         auto_reload=False)
+        try:
+            res = eng.search_boxplot(f"{qa} OR {qb}", "dl_content")
+        finally:
+            eng.close()
+        assert res == {
+            "count": n,
+            "min": vals[0],
+            "q1": q_at(0.25),
+            "q2": q_at(0.5),
+            "q3": q_at(0.75),
+            "max": vals[-1],
+            "iqr": q_at(0.75) - q_at(0.25),
+        }
+
+
+def test_top_metrics_vs_bruteforce(ray_session, tiny_index, tiny_corpus):
+    """The metric values of the top-k docs by sort field match a brute
+    force under the engine's exact (value, doc_id asc) total order; the
+    metric gather returns exactly the sorted cut's ids."""
+    toks = _corpus_tokens(tiny_corpus)
+    nb = {
+        p: len(c.encode())
+        for p, c in zip(
+            tiny_corpus["path"].to_pylist(),
+            tiny_corpus["content"].to_pylist(),
+        )
+    }
+    match = {
+        p: len(tl)
+        for p, tl in toks.items()
+        if {"merge", "window"} & {t for t, _ in tl}
+    }
+    assert len(match) >= 5
+    eng = BM25Engine(tiny_index, num_shards=2, auto_reload=False)
+    try:
+        rows = eng.search_top_metrics(
+            "merge window", "dl_content", ("n_bytes",), k=5
+        )
+    finally:
+        eng.close()
+    assert len(rows) == 5
+    want_vals = sorted(match.values(), reverse=True)[:5]
+    assert [r["sort_value"] for r in rows] == want_vals
+    for r in rows:
+        assert match[r["path"]] == r["sort_value"]
+        assert nb[r["path"]] == r["n_bytes"]
+
+
+def test_string_stats_vs_bruteforce(
+    ray_session, tiny_index, tiny_corpus
+):
+    """count / min / max / avg length and the character entropy over
+    the match set's lang values, against a pure-Python brute force in
+    the engine's documented operation order."""
+    import math
+
+    toks = _corpus_tokens(tiny_corpus)
+    lang = dict(
+        zip(
+            tiny_corpus["path"].to_pylist(),
+            tiny_corpus["lang"].to_pylist(),
+        )
+    )
+    match = [
+        lang[p]
+        for p, tl in toks.items()
+        if {"merge", "window"} & {t for t, _ in tl}
+    ]
+    assert match
+    total_len = sum(len(v) for v in match)
+    chars: dict[str, int] = {}
+    for v in match:
+        for ch in v:
+            chars[ch] = chars.get(ch, 0) + 1
+    ent = 0.0
+    for ch in sorted(chars):
+        pr = chars[ch] / total_len
+        ent -= pr * math.log2(pr)
+    for shards in (1, 3):
+        eng = BM25Engine(tiny_index, num_shards=shards,
+                         auto_reload=False)
+        try:
+            res = eng.search_string_stats("merge window", "lang")
+        finally:
+            eng.close()
+        assert res["count"] == len(match)
+        assert res["min_length"] == min(len(v) for v in match)
+        assert res["max_length"] == max(len(v) for v in match)
+        assert res["avg_length"] == float(total_len) / len(match)
+        assert res["entropy"] == ent
