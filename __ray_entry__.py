@@ -946,6 +946,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ES bucket_script + bucket_selector (per-bucket ratio of two
         # sub-agg counts, buckets below a floor dropped)
         "events_bucket_script": relational.events_bucket_script,
+        # Lucene SpanNotQuery — include occurrences with no exclude
+        # occurrence in the [pre, post] position window
+        "bm25_span_not": docsearch.bm25_span_not,
     }
     # The driver's per-round correctness gate checks a PREFIX of this
     # dict (r3: first 50 of 109; r4: the dedup/ANN/percolate/agg
@@ -4618,5 +4621,22 @@ SELECT hour, CAST(n_num AS BIGINT) AS n_num,
        round(CAST(n_num AS DOUBLE) / CAST(n_total AS DOUBLE), 4)
          AS ratio
 FROM hourly WHERE n_total >= 5 ORDER BY hour
+""",
+        # span_not: an include token with no exclude token inside the
+        # [pos-2, pos+2] window (1-based positions; differences are
+        # base-invariant so the 0-based engine agrees)
+        "bm25_span_not": f"""
+WITH {_TOKS_POS},
+a AS (SELECT doc_id, pos FROM tokp WHERE term = 'merge'),
+b AS (SELECT doc_id, pos FROM tokp WHERE term = 'window'),
+m AS (
+  SELECT DISTINCT a.doc_id FROM a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM b
+    WHERE b.doc_id = a.doc_id
+      AND b.pos BETWEEN a.pos - 2 AND a.pos + 2
+  )
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM m ORDER BY doc_id
 """,
     }

@@ -175,6 +175,15 @@ class CkRayMCP:
         "percentile_ranks": "Exact % of matched docs with fast-field "
                             "value <= each requested value (ES "
                             "percentile_ranks)",
+        "boxplot": "Exact min/q1/q2/q3/max/IQR of a fast field over "
+                   "the match set (ES boxplot; exact where ES sketches)",
+        "top_metrics": "Metric values of the top-k matching docs by a "
+                       "numeric sort field (ES top_metrics)",
+        "string_stats": "Keyword-field length stats + Shannon character "
+                        "entropy over the match set (ES string_stats)",
+        "span_not": "Docs with an include-term occurrence having no "
+                    "exclude term within [pre, post] positions (Lucene "
+                    "SpanNotQuery)",
     }
 
     def list_tools(self) -> list[dict]:
@@ -211,6 +220,12 @@ class CkRayMCP:
                         "query_a": {"type": "string"},
                         "query_b": {"type": "string"},
                         "values": {"type": "array"},
+                        "sort_field": {"type": "string"},
+                        "metrics": {"type": "array"},
+                        "include": {"type": "string"},
+                        "exclude": {"type": "string"},
+                        "pre": {"type": "integer"},
+                        "post": {"type": "integer"},
                     },
                 },
             }
@@ -348,6 +363,35 @@ class CkRayMCP:
                 str(v): pct for v, pct in res["ranks"].items()
             }
             return res
+        if name == "boxplot":
+            return self._bm25().search_boxplot(
+                query, args.get("field", "dl_content")
+            )
+        if name == "top_metrics":
+            return {
+                "top": self._bm25().search_top_metrics(
+                    query,
+                    args.get("sort_field", "dl_content"),
+                    tuple(args.get("metrics", ("n_bytes",))),
+                    k=int(args.get("size", 10)),
+                )
+            }
+        if name == "string_stats":
+            return self._bm25().search_string_stats(
+                query, args.get("field", "lang")
+            )
+        if name == "span_not":
+            def mk():
+                r = self._bm25().search_span_not(
+                    args["include"], args["exclude"],
+                    int(args.get("pre", 0)), int(args.get("post", 0)),
+                )
+                return [
+                    {"path": str(p_), "doc_id": int(d)}
+                    for p_, d in zip(r["paths"], r["doc_ids"])
+                ]
+
+            return self._paged(args, mk)
         if name == "phrase_suggest":
             return {
                 "suggestions": self._bm25().search_phrase_suggest(

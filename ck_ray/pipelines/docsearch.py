@@ -2171,3 +2171,29 @@ def bm25_string_stats(
             ),
         }
     )
+
+
+def bm25_span_not(
+    sf_dir: str, include: str = "merge", exclude: str = "window",
+    pre: int = 2, post: int = 2,
+) -> pd.DataFrame:
+    """SPAN-NOT query (Lucene SpanNotQuery): docs with at least one
+    ``include`` occurrence that has NO ``exclude`` occurrence within
+    ``pre`` positions before through ``post`` after it — the
+    negative-context filter, served purely from positional postings.
+    Const-score membership, doc_id order. Oracle: EXISTS an include
+    token with NOT EXISTS an exclude token in the position window
+    (1-based positions — differences are base-invariant)."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2)
+    try:
+        res = eng.search_span_not(include, exclude, pre, post)
+    finally:
+        eng.close()
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array(
+                res["paths"].astype("int64"), dtype="int64"
+            )
+        }
+    ).sort_values("doc_id").reset_index(drop=True)

@@ -2611,6 +2611,56 @@ class LocalIndex:
         docs = v.docs[first_pos < int(end)].astype(np.uint64)
         return self._attach_meta({"doc_ids": docs}, docs)
 
+    def query_span_not(
+        self, include: str, exclude: str, pre: int, post: int,
+        field: str = "content",
+    ) -> dict:
+        """SPAN-NOT query (Lucene SpanNotQuery, match-only): live docs
+        with at least one occurrence of ``include`` that has NO
+        ``exclude`` occurrence within ``pre`` positions before through
+        ``post`` after it — "merge, but not near window". Two posting
+        decodes + one packed-key searchsorted window count per include
+        occurrence (the span_near kernel's (doc_rank << 32) | position
+        algebra; position offsets can't cross doc boundaries because
+        real positions are far below 2^32). Const-score membership,
+        doc-partitioned, so the driver merge is concatenation."""
+        fid = FIELD_IDS[field]
+        empty = self._attach_meta(
+            {"doc_ids": np.empty(0, np.uint64)}, np.empty(0, np.uint64)
+        )
+        va = self._view((fid, include))
+        if va is None or va.df == 0:
+            return empty
+        idx_a = np.arange(va.df, dtype=np.int64)
+        pos_a, lens_a = va.positions_for_many(idx_a)
+        rank_a = np.repeat(np.arange(va.df, dtype=np.int64), lens_a)
+        vb = self._view((fid, exclude))
+        base = np.int64(1) << np.int64(32)
+        if vb is not None and vb.df:
+            # exclude postings restricted to include's docs, mapped to
+            # include's doc ranks so both sides share one key space
+            ib = np.clip(
+                np.searchsorted(va.docs, vb.docs), 0, va.df - 1
+            )
+            sel_b = np.nonzero(va.docs[ib] == vb.docs)[0]
+        else:
+            sel_b = np.empty(0, np.int64)
+        if len(sel_b):
+            pos_b, lens_b = vb.positions_for_many(sel_b)
+            rank_b = np.repeat(ib[sel_b].astype(np.int64), lens_b)
+            keys_b = rank_b * base + pos_b.astype(np.int64)
+            keys_a = rank_a * base + pos_a.astype(np.int64)
+            hits = np.searchsorted(
+                keys_b, keys_a + np.int64(int(post)), side="right"
+            ) - np.searchsorted(
+                keys_b, keys_a - np.int64(int(pre)), side="left"
+            )
+            clean = hits == 0
+        else:
+            clean = np.ones(len(rank_a), bool)
+        docs = va.docs[np.unique(rank_a[clean])].astype(np.uint64)
+        return self._attach_meta({"doc_ids": docs}, docs)
+
     def query_value_counts(
         self, query, field: str, df_map=None
     ) -> dict:
@@ -4498,6 +4548,43 @@ class BM25Engine:
         parts = ray.get(
             [
                 s.query_span_first.remote(toks[0], int(end), field)
+                for s in rep
+            ]
+        )
+        docs = np.concatenate([p["doc_ids"] for p in parts])
+        paths = np.concatenate([p["path"] for p in parts])
+        order = np.argsort(docs)
+        return {"doc_ids": docs[order], "paths": paths[order]}
+
+    def search_span_not(
+        self, include: str, exclude: str, pre: int = 0, post: int = 0,
+        field: str = "content",
+    ) -> dict:
+        """SPAN-NOT (Lucene SpanNotQuery): docs with at least one
+        ``include`` occurrence having no ``exclude`` occurrence within
+        ``pre`` positions before through ``post`` after — the
+        negative-context filter ("merge, but not near window").
+        Const-score membership like span_first; doc-partitioned, so
+        the merge is concatenation. Both terms are analyzer-normalized
+        single tokens. Returns ``{"doc_ids", "paths"}`` (doc_id asc)."""
+        from .tokenizer import tokenize_text
+
+        self._maybe_reload()
+        toks_i = tokenize_text(include)
+        toks_e = tokenize_text(exclude)
+        if len(toks_i) != 1 or len(toks_e) != 1:
+            raise ValueError(
+                "span_not takes ONE include and ONE exclude term; got "
+                f"{toks_i} / {toks_e}"
+            )
+        rep = self._next_replica(
+            f"#spannot:{toks_i[0]}:{toks_e[0]}:{pre}:{post}"
+        )
+        parts = ray.get(
+            [
+                s.query_span_not.remote(
+                    toks_i[0], toks_e[0], int(pre), int(post), field
+                )
                 for s in rep
             ]
         )

@@ -16,6 +16,10 @@ Commands (anything else is a BM25 query):
     /didyoumean PHRASE    phrase suggester (bigram-LM ranked)
     /rare [N]             long-tail dictionary terms (df <= N, def. 5)
     /sigtext QUERY        significant co-occurring terms (JLH)
+    /boxplot QUERY        exact boxplot of dl_content over the matches
+    /topmetrics QUERY     n_bytes of the top-k docs by dl_content
+    /strstats QUERY       lang length stats + char entropy (string_stats)
+    /spannot A B [pre= post=]  A-occurrences with no B in the window
     /passages QUERY       best highlight window per matching doc
     /facet [field=F] Q    full-match-set facet counts (default lang)
     /explain QUERY DOC    per-term BM25 evidence for one doc
@@ -126,6 +130,61 @@ def run_repl(
                             f" bg {b['bg_count']}/{res['bg_total']})",
                             file=out,
                         )
+                elif line.startswith("/boxplot "):
+                    b = eng.search_boxplot(line.split(None, 1)[1])
+                    print(
+                        f"  n={b['count']} min={b['min']} q1={b['q1']}"
+                        f" q2={b['q2']} q3={b['q3']} max={b['max']}"
+                        f" iqr={b['iqr']}",
+                        file=out,
+                    )
+                elif line.startswith("/topmetrics "):
+                    for r in eng.search_top_metrics(
+                        line.split(None, 1)[1], k=top_k
+                    ):
+                        print(
+                            f"  {r['path']}  dl={r['sort_value']}"
+                            f"  n_bytes={r['n_bytes']}",
+                            file=out,
+                        )
+                elif line.startswith("/strstats "):
+                    s = eng.search_string_stats(line.split(None, 1)[1])
+                    print(
+                        f"  n={s['count']} len {s['min_length']}"
+                        f"..{s['max_length']}"
+                        f" avg={s['avg_length']:.4f}"
+                        f" entropy={s['entropy']:.4f}"
+                        if s["count"]
+                        else "  (no matches)",
+                        file=out,
+                    )
+                elif line.startswith("/spannot "):
+                    # /spannot INCLUDE EXCLUDE [pre=N] [post=N]
+                    parts = line.split()[1:]
+                    pre = post = 0
+                    terms = []
+                    for tok in parts:
+                        if tok.startswith("pre="):
+                            pre = int(tok[len("pre="):])
+                        elif tok.startswith("post="):
+                            post = int(tok[len("post="):])
+                        else:
+                            terms.append(tok)
+                    if len(terms) != 2:
+                        print(
+                            "usage: /spannot INCLUDE EXCLUDE "
+                            "[pre=N] [post=N]",
+                            file=out,
+                        )
+                    else:
+                        r = eng.search_span_not(
+                            terms[0], terms[1], pre, post
+                        )
+                        n = len(r["paths"])
+                        for p in r["paths"][:top_k]:
+                            print(f"  {p}", file=out)
+                        if n > top_k:
+                            print(f"  ... {n - top_k} more", file=out)
                 elif line.startswith("/passages "):
                     bp = eng.search_best_passages(
                         line.split(None, 1)[1]

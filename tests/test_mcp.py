@@ -49,6 +49,7 @@ def test_initialize_and_tool_list(mcp):
         "rare_terms", "significant_text", "best_passages",
         "pinned_search", "distance_feature_search", "matrix_stats",
         "weighted_avg", "t_test", "mad", "percentile_ranks",
+        "boxplot", "top_metrics", "string_stats", "span_not",
     }
 
 
@@ -341,3 +342,33 @@ def test_exact_agg_family_tools(mcp):
                values=[md["median"]])
     # at least half the docs sit at or below the lower median
     assert pr["ranks"][str(md["median"])] >= 50.0
+
+
+def test_round5_agg_tools(mcp):
+    """boxplot / top_metrics / string_stats / span_not on the MCP
+    surface (one engine, four new tools)."""
+    bp = _call(mcp, "boxplot", query="merge")
+    assert bp["count"] > 0
+    assert bp["min"] <= bp["q1"] <= bp["q2"] <= bp["q3"] <= bp["max"]
+    assert bp["iqr"] == bp["q3"] - bp["q1"]
+
+    tm = _call(mcp, "top_metrics", query="merge", size=5)
+    rows = tm["top"]
+    assert 0 < len(rows) <= 5
+    assert all(
+        rows[i]["sort_value"] >= rows[i + 1]["sort_value"]
+        for i in range(len(rows) - 1)
+    )
+    assert all("n_bytes" in r and "path" in r for r in rows)
+
+    ss = _call(mcp, "string_stats", query="merge")
+    assert ss["count"] > 0 and ss["min_length"] <= ss["max_length"]
+    assert ss["entropy"] >= 0
+
+    sn = _call(mcp, "span_not", include="merge", exclude="stream",
+               pre=1, post=1)
+    assert "matches" in sn
+    # exclude-everywhere vs exclude-absent bracket the include set
+    none = _call(mcp, "span_not", include="merge",
+                 exclude="zzznosuchterm")
+    assert len(none["matches"]) >= len(sn["matches"])

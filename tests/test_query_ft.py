@@ -1888,3 +1888,42 @@ def test_string_stats_vs_bruteforce(
         assert res["max_length"] == max(len(v) for v in match)
         assert res["avg_length"] == float(total_len) / len(match)
         assert res["entropy"] == ent
+
+
+def test_span_not_vs_bruteforce(ray_session, tiny_index, tiny_corpus):
+    """span_not membership vs a pure-Python brute force over the
+    analyzer token streams, across several (pre, post) windows and
+    shard counts — including the degenerate exclude-everywhere and
+    exclude-absent cases."""
+    toks = _corpus_tokens(tiny_corpus)
+
+    def brute(inc, exc, pre, post):
+        out = []
+        for p, tl in toks.items():
+            a = [i for t, i in tl if t == inc]
+            b = {i for t, i in tl if t == exc}
+            if any(
+                not any(x - pre <= y <= x + post for y in b)
+                for x in a
+            ):
+                out.append(p)
+        return sorted(out)
+
+    cases = [
+        ("merge", "window", 2, 2),
+        ("merge", "window", 0, 0),
+        ("merge", "window", 0, 5),
+        ("merge", "zzznosuchterm", 3, 3),  # exclude absent -> all docs
+        ("stream", "merge", 1, 4),
+    ]
+    for shards in (1, 3):
+        eng = BM25Engine(tiny_index, num_shards=shards,
+                         auto_reload=False)
+        try:
+            for inc, exc, pre, post in cases:
+                res = eng.search_span_not(inc, exc, pre, post)
+                assert sorted(res["paths"]) == brute(
+                    inc, exc, pre, post
+                ), (inc, exc, pre, post, shards)
+        finally:
+            eng.close()

@@ -141,3 +141,21 @@ def test_round4_fulltext_commands(ray_session, tiny_index):
     assert "(df " in text                  # rare rows carry dfs
     assert "fg " in text and "bg " in text # JLH buckets annotated
     assert "@tok " in text                 # passage rows carry starts
+
+
+def test_round5_agg_commands(ray_session, tiny_index):
+    text = _session(
+        tiny_index,
+        [
+            "/boxplot merge",
+            "/topmetrics merge",
+            "/strstats merge",
+            "/spannot merge stream pre=1 post=1",
+            "/spannot onlyoneterm",
+            "/quit",
+        ],
+    )
+    assert "q1=" in text and "iqr=" in text      # boxplot line
+    assert "n_bytes=" in text                    # top_metrics rows
+    assert "entropy=" in text                    # string_stats line
+    assert "usage: /spannot" in text             # arg validation
