@@ -949,6 +949,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Lucene SpanNotQuery — include occurrences with no exclude
         # occurrence in the [pre, post] position window
         "bm25_span_not": docsearch.bm25_span_not,
+        # ES diversified_sampler + significant_text: per-lang cap on
+        # the ranked sample before the significance pass
+        "bm25_significant_diversified":
+            docsearch.bm25_significant_diversified,
     }
     # The driver's per-round correctness gate checks a PREFIX of this
     # dict (r3: first 50 of 109; r4: the dedup/ANN/percolate/agg
@@ -4638,5 +4642,75 @@ m AS (
   )
 )
 SELECT CAST(doc_id AS BIGINT) AS doc_id FROM m ORDER BY doc_id
+""",
+        # diversified sampler: per-lang row_number over the ranked cut
+        # <= 25, first 100 accepted docs as the foreground, then the
+        # identical JLH counts/expression as bm25_significant_sampled
+        "bm25_significant_diversified": f"""
+WITH {_TOKS},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2
+       GROUP BY doc_id, term),
+dlx AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT CAST(sum(dl) AS DOUBLE) FROM dlx)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+qterms AS (SELECT * FROM (VALUES ('merge'), ('window')) AS q(term)),
+dft AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+              * ((tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dlx.dl / s.avgdl)))
+            ) AS score
+  FROM tf
+  JOIN dft USING (term)
+  JOIN dlx USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY round(score, 4) DESC, doc_id)
+           AS r
+  FROM scores
+),
+withv AS (
+  SELECT ranked.doc_id, ranked.r, d.lang
+  FROM ranked JOIN documents d USING (doc_id)
+),
+div AS (
+  SELECT doc_id, r,
+         row_number() OVER (PARTITION BY lang ORDER BY r) AS pv
+  FROM withv
+),
+topn AS (
+  SELECT doc_id FROM div WHERE pv <= 25 ORDER BY r LIMIT 100
+),
+fg AS (
+  SELECT term, count(DISTINCT doc_id) AS c FROM toks2
+  WHERE doc_id IN (SELECT doc_id FROM topn) GROUP BY term
+),
+bg AS (SELECT term, count(DISTINCT doc_id) AS c FROM toks2
+       GROUP BY term),
+tot AS (
+  SELECT (SELECT count(*) FROM topn) AS ft,
+         (SELECT count(*) FROM documents) AS bt
+),
+scored AS (
+  SELECT fg.term, fg.c AS fg_count, bg.c AS bg_count,
+         (CAST(fg.c AS DOUBLE) / ft - CAST(bg.c AS DOUBLE) / bt)
+           * ((CAST(fg.c AS DOUBLE) / ft) / (CAST(bg.c AS DOUBLE) / bt))
+           AS score
+  FROM fg JOIN bg USING (term) CROSS JOIN tot
+  WHERE fg.c >= 3 AND fg.term NOT IN ('merge', 'window')
+)
+SELECT term, fg_count, bg_count, round(score, 4) AS score
+FROM scored WHERE score > 0
+ORDER BY score DESC, term LIMIT 12
 """,
     }

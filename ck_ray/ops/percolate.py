@@ -407,6 +407,6 @@ def percolate_matches(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text"],
-        override_num_blocks=8,
+        override_num_blocks=16,
     )
-    return percolate(ds, STORED_QUERIES)
+    return percolate(ds, STORED_QUERIES, concurrency=(1, 8))

@@ -2197,3 +2197,49 @@ def bm25_span_not(
             )
         }
     ).sort_values("doc_id").reset_index(drop=True)
+
+
+def bm25_significant_diversified(
+    sf_dir: str, query: str = "merge window", sample_size: int = 100,
+    max_per_lang: int = 25, size: int = 12, min_doc_count: int = 3,
+) -> pd.DataFrame:
+    """SIGNIFICANT-TEXT under a DIVERSIFIED sampler (ES
+    ``diversified_sampler``): the foreground is the first
+    ``sample_size`` docs of the rounded-score ranked stream AFTER
+    skipping docs whose ``lang`` already has ``max_per_lang`` accepted
+    docs — so one dominant language can't own the significance scores.
+    Runs on the O(sample) collector (source seam). Oracle: per-lang
+    row_number over the ranked CTE <= cap, ORDER BY rank LIMIT N as
+    the foreground, then the identical JLH counts and expression."""
+    from ..query import parquet_field_source
+
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2, dtype=np.float64)
+    try:
+        res = eng.search_significant_text(
+            query, size=size, min_doc_count=min_doc_count,
+            sample_size=sample_size,
+            source=parquet_field_source(
+                os.path.join(sf_dir, "documents.parquet"),
+                "doc_id", "text",
+            ),
+            diversify_field="lang",
+            max_docs_per_value=max_per_lang,
+        )
+    finally:
+        eng.close()
+    b = res["buckets"]
+    return pd.DataFrame(
+        {
+            "term": pd.Series([r["term"] for r in b], dtype="object"),
+            "fg_count": pd.Series(
+                [r["fg_count"] for r in b], dtype="int64"
+            ),
+            "bg_count": pd.Series(
+                [r["bg_count"] for r in b], dtype="int64"
+            ),
+            "score": round_half_away(
+                np.asarray([r["score"] for r in b], dtype=np.float64), 4
+            ),
+        }
+    )

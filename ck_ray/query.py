@@ -4237,6 +4237,8 @@ class BM25Engine:
         exclude_query_terms: bool = True, field: str = "content",
         sample_size: int | None = None,
         source=None,
+        diversify_field: str | None = None,
+        max_docs_per_value: int | None = None,
     ) -> dict:
         """SIGNIFICANT-TEXT aggregation (ES ``significant_text``): which
         free-text TERMS are anomalously frequent in the query's matching
@@ -4273,13 +4275,96 @@ class BM25Engine:
         deletions (the same regime as ``rare_terms`` exact_global);
         incremental/deleted indexes, or ``source=None``, fall back to
         the exact posting-pass collector restricted to the sample ids —
-        identical results, per-query cost O(shard postings)."""
+        identical results, per-query cost O(shard postings).
+
+        ``diversify_field`` + ``max_docs_per_value`` turn the sampler
+        into ES's ``diversified_sampler``: the ranked stream is walked
+        in order and docs whose field value already has
+        ``max_docs_per_value`` accepted docs are skipped (without
+        consuming the cap), so no single value dominates the
+        foreground; the sample is the first ``sample_size`` accepted
+        docs."""
         self._maybe_reload()
         df_map = self._df_map_for([query])
         tree = self._parse_global(query)
         rep = self._next_replica(query + "\x00#sigtext")
         sample = None
-        if sample_size is not None:
+        if sample_size is not None and diversify_field is not None:
+            # DIVERSIFIED sampler (ES ``diversified_sampler``): walk
+            # the rounded-cut ranked stream in order, SKIP docs whose
+            # ``diversify_field`` value already has
+            # ``max_docs_per_value`` accepted docs (skipped docs do
+            # not consume the cap), stop at k accepted — so no single
+            # field value dominates the foreground. Only the prefix of
+            # the global ranked list strictly ABOVE every
+            # non-exhausted shard's last rounded score is complete;
+            # accept only from that prefix and refetch until k are
+            # accepted (or every shard is exhausted). Equivalent SQL:
+            # per-value row_number over the ranked list <= cap,
+            # ORDER BY rank LIMIT k.
+            k = int(sample_size)
+            cap = max(1, int(max_docs_per_value or 1))
+            fetch = 4 * k + 64
+            while True:
+                tops = ray.get(
+                    [
+                        s.query_topk.remote(tree, fetch, True, df_map)
+                        for s in rep
+                    ]
+                )
+                docs = np.concatenate([t[0] for t in tops])
+                sc = scoring.round_half_away(
+                    np.concatenate([t[1] for t in tops]).astype(
+                        np.float64
+                    ),
+                    4,
+                )
+                order = np.lexsort((docs, -sc))
+                docs_r, sc_r = docs[order], sc[order]
+                exhausted = [len(t[0]) < fetch for t in tops]
+                if all(exhausted):
+                    closed_n = len(docs_r)
+                else:
+                    bound = max(
+                        float(
+                            scoring.round_half_away(
+                                np.float64(t[1][-1]), 4
+                            )
+                        )
+                        for t, ex in zip(tops, exhausted)
+                        if not ex
+                    )
+                    closed_n = int(
+                        np.searchsorted(-sc_r, -bound, side="left")
+                    )
+                head = docs_r[:closed_n]
+                vals: dict[int, dict] = {}
+                if len(head):
+                    per = ray.get(
+                        [
+                            s.metrics_for_docs.remote(
+                                head, [diversify_field]
+                            )
+                            for s in rep
+                        ]
+                    )
+                    for p in per:
+                        vals.update(p)
+                seen: dict = {}
+                accepted: list[int] = []
+                for d in head:
+                    v = vals[int(d)][diversify_field]
+                    c = seen.get(v, 0)
+                    if c < cap:
+                        seen[v] = c + 1
+                        accepted.append(int(d))
+                    if len(accepted) == k:
+                        break
+                if len(accepted) == k or all(exhausted):
+                    sample = np.asarray(accepted, dtype=np.uint64)
+                    break
+                fetch *= 4
+        elif sample_size is not None:
             # the cut is on ROUNDED scores, so per-shard raw top-k is
             # not enough: overfetch until every non-exhausted shard's
             # last fetched row rounds strictly below the global k-th

@@ -1927,3 +1927,75 @@ def test_span_not_vs_bruteforce(ray_session, tiny_index, tiny_corpus):
                 ), (inc, exc, pre, post, shards)
         finally:
             eng.close()
+
+
+def test_diversified_sampler(ray_session, tiny_index, tiny_corpus):
+    """diversified_sampler semantics: a huge per-value cap reproduces
+    the plain sampler exactly; a binding cap yields a sample whose
+    per-lang composition respects the cap (verified via a brute-force
+    ranked walk over the engine's own ranked stream)."""
+    text_of = dict(
+        zip(
+            tiny_corpus["path"].to_pylist(),
+            tiny_corpus["content"].to_pylist(),
+        )
+    )
+    lang_of = dict(
+        zip(
+            tiny_corpus["path"].to_pylist(),
+            tiny_corpus["lang"].to_pylist(),
+        )
+    )
+
+    def src(paths):
+        return {p: text_of[p] for p in paths}
+
+    eng = BM25Engine(tiny_index, num_shards=2, auto_reload=False,
+                     dtype=__import__("numpy").float64)
+    try:
+        q = "merge window"
+        plain = eng.search_significant_text(
+            q, size=10, min_doc_count=2, sample_size=20, source=src
+        )
+        loose = eng.search_significant_text(
+            q, size=10, min_doc_count=2, sample_size=20, source=src,
+            diversify_field="lang", max_docs_per_value=10**9,
+        )
+        assert loose == plain
+        # a binding cap: brute-force the expected sample from the
+        # engine's own full ranked list, then compare bucket-for-bucket
+        import numpy as np
+
+        from ck_ray.scoring import round_half_away
+
+        full = eng.search(q, top_k=100000, with_metadata=True)
+        sc = round_half_away(
+            full["score"].to_numpy(np.float64), 4
+        )
+        order = np.lexsort((full["doc_id"].to_numpy(), -sc))
+        cap, k = 3, 12
+        seen: dict = {}
+        keep = []
+        for i in order:
+            lg = lang_of[full["path"].iloc[i]]
+            if seen.get(lg, 0) < cap:
+                seen[lg] = seen.get(lg, 0) + 1
+                keep.append(full["path"].iloc[i])
+            if len(keep) == k:
+                break
+        got = eng.search_significant_text(
+            q, size=10, min_doc_count=1, sample_size=k, source=src,
+            diversify_field="lang", max_docs_per_value=cap,
+        )
+        assert got["fg_total"] == len(keep)
+        # per-term fg over the brute-force sample must match
+        from ck_ray.tokenizer import tokenize_text
+
+        fg: dict = {}
+        for p in keep:
+            for t in set(tokenize_text(text_of[p])):
+                fg[t] = fg.get(t, 0) + 1
+        for b in got["buckets"]:
+            assert fg[b["term"]] == b["fg_count"]
+    finally:
+        eng.close()
