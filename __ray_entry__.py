@@ -953,6 +953,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the ranked sample before the significance pass
         "bm25_significant_diversified":
             docsearch.bm25_significant_diversified,
+        # ES rate agg: hourly counts rescaled to a per-minute rate
+        "events_rate": relational.events_rate,
+        # ES bucket_sort: histogram buckets reordered by a metric,
+        # offset + truncated
+        "events_bucket_sort": relational.events_bucket_sort,
     }
     # The driver's per-round correctness gate checks a PREFIX of this
     # dict (r3: first 50 of 109; r4: the dedup/ANN/percolate/agg
@@ -4712,5 +4717,35 @@ scored AS (
 SELECT term, fg_count, bg_count, round(score, 4) AS score
 FROM scored WHERE score > 0
 ORDER BY score DESC, term LIMIT 12
+""",
+        # rate: hourly count rescaled to a per-minute rate — the
+        # bucket-width normalizer, one fixed-order double per bucket
+        "events_rate": """
+WITH hourly AS (
+  SELECT event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hour, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE) * 60.0 / 3600.0, 4) AS rate
+FROM hourly ORDER BY event_type, hour
+""",
+        # bucket_sort: hourly buckets (all types) by count desc (hour
+        # asc ties), skip 1, keep 5; rank is the absolute position
+        "events_bucket_sort": """
+WITH hourly AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+         count(*) AS n_total
+  FROM events GROUP BY 1
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY n_total DESC, hour)
+              AS BIGINT) AS rank,
+         hour, CAST(n_total AS BIGINT) AS n_total
+  FROM hourly
+)
+SELECT rank, hour, n_total FROM ranked
+WHERE rank > 1 AND rank <= 6 ORDER BY rank
 """,
     }

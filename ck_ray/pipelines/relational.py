@@ -1701,3 +1701,52 @@ def events_bucket_script(
         4,
     )
     return out[["hour", "n_num", "n_total", "ratio"]]
+
+
+def events_rate(sf_dir: str, unit_s: int = 60) -> pd.DataFrame:
+    """RATE aggregation (ES ``rate`` inside a date_histogram): each
+    hourly bucket's event count rescaled to a per-``unit_s`` rate —
+    ``n * unit_s / 3600`` — the bucket-width normalizer that makes
+    buckets of different calendar widths comparable. Exact-int count
+    next to the one fixed-order double (4dp), per type."""
+    hourly = events_hourly(sf_dir)[["hour", "event_type", "n"]]
+    out = hourly.sort_values(["event_type", "hour"]).reset_index(
+        drop=True
+    )
+    from ..scoring import round_half_away
+
+    out["n"] = out["n"].astype("int64")
+    out["rate"] = round_half_away(
+        out["n"].to_numpy(np.float64) * float(int(unit_s)) / 3600.0, 4
+    )
+    return out[["event_type", "hour", "n", "rate"]]
+
+
+def events_bucket_sort(
+    sf_dir: str, size: int = 5, offset: int = 1
+) -> pd.DataFrame:
+    """BUCKET-SORT pipeline aggregation (ES ``bucket_sort``): reorder
+    the parent histogram's buckets by a metric and truncate —
+    here the hourly buckets (all types) by count desc (hour asc ties),
+    skipping ``offset`` buckets then keeping ``size`` — the "top-N
+    busiest hours, minus the first" shape. Driver-side over the
+    reduced series; all-integer output carries the absolute rank."""
+    hourly = events_hourly(sf_dir)[["hour", "n"]]
+    g = (
+        hourly.groupby("hour", sort=True)["n"]
+        .sum()
+        .reset_index()
+        .rename(columns={"n": "n_total"})
+    )
+    g = g.sort_values(
+        ["n_total", "hour"], ascending=[False, True]
+    ).reset_index(drop=True)
+    g.insert(
+        0, "rank",
+        pd.Series(range(1, len(g) + 1), dtype="int64"),
+    )
+    out = g.iloc[int(offset) : int(offset) + int(size)].reset_index(
+        drop=True
+    )
+    out["n_total"] = out["n_total"].astype("int64")
+    return out[["rank", "hour", "n_total"]]
