@@ -958,6 +958,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ES bucket_sort: histogram buckets reordered by a metric,
         # offset + truncated
         "events_bucket_sort": relational.events_bucket_sort,
+        # ES collapse: best hit per field value, top-k group winners
+        "bm25_collapse": docsearch.bm25_collapse,
     }
     # The driver's per-round correctness gate checks a PREFIX of this
     # dict (r3: first 50 of 109; r4: the dedup/ANN/percolate/agg
@@ -4747,5 +4749,57 @@ ranked AS (
 )
 SELECT rank, hour, n_total FROM ranked
 WHERE rank > 1 AND rank <= 6 ORDER BY rank
+""",
+        # collapse: best hit per lang (per-lang row_number over the
+        # ranked BM25 CTE = 1), top-5 group winners in rank order
+        "bm25_collapse": f"""
+WITH {_TOKS},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2
+       GROUP BY doc_id, term),
+dlx AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT CAST(sum(dl) AS DOUBLE) FROM dlx)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+qterms AS (SELECT * FROM (VALUES ('merge'), ('window')) AS q(term)),
+dft AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+              * ((tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dlx.dl / s.avgdl)))
+            ) AS score
+  FROM tf
+  JOIN dft USING (term)
+  JOIN dlx USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+ranked AS (
+  SELECT doc_id, round(score, 4) AS rs,
+         row_number() OVER (ORDER BY round(score, 4) DESC, doc_id)
+           AS r
+  FROM scores
+),
+withv AS (
+  SELECT ranked.doc_id, ranked.rs, ranked.r, d.lang
+  FROM ranked JOIN documents d USING (doc_id)
+),
+winners AS (
+  SELECT doc_id, rs, r, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY r) AS pv
+  FROM withv
+),
+cut AS (
+  SELECT lang, doc_id, rs, r FROM winners
+  WHERE pv = 1 ORDER BY r LIMIT 5
+)
+SELECT CAST(row_number() OVER (ORDER BY r) AS BIGINT) AS rank,
+       lang, doc_id, rs AS score
+FROM cut ORDER BY rank
 """,
     }

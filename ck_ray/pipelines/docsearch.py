@@ -2243,3 +2243,35 @@ def bm25_significant_diversified(
             ),
         }
     )
+
+
+def bm25_collapse(
+    sf_dir: str, query: str = "merge window", field: str = "lang",
+    k: int = 5,
+) -> pd.DataFrame:
+    """FIELD COLLAPSING (ES ``collapse``): the ranked list
+    de-duplicated by ``field`` — only each field value's BEST hit
+    surfaces, top-``k`` group winners in rank order. The diversified
+    walk with cap=1 under the shared rounded-score ranking. Oracle:
+    per-field row_number over the ranked CTE = 1, ORDER BY rank
+    LIMIT k."""
+    idx = documents_index(sf_dir)
+    eng = BM25Engine(idx, num_shards=2, dtype=np.float64)
+    try:
+        rows = eng.search_collapse(query, field, k)
+    finally:
+        eng.close()
+    return pd.DataFrame(
+        {
+            "rank": pd.Series(
+                range(1, len(rows) + 1), dtype="int64"
+            ),
+            field: pd.Series([r[field] for r in rows], dtype="object"),
+            "doc_id": pd.Series(
+                [int(r["path"]) for r in rows], dtype="int64"
+            ),
+            "score": pd.Series(
+                [r["score"] for r in rows], dtype="float64"
+            ),
+        }
+    )

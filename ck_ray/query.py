@@ -4290,80 +4290,12 @@ class BM25Engine:
         rep = self._next_replica(query + "\x00#sigtext")
         sample = None
         if sample_size is not None and diversify_field is not None:
-            # DIVERSIFIED sampler (ES ``diversified_sampler``): walk
-            # the rounded-cut ranked stream in order, SKIP docs whose
-            # ``diversify_field`` value already has
-            # ``max_docs_per_value`` accepted docs (skipped docs do
-            # not consume the cap), stop at k accepted — so no single
-            # field value dominates the foreground. Only the prefix of
-            # the global ranked list strictly ABOVE every
-            # non-exhausted shard's last rounded score is complete;
-            # accept only from that prefix and refetch until k are
-            # accepted (or every shard is exhausted). Equivalent SQL:
-            # per-value row_number over the ranked list <= cap,
-            # ORDER BY rank LIMIT k.
-            k = int(sample_size)
-            cap = max(1, int(max_docs_per_value or 1))
-            fetch = 4 * k + 64
-            while True:
-                tops = ray.get(
-                    [
-                        s.query_topk.remote(tree, fetch, True, df_map)
-                        for s in rep
-                    ]
-                )
-                docs = np.concatenate([t[0] for t in tops])
-                sc = scoring.round_half_away(
-                    np.concatenate([t[1] for t in tops]).astype(
-                        np.float64
-                    ),
-                    4,
-                )
-                order = np.lexsort((docs, -sc))
-                docs_r, sc_r = docs[order], sc[order]
-                exhausted = [len(t[0]) < fetch for t in tops]
-                if all(exhausted):
-                    closed_n = len(docs_r)
-                else:
-                    bound = max(
-                        float(
-                            scoring.round_half_away(
-                                np.float64(t[1][-1]), 4
-                            )
-                        )
-                        for t, ex in zip(tops, exhausted)
-                        if not ex
-                    )
-                    closed_n = int(
-                        np.searchsorted(-sc_r, -bound, side="left")
-                    )
-                head = docs_r[:closed_n]
-                vals: dict[int, dict] = {}
-                if len(head):
-                    per = ray.get(
-                        [
-                            s.metrics_for_docs.remote(
-                                head, [diversify_field]
-                            )
-                            for s in rep
-                        ]
-                    )
-                    for p in per:
-                        vals.update(p)
-                seen: dict = {}
-                accepted: list[int] = []
-                for d in head:
-                    v = vals[int(d)][diversify_field]
-                    c = seen.get(v, 0)
-                    if c < cap:
-                        seen[v] = c + 1
-                        accepted.append(int(d))
-                    if len(accepted) == k:
-                        break
-                if len(accepted) == k or all(exhausted):
-                    sample = np.asarray(accepted, dtype=np.uint64)
-                    break
-                fetch *= 4
+            # DIVERSIFIED sampler (ES ``diversified_sampler``) — see
+            # _diversified_cut for the walk + closure rule.
+            sample, _, _ = self._diversified_cut(
+                tree, df_map, rep, int(sample_size), diversify_field,
+                max(1, int(max_docs_per_value or 1)),
+            )
         elif sample_size is not None:
             # the cut is on ROUNDED scores, so per-shard raw top-k is
             # not enough: overfetch until every non-exhausted shard's
@@ -5325,6 +5257,117 @@ class BM25Engine:
             "doc_ids": docs[order],
             "paths": paths[order],
         }
+
+    def _diversified_cut(
+        self, tree, df_map, rep, k: int, field: str, cap: int
+    ) -> tuple[np.ndarray, np.ndarray, dict]:
+        """Walk the rounded-cut ranked stream in order, SKIP docs whose
+        ``field`` value already has ``cap`` accepted docs (skipped docs
+        do not consume the cap), stop at ``k`` accepted. Only the
+        prefix of the global ranked list strictly ABOVE every
+        non-exhausted shard's last rounded score is complete; accept
+        only from that prefix and refetch until k are accepted (or
+        every shard is exhausted). Equivalent SQL: per-value
+        row_number over the ranked list <= cap, ORDER BY rank LIMIT k.
+        Returns ``(accepted doc ids (rank order), their rounded
+        scores, {doc_id: {field: value}})`` — the shared walk behind
+        the diversified sampler (cap = N) and field collapsing
+        (cap = 1)."""
+        fetch = 4 * k + 64
+        while True:
+            tops = ray.get(
+                [
+                    s.query_topk.remote(tree, fetch, True, df_map)
+                    for s in rep
+                ]
+            )
+            docs = np.concatenate([t[0] for t in tops])
+            sc = scoring.round_half_away(
+                np.concatenate([t[1] for t in tops]).astype(
+                    np.float64
+                ),
+                4,
+            )
+            order = np.lexsort((docs, -sc))
+            docs_r, sc_r = docs[order], sc[order]
+            exhausted = [len(t[0]) < fetch for t in tops]
+            if all(exhausted):
+                closed_n = len(docs_r)
+            else:
+                bound = max(
+                    float(
+                        scoring.round_half_away(
+                            np.float64(t[1][-1]), 4
+                        )
+                    )
+                    for t, ex in zip(tops, exhausted)
+                    if not ex
+                )
+                closed_n = int(
+                    np.searchsorted(-sc_r, -bound, side="left")
+                )
+            head = docs_r[:closed_n]
+            vals: dict[int, dict] = {}
+            if len(head):
+                per = ray.get(
+                    [
+                        s.metrics_for_docs.remote(head, [field])
+                        for s in rep
+                    ]
+                )
+                for p in per:
+                    vals.update(p)
+            seen: dict = {}
+            accepted: list[int] = []
+            acc_sc: list[float] = []
+            for d, s_ in zip(head, sc_r[:closed_n]):
+                v = vals[int(d)][field]
+                c = seen.get(v, 0)
+                if c < cap:
+                    seen[v] = c + 1
+                    accepted.append(int(d))
+                    acc_sc.append(float(s_))
+                if len(accepted) == k:
+                    break
+            if len(accepted) == k or all(exhausted):
+                return (
+                    np.asarray(accepted, dtype=np.uint64),
+                    np.asarray(acc_sc, dtype=np.float64),
+                    vals,
+                )
+            fetch *= 4
+
+    def search_collapse(
+        self, query: str, field: str = "lang", k: int = 10
+    ) -> list[dict]:
+        """FIELD COLLAPSING (the ES ``collapse`` search option): the
+        ranked hit list de-duplicated by ``field`` — only the BEST hit
+        of each field value surfaces, and the result is the top-``k``
+        of those group winners in rank order ("best doc per
+        language"). Exactly the diversified walk with cap = 1, so the
+        same prefix-closure rule makes the cut exact under the shared
+        rounded-score ranking. Returns ``[{"doc_id", "path", "score",
+        field}, ...]`` in rank order."""
+        self._maybe_reload()
+        df_map = self._df_map_for([query])
+        tree = self._parse_global(query)
+        rep = self._next_replica(query + "\x00#collapse:" + field)
+        docs, sc, vals = self._diversified_cut(
+            tree, df_map, rep, int(k), field, 1
+        )
+        owned = ray.get([s.paths_for_docs.remote(docs) for s in rep])
+        path_of: dict[int, str] = {}
+        for ds_, ps_ in owned:
+            path_of.update(zip(ds_, ps_))
+        return [
+            {
+                "doc_id": int(d),
+                "path": path_of[int(d)],
+                "score": float(s_),
+                field: vals[int(d)][field],
+            }
+            for d, s_ in zip(docs, sc)
+        ]
 
     def search_boxplot(
         self, query: str, field: str = "dl_content"

@@ -1999,3 +1999,45 @@ def test_diversified_sampler(ray_session, tiny_index, tiny_corpus):
             assert fg[b["term"]] == b["fg_count"]
     finally:
         eng.close()
+
+
+def test_collapse_vs_bruteforce(ray_session, tiny_index, tiny_corpus):
+    """Field collapsing: the top-k group winners match a brute-force
+    walk of the engine's own ranked list keeping the first hit per
+    lang; every winner is its lang's best-ranked doc."""
+    import numpy as np
+
+    from ck_ray.scoring import round_half_away
+
+    lang_of = dict(
+        zip(
+            tiny_corpus["path"].to_pylist(),
+            tiny_corpus["lang"].to_pylist(),
+        )
+    )
+    eng = BM25Engine(tiny_index, num_shards=2, auto_reload=False,
+                     dtype=np.float64)
+    try:
+        q = "merge window"
+        full = eng.search(q, top_k=100000, with_metadata=True)
+        sc = round_half_away(full["score"].to_numpy(np.float64), 4)
+        order = np.lexsort((full["doc_id"].to_numpy(), -sc))
+        seen: set = set()
+        want = []
+        for i in order:
+            lg = lang_of[full["path"].iloc[i]]
+            if lg not in seen:
+                seen.add(lg)
+                want.append((lg, full["path"].iloc[i], float(sc[i])))
+            if len(want) == 4:
+                break
+        got = eng.search_collapse(q, "lang", k=4)
+        assert [
+            (r["lang"], r["path"], r["score"]) for r in got
+        ] == want
+        # each lang appears at most once across a bigger cut
+        wide = eng.search_collapse(q, "lang", k=100)
+        langs = [r["lang"] for r in wide]
+        assert len(langs) == len(set(langs))
+    finally:
+        eng.close()
