@@ -407,6 +407,10 @@ def percolate_matches(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text"],
-        override_num_blocks=16,
+        override_num_blocks=8,
     )
-    return percolate(ds, STORED_QUERIES, concurrency=(1, 8))
+    # pool sized for the sf-scale stream: more actors just pay spawn
+    # cost on a sub-second job (measured 0.76 s at (1,4) vs 1.02 s at
+    # (1,8)); the 1M-doc scale path uses percolate_stream with its own
+    # concurrency (BASELINE.md: 80.6k docs/s at (4,30))
+    return percolate(ds, STORED_QUERIES)
