@@ -4560,9 +4560,9 @@ m AS (SELECT DISTINCT doc_id FROM toks2
 v AS (SELECT d.lang AS s FROM m JOIN documents d USING (doc_id)),
 base AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
-         CAST(min(strlen(s)) AS BIGINT) AS min_length,
-         CAST(max(strlen(s)) AS BIGINT) AS max_length,
-         CAST(sum(strlen(s)) AS BIGINT) AS total_len
+         CAST(min(length(s)) AS BIGINT) AS min_length,
+         CAST(max(length(s)) AS BIGINT) AS max_length,
+         CAST(sum(length(s)) AS BIGINT) AS total_len
   FROM v
 ),
 chars AS (

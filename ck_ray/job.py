@@ -326,36 +326,39 @@ def _cmd_percolate(args) -> int:
 
     import ray.data
 
-    from .ops.percolate import Percolator
-
-    from .ops import bind_ctor
+    from .ops.percolate import percolate_stream
 
     with open(args.queries) as fh:
         registry = _json.load(fh)
     t0 = time.perf_counter()
     ds = ray.data.read_parquet(args.corpus)
-    out = ds.map_batches(
-        bind_ctor(
-            Percolator, queries=registry,
-            text_col=args.text_col, id_col=args.id_col,
-        ),
-        batch_format="pyarrow",
+    out = percolate_stream(
+        ds, registry, text_col=args.text_col, id_col=args.id_col,
         concurrency=(1, 8),
     )
-    if args.output:
-        # rerun-safe sink: stream into a staging dir, then swap it in
-        # whole. A retried job (previous run interrupted mid-write)
-        # REPLACES any partial pair set instead of appending duplicate
-        # files to it — write_parquet alone would mix two runs' files.
+    if args.output and "://" not in args.output:
+        # rerun-safe LOCAL sink: stream into a staging dir, then swap
+        # it in whole. A retried job (previous run interrupted
+        # mid-write) REPLACES any partial pair set instead of
+        # appending duplicate files to it — write_parquet alone would
+        # mix two runs' files. Remote URIs (s3:// etc.) take the
+        # direct-write path below: os.rename can't swap object-store
+        # prefixes, so reruns there should target a fresh prefix.
         import os as _os
         import shutil as _shutil
         import uuid as _uuid
 
         staging = f"{args.output.rstrip('/')}.staging-{_uuid.uuid4().hex}"
-        out.write_parquet(staging)
-        if _os.path.isdir(args.output):
-            _shutil.rmtree(args.output)
-        _os.rename(staging, args.output)
+        try:
+            out.write_parquet(staging)
+            if _os.path.isdir(args.output):
+                _shutil.rmtree(args.output)
+            _os.rename(staging, args.output)
+        finally:
+            _shutil.rmtree(staging, ignore_errors=True)
+        n = "streamed"
+    elif args.output:
+        out.write_parquet(args.output)
         n = "streamed"
     else:
         n = int(out.count())

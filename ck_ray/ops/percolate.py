@@ -219,17 +219,24 @@ class _BatchTokens:
             return []
         # vectorized RE2 over the vocabulary (anchored = fullmatch);
         # with thousands of stored regex queries the old per-term
-        # Python loop was O(vocab * queries) interpreter work per batch
-        try:
-            m = pc.match_substring_regex(
-                pa.array(v, pa.string()), f"^(?:{pat})$"
-            )
-            return list(v[m.to_numpy(zero_copy_only=False)])
-        except pa.ArrowInvalid:
-            # RE2 rejects what it can't run in linear time (backrefs,
-            # lookaround) — keep exact Python-re semantics for those
-            rx = re.compile(pat)
-            return [t for t in v if rx.fullmatch(t)]
+        # Python loop was O(vocab * queries) interpreter work per
+        # batch. ONLY for patterns where RE2 and Python re agree: a
+        # backslash class (\\w \\d \\b ...) is ASCII-only in RE2 but
+        # Unicode in Python re (the scoring engine's semantics, and
+        # the tokenizer emits Unicode tokens), and (?...) groups can
+        # carry flags — those patterns keep the exact Python-re loop
+        # so percolate matches mirror BM25Engine for every query both
+        # accept.
+        if "\\" not in pat and "(?" not in pat:
+            try:
+                m = pc.match_substring_regex(
+                    pa.array(v, pa.string()), f"^(?:{pat})$"
+                )
+                return list(v[m.to_numpy(zero_copy_only=False)])
+            except pa.ArrowInvalid:
+                pass  # RE2 rejected it — Python re below
+        rx = re.compile(pat)
+        return [t for t in v if rx.fullmatch(t)]
 
 
 def _validate(node) -> None:

@@ -2075,6 +2075,13 @@ def bm25_boxplot(
         res = eng.search_boxplot(query, field)
     finally:
         eng.close()
+    if not res["count"]:  # empty match set -> empty frame, like SQL
+        return pd.DataFrame(
+            {
+                c: pd.Series([], dtype="int64")
+                for c in ("n", "min", "q1", "q2", "q3", "max", "iqr")
+            }
+        )
     return pd.DataFrame(
         {
             "n": pd.Series([res["count"]], dtype="int64"),

@@ -4356,6 +4356,14 @@ class BM25Engine:
                     path_of.update(zip(ds_, ps_))
                 paths = [path_of[int(d)] for d in sample]
                 texts = source(paths)
+                missing = [p for p in paths if p not in texts]
+                if missing:
+                    raise ValueError(
+                        "significant_text source returned no text for "
+                        f"{len(missing)} sampled path(s), e.g. "
+                        f"{missing[0]!r} — the source must cover every "
+                        "indexed doc (wrong key column or stale corpus?)"
+                    )
                 tf_tab, _ = term_frequencies(
                     pa.array([texts[p] for p in paths], pa.string()),
                     with_positions=False,
@@ -4378,6 +4386,17 @@ class BM25Engine:
                 )
                 for p in per:
                     bg.update(p)
+                orphans = [t for t in fg if t not in bg]
+                if orphans:
+                    # every re-analyzed term of an indexed doc must be
+                    # in the dictionary; an orphan means the source
+                    # text doesn't match what was indexed
+                    raise ValueError(
+                        f"{len(orphans)} sampled term(s) absent from "
+                        f"the {field!r} dictionary, e.g. "
+                        f"{orphans[0]!r} — the source text does not "
+                        "match the indexed field (wrong text column?)"
+                    )
             fg_total = int(len(sample))
             bg_total = int(self.manifest["num_docs"])
         else:
@@ -5309,9 +5328,14 @@ class BM25Engine:
             head = docs_r[:closed_n]
             vals: dict[int, dict] = {}
             if len(head):
+                # gather the stored path alongside the diversify value
+                # so callers that surface hits (collapse) need no
+                # second fan-out
                 per = ray.get(
                     [
-                        s.metrics_for_docs.remote(head, [field])
+                        s.metrics_for_docs.remote(
+                            head, list(dict.fromkeys([field, "path"]))
+                        )
                         for s in rep
                     ]
                 )
@@ -5355,14 +5379,10 @@ class BM25Engine:
         docs, sc, vals = self._diversified_cut(
             tree, df_map, rep, int(k), field, 1
         )
-        owned = ray.get([s.paths_for_docs.remote(docs) for s in rep])
-        path_of: dict[int, str] = {}
-        for ds_, ps_ in owned:
-            path_of.update(zip(ds_, ps_))
         return [
             {
                 "doc_id": int(d),
-                "path": path_of[int(d)],
+                "path": vals[int(d)]["path"],
                 "score": float(s_),
                 field: vals[int(d)][field],
             }

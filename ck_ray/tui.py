@@ -124,7 +124,10 @@ class EngineSession:
         try:
             pat = ".*".join(t for t in query.split() if t)
             rex = self._regex(pat, top_k * 2)
-        except ValueError:
+        except Exception:
+            # no corpus, or the tokens form an invalid regex (raised
+            # as Arrow/Ray errors, not ValueError) — degrade to the
+            # lexical leg alone rather than failing the whole search
             rex = []
         rank = {}
         for i, r in enumerate(lex):
@@ -252,8 +255,12 @@ def render(state: TuiState, scr) -> None:
         scr.put(0, max(0, w - 1 - len(tail)), tail)
     body = h - 3  # header + status + 1-based safety
     res_h = max(1, body // 2)
+    # keep the selection visible: scroll the result window so the
+    # selected row is always inside the pane
+    top = max(0, min(state.selected_idx - res_h + 1,
+                     len(state.results) - res_h))
     for i in range(res_h):
-        j = i  # no result scrolling beyond the pane (top_k is small)
+        j = top + i
         if j >= len(state.results):
             break
         r = state.results[j]
@@ -274,6 +281,7 @@ def render(state: TuiState, scr) -> None:
 # ---- key handling --------------------------------------------------------
 
 KEY_ENTER, KEY_TAB, KEY_ESC = 10, 9, 27
+KEY_ENTER_ALL = (10, 13, 343)  # \n, \r (raw mode), curses KEY_ENTER
 KEY_BACKSPACE = (8, 127, 263)  # ^H, DEL, curses KEY_BACKSPACE
 KEY_UP, KEY_DOWN, KEY_PGUP, KEY_PGDN = 259, 258, 339, 338
 CTRL = {c: ord(c.lower()) - 96 for c in "CFNPQS"}
@@ -283,7 +291,7 @@ def handle_key(state: TuiState, key: int, sess: EngineSession) -> bool:
     """Apply one key; returns True when the browser should exit."""
     if key in (KEY_ESC, CTRL["C"], CTRL["Q"]):
         return True
-    if key == KEY_ENTER:
+    if key in KEY_ENTER_ALL:
         run_search(state, sess)
     elif key == KEY_TAB:
         cycle_mode(state)

@@ -347,3 +347,15 @@ def test_job_percolate_rerun_exactly_once(ray_session, tmp_path):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_regex_unicode_class_matches_python_re():
+    """Review fix: backslash classes must keep Python-re (Unicode)
+    semantics — RE2 would treat \\w as ASCII and silently drop
+    non-ASCII tokens the tokenizer emits; plain patterns still take
+    the vectorized path and agree."""
+    docs = ["naïve café merge", "naive merge", "merge only"]
+    m = _matches({"q": "/\\w+é/"}, docs)
+    assert m["q"] == [0]  # 'café' — Unicode \w semantics
+    m2 = _matches({"q": "/na.*/"}, docs)  # vectorized RE2 path
+    assert m2["q"] == [0, 1]

@@ -175,3 +175,23 @@ def test_exit_keys(sess):
     st = TuiState()
     for key in (27, CTRL["C"], CTRL["Q"]):
         assert handle_key(st, key, sess) is True
+
+
+def test_result_list_scrolls_with_selection(sess):
+    """Review fix: the selected row stays visible (with its > marker)
+    even when the selection moves past the pane height."""
+    from ck_ray.tui import KEY_DOWN
+
+    st = TuiState()
+    st.query = "merge"
+    run_search(st, sess)
+    assert len(st.results) > 8
+    for _ in range(len(st.results) - 1):
+        handle_key(st, KEY_DOWN, sess)
+    scr = FakeScreen(h=12, w=80)  # small pane: res_h = 4
+    render(st, scr)
+    marked = [
+        t for (_, _), (t, _) in scr.cells.items() if t.startswith(">")
+    ]
+    assert len(marked) == 1
+    assert st.results[st.selected_idx]["path"] in marked[0]
