@@ -2041,3 +2041,40 @@ def test_collapse_vs_bruteforce(ray_session, tiny_index, tiny_corpus):
         assert len(langs) == len(set(langs))
     finally:
         eng.close()
+
+
+def test_collapse_and_diversified_shard_invariance(
+    ray_session, tiny_index, tiny_corpus
+):
+    """The diversified walk's prefix-closure rule must make collapse
+    and the diversified sampler independent of shard count — including
+    when rounded-score ties straddle fetch boundaries."""
+    import numpy as np
+
+    text_of = dict(
+        zip(
+            tiny_corpus["path"].to_pylist(),
+            tiny_corpus["content"].to_pylist(),
+        )
+    )
+
+    def src(paths):
+        return {p: text_of[p] for p in paths}
+
+    results = []
+    for shards in (1, 2, 4):
+        eng = BM25Engine(tiny_index, num_shards=shards,
+                         auto_reload=False, dtype=np.float64)
+        try:
+            col = eng.search_collapse("merge window", "lang", k=6)
+            div = eng.search_significant_text(
+                "merge window", size=10, min_doc_count=1,
+                sample_size=15, source=src,
+                diversify_field="lang", max_docs_per_value=4,
+            )
+        finally:
+            eng.close()
+        results.append((col, div))
+    for col, div in results[1:]:
+        assert col == results[0][0]
+        assert div == results[0][1]
