@@ -960,6 +960,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_bucket_sort": relational.events_bucket_sort,
         # ES collapse: best hit per field value, top-k group winners
         "bm25_collapse": docsearch.bm25_collapse,
+        # ES cumulative_cardinality: running distinct-user count per
+        # hourly bucket (exact; first-seen groupby is the heavy pass)
+        "events_cumulative_cardinality":
+            relational.events_cumulative_cardinality,
     }
     # The driver's per-round correctness gate checks a PREFIX of this
     # dict (r3: first 50 of 109; r4: the dedup/ANN/percolate/agg
@@ -4801,5 +4805,29 @@ cut AS (
 SELECT CAST(row_number() OVER (ORDER BY r) AS BIGINT) AS rank,
        lang, doc_id, rs AS score
 FROM cut ORDER BY rank
+""",
+        # cumulative_cardinality: every observed hour with the count
+        # of FIRST-SEEN users and the running distinct-user total
+        "events_cumulative_cardinality": """
+WITH ev AS (
+  SELECT user_id,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour
+  FROM events
+),
+first_seen AS (
+  SELECT user_id, min(hour) AS first_hour FROM ev GROUP BY user_id
+),
+hours AS (SELECT DISTINCT hour FROM ev),
+newc AS (
+  SELECT first_hour AS hour, count(*) AS new_users
+  FROM first_seen GROUP BY first_hour
+)
+SELECT h.hour,
+       CAST(COALESCE(n.new_users, 0) AS BIGINT) AS new_users,
+       CAST(sum(COALESCE(n.new_users, 0)) OVER (
+         ORDER BY h.hour ROWS UNBOUNDED PRECEDING
+       ) AS BIGINT) AS cum_users
+FROM hours h LEFT JOIN newc n USING (hour)
+ORDER BY h.hour
 """,
     }

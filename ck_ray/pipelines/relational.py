@@ -1750,3 +1750,60 @@ def events_bucket_sort(
     )
     out["n_total"] = out["n_total"].astype("int64")
     return out[["rank", "hour", "n_total"]]
+
+
+def events_cumulative_cardinality(sf_dir: str) -> pd.DataFrame:
+    """CUMULATIVE-CARDINALITY pipeline aggregation (the ES
+    ``cumulative_cardinality`` agg): per hourly bucket, the running
+    number of DISTINCT users seen so far — "total unique users to
+    date" from a daily-active histogram, the agg ES builds by merging
+    HLL sketches bucket by bucket. Exact here, and with the right
+    distributed shape: a user counts once at its FIRST-SEEN bucket, so
+    the heavy pass is one distributed ``groupby(user).min(hour)``
+    (O(users) rows leave the shuffle, no doc stream materializes);
+    the bucket counts + running sum then run driver-side over the
+    small series. Buckets are every observed hour (carrying hours that
+    add no new user), all-integer."""
+    from ray.data.aggregate import Min
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["ts", "user_id"]
+    )
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame()
+        out["user_id"] = df["user_id"].astype("int64")
+        out["hour"] = (
+            df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:00:00")
+        )
+        return out
+
+    eds = ds.map_batches(bucket, batch_format="pandas")
+    first_seen = (
+        eds.groupby("user_id")
+        .aggregate(Min("hour", alias_name="first_hour"))
+        .to_pandas()
+    )
+    all_hours = (
+        eds.groupby("hour")
+        .aggregate(Count(alias_name="n_events"))
+        .to_pandas()
+        .sort_values("hour")
+        .reset_index(drop=True)
+    )
+    new_by_hour = (
+        first_seen.groupby("first_hour").size()
+        if len(first_seen)
+        else pd.Series(dtype="int64")
+    )
+    new_users = (
+        all_hours["hour"].map(new_by_hour).fillna(0).astype("int64")
+    )
+    out = pd.DataFrame(
+        {
+            "hour": all_hours["hour"],
+            "new_users": new_users,
+            "cum_users": new_users.cumsum().astype("int64"),
+        }
+    )
+    return out.reset_index(drop=True)
