@@ -964,6 +964,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hourly bucket (exact; first-seen groupby is the heavy pass)
         "events_cumulative_cardinality":
             relational.events_cumulative_cardinality,
+        # ClickHouse retention: first-active-day cohorts x day offsets
+        "user_retention": relational.user_retention,
     }
     # The driver's per-round correctness gate checks a PREFIX of this
     # dict (r3: first 50 of 109; r4: the dedup/ANN/percolate/agg
@@ -4829,5 +4831,21 @@ SELECT h.hour,
        ) AS BIGINT) AS cum_users
 FROM hours h LEFT JOIN newc n USING (hour)
 ORDER BY h.hour
+""",
+        # retention cohorts: distinct (user, epoch-day) pairs, cohort =
+        # min day per user, count active users per (cohort, offset<=7)
+        "user_retention": """
+WITH pairs AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+),
+coh AS (SELECT user_id, min(day) AS cohort FROM pairs GROUP BY user_id)
+SELECT c.cohort AS cohort_day,
+       CAST(p.day - c.cohort AS BIGINT) AS "offset",
+       CAST(count(*) AS BIGINT) AS n_active
+FROM pairs p JOIN coh c USING (user_id)
+WHERE p.day - c.cohort <= 7
+GROUP BY 1, 2 ORDER BY 1, 2
 """,
     }

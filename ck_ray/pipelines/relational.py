@@ -1807,3 +1807,56 @@ def events_cumulative_cardinality(sf_dir: str) -> pd.DataFrame:
         }
     )
     return out.reset_index(drop=True)
+
+
+def user_retention(sf_dir: str, max_offset: int = 7) -> pd.DataFrame:
+    """RETENTION COHORTS (the ClickHouse ``retention`` / product-
+    analytics cohort table): users grouped by their FIRST-ACTIVE day
+    (the cohort), counting how many are active again ``offset`` days
+    later, for offsets 0..``max_offset``. The scale-correct shape: the
+    heavy pass is ONE distributed dedupe of (user, day) activity pairs
+    — O(users x active-days) rows leave the shuffle, never the event
+    stream — then the cohort min, self-join and counts run driver-side
+    on the reduced pairs. Days are epoch-day ints (floor(epoch/86400)),
+    so the all-integer output is exactly SQL-replicable."""
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["ts", "user_id"]
+    )
+
+    def to_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame()
+        out["user_id"] = df["user_id"].astype("int64")
+        out["day"] = (
+            df["ts"].astype("datetime64[s]").astype("int64") // 86400
+        ).astype("int64")
+        return out
+
+    pairs = (
+        ds.map_batches(to_pairs, batch_format="pandas")
+        .groupby(["user_id", "day"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()[["user_id", "day"]]
+    )
+    if len(pairs) == 0:
+        return pd.DataFrame(
+            {
+                "cohort_day": pd.Series([], dtype="int64"),
+                "offset": pd.Series([], dtype="int64"),
+                "n_active": pd.Series([], dtype="int64"),
+            }
+        )
+    cohort = pairs.groupby("user_id")["day"].min().rename("cohort")
+    j = pairs.merge(cohort, on="user_id")
+    j["offset"] = (j["day"] - j["cohort"]).astype("int64")
+    j = j[j["offset"] <= int(max_offset)]
+    out = (
+        j.groupby(["cohort", "offset"])
+        .size()
+        .reset_index(name="n_active")
+        .rename(columns={"cohort": "cohort_day"})
+        .sort_values(["cohort_day", "offset"])
+        .reset_index(drop=True)
+    )
+    for c in ("cohort_day", "offset", "n_active"):
+        out[c] = out[c].astype("int64")
+    return out
