@@ -1564,7 +1564,9 @@ class LocalIndex:
             else:
                 # decode only blocks whose doc range can touch a candidate
                 # (per serving entry; entries are bucket-ascending)
-                d_l, t_l, l_l = [], [], []
+                masks = []
+                any_hit = False
+                all_full = True
                 for e, sk in zip(info["entries"], info["skips_list"]):
                     lo = np.concatenate(
                         ([np.uint64(0)], sk["last_doc"][:-1] + np.uint64(1))
@@ -1573,19 +1575,34 @@ class LocalIndex:
                     li = np.searchsorted(acc_docs, lo, side="left")
                     ri = np.searchsorted(acc_docs, hi, side="right")
                     mask = ri > li
-                    if not mask.any():
-                        continue
-                    d_, t_, l_ = codec.decode_posting_blocks(
-                        e["postings"], e["skips"], mask
-                    )
-                    d_l.append(d_)
-                    t_l.append(t_)
-                    l_l.append(l_)
-                if not d_l:
+                    masks.append(mask)
+                    any_hit |= bool(mask.any())
+                    all_full &= bool(mask.all())
+                if not any_hit:
                     continue
-                docs = np.concatenate(d_l)
-                tfs = np.concatenate(t_l)
-                dls = np.concatenate(l_l)
+                if all_full:
+                    # candidates touch EVERY block (common-term OR
+                    # shapes): re-decoding all blocks per query costs
+                    # more than it saves — reuse the view's CACHED
+                    # full decode (identical bytes in the prunable
+                    # single-epoch/no-dead regime) and fall through to
+                    # the same candidate filter
+                    v = info["view"]
+                    docs, tfs, dls = v.docs, v.tfs, v.dls
+                else:
+                    d_l, t_l, l_l = [], [], []
+                    for e, mask in zip(info["entries"], masks):
+                        if not mask.any():
+                            continue
+                        d_, t_, l_ = codec.decode_posting_blocks(
+                            e["postings"], e["skips"], mask
+                        )
+                        d_l.append(d_)
+                        t_l.append(t_)
+                        l_l.append(l_)
+                    docs = np.concatenate(d_l)
+                    tfs = np.concatenate(t_l)
+                    dls = np.concatenate(l_l)
                 keep_idx = np.searchsorted(acc_docs, docs)
                 keep_idx = np.clip(keep_idx, 0, len(acc_docs) - 1)
                 keep = acc_docs[keep_idx] == docs
